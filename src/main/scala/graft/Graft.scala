@@ -1,0 +1,58 @@
+package graft
+
+import graft.ast.Query
+import graft.parse.Parser
+import graft.plan.Planner
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Public API: compile PRQL straight to a Spark DataFrame.
+  *
+  * The reference (prql/prql v0.2.2) compiles PRQL → SQL string and delegates
+  * execution to a database (prql-compiler/src/lib.rs:19-27). Here the
+  * "database" is Spark: we parse + resolve the same language and fold each
+  * transform into DataFrame operations, so Catalyst/Tungsten provide the
+  * optimizer and execution engine.
+  */
+object Graft {
+
+  /** Parse only — returns the AST. */
+  def parse(prql: String): Query = Parser.parse(prql)
+
+  /** Compile against an explicit table resolver (`from name` → DataFrame). */
+  def compile(prql: String, spark: SparkSession,
+              catalog: String => DataFrame): DataFrame =
+    new Planner(spark, catalog, Parser.parse(prql)).planMain()
+
+  /** Compile with `from name` resolving to `$dir/name.parquet`
+    * (the TESTDATA.md convention), falling back to temp views. */
+  def compileDir(prql: String, spark: SparkSession, dir: String): DataFrame =
+    compile(prql, spark, parquetCatalog(spark, dir))
+
+  /** Compile with `from name` resolving against the session catalog
+    * (temp views / tables). */
+  def compileSession(prql: String, spark: SparkSession): DataFrame =
+    compile(prql, spark, name => spark.table(name))
+
+  def parquetCatalog(spark: SparkSession, dir: String): String => DataFrame =
+    name => {
+      val p = s"$dir/$name.parquet"
+      if (new java.io.File(p).exists) normalizeNanos(spark.read.parquet(p))
+      else spark.table(name)
+    }
+
+  /** The driver's `events` table stores TIMESTAMP(NANOS), which Spark reads
+    * only as a nanos-since-epoch long (spark.sql.legacy.parquet.nanosAsLong).
+    * Normalize such columns to microsecond timestamps so date/window logic
+    * behaves; µs truncation matches DuckDB's TIMESTAMP_NS::TIMESTAMP cast. */
+  private def normalizeNanos(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val nanoCols = df.schema.fields.collect {
+      case f if f.metadata.contains("isTimestampNTZ") => f.name // not used today
+    }
+    // convention: the driver's only nanos column is events.ts
+    if (df.columns.contains("ts") &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else df
+  }
+}

@@ -1,0 +1,642 @@
+package graft.plan
+
+import graft.ast._
+import graft.ast.Expr._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.{functions => F}
+
+final class PlanError(msg: String) extends Exception(msg)
+
+/** Lowers a resolved PRQL [[Query]] to a Spark DataFrame by folding each
+  * pipeline transform into DataFrame/Column/Window operations. Catalyst is the
+  * optimizer: we emit declarative plans (filter/select/groupBy/join/window)
+  * and rely on predicate pushdown, column pruning and AQE for the physical
+  * strategy — the role the target DB plays for the reference
+  * (SURVEY.md §3.3, §4).
+  *
+  * Transform semantics follow prql-compiler/src/semantic/transforms.rs:7-253
+  * and src/sql/{distinct.rs,un_group.rs,translator.rs}.
+  */
+final class Planner(spark: SparkSession, catalog: String => DataFrame,
+                    query: Query) {
+
+  private val funcs: Map[String, FuncDef] = query.funcs.map(f => f.name -> f).toMap
+  private val tableDefs: Map[String, TableDef] = query.tables.map(t => t.name -> t).toMap
+  private val tableCache = scala.collection.mutable.Map.empty[String, DataFrame]
+
+  // ---- ambient pipeline state (the reference's Frame, frame.rs:10-18) ----
+  private final case class SortItem(e: Expr, desc: Boolean)
+  /** kind ∈ rows|range; None bound = UNBOUNDED (translator.rs:667-693). */
+  private final case class FrameSpec(kind: String, lo: Option[Long], hi: Option[Long])
+
+  private final case class Ctx(
+      df: DataFrame,
+      sort: List[SortItem] = Nil,      // ambient sort, feeds OVER(ORDER BY)
+      groupKeys: List[Expr] = Nil,     // inside `group` — feeds PARTITION BY
+      frame: Option[FrameSpec] = None, // inside `window`
+      inGroupBody: Boolean = false)
+
+  def planMain(): DataFrame = {
+    val main = query.main.getOrElse(throw new PlanError("query has no main pipeline"))
+    planPipeline(main)
+  }
+
+  def planPipeline(p: Pipeline): DataFrame = {
+    // table-less pipelines (`derive x = 5`) start from a one-row relation
+    val init = Ctx(spark.range(1).select())
+    p.stages.foldLeft(init)(applyTransform).df
+  }
+
+  private def resolveTable(name: String): DataFrame =
+    tableCache.getOrElseUpdate(name,
+      tableDefs.get(name).map(t => planPipeline(t.pipeline)).getOrElse(catalog(name)))
+
+  // ---------------- transforms ----------------
+
+  private def applyTransform(ctx: Ctx, stage: Expr): Ctx = stage match {
+    case FuncCall(name, args, named) => applyCall(ctx, name, args, named)
+    case Ident(List(name)) if isTransformName(name) =>
+      applyCall(ctx, name, Nil, Nil)
+    case other =>
+      throw new PlanError(s"pipeline stage is not a transform: $other")
+  }
+
+  private def isTransformName(n: String): Boolean = Set(
+    "from", "select", "derive", "filter", "aggregate", "sort", "take",
+    "join", "group", "window")(n)
+
+  private def applyCall(ctx: Ctx, name: String, args: List[Expr],
+                        named: List[(String, Expr)]): Ctx = name match {
+    case "from" =>
+      val (alias, tbl) = args match {
+        case List(Assign(a, Ident(List(t)))) => (a, t)
+        case List(Ident(List(t))) => (t, t)
+        case _ => throw new PlanError(s"from expects a table name, got $args")
+      }
+      ctx.copy(df = resolveTable(tbl).alias(alias), sort = Nil, groupKeys = Nil)
+
+    case "select" =>
+      val cols = assignItems(args).map {
+        case (Some(n), e) => lower(ctx, e).as(n)
+        case (None, e) => lower(ctx, e)
+      }
+      ctx.copy(df = ctx.df.select(cols: _*))
+
+    case "derive" =>
+      val df = assignItems(args).foldLeft(ctx.df) { case (d, (nameOpt, e)) =>
+        val c = lower(ctx.copy(df = d), e)
+        d.withColumn(nameOpt.getOrElse(prettyName(e)), c)
+      }
+      ctx.copy(df = df)
+
+    case "filter" =>
+      val conds = args.map(a => lower(ctx, a))
+      ctx.copy(df = ctx.df.filter(conds.reduce(_ && _)))
+
+    case "sort" =>
+      val items = sortItems(args)
+      if (ctx.inGroupBody)
+        // inside `group` bodies the sort only feeds OVER(ORDER BY); the
+        // reference drops it from output order too (un_group.rs:6-37)
+        ctx.copy(sort = items)
+      else
+        ctx.copy(df = ctx.df.orderBy(items.map(sortCol(ctx, _)): _*), sort = items)
+
+    case "aggregate" =>
+      val items = aggItems(args)
+      val aggCols = items.map { case (nameOpt, e) =>
+        val c = lowerAgg(ctx, e)
+        nameOpt.map(c.as).getOrElse(c.as(prettyName(e)))
+      }
+      val out =
+        if (ctx.groupKeys.isEmpty) ctx.df.agg(aggCols.head, aggCols.tail: _*)
+        else ctx.df.groupBy(ctx.groupKeys.map(k => lower(ctx, k)): _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+      ctx.copy(df = out, groupKeys = Nil, sort = Nil)
+
+    case "take" => applyTake(ctx, args)
+
+    case "join" => applyJoin(ctx, args, named)
+
+    case "group" =>
+      val (keys, body) = args match {
+        case List(k, b) => (keyList(k), bodyStages(b))
+        case _ => throw new PlanError("group expects keys and a sub-pipeline")
+      }
+      // group clears the ambient sort (frame.rs:65-72)
+      val entry = ctx.copy(sort = Nil, groupKeys = keys, inGroupBody = true)
+      val out = body.foldLeft(entry)(applyTransform)
+      out.copy(groupKeys = Nil, sort = Nil, inGroupBody = ctx.inGroupBody,
+        frame = None)
+
+    case "window" =>
+      val body = args match {
+        case List(b) => bodyStages(b)
+        case _ => throw new PlanError("window expects a sub-pipeline")
+      }
+      val spec = frameSpec(named)
+      val entry = ctx.copy(frame = spec)
+      val out = body.foldLeft(entry)(applyTransform)
+      out.copy(frame = ctx.frame)
+
+    case fname =>
+      throw new PlanError(s"'$fname' is not a transform (stage-position call)")
+  }
+
+  // ---- take (transforms.rs:88-101; distinct.rs for grouped) ----
+
+  private def applyTake(ctx: Ctx, args: List[Expr]): Ctx = {
+    val rng: (Option[Long], Option[Long]) = args match {
+      case List(IntLit(n)) => (None, Some(n))
+      case List(RangeLit(s, e)) => (s.map(asLong), e.map(asLong))
+      case _ => throw new PlanError(s"take expects an int or range, got $args")
+    }
+    if (ctx.groupKeys.isEmpty) {
+      // 1-based inclusive positional slice (translator.rs:194-212)
+      val df = rng match {
+        case (None, Some(n)) => ctx.df.limit(n.toInt)
+        case (Some(a), Some(b)) => ctx.df.offset((a - 1).toInt).limit((b - a + 1).toInt)
+        case (Some(a), None) => ctx.df.offset((a - 1).toInt)
+        case (None, None) => ctx.df
+      }
+      ctx.copy(df = df)
+    } else {
+      // grouped take — the reference's signature rewrite (distinct.rs:8-126)
+      val frameCols = ctx.df.columns.toList
+      val keyNames = ctx.groupKeys.collect { case Ident(ps) => ps.last }
+      rng match {
+        case (None, Some(1)) if ctx.sort.isEmpty && keyNames.toSet == frameCols.toSet =>
+          // `group cols (take 1)` over exactly the key columns → DISTINCT
+          ctx.copy(df = ctx.df.distinct())
+        case (lo, hi) =>
+          val w = Window.partitionBy(ctx.groupKeys.map(k => lower(ctx, k)): _*)
+            .orderBy(
+              (if (ctx.sort.nonEmpty) ctx.sort.map(sortCol(ctx, _))
+               else List(F.lit(1))): _*)
+          val rn = "_rn_graft"
+          var df = ctx.df.withColumn(rn, F.row_number().over(w))
+          val cond = (lo, hi) match {
+            case (None, Some(n)) => F.col(rn) <= n
+            case (Some(a), Some(b)) => F.col(rn).between(a, b)
+            case (Some(a), None) => F.col(rn) >= a
+            case (None, None) => F.lit(true)
+          }
+          ctx.copy(df = df.filter(cond).drop(rn))
+      }
+    }
+  }
+
+  // ---- join (transforms.rs:102-144, translator.rs:725-753) ----
+
+  private def applyJoin(ctx: Ctx, args: List[Expr], named: List[(String, Expr)]): Ctx = {
+    var side = "inner"
+    named.foreach {
+      case ("side", Ident(List(s))) => side = s
+      case ("side", other) => throw new PlanError(s"bad join side: $other")
+      case (n, _) => throw new PlanError(s"unknown join named arg: $n")
+    }
+    val sparkSide = side match {
+      case "inner" => "inner"
+      case "left" => "left"
+      case "right" => "right"
+      case "full" => "full"
+      case s => throw new PlanError(s"unknown join side '$s'")
+    }
+    var tableOpt: Option[(String, String)] = None // (alias, table)
+    var conds: List[Expr] = Nil
+    args.foreach {
+      case Assign(a, Ident(List(t))) if tableOpt.isEmpty => tableOpt = Some((a, t))
+      case Ident(List(t)) if tableOpt.isEmpty => tableOpt = Some((t, t))
+      case EList(items) => conds = items
+      case e if tableOpt.isDefined => conds = List(e)
+      case e => throw new PlanError(s"bad join arg: $e")
+    }
+    val (alias, tbl) = tableOpt.getOrElse(throw new PlanError("join needs a table"))
+    val right = resolveTable(tbl).alias(alias)
+    // all-bare-idents → USING (deduped key columns); else ON with AND-merge
+    val usingCols = conds.collect { case Ident(List(c)) => c }
+    val joined =
+      if (conds.nonEmpty && usingCols.length == conds.length)
+        ctx.df.join(right, usingCols, sparkSide)
+      else {
+        val both = ctx.df.join(right,
+          conds.map(c => lowerJoinCond(ctx.df, right, c)).reduce(_ && _), sparkSide)
+        both
+      }
+    ctx.copy(df = joined)
+  }
+
+  /** Lower a join condition. Idents lower to unresolved `F.col` refs, so the
+    * analyzer resolves them against the joined plan (qualified `a.b` via the
+    * aliases, plain idents when unambiguous — Spark SQL's own rules). */
+  private def lowerJoinCond(left: DataFrame, right: DataFrame, e: Expr): Column =
+    lower(Ctx(left), e)
+
+  // ---- group/window helpers ----
+
+  private def keyList(e: Expr): List[Expr] = e match {
+    case EList(items) => items
+    case i: Ident => List(i)
+    case other => throw new PlanError(s"group keys must be idents, got $other")
+  }
+
+  private def bodyStages(e: Expr): List[Expr] = e match {
+    case Pipeline(stages) => stages
+    case single => List(single)
+  }
+
+  /** window named args → frame (transforms.rs:165-244):
+    * rows:a..b | range:a..b | expanding:true ≡ rows:..0 | rolling:n ≡ rows:-(n-1)..0 */
+  private def frameSpec(named: List[(String, Expr)]): Option[FrameSpec] = {
+    val m = named.toMap
+    def rangeOf(e: Expr): (Option[Long], Option[Long]) = e match {
+      case RangeLit(s, en) => (s.map(asLong), en.map(asLong))
+      case IntLit(n) => (Some(n), Some(n))
+      case other => throw new PlanError(s"bad window frame range: $other")
+    }
+    if (m.contains("rows")) {
+      val (lo, hi) = rangeOf(m("rows")); Some(FrameSpec("rows", lo, hi))
+    } else if (m.contains("range")) {
+      val (lo, hi) = rangeOf(m("range")); Some(FrameSpec("range", lo, hi))
+    } else if (m.get("expanding").contains(BoolLit(true))) {
+      Some(FrameSpec("rows", None, Some(0)))
+    } else m.get("rolling") match {
+      case Some(IntLit(n)) => Some(FrameSpec("rows", Some(-(n - 1)), Some(0)))
+      case Some(other) => throw new PlanError(s"bad rolling: $other")
+      case None => None
+    }
+  }
+
+  // ---- select/derive/aggregate item shapes ----
+
+  /** Items of select/derive: one list, or varargs of assigns/exprs. */
+  private def assignItems(args: List[Expr]): List[(Option[String], Expr)] = {
+    val flat = args.flatMap {
+      case EList(items) => items
+      case e => List(e)
+    }
+    flat.map {
+      case Assign(n, e) => (Some(n), e)
+      case e => (None, e)
+    }
+  }
+
+  private def aggItems(args: List[Expr]): List[(Option[String], Expr)] = args match {
+    case List(EList(items)) => items.map {
+      case Assign(n, e) => (Some(n), e)
+      case e => (None, e)
+    }
+    case List(Assign(n, e)) => List((Some(n), e))
+    case List(e) => List((None, e))
+    case _ =>
+      // `aggregate average x` is an arity error in the reference (transforms.rs:342-362)
+      throw new PlanError("aggregate expects a single list argument")
+  }
+
+  private def sortItems(args: List[Expr]): List[SortItem] = {
+    val flat = args.flatMap { case EList(items) => items; case e => List(e) }
+    flat.map {
+      case Unary("-", e) => SortItem(e, desc = true)
+      case e => SortItem(e, desc = false)
+    }
+  }
+
+  private def sortCol(ctx: Ctx, s: SortItem): Column = {
+    val c = lower(ctx, s.e)
+    if (s.desc) c.desc else c.asc
+  }
+
+  private def asLong(e: Expr): Long = e match {
+    case IntLit(n) => n
+    case other => throw new PlanError(s"expected integer, got $other")
+  }
+
+  // ---------------- expression lowering ----------------
+
+  private val aggFns = Set("min", "max", "sum", "avg", "average", "stddev",
+    "count", "count_distinct")
+  private val rankingFns = Set("rank", "rank_dense", "row_number", "lag", "lead")
+  private val windowFns = rankingFns ++ Set("first", "last")
+
+  /** Normal-context lowering: aggregate/window functions are auto-wrapped in
+    * OVER(ambient group, ambient sort, ambient frame)
+    * (name_resolver.rs:332-373). */
+  private def lower(ctx: Ctx, e: Expr, joinScope: Option[DataFrame] = None): Column = e match {
+    // zero-arg function referenced bare: `ct = count`, `rn = row_number`
+    case Ident(List(n)) if n == "count" =>
+      F.count(F.lit(1)).over(windowSpec(ctx, withFrame = true))
+    case Ident(List(n)) if n == "rank" || n == "rank_dense" || n == "row_number" =>
+      windowColumn(ctx, n, Nil)
+    case Ident(List(n)) if funcs.get(n).exists(_.params.isEmpty) =>
+      lower(ctx, funcs(n).body, joinScope)
+    case Ident(parts) => identCol(parts)
+    case NullLit => F.lit(null)
+    case IntLit(v) => F.lit(v)
+    case FloatLit(v) => F.lit(v)
+    case BoolLit(v) => F.lit(v)
+    case StrLit(v) => F.lit(v)
+    case DateLit(s) => F.lit(s).cast(org.apache.spark.sql.types.DateType)
+    case TimestampLit(s) => F.lit(s).cast(org.apache.spark.sql.types.TimestampType)
+    case TimeLit(s) => F.lit(s) // no Spark TIME type; string pass-through like the reference
+    case IntervalLit(n, unit) => F.expr(s"INTERVAL $n $unit")
+    case Binary(op, l, r) => lowerBinary(ctx, op, l, r, joinScope)
+    case Unary("-", x) => -lower(ctx, x, joinScope)
+    case Unary("!", x) => !lower(ctx, x, joinScope)
+    case Unary(op, x) => throw new PlanError(s"unknown unary op $op")
+    case FStr(parts) =>
+      F.concat(parts.map {
+        case IText(s) => F.lit(s)
+        case IExpr(x) => lower(ctx, x, joinScope).cast("string")
+      }: _*)
+    case SStr(parts) => F.expr(sstringSql(parts))
+    case p: Pipeline => lower(ctx, inlinePipe(p), joinScope)
+    case FuncCall(name, args, named) => lowerCall(ctx, name, args, named, inAgg = false, joinScope)
+    case Assign(n, x) => lower(ctx, x, joinScope).as(n)
+    case RangeLit(_, _) => throw new PlanError("range is only valid in take/in/window")
+    case other => throw new PlanError(s"cannot lower expression: $other")
+  }
+
+  /** Aggregate-context lowering: agg functions lower plainly (no OVER). */
+  private def lowerAgg(ctx: Ctx, e: Expr): Column = e match {
+    case Ident(List("count")) => F.count(F.lit(1)) // `ct = count` (stdlib.prql:9)
+    case Ident(List(n)) if funcs.get(n).exists(_.params.isEmpty) =>
+      lowerAgg(ctx, funcs(n).body)
+    case FuncCall(name, args, named) if aggFns(funcAliasTarget(name)) =>
+      aggColumn(ctx, funcAliasTarget(name), args)
+    case FuncCall(name, args, named) => lowerCall(ctx, name, args, named, inAgg = true, None)
+    case Binary(op, l, r) =>
+      binaryCol(op, lowerAgg(ctx, l), lowerAgg(ctx, r), l, r)
+    case Unary("-", x) => -lowerAgg(ctx, x)
+    case p: Pipeline => lowerAgg(ctx, inlinePipe(p))
+    case SStr(parts) => F.expr(sstringSql(parts))
+    case other => lower(ctx, other)
+  }
+
+  /** If `name` is a user function that trivially aliases a builtin, resolve it. */
+  private def funcAliasTarget(name: String): String = name
+
+  private def lowerCall(ctx: Ctx, name: String, args: List[Expr],
+                        named: List[(String, Expr)], inAgg: Boolean,
+                        joinScope: Option[DataFrame]): Column = {
+    funcs.get(name) match {
+      case Some(fd) =>
+        val body = inlineFunc(fd, args, named)
+        if (inAgg) lowerAgg(ctx, body) else lower(ctx, body, joinScope)
+      case None =>
+        name match {
+          case n if aggFns(n) =>
+            val c = aggColumn(ctx, n, args)
+            if (inAgg) c else c.over(windowSpec(ctx, withFrame = true))
+          case n if windowFns(n) =>
+            if (inAgg) throw new PlanError(s"window function $n inside aggregate")
+            windowColumn(ctx, n, args)
+          case "round" => args match {
+            case List(c, IntLit(n)) => F.round(lowerIn(ctx, c, inAgg, joinScope), n.toInt)
+            case List(IntLit(n), c) => F.round(lowerIn(ctx, c, inAgg, joinScope), n.toInt)
+            case _ => throw new PlanError("round expects (column, n_digits)")
+          }
+          case "in" => args match {
+            // stdlib: func in range value (piped value arrives last)
+            case List(RangeLit(lo, hi), v) =>
+              val c = lowerIn(ctx, v, inAgg, joinScope)
+              (lo, hi) match {
+                case (Some(a), Some(b)) => c.between(lower(ctx, a), lower(ctx, b))
+                case (Some(a), None) => c >= lower(ctx, a)
+                case (None, Some(b)) => c <= lower(ctx, b)
+                case _ => F.lit(true)
+              }
+            case _ => throw new PlanError("in expects (range, value)")
+          }
+          case "as" => args match {
+            case List(Ident(List(ty)), v) => lowerIn(ctx, v, inAgg, joinScope).cast(sparkType(ty))
+            case List(v, Ident(List(ty))) => lowerIn(ctx, v, inAgg, joinScope).cast(sparkType(ty))
+            case _ => throw new PlanError("as expects (column, type)")
+          }
+          case "coalesce" => F.coalesce(args.map(a => lowerIn(ctx, a, inAgg, joinScope)): _*)
+          case other => throw new PlanError(s"unknown function '$other'")
+        }
+    }
+  }
+
+  private def lowerIn(ctx: Ctx, e: Expr, inAgg: Boolean, joinScope: Option[DataFrame]): Column =
+    if (inAgg) lowerAgg(ctx, e) else lower(ctx, e, joinScope)
+
+  private def aggColumn(ctx: Ctx, name: String, args: List[Expr]): Column = {
+    def one: Column = args match {
+      case List(a) => lowerAgg(ctx, a)
+      case _ => throw new PlanError(s"$name expects one argument")
+    }
+    name match {
+      case "min" => F.min(one)
+      case "max" => F.max(one)
+      case "sum" => F.sum(one)
+      case "avg" | "average" => F.avg(one)
+      case "stddev" => F.stddev(one)
+      case "count" => args match {
+        case Nil => F.count(F.lit(1))
+        case List(a) => F.count(lowerAgg(ctx, a))
+        case _ => throw new PlanError("count expects zero or one argument")
+      }
+      case "count_distinct" => F.countDistinct(one)
+      case other => throw new PlanError(s"unknown aggregate $other")
+    }
+  }
+
+  /** Ranking/offset/value window functions (stdlib.prql:25-31). */
+  private def windowColumn(ctx: Ctx, name: String, args: List[Expr]): Column = {
+    def colArg(i: Int): Column = lower(ctx, args(i))
+    val c = name match {
+      case "rank" => F.rank()
+      case "rank_dense" => F.dense_rank()
+      case "row_number" => F.row_number()
+      case "lag" => args match {
+        case List(IntLit(off), v) => F.lag(lower(ctx, v), off.toInt)
+        case List(v) => F.lag(lower(ctx, v), 1)
+        case _ => throw new PlanError("lag expects (offset, column)")
+      }
+      case "lead" => args match {
+        case List(IntLit(off), v) => F.lead(lower(ctx, v), off.toInt)
+        case List(v) => F.lead(lower(ctx, v), 1)
+        case _ => throw new PlanError("lead expects (offset, column)")
+      }
+      case "first" => args match {
+        case List(_, v) => F.first(lower(ctx, v))
+        case List(v) => F.first(lower(ctx, v))
+        case _ => throw new PlanError("first expects a column")
+      }
+      case "last" => args match {
+        case List(_, v) => F.last(lower(ctx, v))
+        case List(v) => F.last(lower(ctx, v))
+        case _ => throw new PlanError("last expects a column")
+      }
+    }
+    // rank/row_number/lag/lead take the default frame; first/last honor an
+    // explicit `window` frame (they are frame-sensitive aggregates in Spark)
+    val frameSensitive = name == "first" || name == "last"
+    c.over(windowSpec(ctx, withFrame = frameSensitive))
+  }
+
+  /** OVER (PARTITION BY ambient-group ORDER BY ambient-sort [frame])
+    * (name_resolver.rs:343-373; frame elision translator.rs:600-617 — Spark's
+    * default frames match the reference's, so we only set explicit frames
+    * from the `window` transform). */
+  private def windowSpec(ctx: Ctx, withFrame: Boolean): WindowSpec = {
+    var w: WindowSpec = Window.partitionBy(ctx.groupKeys.map(k => lower(ctx, k)): _*)
+    if (ctx.sort.nonEmpty) w = w.orderBy(ctx.sort.map(sortCol(ctx, _)): _*)
+    ctx.frame match {
+      case Some(FrameSpec(kind, lo, hi)) if withFrame =>
+        val l = lo.getOrElse(Window.unboundedPreceding)
+        val h = hi.getOrElse(Window.unboundedFollowing)
+        if (kind == "rows") w.rowsBetween(l, h) else w.rangeBetween(l, h)
+      case _ => w
+    }
+  }
+
+  private def lowerBinary(ctx: Ctx, op: String, l: Expr, r: Expr,
+                          joinScope: Option[DataFrame]): Column = {
+    // `x == null` → IS NULL; `x != null` → IS NOT NULL (translator.rs:643-666)
+    (op, l, r) match {
+      case ("==", x, NullLit) => lower(ctx, x, joinScope).isNull
+      case ("==", NullLit, x) => lower(ctx, x, joinScope).isNull
+      case ("!=", x, NullLit) => lower(ctx, x, joinScope).isNotNull
+      case ("!=", NullLit, x) => lower(ctx, x, joinScope).isNotNull
+      case _ =>
+        binaryCol(op, lower(ctx, l, joinScope), lower(ctx, r, joinScope), l, r)
+    }
+  }
+
+  private def binaryCol(op: String, lc: Column, rc: Column, l: Expr, r: Expr): Column =
+    op match {
+      case "*" => lc * rc
+      case "/" => lc / rc
+      case "%" => lc % rc
+      case "+" => lc + rc
+      case "-" => lc - rc
+      case "==" => lc === rc
+      case "!=" => lc =!= rc
+      case ">" => lc > rc
+      case "<" => lc < rc
+      case ">=" => lc >= rc
+      case "<=" => lc <= rc
+      case "and" => lc && rc
+      case "or" => lc || rc
+      case other => throw new PlanError(s"unknown binary op $other")
+    }
+
+  private def identCol(parts: List[String]): Column = {
+    def quote(s: String): String =
+      if (s == "*" || s.matches("[A-Za-z_$][A-Za-z0-9_$]*")) s
+      else "`" + s.replace("`", "``") + "`"
+    F.col(parts.map(quote).mkString("."))
+  }
+
+  /** `(x | f a | g)` — pipe appends upstream as last positional arg
+    * (materializer.rs:276-301). */
+  private def inlinePipe(p: Pipeline): Expr =
+    p.stages.reduceLeft { (acc, s) =>
+      s match {
+        case FuncCall(n, args, named) => FuncCall(n, args :+ acc, named)
+        case Ident(List(n)) => FuncCall(n, List(acc), Nil)
+        case other => throw new PlanError(s"cannot pipe into $other")
+      }
+    }
+
+  // ---- user function inlining (materializer.rs:206-301) ----
+
+  private def inlineFunc(fd: FuncDef, args: List[Expr],
+                         named: List[(String, Expr)]): Expr = {
+    val binding = scala.collection.mutable.Map.empty[String, Expr]
+    named.foreach { case (n, e) =>
+      if (!fd.params.exists(_.name == n))
+        throw new PlanError(s"${fd.name}: unknown named arg $n")
+      binding(n) = e
+    }
+    // positional args fill required params (no default) in order, then spill
+    // into defaulted params (name_resolver.rs:425-495)
+    val required = fd.params.filter(p => p.default.isEmpty && !binding.contains(p.name))
+    val defaulted = fd.params.filter(p => p.default.nonEmpty && !binding.contains(p.name))
+    val slots = required ++ defaulted
+    if (args.length > slots.length)
+      throw new PlanError(s"${fd.name}: too many arguments (${args.length})")
+    args.zip(slots).foreach { case (a, p) => binding(p.name) = a }
+    fd.params.foreach { p =>
+      if (!binding.contains(p.name))
+        p.default match {
+          case Some(d) => binding(p.name) = d
+          case None => throw new PlanError(s"${fd.name}: missing argument ${p.name}")
+        }
+    }
+    substitute(fd.body, binding.toMap)
+  }
+
+  private def substitute(e: Expr, b: Map[String, Expr]): Expr = e match {
+    case Ident(List(n)) if b.contains(n) => b(n)
+    case Binary(op, l, r) => Binary(op, substitute(l, b), substitute(r, b))
+    case Unary(op, x) => Unary(op, substitute(x, b))
+    case FuncCall(n, args, named) =>
+      FuncCall(n, args.map(substitute(_, b)), named.map { case (k, v) => (k, substitute(v, b)) })
+    case Assign(n, x) => Assign(n, substitute(x, b))
+    case EList(items) => EList(items.map(substitute(_, b)))
+    case SStr(parts) => SStr(parts.map {
+      case IExpr(x) => IExpr(substitute(x, b)); case t => t })
+    case FStr(parts) => FStr(parts.map {
+      case IExpr(x) => IExpr(substitute(x, b)); case t => t })
+    case Pipeline(stages) => Pipeline(stages.map(substitute(_, b)))
+    case RangeLit(s, en) => RangeLit(s.map(substitute(_, b)), en.map(substitute(_, b)))
+    case other => other
+  }
+
+  // ---- s-strings: interpolate to Spark SQL text (translator.rs:547-559;
+  //      our raw dialect is Spark SQL) ----
+
+  private def sstringSql(parts: List[InterpPart]): String =
+    parts.map {
+      case IText(s) => s
+      case IExpr(e) => exprSql(e)
+    }.mkString
+
+  private def exprSql(e: Expr): String = e match {
+    case Ident(parts) => parts.map { s =>
+      if (s.matches("[A-Za-z_$][A-Za-z0-9_$]*") || s == "*") s
+      else "`" + s + "`"
+    }.mkString(".")
+    case IntLit(v) => v.toString
+    case FloatLit(v) => v.toString
+    case StrLit(v) => "'" + v.replace("'", "''") + "'"
+    case BoolLit(v) => v.toString
+    case NullLit => "NULL"
+    case Binary(op, l, r) =>
+      val o = op match { case "==" => "="; case "!=" => "<>"; case x => x }
+      s"(${exprSql(l)} $o ${exprSql(r)})"
+    case Unary("-", x) => s"(- ${exprSql(x)})"
+    case Unary("!", x) => s"(NOT ${exprSql(x)})"
+    case FuncCall(n, args, _) => s"$n(${args.map(exprSql).mkString(", ")})"
+    case other => throw new PlanError(s"cannot render to SQL: $other")
+  }
+
+  private def sparkType(t: String): String = t.toLowerCase match {
+    case "int" | "integer" => "int"
+    case "long" | "bigint" => "bigint"
+    case "float" => "float"
+    case "double" => "double"
+    case "bool" | "boolean" => "boolean"
+    case "string" | "text" | "varchar" => "string"
+    case "date" => "date"
+    case "timestamp" | "datetime" => "timestamp"
+    case other => other // pass through (decimal(10,2) etc. won't reach here)
+  }
+
+  /** Deterministic display name for unnamed computed columns. */
+  private def prettyName(e: Expr): String = e match {
+    case Ident(parts) => parts.last
+    case FuncCall(n, args, _) => (n :: args.map(prettyName)).mkString("_")
+    case Binary(op, l, r) => s"${prettyName(l)}_${prettyName(r)}"
+    case Pipeline(stages) => prettyName(inlinePipe(Pipeline(stages)))
+    case Assign(n, _) => n
+    case IntLit(v) => v.toString
+    case FloatLit(v) => v.toString
+    case StrLit(v) => v
+    case _ => "expr"
+  }
+}

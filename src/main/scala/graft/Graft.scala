@@ -52,7 +52,8 @@ object Graft {
     // convention: the driver's only nanos column is events.ts
     if (df.columns.contains("ts") &&
         df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer `div`, not double `/`: ns values overflow double mantissa
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 }

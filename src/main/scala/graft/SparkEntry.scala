@@ -1,13 +1,431 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry dogfoods the PRQL→Spark compiler: the Spark side of each
+  * query is `Graft.compileDir(prql, spark, sfDir)`, and the oracle is
+  * equivalent ANSI SQL executed by DuckDB over the same parquet files.
+  *
+  * Determinism rules (the driver hash-compares values after sorting columns
+  * by name):
+  *  - every multi-row result ends in a total-order `sort` (unique tiebreak);
+  *  - double SUMs go through CAST(… AS DECIMAL(18,2)) — decimal addition is
+  *    exact/associative, so Spark and DuckDB agree bit-for-bit — then back
+  *    to DOUBLE so output schemas match;
+  *  - AVG/STDDEV are rounded (association error ~1e-12 rel., far from the
+  *    rounding step);
+  *  - RANK()-family outputs are cast to BIGINT on both sides (Spark emits
+  *    int32, DuckDB int64);
+  *  - float literals mixed into double math are CAST(… AS DOUBLE) in the
+  *    oracle so DuckDB's decimal literals don't change rounding.
+  */
 object SparkEntry {
+
+  /** name → (PRQL text, oracle SQL). */
+  private val prqlQueries: Seq[(String, String, String)] = Seq(
+
+    ("q01_select_take",
+      """from lineitem
+        |select [l_orderkey, l_linenumber, l_quantity, l_extendedprice]
+        |sort [l_orderkey, l_linenumber, l_partkey, l_suppkey]
+        |take 100""".stripMargin,
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey LIMIT 100""".stripMargin),
+
+    ("q02_filter",
+      """from lineitem
+        |filter l_quantity > 45
+        |filter l_discount < 0.05
+        |select [l_orderkey, l_linenumber, l_quantity, l_discount]
+        |sort [l_orderkey, l_linenumber, l_partkey, l_suppkey]""".stripMargin,
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin),
+
+    ("q03_derive",
+      """from lineitem
+        |derive [
+        |  disc_price = l_extendedprice * (1 - l_discount),
+        |  charge = ((l_extendedprice * (1 - l_discount)) * (1 + l_tax)),
+        |]
+        |select [l_orderkey, l_linenumber, disc_price, charge]
+        |sort [l_orderkey, l_linenumber, l_partkey, l_suppkey]
+        |take 500""".stripMargin,
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1 - l_discount) AS disc_price,
+        |  (l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS charge
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey LIMIT 500""".stripMargin),
+
+    ("q04_agg_global",
+      """from lineitem
+        |aggregate [
+        |  n_rows = count,
+        |  n_parts = count_distinct l_partkey,
+        |  min_qty = min l_quantity,
+        |  max_qty = max l_quantity,
+        |  sum_qty = ((sum (l_quantity | as `decimal(18,2)`)) | as double),
+        |  avg_price = (round (average l_extendedprice) 4),
+        |]""".stripMargin,
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  min(l_quantity) AS min_qty,
+        |  max(l_quantity) AS max_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  ROUND(AVG(l_extendedprice), 4) AS avg_price
+        |FROM lineitem""".stripMargin),
+
+    ("q05_group_agg",
+      """from lineitem
+        |group [l_returnflag, l_linestatus] (
+        |  aggregate [
+        |    sum_qty = ((sum (l_quantity | as `decimal(18,2)`)) | as double),
+        |    sum_base = ((sum (l_extendedprice | as `decimal(18,2)`)) | as double),
+        |    avg_qty = (round (average l_quantity) 4),
+        |    avg_price = (round (average l_extendedprice) 4),
+        |    ct = count,
+        |  ]
+        |)
+        |sort [l_returnflag, l_linestatus]""".stripMargin,
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |  ROUND(AVG(l_quantity), 4) AS avg_qty,
+        |  ROUND(AVG(l_extendedprice), 4) AS avg_price,
+        |  count(*) AS ct
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    ("q06_having",
+      """from orders
+        |group o_custkey (
+        |  aggregate [
+        |    n = count,
+        |    spend = ((sum (o_totalprice | as `decimal(18,2)`)) | as double),
+        |  ]
+        |)
+        |filter n > 5
+        |sort [-n, o_custkey]""".stripMargin,
+      """SELECT o_custkey, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM orders GROUP BY o_custkey HAVING count(*) > 5
+        |ORDER BY n DESC, o_custkey""".stripMargin),
+
+    ("q07_sort_take",
+      """from orders
+        |sort [-o_totalprice, o_orderkey]
+        |take 25
+        |select [o_orderkey, o_custkey, o_totalprice]""".stripMargin,
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin),
+
+    ("q08_take_range",
+      """from orders
+        |sort [-o_totalprice, o_orderkey]
+        |take 101..150
+        |select [o_orderkey, o_totalprice]""".stripMargin,
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50 OFFSET 100""".stripMargin),
+
+    ("q09_join_using",
+      """table okeys = (
+        |  from orders
+        |  derive custkey = o_custkey
+        |)
+        |
+        |table ckeys = (
+        |  from customer
+        |  derive custkey = c_custkey
+        |)
+        |
+        |from okeys
+        |join ckeys [custkey]
+        |group [c_mktsegment] (aggregate [n = count])
+        |sort c_mktsegment""".stripMargin,
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM (SELECT *, o_custkey AS custkey FROM orders) o
+        |JOIN (SELECT *, c_custkey AS custkey FROM customer) c USING (custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    ("q10_join_inner",
+      """from orders
+        |join customer [o_custkey == c_custkey]
+        |group [c_mktsegment] (
+        |  aggregate [
+        |    rev = ((sum (o_totalprice | as `decimal(18,2)`)) | as double),
+        |    n = count,
+        |  ]
+        |)
+        |sort c_mktsegment""".stripMargin,
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+        |  count(*) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    ("q11_join_left",
+      """from customer
+        |join side:left orders [o_custkey == c_custkey]
+        |group [c_custkey] (aggregate [n_orders = count o_orderkey])
+        |sort c_custkey""".stripMargin,
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin),
+
+    ("q12_join_right",
+      """from orders
+        |join side:right customer [o_custkey == c_custkey]
+        |group [c_nationkey] (aggregate [n = count o_orderkey])
+        |sort c_nationkey""".stripMargin,
+      """SELECT c_nationkey, count(o_orderkey) AS n
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+
+    ("q13_join_full",
+      """table big_cust = (
+        |  from customer
+        |  filter c_acctbal > 5000
+        |)
+        |
+        |table big_ord = (
+        |  from orders
+        |  filter o_totalprice > 300000
+        |)
+        |
+        |from big_ord
+        |join side:full big_cust [o_custkey == c_custkey]
+        |derive [okey = o_orderkey ?? -1, ckey = c_custkey ?? -1]
+        |select [okey, ckey, status = o_orderstatus ?? "none", seg = c_mktsegment ?? "none"]
+        |sort [okey, ckey]""".stripMargin,
+      """WITH big_cust AS (SELECT * FROM customer WHERE c_acctbal > 5000),
+        |     big_ord AS (SELECT * FROM orders WHERE o_totalprice > 300000)
+        |SELECT COALESCE(o_orderkey, -1) AS okey,
+        |       COALESCE(c_custkey, -1) AS ckey,
+        |       COALESCE(o_orderstatus, 'none') AS status,
+        |       COALESCE(c_mktsegment, 'none') AS seg
+        |FROM big_ord FULL JOIN big_cust ON o_custkey = c_custkey
+        |ORDER BY okey, ckey""".stripMargin),
+
+    ("q14_distinct",
+      """from customer
+        |select [c_mktsegment, c_nationkey]
+        |group [c_mktsegment, c_nationkey] (take 1)
+        |sort [c_mktsegment, c_nationkey]""".stripMargin,
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin),
+
+    ("q15_topk_group",
+      """from orders
+        |group o_custkey (
+        |  sort [-o_totalprice, o_orderkey]
+        |  take 2
+        |)
+        |select [o_custkey, o_orderkey, o_totalprice]
+        |sort [o_custkey, o_orderkey]""".stripMargin,
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t
+        |WHERE rn <= 2 ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    ("q16_window_expanding",
+      """from orders
+        |group o_custkey (
+        |  sort [o_orderdate, o_orderkey]
+        |  window expanding:true (
+        |    derive [run_spend = ((sum (o_totalprice | as `decimal(18,2)`)) | as double)]
+        |  )
+        |)
+        |select [o_custkey, o_orderkey, o_totalprice, run_spend]
+        |sort [o_custkey, o_orderkey]""".stripMargin,
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    ("q17_window_rolling",
+      """from events
+        |group user_id (
+        |  sort [ts, event_id]
+        |  window rolling:7 (
+        |    derive [roll7 = ((sum (value | as `decimal(18,2)`)) | as double)]
+        |  )
+        |)
+        |select [user_id, event_id, roll7]
+        |sort [user_id, event_id]""".stripMargin,
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll7
+        |FROM events ORDER BY user_id, event_id""".stripMargin),
+
+    ("q18_lag_lead",
+      """from orders
+        |group o_custkey (
+        |  sort [o_orderdate, o_orderkey]
+        |  derive [
+        |    prev_price = lag 1 o_totalprice,
+        |    next_price = lead 1 o_totalprice,
+        |    first_price = first 1 o_totalprice,
+        |  ]
+        |)
+        |select [o_custkey, o_orderkey, prev_price, next_price, first_price]
+        |sort [o_custkey, o_orderkey]""".stripMargin,
+      """SELECT o_custkey, o_orderkey,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
+        |  LEAD(o_totalprice, 1) OVER w AS next_price,
+        |  FIRST_VALUE(o_totalprice) OVER w AS first_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    ("q19_rank",
+      """from part
+        |group p_brand (
+        |  sort [-p_size]
+        |  derive [rk = (rank | as bigint), dk = (rank_dense | as bigint)]
+        |)
+        |select [p_partkey, p_brand, p_size, rk, dk]
+        |sort p_partkey""".stripMargin,
+      """SELECT p_partkey, p_brand, p_size,
+        |  CAST(RANK() OVER w AS BIGINT) AS rk,
+        |  CAST(DENSE_RANK() OVER w AS BIGINT) AS dk
+        |FROM part WINDOW w AS (PARTITION BY p_brand ORDER BY p_size DESC)
+        |ORDER BY p_partkey""".stripMargin),
+
+    ("q20_coalesce",
+      """from orders
+        |derive maybe = s"NULLIF(o_orderstatus, 'O')"
+        |derive lbl = maybe ?? "open"
+        |group [lbl] (aggregate [n = count])
+        |sort lbl""".stripMargin,
+      """SELECT lbl, count(*) AS n FROM (
+        |  SELECT COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS lbl FROM orders)
+        |GROUP BY lbl ORDER BY lbl""".stripMargin),
+
+    ("q21_isnull",
+      """from orders
+        |derive maybe = s"NULLIF(o_orderstatus, 'F')"
+        |filter maybe == null
+        |aggregate [n = count]""".stripMargin,
+      """SELECT count(*) AS n FROM orders
+        |WHERE NULLIF(o_orderstatus, 'F') IS NULL""".stripMargin),
+
+    ("q22_fstring",
+      """from customer
+        |select [c_custkey, label = f"{c_name}_{c_mktsegment}"]
+        |sort c_custkey
+        |take 200""".stripMargin,
+      """SELECT c_custkey, c_name || '_' || c_mktsegment AS label
+        |FROM customer ORDER BY c_custkey LIMIT 200""".stripMargin),
+
+    ("q23_datefuncs",
+      """from orders
+        |derive [yr = s"CAST(year(o_orderdate) AS INT)", mon = s"CAST(month(o_orderdate) AS INT)"]
+        |group [yr, mon] (
+        |  aggregate [
+        |    n = count,
+        |    rev = ((sum (o_totalprice | as `decimal(18,2)`)) | as double),
+        |  ]
+        |)
+        |sort [yr, mon]""".stripMargin,
+      """SELECT yr, mon, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM (SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |             CAST(month(o_orderdate) AS INT) AS mon, o_totalprice
+        |      FROM orders)
+        |GROUP BY yr, mon ORDER BY yr, mon""".stripMargin),
+
+    ("q24_in_range",
+      """from orders
+        |filter (o_totalprice | in 10000..200000)
+        |filter (o_orderdate | in @1995-01-01..@1996-12-31)
+        |select [o_orderkey, o_orderdate, o_totalprice]
+        |sort o_orderkey""".stripMargin,
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        |WHERE o_totalprice BETWEEN 10000 AND 200000
+        |  AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+        |ORDER BY o_orderkey""".stripMargin),
+
+    ("q25_cast",
+      """from supplier
+        |select [skey = (s_suppkey | as string), bal_d = (s_acctbal | as double), nk = (s_nationkey | as bigint)]
+        |sort skey""".stripMargin,
+      """SELECT CAST(s_suppkey AS VARCHAR) AS skey,
+        |  CAST(s_acctbal AS DOUBLE) AS bal_d,
+        |  CAST(s_nationkey AS BIGINT) AS nk
+        |FROM supplier ORDER BY skey""".stripMargin),
+
+    ("q26_func",
+      """func disc d x -> x * (1 - d)
+        |func add_pct p x -> x * (1 + p)
+        |
+        |from lineitem
+        |derive net = (l_extendedprice | disc l_discount | add_pct 0.05)
+        |select [l_orderkey, l_linenumber, net]
+        |sort [l_orderkey, l_linenumber, l_partkey, l_suppkey]
+        |take 300""".stripMargin,
+      """SELECT l_orderkey, l_linenumber,
+        |  (l_extendedprice * (1 - l_discount)) * (1 + CAST(0.05 AS DOUBLE)) AS net
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey LIMIT 300""".stripMargin),
+
+    ("q27_cte",
+      """table seg_stats = (
+        |  from customer
+        |  group c_mktsegment (aggregate [avg_bal = (round (average c_acctbal) 4)])
+        |)
+        |
+        |from customer
+        |join seg_stats [c_mktsegment]
+        |filter c_acctbal > avg_bal
+        |group c_mktsegment (aggregate [n_above = count])
+        |sort c_mktsegment""".stripMargin,
+      """WITH seg_stats AS (
+        |  SELECT c_mktsegment, ROUND(AVG(c_acctbal), 4) AS avg_bal
+        |  FROM customer GROUP BY c_mktsegment)
+        |SELECT customer.c_mktsegment AS c_mktsegment, count(*) AS n_above
+        |FROM customer JOIN seg_stats USING (c_mktsegment)
+        |WHERE c_acctbal > avg_bal
+        |GROUP BY customer.c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    ("q28_interval",
+      """from lineitem
+        |derive due = l_shipdate + 30days
+        |filter due > @1998-06-01
+        |sort [l_orderkey, l_linenumber, l_partkey, l_suppkey]
+        |select [l_orderkey, l_linenumber, due]""".stripMargin,
+      """SELECT l_orderkey, l_linenumber, due FROM (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |         l_shipdate + INTERVAL 30 DAY AS due FROM lineitem)
+        |WHERE due > TIMESTAMP '1998-06-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin),
+
+    ("q29_window_toplevel",
+      """from nation
+        |sort n_nationkey
+        |derive [prev_name = lag 1 n_name]
+        |select [n_nationkey, n_name, prev_name]
+        |sort n_nationkey""".stripMargin,
+      """SELECT n_nationkey, n_name,
+        |  LAG(n_name, 1) OVER (ORDER BY n_nationkey) AS prev_name
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+  )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Graft.compileDir(prqlQueries.find(_._1 == "q05_group_agg").get._2,
+      spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    prqlQueries.map { case (name, prql, _) =>
+      name -> ((s: SparkSession, dir: String) => Graft.compileDir(prql, s, dir))
+    }.toMap ++ pipeline.PipelineOps.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    prqlQueries.map { case (name, _, sql) => name -> sql }.toMap ++
+      pipeline.PipelineOps.oracleSql
 }

@@ -409,8 +409,16 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
             case _ => throw new PlanError("in expects (range, value)")
           }
           case "as" => args match {
-            case List(Ident(List(ty)), v) => lowerIn(ctx, v, inAgg, joinScope).cast(sparkType(ty))
-            case List(v, Ident(List(ty))) => lowerIn(ctx, v, inAgg, joinScope).cast(sparkType(ty))
+            // `as col type` direct vs `(col | as type)` piped — pick the arg
+            // that names a type (stdlib.prql:22 has no fixed call order in use)
+            case List(a, b) =>
+              (a, b) match {
+                case (Ident(List(ty)), v) if isTypeName(ty) =>
+                  lowerIn(ctx, v, inAgg, joinScope).cast(sparkType(ty))
+                case (v, Ident(List(ty))) if isTypeName(ty) =>
+                  lowerIn(ctx, v, inAgg, joinScope).cast(sparkType(ty))
+                case _ => throw new PlanError("as expects (column, type)")
+              }
             case _ => throw new PlanError("as expects (column, type)")
           }
           case "coalesce" => F.coalesce(args.map(a => lowerIn(ctx, a, inAgg, joinScope)): _*)
@@ -613,6 +621,13 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
     case Unary("!", x) => s"(NOT ${exprSql(x)})"
     case FuncCall(n, args, _) => s"$n(${args.map(exprSql).mkString(", ")})"
     case other => throw new PlanError(s"cannot render to SQL: $other")
+  }
+
+  private def isTypeName(t: String): Boolean = {
+    val base = Set("int", "integer", "long", "bigint", "float", "double",
+      "real", "bool", "boolean", "string", "text", "varchar", "date",
+      "timestamp", "datetime")
+    base(t.toLowerCase) || t.toLowerCase.matches("decimal\\s*\\(.*\\)")
   }
 
   private def sparkType(t: String): String = t.toLowerCase match {

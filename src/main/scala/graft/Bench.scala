@@ -1,6 +1,21 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Per-round benchmark: one JSON line with per-query wall seconds.
+  *
+  * Methodology (VERDICT r1 "What's wrong" #2):
+  *  - execution sink is a noop write, not `.count()` — count() lets Catalyst
+  *    prune unreferenced projections, so expression-heavy queries would never
+  *    compute their expressions;
+  *  - a full untimed warm-up pass precedes the timed pass, so the first query
+  *    measured doesn't absorb JVM/Spark class-loading (~6 s artifact in r1);
+  *  - errors propagate: a failed query records -1 AND lands in "errors";
+  *    nothing is silently swallowed.
+  */
 object Bench {
+  private def execute(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -13,15 +28,40 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+    // warm-up pass: JIT + parquet footer caches + codegen, untimed
+    queries.foreach { case (name, fn) =>
+      try execute(fn(spark, sfDir))
+      catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[bench:warmup] $name failed: ${errors(name)}")
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = queries.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val ok =
+        try { execute(fn(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          errors.getOrElseUpdate(name,
+            Option(e.getMessage).getOrElse(e.getClass.getName))
+          System.err.println(s"[bench] $name failed: ${errors(name)}")
+          false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+
+    val qs = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", " ").replace("\r", " ").replace("\t", " ")
+    val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v.take(200))}"""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -52,7 +52,7 @@ object Dev {
           |sort c_mktsegment""".stripMargin,
       "topk-per-group" ->
         """from orders
-          |group o_custkey (sort [-o_totalprice] take 1)
+          |group o_custkey (sort [-o_totalprice] | take 1)
           |sort [-o_totalprice]
           |take 5
           |select [o_custkey, o_orderkey, o_totalprice]""".stripMargin,

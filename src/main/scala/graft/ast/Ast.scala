@@ -64,6 +64,11 @@ object Expr {
   /** f"{a} {b}" → concat. */
   final case class FStr(parts: List[InterpPart]) extends Expr
 
+  /** `{{ ref('x') }}` — jinja block passed through by the parser
+    * (prql.pest:163, translator.rs:43-46); the Spark planner rejects it at
+    * plan time (we execute, the reference only renders SQL text). */
+  final case class JinjaLit(src: String) extends Expr
+
   /** `(from x | filter y)` or `(expr | f 1)` — nested pipeline; pipe appends
     * the upstream value as the last positional argument
     * (materializer.rs:276-301). */

@@ -191,50 +191,62 @@ private final class Parser(toks: Vector[Tok]) {
   private def startsArg(t: Tok): Boolean = t match {
     case TIdent(_, _) | TInt(_, _) | TFloat(_, _) | TStr(_, _) |
          TInterp(_, _, _) | TDate(_, _) | TTime(_, _) | TTimestamp(_, _) |
-         TInterval(_, _, _) => true
+         TInterval(_, _, _) | TJinja(_, _) => true
     case TKw(k, _) => k == "true" || k == "false" || k == "null"
     case TOp(o, _) => o == "(" || o == "[" || o == ".."
     case _ => false
   }
 
-  // precedence ladder: mul < add < compare < coalesce < logical (prql.pest:83-88)
+  // precedence ladder: mul < add < compare < coalesce < logical (prql.pest:83-88).
+  // Same-precedence chains associate LEFT: the reference's pest grammar is
+  // right-recursive, but translator.rs renders BinaryOp without parentheses
+  // and the target DB re-parses the flat SQL left-associatively, so the
+  // observable semantics of `a - b + c` are `(a - b) + c`.
   def parseExpr(): Expr = {
-    val l = parseCoalesce()
-    peek match {
-      case TOp(op @ ("and" | "or"), _) => next(); Binary(op, l, parseExpr())
-      case _ => l
+    var l = parseCoalesce()
+    var going = true
+    while (going) peek match {
+      case TOp(op @ ("and" | "or"), _) => next(); l = Binary(op, l, parseCoalesce())
+      case _ => going = false
     }
+    l
   }
 
   private def parseCoalesce(): Expr = {
-    val l = parseCompare()
-    if (isOp("??")) { next(); FuncCall("coalesce", List(l, parseCoalesce()), Nil) }
-    else l
+    var l = parseCompare()
+    while (isOp("??")) { next(); l = FuncCall("coalesce", List(l, parseCompare()), Nil) }
+    l
   }
 
   private def parseCompare(): Expr = {
-    val l = parseAdd()
-    peek match {
+    var l = parseAdd()
+    var going = true
+    while (going) peek match {
       case TOp(op @ ("==" | "!=" | ">=" | "<=" | ">" | "<"), _) =>
-        next(); Binary(op, l, parseAdd())
-      case _ => l
+        next(); l = Binary(op, l, parseAdd())
+      case _ => going = false
     }
+    l
   }
 
   private def parseAdd(): Expr = {
-    val l = parseMul()
-    peek match {
-      case TOp(op @ ("+" | "-"), _) => next(); Binary(op, l, parseAdd())
-      case _ => l
+    var l = parseMul()
+    var going = true
+    while (going) peek match {
+      case TOp(op @ ("+" | "-"), _) => next(); l = Binary(op, l, parseMul())
+      case _ => going = false
     }
+    l
   }
 
   private def parseMul(): Expr = {
-    val l = parseTerm()
-    peek match {
-      case TOp(op @ ("*" | "/" | "%"), _) => next(); Binary(op, l, parseMul())
-      case _ => l
+    var l = parseTerm()
+    var going = true
+    while (going) peek match {
+      case TOp(op @ ("*" | "/" | "%"), _) => next(); l = Binary(op, l, parseTerm())
+      case _ => going = false
     }
+    l
   }
 
   /** term, with range detection: `lit? .. lit?` (prql.pest:127-131). */
@@ -269,6 +281,7 @@ private final class Parser(toks: Vector[Tok]) {
     case TKw("false", _) => next(); BoolLit(false)
     case TKw("null", _) => next(); NullLit
     case TIdent(parts, _) => next(); Ident(parts)
+    case TJinja(src, _) => next(); JinjaLit(src)
     case TInterp(kind, parts, _) =>
       next()
       val ps = parts.map {

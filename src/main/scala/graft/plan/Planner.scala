@@ -66,8 +66,26 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
     "from", "select", "derive", "filter", "aggregate", "sort", "take",
     "join", "group", "window")(n)
 
+  /** Transforms legal inside `group` / `window` sub-pipelines
+    * (name_resolver.rs:375-412 / :414-423). */
+  private val legalInGroup = Set("select", "derive", "sort", "window", "aggregate", "take")
+  private val legalInWindow = Set("select", "derive")
+
   private def applyCall(ctx: Ctx, name: String, args: List[Expr],
-                        named: List[(String, Expr)]): Ctx = name match {
+                        named: List[(String, Expr)]): Ctx = {
+    if (isTransformName(name)) {
+      if (ctx.frame.isDefined && !legalInWindow(name))
+        throw new PlanError(
+          s"transform '$name' is not allowed inside window (only select/derive; name_resolver.rs:414-423)")
+      if (ctx.frame.isEmpty && ctx.inGroupBody && !legalInGroup(name))
+        throw new PlanError(
+          s"transform '$name' is not allowed inside group (only ${legalInGroup.mkString("/")}; name_resolver.rs:375-412)")
+    }
+    applyCallChecked(ctx, name, args, named)
+  }
+
+  private def applyCallChecked(ctx: Ctx, name: String, args: List[Expr],
+                               named: List[(String, Expr)]): Ctx = name match {
     case "from" =>
       val (alias, tbl) = args match {
         case List(Assign(a, Ident(List(t)))) => (a, t)
@@ -163,19 +181,21 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
       ctx.copy(df = df)
     } else {
       // grouped take — the reference's signature rewrite (distinct.rs:8-126)
-      val frameCols = ctx.df.columns.toList
-      val keyNames = ctx.groupKeys.collect { case Ident(ps) => ps.last }
       rng match {
-        case (None, Some(1)) if ctx.sort.isEmpty && keyNames.toSet == frameCols.toSet =>
-          // `group cols (take 1)` over exactly the key columns → DISTINCT
+        case (None, Some(1)) if ctx.sort.isEmpty =>
+          // unsorted `group ks (take 1)` → SELECT DISTINCT over the whole
+          // frame, unconditionally (distinct.rs:33-40) — never an arbitrary
+          // row per group
           ctx.copy(df = ctx.df.distinct())
         case (lo, hi) =>
+          if (ctx.sort.isEmpty)
+            throw new PlanError(
+              "grouped take of more than one row requires a sort inside the group " +
+                "(the reference synthesizes ROW_NUMBER over the group sort, distinct.rs:60-126)")
           val w = Window.partitionBy(ctx.groupKeys.map(k => lower(ctx, k)): _*)
-            .orderBy(
-              (if (ctx.sort.nonEmpty) ctx.sort.map(sortCol(ctx, _))
-               else List(F.lit(1))): _*)
+            .orderBy(ctx.sort.map(sortCol(ctx, _)): _*)
           val rn = "_rn_graft"
-          var df = ctx.df.withColumn(rn, F.row_number().over(w))
+          val df = ctx.df.withColumn(rn, F.row_number().over(w))
           val cond = (lo, hi) match {
             case (None, Some(n)) => F.col(rn) <= n
             case (Some(a), Some(b)) => F.col(rn).between(a, b)
@@ -217,21 +237,55 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
     // all-bare-idents → USING (deduped key columns); else ON with AND-merge
     val usingCols = conds.collect { case Ident(List(c)) => c }
     val joined =
-      if (conds.nonEmpty && usingCols.length == conds.length)
+      if (conds.nonEmpty && usingCols.length == conds.length) {
+        // USING requires the columns on BOTH sides (name_resolver.rs:223-252)
+        usingCols.foreach { c =>
+          if (!ctx.df.columns.contains(c))
+            throw new PlanError(s"join USING column '$c' is missing from the left side")
+          if (!right.columns.contains(c))
+            throw new PlanError(s"join USING column '$c' is missing from the right side ('$tbl')")
+        }
         ctx.df.join(right, usingCols, sparkSide)
-      else {
-        val both = ctx.df.join(right,
-          conds.map(c => lowerJoinCond(ctx.df, right, c)).reduce(_ && _), sparkSide)
-        both
-      }
+      } else
+        ctx.df.join(right,
+          conds.map(c => lowerJoinCond(ctx, right, c)).reduce(_ && _), sparkSide)
     ctx.copy(df = joined)
   }
 
-  /** Lower a join condition. Idents lower to unresolved `F.col` refs, so the
-    * analyzer resolves them against the joined plan (qualified `a.b` via the
-    * aliases, plain idents when unambiguous — Spark SQL's own rules). */
-  private def lowerJoinCond(left: DataFrame, right: DataFrame, e: Expr): Column =
-    lower(Ctx(left), e)
+  /** Lower a join condition with explicit side scoping
+    * (name_resolver.rs:223-252): a bare ident present on exactly one side
+    * resolves to that side's column; present on both sides → error (the user
+    * must qualify with the table alias); qualified `alias.col` idents resolve
+    * through the DataFrame aliases. */
+  private def lowerJoinCond(ctx: Ctx, right: DataFrame, e: Expr): Column = {
+    val left = ctx.df
+    def go(x: Expr): Column = x match {
+      case Ident(List(n)) =>
+        val inL = left.columns.contains(n)
+        val inR = right.columns.contains(n)
+        if (inL && inR) throw new PlanError(
+          s"join condition column '$n' exists on both sides — qualify it with the table alias")
+        else if (inL) left.col(quoteName(n))
+        else if (inR) right.col(quoteName(n))
+        else throw new PlanError(s"join condition column '$n' not found on either side")
+      case Ident(parts) => identCol(parts) // alias-qualified: analyzer scopes it
+      case Binary(op, l, r) => (op, l, r) match {
+        case ("==", v, NullLit) => go(v).isNull
+        case ("==", NullLit, v) => go(v).isNull
+        case ("!=", v, NullLit) => go(v).isNotNull
+        case ("!=", NullLit, v) => go(v).isNotNull
+        case _ => binaryCol(op, go(l), go(r), l, r)
+      }
+      case Unary("-", v) => -go(v)
+      case Unary("!", v) => !go(v)
+      case _ => lower(Ctx(left), x)
+    }
+    go(e)
+  }
+
+  private def quoteName(s: String): String =
+    if (s.matches("[A-Za-z_$][A-Za-z0-9_$]*")) s
+    else "`" + s.replace("`", "``") + "`"
 
   // ---- group/window helpers ----
 
@@ -297,9 +351,17 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
   private def sortItems(args: List[Expr]): List[SortItem] = {
     val flat = args.flatMap { case EList(items) => items; case e => List(e) }
     flat.map {
-      case Unary("-", e) => SortItem(e, desc = true)
-      case e => SortItem(e, desc = false)
+      case Unary("-", e) => SortItem(requireSortIdent(e), desc = true)
+      case e => SortItem(requireSortIdent(e), desc = false)
     }
+  }
+
+  /** The reference rejects sort-by-expression — idents only, with an optional
+    * +/- direction prefix (transforms.rs:61-83). */
+  private def requireSortIdent(e: Expr): Expr = e match {
+    case i: Ident => i
+    case other => throw new PlanError(
+      s"sort expects column identifiers, not expressions (transforms.rs:61-83): $other")
   }
 
   private def sortCol(ctx: Ctx, s: SortItem): Column = {
@@ -354,6 +416,8 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
     case FuncCall(name, args, named) => lowerCall(ctx, name, args, named, inAgg = false, joinScope)
     case Assign(n, x) => lower(ctx, x, joinScope).as(n)
     case RangeLit(_, _) => throw new PlanError("range is only valid in take/in/window")
+    case JinjaLit(src) => throw new PlanError(
+      s"jinja block $src parses but is unsupported in execution (the reference only renders SQL text)")
     case other => throw new PlanError(s"cannot lower expression: $other")
   }
 
@@ -619,6 +683,16 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
       s"(${exprSql(l)} $o ${exprSql(r)})"
     case Unary("-", x) => s"(- ${exprSql(x)})"
     case Unary("!", x) => s"(NOT ${exprSql(x)})"
+    case DateLit(s) => s"DATE '$s'"
+    case TimestampLit(s) => s"TIMESTAMP '${s.replace("T", " ")}'"
+    case TimeLit(s) => "'" + s + "'" // no Spark TIME type; string like the reference
+    case IntervalLit(n, unit) => s"INTERVAL $n $unit"
+    case FStr(parts) =>
+      parts.map {
+        case IText(s) => "'" + s.replace("'", "''") + "'"
+        case IExpr(x) => s"CAST(${exprSql(x)} AS STRING)"
+      }.mkString("CONCAT(", ", ", ")")
+    case p: Pipeline => exprSql(inlinePipe(p))
     case FuncCall(n, args, _) => s"$n(${args.map(exprSql).mkString(", ")})"
     case other => throw new PlanError(s"cannot render to SQL: $other")
   }

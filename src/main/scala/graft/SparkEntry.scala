@@ -410,6 +410,127 @@ object SparkEntry {
       """SELECT n_nationkey, n_name,
         |  LAG(n_name, 1) OVER (ORDER BY n_nationkey) AS prev_name
         |FROM nation ORDER BY n_nationkey""".stripMargin),
+
+    ("q30_stddev",
+      """from lineitem
+        |group l_returnflag (
+        |  aggregate [
+        |    sd_qty = (round (stddev l_quantity) 4),
+        |    sd_price = (round (stddev l_extendedprice) 2),
+        |  ]
+        |)
+        |sort l_returnflag""".stripMargin,
+      """SELECT l_returnflag, ROUND(STDDEV(l_quantity), 4) AS sd_qty,
+        |  ROUND(STDDEV(l_extendedprice), 2) AS sd_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    ("q31_last",
+      """from orders
+        |group o_custkey (
+        |  sort [o_orderdate, o_orderkey]
+        |  window rows:.. (
+        |    derive [last_price = last 1 o_totalprice]
+        |  )
+        |)
+        |select [o_custkey, o_orderkey, last_price]
+        |sort [o_custkey, o_orderkey]""".stripMargin,
+      """SELECT o_custkey, o_orderkey,
+        |  LAST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    ("q32_window_rows",
+      """from orders
+        |group o_custkey (
+        |  sort [o_orderdate, o_orderkey]
+        |  window rows:-2..0 (
+        |    derive [r3 = ((sum (o_totalprice | as `decimal(18,2)`)) | as double)]
+        |  )
+        |)
+        |select [o_custkey, o_orderkey, r3]
+        |sort [o_custkey, o_orderkey]""".stripMargin,
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS r3
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    ("q33_window_range",
+      """from orders
+        |group o_custkey (
+        |  sort o_orderkey
+        |  window range:-1000..0 (
+        |    derive [n_near = count]
+        |  )
+        |)
+        |select [o_custkey, o_orderkey, n_near]
+        |sort [o_custkey, o_orderkey]""".stripMargin,
+      """SELECT o_custkey, o_orderkey,
+        |  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_near
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    ("q34_take_open",
+      """from orders
+        |sort [-o_totalprice, o_orderkey]
+        |take 550..
+        |select [o_orderkey, o_totalprice]""".stripMargin,
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey OFFSET 549""".stripMargin),
+
+    ("q35_func_default",
+      """func add_tax rate:0.08 x -> x * (1 + rate)
+        |
+        |from lineitem
+        |derive [t_dflt = (l_extendedprice | add_tax),
+        |        t_big = (l_extendedprice | add_tax rate:0.2)]
+        |select [l_orderkey, l_linenumber, t_dflt, t_big]
+        |sort [l_orderkey, l_linenumber, l_partkey, l_suppkey]
+        |take 200""".stripMargin,
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1 + CAST(0.08 AS DOUBLE)) AS t_dflt,
+        |  l_extendedprice * (1 + CAST(0.2 AS DOUBLE)) AS t_big
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey
+        |LIMIT 200""".stripMargin),
+
+    ("q36_not",
+      """from orders
+        |filter !(o_orderstatus == "O")
+        |group o_orderstatus (aggregate [n = count])
+        |sort o_orderstatus""".stripMargin,
+      """SELECT o_orderstatus, count(*) AS n FROM orders
+        |WHERE NOT (o_orderstatus = 'O')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    ("q37_literal_pipeline",
+      """derive [x = 5, y = 10 - 4 + 1, z = 20 / 4 * 5]""".stripMargin,
+      // y and z lock left-associativity: right-nesting would give 5 and 1.0
+      """SELECT CAST(5 AS BIGINT) AS x, CAST(10 - 4 + 1 AS BIGINT) AS y,
+        |  CAST(20 AS DOUBLE) / 4 * 5 AS z""".stripMargin),
+
+    ("q38_distinct_subset",
+      """from customer
+        |select [c_nationkey, c_mktsegment, c_custkey]
+        |group c_nationkey (take 1)
+        |sort [c_nationkey, c_mktsegment, c_custkey]""".stripMargin,
+      // group keys ⊂ frame columns: the reference still emits SELECT DISTINCT
+      // over the WHOLE frame (distinct.rs:33-40), not one row per key
+      """SELECT DISTINCT c_nationkey, c_mktsegment, c_custkey FROM customer
+        |ORDER BY c_nationkey, c_mktsegment, c_custkey""".stripMargin),
+
+    ("q39_header_time_sstr",
+      """prql dialect:ansi version:1
+        |
+        |from orders
+        |derive [t = @08:30,
+        |        d_since = s"CAST(datediff(o_orderdate, {@1995-01-01}) AS INT)"]
+        |select [o_orderkey, t, d_since]
+        |sort o_orderkey
+        |take 100""".stripMargin,
+      """SELECT o_orderkey, '08:30' AS t,
+        |  CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INT) AS d_since
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

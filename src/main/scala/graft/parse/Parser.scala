@@ -193,7 +193,7 @@ private final class Parser(toks: Vector[Tok]) {
          TInterp(_, _, _) | TDate(_, _) | TTime(_, _) | TTimestamp(_, _) |
          TInterval(_, _, _) | TJinja(_, _) => true
     case TKw(k, _) => k == "true" || k == "false" || k == "null"
-    case TOp(o, _) => o == "(" || o == "[" || o == ".."
+    case TOp(o, _) => o == "(" || o == "[" || o == ".." || o == "!"
     case _ => false
   }
 

@@ -2,11 +2,426 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Large-scale training-data pipeline operators (dedup, similarity search,
-  * text analysis, multimodal) — SURVEY.md §7.4 surplus, driver north-star.
-  * Filled in incrementally; each op gets a `queries` entry and, where
-  * SQL-expressible, a DuckDB oracle. */
+/** Large-scale training-data pipeline operators over the `documents` and
+  * `embeddings` tables: deduplication (exact, MinHash-LSH, SimHash),
+  * similarity search (exact top-k cosine + SRP-LSH bucketed), text analysis
+  * (token/quality stats, per-language rollups, sequence fingerprints) and
+  * multimodal binary-column plumbing.
+  *
+  * Every operator is expressed as a declarative Spark SQL plan (Catalyst
+  * optimizes + whole-stage codegen; per-row work uses higher-order array
+  * functions, never Scala UDFs) and is paired with an equivalent DuckDB
+  * oracle over the same parquet files.
+  *
+  * == Determinism across engines ==
+  * The driver hash-compares Spark vs DuckDB values, so every operator is
+  * engineered to be bit-deterministic on both engines:
+  *  - hashes come from `md5` hex (identical everywhere), parsed to BIGINT
+  *    (`conv(hex,16,10)` / `CAST('0x'||hex AS BIGINT)`);
+  *  - floating sums are LEFT FOLDS in array order (`aggregate` / DuckDB
+  *    `list_reduce`), which produce identical IEEE doubles on both engines
+  *    (verified bit-for-bit), never order-nondeterministic SUM() over rows;
+  *  - integer sums/counts are exact and associative.
+  *
+  * == 100 TB design notes ==
+  *  - per-document work (shingling, hashing, signatures, stats) is map-side
+  *    only: array HOFs inside whole-stage codegen, no explode, no shuffle;
+  *  - near-dup candidate generation joins on LSH band/bucket keys — never an
+  *    all-pairs product; candidate verification touches only bucket-mates;
+  *  - exact dedup is one hash-shuffle with map-side partial aggregation;
+  *  - exact top-k cosine broadcasts the (small) query set and computes a
+  *    single scan over the corpus; the per-query top-k window shuffles only
+  *    (n_queries × corpus) scored rows — the SRP-LSH variant replaces the
+  *    full scan with a bucket-key equi-join for the 1000-executor path.
+  */
 object PipelineOps {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracleSql: Map[String, String] = Map()
+
+  // ---- shared deterministic constants (Spark and DuckDB get the same) ----
+
+  /** MinHash: k=16 signature values, banded into b=8 bands of r=2 rows.
+    * h_i(x) = (a_i * x + b_i) mod P over shingle hashes x < P < 2^31
+    * (a_i * x < 2^62 — no 64-bit overflow). */
+  private val MinhashP = 2147483647L // 2^31 - 1
+  private val MinhashK = 16
+  private val Bands = 8 // r = 2
+  private val hashA: Seq[Long] = (0 until MinhashK).map(i => (1103515245L * (i + 1)) % MinhashP)
+  private val hashB: Seq[Long] = (0 until MinhashK).map(i => (12345L + 7919L * i) % MinhashP)
+
+  /** SRP-LSH: 8 Rademacher (±1) hyperplanes over the 64-dim embeddings,
+    * component sign = parity of md5("{plane}_{dim}") — reproducible from
+    * public md5 on any engine. */
+  private val SrpPlanes = 8
+  private val EmbDim = 64
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+  private val planes: Seq[Seq[Int]] =
+    (0 until SrpPlanes).map { p =>
+      (1 to EmbDim).map { d =>
+        val h = java.lang.Long.parseLong(md5Hex(s"${p}_$d").take(8), 16)
+        if (h % 2 == 1) 1 else -1
+      }
+    }
+  private val planesSparkLit: String =
+    planes.map(_.mkString("array(", ",", ")")).mkString("array(", ",", ")")
+  private val planesDuckLit: String =
+    planes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  // Spark-side fragments ----------------------------------------------------
+
+  /** words array from the raw text (shared tokenization). */
+  private val wordsSpark = """split(trim(text), '\\s+')"""
+  private val wordsDuck = """regexp_split_to_array(trim(text), '\s+')"""
+
+  /** 64-bit hash of a string via md5 prefix, < 2^32. */
+  private def hSpark(e: String) = s"CAST(conv(substr(md5($e),1,8),16,10) AS BIGINT)"
+  private def hDuck(e: String) = s"CAST(('0x'||substr(md5($e),1,8)) AS BIGINT)"
+
+  /** Left-fold double dot product of two float arrays (bit-identical on both
+    * engines — strict sequential order, no parallel reassociation). */
+  private def dotSpark(a: String, b: String) =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+  private def dotDuck(a: String, b: String) =
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** Squared-norm via the same left fold. */
+  private def norm2Spark(a: String) =
+    s"aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+  private def norm2Duck(a: String) =
+    s"list_reduce(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)"
+
+  // ---- p01: exact dedup ---------------------------------------------------
+  // One hash shuffle; partial count map-side. Representative = min doc_id.
+
+  private val p01Spark = """
+    SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY md5(lower(trim(text)))
+    ORDER BY doc_id"""
+  private val p01Duck = """
+    SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY md5(lower(trim(text)))
+    ORDER BY doc_id"""
+
+  // ---- p02: per-document text stats (tokens, quality signals) -------------
+  // Pure map-side HOFs; ratios of exact ints.
+
+  private val p02Spark = s"""
+    WITH t AS (SELECT doc_id, text, $wordsSpark AS words FROM documents)
+    SELECT doc_id,
+      CAST(size(words) AS BIGINT) AS n_tokens,
+      CAST(size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)) AS BIGINT) AS n_subtokens,
+      CAST(length(text) AS BIGINT) AS n_chars_m,
+      round(CAST(length(regexp_replace(text, '\\\\s', '')) AS DOUBLE) / size(words), 4) AS avg_tok_len,
+      round(CAST(size(filter(words, w -> w IN ('the','a','of','and'))) AS DOUBLE) / size(words), 6) AS stop_ratio,
+      round(CAST(size(filter(words, w -> length(w) <= 2)) AS DOUBLE) / size(words), 6) AS short_tok_ratio
+    FROM t ORDER BY doc_id"""
+  private val p02Duck = s"""
+    WITH t AS (SELECT doc_id, text, $wordsDuck AS words FROM documents)
+    SELECT doc_id,
+      CAST(len(words) AS BIGINT) AS n_tokens,
+      CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_subtokens,
+      CAST(length(text) AS BIGINT) AS n_chars_m,
+      round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(words), 4) AS avg_tok_len,
+      round(CAST(len(list_filter(words, w -> w IN ('the','a','of','and'))) AS DOUBLE) / len(words), 6) AS stop_ratio,
+      round(CAST(len(list_filter(words, w -> length(w) <= 2)) AS DOUBLE) / len(words), 6) AS short_tok_ratio
+    FROM t ORDER BY doc_id"""
+
+  // ---- p03: language / source quality rollup ------------------------------
+  // groupBy(lang, source): exact int sums; double sums of ints < 2^53 are
+  // exact, so avg is order-independent.
+
+  private val p03Spark = s"""
+    WITH s AS (
+      SELECT lang, source, n_chars, size($wordsSpark) AS n_tokens,
+        CAST(size(filter($wordsSpark, w -> w IN ('the','a','of','and'))) AS DOUBLE)
+          / size($wordsSpark) AS stop_ratio
+      FROM documents)
+    SELECT lang, source,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
+      round(avg(CAST(n_tokens AS DOUBLE)), 4) AS avg_tokens,
+      round(CAST(sum(CASE WHEN n_chars < 250 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pct_short,
+      round(CAST(sum(CASE WHEN stop_ratio >= 0.05 AND n_tokens >= 20 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pct_quality
+    FROM s GROUP BY lang, source ORDER BY lang, source"""
+  private val p03Duck = s"""
+    WITH s AS (
+      SELECT lang, source, n_chars, len($wordsDuck) AS n_tokens,
+        CAST(len(list_filter($wordsDuck, w -> w IN ('the','a','of','and'))) AS DOUBLE)
+          / len($wordsDuck) AS stop_ratio
+      FROM documents)
+    SELECT lang, source,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
+      round(avg(CAST(n_tokens AS DOUBLE)), 4) AS avg_tokens,
+      round(CAST(sum(CASE WHEN n_chars < 250 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pct_short,
+      round(CAST(sum(CASE WHEN stop_ratio >= 0.05 AND n_tokens >= 20 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pct_quality
+    FROM s GROUP BY lang, source ORDER BY lang, source"""
+
+  // ---- p04: MinHash-LSH near-duplicate pairs -------------------------------
+  // shingle (3-word) sets -> 16 minhashes -> 8 bands of 2 -> candidates join
+  // on band key -> exact-Jaccard verify within candidates only. The join key
+  // is the band hash — NEVER an all-pairs join.
+
+  private def sigExprSpark(i: Int) =
+    s"array_min(transform(hs, h -> pmod(${hashA(i)} * h + ${hashB(i)}, $MinhashP)))"
+  private def sigExprDuck(i: Int) =
+    s"list_min(list_transform(hs, h -> (${hashA(i)} * h + ${hashB(i)}) % $MinhashP))"
+
+  private val p04Spark = s"""
+    WITH w AS (
+      SELECT doc_id, $wordsSpark AS words FROM documents),
+    sh AS (
+      SELECT doc_id,
+        array_distinct(transform(sequence(1, size(words) - 2),
+          i -> concat(element_at(words, i), ' ', element_at(words, i + 1), ' ', element_at(words, i + 2)))) AS shingles
+      FROM w WHERE size(words) >= 3),
+    hashed AS (
+      SELECT doc_id, shingles,
+        transform(shingles, s -> pmod(${hSpark("s")}, $MinhashP)) AS hs
+      FROM sh),
+    sigs AS (
+      SELECT doc_id, shingles,
+        array(${(0 until MinhashK).map(sigExprSpark).mkString(", ")}) AS sig
+      FROM hashed),
+    bands AS (
+      SELECT doc_id, shingles, explode(transform(sequence(0, ${Bands - 1}),
+        j -> concat(j, '|', element_at(sig, 2 * j + 1), '|', element_at(sig, 2 * j + 2)))) AS bkey
+      FROM sigs),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+      FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT c.ida, c.idb,
+        CAST(size(array_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+          / (size(sa.shingles) + size(sb.shingles) - size(array_intersect(sa.shingles, sb.shingles))) AS jac
+      FROM cands c
+      JOIN sh sa ON sa.doc_id = c.ida
+      JOIN sh sb ON sb.doc_id = c.idb)
+    SELECT ida, idb, round(jac, 6) AS jaccard
+    FROM verified WHERE jac >= 0.5 ORDER BY ida, idb"""
+
+  private val p04Duck = s"""
+    WITH w AS (
+      SELECT doc_id, $wordsDuck AS words FROM documents),
+    sh AS (
+      SELECT doc_id,
+        list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+          for i in generate_series(1, len(words) - 2)]) AS shingles
+      FROM w WHERE len(words) >= 3),
+    hashed AS (
+      SELECT doc_id, shingles,
+        list_transform(shingles, s -> ${hDuck("s")} % $MinhashP) AS hs
+      FROM sh),
+    sigs AS (
+      SELECT doc_id, shingles,
+        [${(0 until MinhashK).map(sigExprDuck).mkString(", ")}] AS sig
+      FROM hashed),
+    bands AS (
+      SELECT doc_id, shingles, unnest([j || '|' || sig[2*j+1] || '|' || sig[2*j+2]
+        for j in generate_series(0, ${Bands - 1})]) AS bkey
+      FROM sigs),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+      FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT c.ida, c.idb,
+        CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+          / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jac
+      FROM cands c
+      JOIN sh sa ON sa.doc_id = c.ida
+      JOIN sh sb ON sb.doc_id = c.idb)
+    SELECT ida, idb, round(jac, 6) AS jaccard
+    FROM verified WHERE jac >= 0.5 ORDER BY ida, idb"""
+
+  // ---- p05: SimHash fingerprints ------------------------------------------
+  // 32-bit simhash from word hashes; map-side HOFs only; n_same shows the
+  // dedup-bucket usage. Exact integer arithmetic end to end.
+
+  private val p05Spark = s"""
+    WITH t AS (
+      SELECT doc_id, transform($wordsSpark, w -> ${hSpark("w")}) AS hw
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        aggregate(transform(sequence(0, 31),
+          j -> IF(aggregate(hw, 0, (a, h) -> a + IF((shiftright(h, j) & 1) = 1, 1, -1)) > 0,
+                  shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
+          CAST(0 AS BIGINT), (a, x) -> a + x) AS simhash
+      FROM t)
+    SELECT doc_id, simhash,
+      CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS n_same
+    FROM s ORDER BY doc_id"""
+  private val p05Duck = s"""
+    WITH t AS (
+      SELECT doc_id, list_transform($wordsDuck, w -> ${hDuck("w")}) AS hw
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        CAST(list_sum(list_transform(generate_series(0, 31),
+          j -> CASE WHEN list_sum(list_transform(hw,
+                 h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+               THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+      FROM t)
+    SELECT doc_id, simhash,
+      CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS n_same
+    FROM s ORDER BY doc_id"""
+
+  // ---- p06: sequence fingerprint (rolling polynomial hash) -----------------
+  // Order-sensitive (complements the set-based simhash): left fold
+  // acc = (acc*31 + h(word)) mod 1e9+7; acc*31 + h < 2^63.
+
+  private val p06Spark = s"""
+    WITH t AS (
+      SELECT doc_id, transform($wordsSpark, w -> ${hSpark("w")}) AS hw
+      FROM documents)
+    SELECT doc_id,
+      aggregate(hw, CAST(7 AS BIGINT), (acc, h) -> pmod(acc * 31 + h, 1000000007)) AS fingerprint
+    FROM t ORDER BY doc_id"""
+  private val p06Duck = s"""
+    WITH t AS (
+      SELECT doc_id, list_transform($wordsDuck, w -> ${hDuck("w")}) AS hw
+      FROM documents)
+    SELECT doc_id,
+      list_reduce(list_prepend(CAST(7 AS BIGINT), hw),
+        (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
+    FROM t ORDER BY doc_id"""
+
+  // ---- p07: exact top-k cosine similarity search ---------------------------
+  // Brute-force baseline: broadcast the 20-query set over one corpus scan;
+  // top-k per query via row_number window (shuffles only scored pairs).
+
+  private val TopK = 5
+  private val NQueries = 20
+
+  private val p07Spark = s"""
+    WITH e AS (
+      SELECT vec_id, embedding, ${norm2Spark("embedding")} AS n2 FROM embeddings),
+    q AS (
+      SELECT vec_id AS q_id, embedding AS qe, n2 AS qn2 FROM e WHERE vec_id < $NQueries),
+    scored AS (
+      SELECT q.q_id, e.vec_id AS nn_id,
+        ${dotSpark("q.qe", "e.embedding")} / (sqrt(q.qn2) * sqrt(e.n2)) AS cos
+      FROM q JOIN e ON e.vec_id != q.q_id),
+    ranked AS (
+      SELECT q_id, nn_id, cos,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rn
+      FROM scored)
+    SELECT q_id, nn_id, CAST(rn AS BIGINT) AS rank, round(cos, 6) AS sim
+    FROM ranked WHERE rn <= $TopK ORDER BY q_id, rank"""
+  private val p07Duck = s"""
+    WITH e AS (
+      SELECT vec_id, embedding, ${norm2Duck("embedding")} AS n2 FROM embeddings),
+    q AS (
+      SELECT vec_id AS q_id, embedding AS qe, n2 AS qn2 FROM e WHERE vec_id < $NQueries),
+    scored AS (
+      SELECT q.q_id, e.vec_id AS nn_id,
+        ${dotDuck("q.qe", "e.embedding")} / (sqrt(q.qn2) * sqrt(e.n2)) AS cos
+      FROM q JOIN e ON e.vec_id != q.q_id),
+    ranked AS (
+      SELECT q_id, nn_id, cos,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rn
+      FROM scored)
+    SELECT q_id, nn_id, CAST(rn AS BIGINT) AS rank, round(cos, 6) AS sim
+    FROM ranked WHERE rn <= $TopK ORDER BY q_id, rank"""
+
+  // ---- p08: SRP-LSH bucketed near-neighbour pairs --------------------------
+  // Scale path for similarity: 8 random-hyperplane sign bits -> 256 buckets;
+  // candidates = bucket-mates (equi-join on the bucket key), verified by
+  // exact cosine. Bucket assignment is map-side (plane matrix is a literal).
+
+  private val p08Spark = s"""
+    WITH e AS (
+      SELECT vec_id, embedding, ${norm2Spark("embedding")} AS n2,
+        aggregate(transform(sequence(0, ${SrpPlanes - 1}),
+          p -> IF(aggregate(zip_with(embedding, element_at($planesSparkLit, p + 1),
+                    (x, s) -> CAST(x AS DOUBLE) * CAST(s AS DOUBLE)),
+                  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) > 0,
+                shiftleft(1, p), 0)), 0, (a, x) -> a + x) AS bucket
+      FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb,
+        ${dotSpark("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT ida, idb, round(cos, 6) AS sim
+    FROM pairs WHERE cos >= 0.2 ORDER BY ida, idb"""
+  private val p08Duck = s"""
+    WITH e AS (
+      SELECT vec_id, embedding, ${norm2Duck("embedding")} AS n2,
+        CAST(list_sum(list_transform(generate_series(0, ${SrpPlanes - 1}),
+          p -> CASE WHEN list_reduce(list_transform(generate_series(1, $EmbDim),
+                      i -> CAST(embedding[i] AS DOUBLE) * CAST($planesDuckLit[p+1][i] AS DOUBLE)),
+                    (x, y) -> x + y) > 0
+               THEN (1 << p) ELSE 0 END)) AS INT) AS bucket
+      FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb,
+        ${dotDuck("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT ida, idb, round(cos, 6) AS sim
+    FROM pairs WHERE cos >= 0.2 ORDER BY ida, idb"""
+
+  // ---- p09: multimodal binary-column metadata ------------------------------
+  // Opaque binary payloads (here: utf-8 of text, standing in for image/audio
+  // bytes) + typed metadata extraction, all SQL-expressible and map-side.
+
+  private val p09Spark = """
+    WITH m AS (SELECT doc_id, text, encode(text, 'UTF-8') AS bin FROM documents)
+    SELECT doc_id,
+      CAST(length(bin) AS BIGINT) AS n_bytes,
+      lower(substr(hex(bin), 1, 16)) AS header_hex,
+      md5(text) AS checksum,
+      CAST(length(bin) % 640 AS BIGINT) AS fake_width,
+      CAST((length(bin) div 1000) + 1 AS BIGINT) AS fake_frames
+    FROM m ORDER BY doc_id"""
+  private val p09Duck = """
+    WITH m AS (SELECT doc_id, text, encode(text) AS bin FROM documents)
+    SELECT doc_id,
+      CAST(octet_length(bin) AS BIGINT) AS n_bytes,
+      lower(substr(hex(bin), 1, 16)) AS header_hex,
+      md5(text) AS checksum,
+      CAST(octet_length(bin) % 640 AS BIGINT) AS fake_width,
+      CAST((octet_length(bin) // 1000) + 1 AS BIGINT) AS fake_frames
+    FROM m ORDER BY doc_id"""
+
+  // ---- wiring --------------------------------------------------------------
+
+  private def onDocs(sql: String): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+      spark.sql(sql)
+    }
+
+  private def onEmb(sql: String): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("embeddings")
+      spark.sql(sql)
+    }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_dedup_exact" -> onDocs(p01Spark),
+    "p02_text_stats" -> onDocs(p02Spark),
+    "p03_lang_quality" -> onDocs(p03Spark),
+    "p04_minhash_lsh" -> onDocs(p04Spark),
+    "p05_simhash" -> onDocs(p05Spark),
+    "p06_fingerprint" -> onDocs(p06Spark),
+    "p07_cosine_topk" -> onEmb(p07Spark),
+    "p08_ann_srp_lsh" -> onEmb(p08Spark),
+    "p09_media_meta" -> onDocs(p09Spark),
+    // typed mapPartitions decode plumbing — deterministic stub "decoder",
+    // no SQL oracle (driver does the weaker rows-only check)
+    "p10_media_decode" -> ((spark, dir) => MediaOps.decodeFeatures(spark, dir)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "p01_dedup_exact" -> p01Duck,
+    "p02_text_stats" -> p02Duck,
+    "p03_lang_quality" -> p03Duck,
+    "p04_minhash_lsh" -> p04Duck,
+    "p05_simhash" -> p05Duck,
+    "p06_fingerprint" -> p06Duck,
+    "p07_cosine_topk" -> p07Duck,
+    "p08_ann_srp_lsh" -> p08Duck,
+    "p09_media_meta" -> p09Duck,
+  )
 }

@@ -50,7 +50,13 @@ object Lexer {
       val p = i
       c match {
         case ' ' | '\t' | '\r' => i += 1
-        case '#' => while (i < n && src.charAt(i) != '\n') i += 1
+        case '#' =>
+          // consume to end of line; a line that is ONLY a comment contributes
+          // no newline of its own (otherwise `stage \n #c \n stage` reads as
+          // a blank line and splits the pipeline — book/tests syntax-6)
+          val fullLineComment = out.isEmpty || out.last.isInstanceOf[TNewline]
+          while (i < n && src.charAt(i) != '\n') i += 1
+          if (fullLineComment && i < n) i += 1 // swallow the terminating \n
         case '\n' => out += TNewline(p); i += 1
         case '(' | ')' | '[' | ']' | ',' | ':' | '*' | '/' | '%' | '!' | '|' =>
           // `!=` is two-char

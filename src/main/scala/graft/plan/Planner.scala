@@ -90,6 +90,8 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
       val (alias, tbl) = args match {
         case List(Assign(a, Ident(List(t)))) => (a, t)
         case List(Ident(List(t))) => (t, t)
+        case List(JinjaLit(src)) => throw new PlanError(
+          s"jinja block $src parses but is unsupported in execution (the reference only renders SQL text)")
         case _ => throw new PlanError(s"from expects a table name, got $args")
       }
       ctx.copy(df = resolveTable(tbl).alias(alias), sort = Nil, groupKeys = Nil)

@@ -1,0 +1,100 @@
+package graft
+
+import graft.pipeline.{MediaOps, PipelineOps}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pipeline-operator behavior on the real sf0.001 testdata: structural
+  * invariants, ground-truth checks (LSH vs exact), and the typed decode
+  * plumbing. Value-level equality vs DuckDB is covered by the driver gate
+  * (and tools/compare.py). */
+class PipelineOpsSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.spark
+
+  private def run(name: String) = PipelineOps.queries(name)(spark, dir)
+
+  test("p01 exact dedup: every document keeps exactly one representative") {
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    val out = run("p01_dedup_exact").collect()
+    assert(out.map(_.getLong(1)).sum == total) // copies partition the corpus
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+  }
+
+  test("p02 text stats: ratios bounded, token counts positive") {
+    val out = run("p02_text_stats").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_tokens")) > 0)
+      val stop = r.getDouble(r.fieldIndex("stop_ratio"))
+      assert(stop >= 0.0 && stop <= 1.0)
+    }
+  }
+
+  test("p04 MinHash-LSH finds exactly the brute-force near-dup pairs (recall check)") {
+    // ground truth: exact jaccard >= 0.5 over all pairs, computed sparkside
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.createOrReplaceTempView("documents")
+    val truth = spark.sql(
+      """WITH w AS (SELECT doc_id, split(trim(text), '\\s+') AS words FROM documents),
+        |sh AS (SELECT doc_id, array_distinct(transform(sequence(1, size(words)-2),
+        |    i -> concat(element_at(words,i),' ',element_at(words,i+1),' ',element_at(words,i+2)))) AS s
+        |  FROM w WHERE size(words) >= 3)
+        |SELECT a.doc_id ida, b.doc_id idb FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(size(array_intersect(a.s, b.s)) AS DOUBLE) /
+        |      (size(a.s) + size(b.s) - size(array_intersect(a.s, b.s))) >= 0.5
+        |""".stripMargin).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = run("p04_minhash_lsh").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == truth, s"LSH pairs $found != brute-force pairs $truth")
+    assert(truth.nonEmpty, "testdata should contain planted near-dups")
+  }
+
+  test("p05/p06: same word multiset ⇒ same simhash; different order ⇒ different fingerprint") {
+    val sim = run("p05_simhash").collect()
+    assert(sim.map(_.getLong(0)).distinct.length == sim.length)
+    val fp = run("p06_fingerprint").collect()
+    assert(fp.map(_.getLong(1)).distinct.length > fp.length / 2) // fingerprints spread
+  }
+
+  test("p07 exact top-k: k results per query, ranks 1..k, sims sorted") {
+    val out = run("p07_cosine_topk").collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size == 20)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to 5L))
+      val sims = rs.sortBy(_.getLong(2)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("p08 SRP-LSH pairs are a subset of true >=0.2-cosine pairs and non-empty") {
+    val out = run("p08_ann_srp_lsh").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.2)
+    }
+  }
+
+  test("p10 media decode: batched stub decoder is deterministic and map-side") {
+    import spark.implicits._
+    val in = Seq(
+      MediaOps.MediaIn(1L, Array.fill[Byte](2500)(65), "image/png"),
+      MediaOps.MediaIn(2L, "hello".getBytes("UTF-8"), "text/plain"),
+    ).toDS()
+    val out = MediaOps.decode(in).collect().sortBy(_.doc_id)
+    assert(out(0).n_frames == 3) // 2500 bytes -> 3 fake frames
+    assert(out(0).n_bytes == 2500)
+    assert(out(0).mean_luma == 0.253906) // 65/256 rounded to 6 decimals
+    assert(out(1).n_frames == 1)
+    // re-run gives identical features (stub is deterministic)
+    val again = MediaOps.decode(in).collect().sortBy(_.doc_id)
+    assert(out.toSeq == again.toSeq)
+  }
+
+  test("driver contract: every oracle key has a query, entry() returns rows") {
+    assert(PipelineOps.oracleSql.keySet.subsetOf(PipelineOps.queries.keySet))
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,198 @@
+package graft
+
+import graft.plan.PlanError
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exact-result semantics of the planner's lowering decisions, on in-memory
+  * data small enough to reason about by hand. */
+class PlannerSemanticsSpec extends AnyFunSuite {
+
+  import TestSpark.{compile, spark}
+
+  private def rows(prql: String): Seq[Row] = compile(prql).collect().toSeq
+
+  private def nums(spec: String): Unit = {
+    val df = spark.range(1, 101).toDF("n") // 1..100
+    df.createOrReplaceTempView("nums")
+  }
+
+  private lazy val numsReady: Unit = {
+    import spark.implicits._
+    (1L to 100L).toDF("n").createOrReplaceTempView("nums")
+  }
+
+  private def compileSess(prql: String): Seq[Row] = {
+    numsReady
+    Graft.compileSession(prql, spark).collect().toSeq
+  }
+
+  // ---- arithmetic & literals ----
+
+  test("left-associative arithmetic evaluates like flat SQL") {
+    val r = rows("derive [y = 10 - 4 + 1, z = 2 - 3 - 4]").head
+    assert(r.getLong(r.fieldIndex("y")) == 7L)
+    assert(r.getLong(r.fieldIndex("z")) == -5L)
+  }
+
+  test("null semantics: == null lowers to IS NULL, ?? to coalesce") {
+    val r = rows(
+      """from employees
+        |filter first_name == null
+        |select [last_name, t = tax ?? -1]""".stripMargin)
+    assert(r == Seq(Row("Turing", 10.0)))
+  }
+
+  // ---- take semantics (1-based inclusive) ----
+
+  test("take n..m is a 1-based inclusive slice") {
+    assert(compileSess("from nums\nsort n\ntake 5..7").map(_.getLong(0)) == Seq(5L, 6L, 7L))
+    assert(compileSess("from nums\nsort n\ntake 98..").map(_.getLong(0)) == Seq(98L, 99L, 100L))
+    assert(compileSess("from nums\nsort n\ntake 3").map(_.getLong(0)) == Seq(1L, 2L, 3L))
+    assert(compileSess("from nums\nsort n\ntake ..2").map(_.getLong(0)) == Seq(1L, 2L))
+  }
+
+  test("consecutive takes compose (slice of a slice)") {
+    assert(compileSess("from nums\nsort n\ntake 10..20\ntake 2..3").map(_.getLong(0)) == Seq(11L, 12L))
+  }
+
+  // ---- distinct & grouped take ----
+
+  test("group ks (take 1) without sort is DISTINCT over the whole frame") {
+    val r = rows(
+      """from employees
+        |select [country, title]
+        |group country (take 1)
+        |sort [country, title]""".stripMargin)
+    // USA has two distinct titles -> distinct over (country,title) keeps both,
+    // mirroring distinct.rs:33-40 (not one arbitrary row per country)
+    assert(r == Seq(Row("UK", "Eng"), Row("USA", "Eng"), Row("USA", "Ops")))
+  }
+
+  test("grouped sorted take n is top-k per group") {
+    val r = rows(
+      """from employees
+        |group country (
+        |  sort [-salary]
+        |  take 1
+        |)
+        |select [country, name]
+        |sort country""".stripMargin)
+    assert(r == Seq(Row("UK", "Alan T"), Row("USA", "Grace H")))
+  }
+
+  test("grouped unsorted take >1 is a named error (reference emits nondeterministic ROW_NUMBER)") {
+    val e = intercept[PlanError](compile("from employees\ngroup country (take 2)"))
+    assert(e.getMessage.contains("requires a sort"))
+  }
+
+  // ---- join semantics ----
+
+  test("USING join dedups the key column") {
+    val df = compile("from employees\njoin titles [emp_no]")
+    assert(df.columns.count(_ == "emp_no") == 1)
+  }
+
+  test("USING join validates both sides") {
+    val e = intercept[PlanError](compile("from employees\njoin titles [salary]"))
+    assert(e.getMessage.contains("missing from the right side"))
+  }
+
+  test("bare join condition resolves against exactly one side; ambiguity is an error") {
+    // titles has `title`, employees has `title` -> ambiguous bare ident
+    val e = intercept[PlanError](
+      compile("from employees\njoin titles [title == title]"))
+    assert(e.getMessage.contains("both sides"))
+    // qualified works
+    val ok = compile("from e=employees\njoin titles [e.emp_no == titles.emp_no]")
+    assert(ok.count() == 3)
+  }
+
+  // ---- transform nesting legality ----
+
+  test("filter/join are rejected inside group") {
+    val e1 = intercept[PlanError](
+      compile("from employees\ngroup country (filter salary > 0)"))
+    assert(e1.getMessage.contains("not allowed inside group"))
+    val e2 = intercept[PlanError](
+      compile("from employees\ngroup country (join titles [emp_no])"))
+    assert(e2.getMessage.contains("not allowed inside group"))
+  }
+
+  test("only select/derive are legal inside window") {
+    val e = intercept[PlanError](
+      compile("from employees\nwindow rows:-1..0 (filter salary > 0)"))
+    assert(e.getMessage.contains("not allowed inside window"))
+  }
+
+  test("sort by expression is rejected") {
+    val e = intercept[PlanError](compile("from employees\nsort (salary + 1)"))
+    assert(e.getMessage.contains("sort expects column identifiers"))
+  }
+
+  test("jinja blocks parse but planning rejects them with a named error") {
+    val e = intercept[PlanError](compile("from {{ ref('x') }}\ntake 1"))
+    assert(e.getMessage.contains("jinja"))
+  }
+
+  // ---- window semantics ----
+
+  test("rolling window sums trail n rows inclusive") {
+    val r = compileSess(
+      """from nums
+        |sort n
+        |window rolling:3 (derive [r = sum n])
+        |filter n <= 4
+        |select [n, r]""".stripMargin)
+    assert(r.map(x => (x.getLong(0), x.getLong(1))) ==
+      Seq((1L, 1L), (2L, 3L), (3L, 6L), (4L, 9L)))
+  }
+
+  test("expanding window is a running total") {
+    val r = compileSess(
+      """from nums
+        |sort n
+        |window expanding:true (derive [r = sum n])
+        |filter n <= 4
+        |select [n, r]""".stripMargin)
+    assert(r.map(x => (x.getLong(0), x.getLong(1))) ==
+      Seq((1L, 1L), (2L, 3L), (3L, 6L), (4L, 10L)))
+  }
+
+  test("lag/lead honor the ambient group sort") {
+    val r = rows(
+      """from employees
+        |group country (
+        |  sort [salary]
+        |  derive [p = lag 1 salary]
+        |)
+        |select [name, p]
+        |sort name""".stripMargin)
+    assert(r == Seq(Row("Ada L", null), Row("Alan T", null), Row("Grace H", 1000.0)))
+  }
+
+  // ---- functions ----
+
+  test("function inlining with currying and named defaults") {
+    val r = rows(
+      """func scale by:10 x -> x * by
+        |
+        |from employees
+        |derive [a = (salary | scale), b = (salary | scale by:2), c = (scale 3 salary)]
+        |filter emp_no == 1
+        |select [a, b, c]""".stripMargin).head
+    assert(r == Row(10000.0, 2000.0, 3000.0))
+  }
+
+  test("table definitions behave as CTEs and compose") {
+    val r = rows(
+      """table rich = (
+        |  from employees
+        |  filter salary >= 2000
+        |)
+        |
+        |from rich
+        |aggregate [n = count]""".stripMargin).head
+    assert(r.getLong(0) == 2L)
+  }
+}

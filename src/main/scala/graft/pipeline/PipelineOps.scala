@@ -163,10 +163,11 @@ object PipelineOps {
   // on band key -> exact-Jaccard verify within candidates only. The join key
   // is the band hash — NEVER an all-pairs join.
 
-  private def sigExprSpark(i: Int) =
-    s"array_min(transform(hs, h -> pmod(${hashA(i)} * h + ${hashB(i)}, $MinhashP)))"
   private def sigExprDuck(i: Int) =
     s"list_min(list_transform(hs, h -> (${hashA(i)} * h + ${hashB(i)}) % $MinhashP))"
+
+  private val hashALit = hashA.mkString("array(", ",", ")")
+  private val hashBLit = hashB.mkString("array(", ",", ")")
 
   private val p04Spark = s"""
     WITH w AS (
@@ -181,8 +182,13 @@ object PipelineOps {
         transform(shingles, s -> pmod(${hSpark("s")}, $MinhashP)) AS hs
       FROM sh),
     sigs AS (
-      SELECT doc_id, shingles,
-        array(${(0 until MinhashK).map(sigExprSpark).mkString(", ")}) AS sig
+      -- one pass over the shingle hashes with a k-wide running-min array
+      -- (k separate array_min exprs would re-inline the md5 hash k times);
+      -- the REPARTITION hint materializes sig before the 8 band keys read it
+      SELECT /*+ REPARTITION(32) */ doc_id, shingles,
+        aggregate(hs, array_repeat(CAST($MinhashP AS BIGINT), $MinhashK),
+          (acc, h) -> zip_with(acc, sequence(0, ${MinhashK - 1}),
+            (m, i) -> least(m, pmod(element_at($hashALit, i + 1) * h + element_at($hashBLit, i + 1), $MinhashP)))) AS sig
       FROM hashed),
     bands AS (
       SELECT doc_id, shingles, explode(transform(sequence(0, ${Bands - 1}),
@@ -243,10 +249,17 @@ object PipelineOps {
       SELECT doc_id, transform($wordsSpark, w -> ${hSpark("w")}) AS hw
       FROM documents),
     s AS (
+      -- single pass over the word hashes with a 32-counter array accumulator:
+      -- the md5 word hash is evaluated once per word (a per-bit fold would
+      -- re-inline the hash expression 32x after CollapseProject — 7x slower)
       SELECT doc_id,
-        aggregate(transform(sequence(0, 31),
-          j -> IF(aggregate(hw, 0, (a, h) -> a + IF((shiftright(h, j) & 1) = 1, 1, -1)) > 0,
-                  shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
+        aggregate(
+          zip_with(
+            aggregate(hw, array_repeat(0, 32),
+              (acc, h) -> zip_with(acc, sequence(0, 31),
+                (a, j) -> a + IF((shiftright(h, j) & 1) = 1, 1, -1))),
+            sequence(0, 31),
+            (cnt, j) -> IF(cnt > 0, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
           CAST(0 AS BIGINT), (a, x) -> a + x) AS simhash
       FROM t)
     SELECT doc_id, simhash,

@@ -23,6 +23,16 @@ object Graft {
               catalog: String => DataFrame): DataFrame =
     new Planner(spark, catalog, Parser.parse(prql)).planMain()
 
+  /** Compile and also return compile-time scale diagnostics: warnings about
+    * plans that execute correctly but concentrate work on one partition at
+    * cluster scale (global-sort windows, deep positional offsets). */
+  def compileWithDiagnostics(prql: String, spark: SparkSession,
+                             catalog: String => DataFrame): (DataFrame, Seq[String]) = {
+    val planner = new Planner(spark, catalog, Parser.parse(prql))
+    val df = planner.planMain()
+    (df, planner.diagnostics.toSeq)
+  }
+
   /** Compile with `from name` resolving to `$dir/name.parquet`
     * (the TESTDATA.md convention), falling back to temp views. */
   def compileDir(prql: String, spark: SparkSession, dir: String): DataFrame =

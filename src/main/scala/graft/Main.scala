@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** CLI — the reference's `prql-compiler compile` edge (src/cli.rs:38-56),
+  * Spark-flavored. Input PRQL comes from a file argument or stdin.
+  *
+  * {{{
+  * sbt "runMain graft.Main compile query.prql --data-dir /root/testdata/sf0.001 --show 20"
+  * sbt "runMain graft.Main ast query.prql"        # JSON AST (to_json)
+  * sbt "runMain graft.Main plan query.prql ..."   # Spark optimized plan
+  * }}}
+  *
+  * Formats mirror the reference's `--format ast|sql`: `ast` needs no Spark
+  * session; `plan`/`compile` build the DataFrame against the parquet-dir
+  * catalog and print the Catalyst plan / the executed result.
+  */
+object Main {
+
+  private def usage(): Nothing = {
+    System.err.println(
+      """usage: graft.Main <command> [query.prql|-] [options]
+        |commands:
+        |  ast       print the JSON AST (round-trips via Graft.fromJson)
+        |  fmt       parse then re-print the JSON AST after a round-trip check
+        |  plan      print the analyzed + optimized Spark plan
+        |  compile   execute and print rows
+        |options:
+        |  --data-dir DIR   parquet catalog dir (default /root/testdata/sf0.001)
+        |  --show N         rows to print for `compile` (default 20)""".stripMargin)
+    sys.exit(2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) usage()
+    val cmd = args(0)
+    var file = "-"
+    var dataDir = "/root/testdata/sf0.001"
+    var show = 20
+    var i = 1
+    while (i < args.length) {
+      args(i) match {
+        case "--data-dir" => dataDir = args(i + 1); i += 2
+        case "--show" => show = args(i + 1).toInt; i += 2
+        case f0 => file = f0; i += 1
+      }
+    }
+    val src =
+      if (file == "-") scala.io.Source.stdin.mkString
+      else new String(Files.readAllBytes(Paths.get(file)), "UTF-8")
+
+    cmd match {
+      case "ast" =>
+        println(ast.AstJson.toJson(Graft.parse(src)))
+      case "fmt" =>
+        val q = Graft.parse(src)
+        val json = ast.AstJson.toJson(q)
+        require(ast.AstJson.fromJson(json) == q, "AST round-trip mismatch")
+        println(json)
+      case "plan" | "compile" =>
+        val spark = SparkSession.builder()
+          .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+          .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+        val (df, diags) = Graft.compileWithDiagnostics(src, spark,
+          Graft.parquetCatalog(spark, dataDir))
+        diags.foreach(d => System.err.println(s"[graft diagnostic] $d"))
+        if (cmd == "plan") df.explain("extended")
+        else df.show(show, truncate = false)
+        spark.stop()
+      case _ => usage()
+    }
+  }
+}

@@ -21,6 +21,12 @@ final class PlanError(msg: String) extends Exception(msg)
 final class Planner(spark: SparkSession, catalog: String => DataFrame,
                     query: Query) {
 
+  /** Compile-time scale diagnostics (not errors): plans that are correct but
+    * degrade on large clusters — e.g. a window over a global ORDER BY with no
+    * PARTITION BY funnels every row through one partition. Populated during
+    * planning; surfaced via [[graft.Graft.compileWithDiagnostics]]. */
+  val diagnostics = scala.collection.mutable.LinkedHashSet.empty[String]
+
   private val funcs: Map[String, FuncDef] = query.funcs.map(f => f.name -> f).toMap
   private val tableDefs: Map[String, TableDef] = query.tables.map(t => t.name -> t).toMap
   private val tableCache = scala.collection.mutable.Map.empty[String, DataFrame]
@@ -174,6 +180,11 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
     }
     if (ctx.groupKeys.isEmpty) {
       // 1-based inclusive positional slice (translator.rs:194-212)
+      if (rng._1.exists(_ > 1))
+        diagnostics += ("`take a..b` with an offset funnels the whole prefix " +
+          "through a single partition (inherent to global positional " +
+          "slicing). For deep pagination at scale prefer keyset filtering " +
+          "(filter key > last_seen | take n).")
       val df = rng match {
         case (None, Some(n)) => ctx.df.limit(n.toInt)
         case (Some(a), Some(b)) => ctx.df.offset((a - 1).toInt).limit((b - a + 1).toInt)
@@ -556,6 +567,11 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
     * default frames match the reference's, so we only set explicit frames
     * from the `window` transform). */
   private def windowSpec(ctx: Ctx, withFrame: Boolean): WindowSpec = {
+    if (ctx.groupKeys.isEmpty && ctx.sort.nonEmpty)
+      diagnostics += ("window over a global sort (no `group` before it) moves " +
+        "every row to a single partition at execution time — fine on small " +
+        "relations, a straggler/OOM risk at scale. Prefer wrapping the window " +
+        "in `group ks (...)`, or pre-aggregate before ranking.")
     var w: WindowSpec = Window.partitionBy(ctx.groupKeys.map(k => lower(ctx, k)): _*)
     if (ctx.sort.nonEmpty) w = w.orderBy(ctx.sort.map(sortCol(ctx, _)): _*)
     ctx.frame match {

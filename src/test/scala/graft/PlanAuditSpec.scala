@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape audits on real parquet: the properties that keep the
+  * engine viable at 100 TB — filters reaching the scan, column pruning,
+  * broadcast for small dims, map-side partial aggregation, and no
+  * cartesian products where an equi-join belongs. */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.spark
+
+  private def planOf(prql: String): String = {
+    val df = Graft.compileDir(prql, spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filters push down to the parquet scan") {
+    val p = planOf(
+      """from lineitem
+        |filter l_quantity > 45
+        |select [l_orderkey, l_quantity]""".stripMargin)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45"),
+      s"no pushed filter in plan:\n$p")
+  }
+
+  test("column pruning reaches the scan (2-column projection reads 2+sort columns, not 16)") {
+    val df = Graft.compileDir(
+      """from lineitem
+        |select [l_orderkey, l_quantity]""".stripMargin, spark, dir)
+    val scan = df.queryExecution.executedPlan.toString
+    val m = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(scan)
+    assert(m.isDefined, s"no ReadSchema in:\n$scan")
+    val cols = m.get.group(1).split(",").length
+    assert(cols == 2, s"expected 2 read columns, got $cols: ${m.get.group(1)}")
+  }
+
+  test("joining a small dim broadcasts it (no shuffle of the fact side)") {
+    val p = planOf(
+      """from orders
+        |join customer [o_custkey == c_custkey]
+        |group c_mktsegment (aggregate [n = count])
+        |sort c_mktsegment""".stripMargin)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"expected broadcast join for small dim:\n$p")
+  }
+
+  test("group-aggregate uses two-phase hash aggregation (map-side partial)") {
+    val df = Graft.compileDir(
+      """from lineitem
+        |group l_returnflag (aggregate [n = count])""".stripMargin, spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final HashAggregate:\n$p")
+  }
+
+  test("equi-join conditions never degrade to cartesian products") {
+    val p = planOf(
+      """from orders
+        |join customer [o_custkey == c_custkey]
+        |take 10""".stripMargin)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"equi-join planned as product:\n$p")
+  }
+
+  test("whole-stage codegen covers the scan-filter-project hot path") {
+    val p = planOf(
+      """from lineitem
+        |filter l_quantity > 45
+        |derive v = l_extendedprice * (1 - l_discount)
+        |select [l_orderkey, v]""".stripMargin)
+    // "*(n)" prefixes mark operators inside a WholeStageCodegen stage
+    assert(p.contains("*(1)"), s"no codegen span:\n$p")
+  }
+
+  test("global-sort window carries a compile-time scale diagnostic") {
+    val (_, diags) = Graft.compileWithDiagnostics(
+      """from nation
+        |sort n_nationkey
+        |derive [p = lag 1 n_name]""".stripMargin,
+      spark, Graft.parquetCatalog(spark, dir))
+    assert(diags.exists(_.contains("single partition")))
+    // partitioned window: no diagnostic
+    val (_, d2) = Graft.compileWithDiagnostics(
+      """from orders
+        |group o_custkey (
+        |  sort o_orderkey
+        |  derive [p = lag 1 o_totalprice]
+        |)""".stripMargin,
+      spark, Graft.parquetCatalog(spark, dir))
+    assert(!d2.exists(_.contains("single partition")))
+  }
+
+  test("deep positional offset carries a diagnostic; plain take does not") {
+    val cat = Graft.parquetCatalog(spark, dir)
+    val (_, d1) = Graft.compileWithDiagnostics("from orders\nsort o_orderkey\ntake 1000..1010", spark, cat)
+    assert(d1.exists(_.contains("positional")))
+    val (_, d2) = Graft.compileWithDiagnostics("from orders\nsort o_orderkey\ntake 10", spark, cat)
+    assert(d2.isEmpty)
+  }
+}

@@ -54,13 +54,37 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
 
+    // Compile latency (parse + plan-build, no execution) on the reference's
+    // own compile-bench query (prql-compiler/benches/bench.rs:11-21 uses
+    // variables-0.prql; ~300us/query on the author's laptop). Tables are
+    // pre-resolved so this measures the compiler, not parquet footer I/O.
+    val compileUs = {
+      val src = try {
+        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+          "/root/reference/book/tests/prql/examples/variables-0.prql")), "UTF-8")
+      } catch { case _: Throwable =>
+        "from employees\nfilter country == \"USA\"\nderive [gross_salary = salary + payroll_tax]\ntake 20"
+      }
+      val tables = Map(
+        "employees" -> spark.range(1).selectExpr("CAST(1 AS DOUBLE) salary",
+          "CAST(1 AS DOUBLE) payroll_tax", "CAST(1 AS DOUBLE) benefits_cost",
+          "'USA' country", "'e' title", "CAST(1 AS DOUBLE) gross_salary",
+          "CAST(1 AS DOUBLE) gross_cost"))
+      val cat: String => org.apache.spark.sql.DataFrame = tables(_)
+      (1 to 20).foreach(_ => Graft.compile(src, spark, cat)) // warm JIT
+      val n = 200
+      val t0 = System.nanoTime()
+      (1 to n).foreach(_ => Graft.compile(src, spark, cat))
+      (System.nanoTime() - t0) / 1e3 / n
+    }
+
     val qs = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ").replace("\r", " ").replace("\t", " ")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v.take(200))}"""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"compile_us_per_query":${compileUs.round},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

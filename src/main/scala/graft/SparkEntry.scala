@@ -531,6 +531,64 @@ object SparkEntry {
       """SELECT o_orderkey, '08:30' AS t,
         |  CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INT) AS d_since
         |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin),
+
+    ("q40_join_alias_qualified",
+      """from o = orders
+        |join c = customer [o.o_custkey == c.c_custkey]
+        |group [c.c_mktsegment] (
+        |  aggregate [n = count, key_sum = ((sum o_custkey) | as bigint)]
+        |)
+        |sort c_mktsegment""".stripMargin,
+      """SELECT c_mktsegment, count(*) AS n, CAST(SUM(o_custkey) AS BIGINT) AS key_sum
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    ("q41_select_wildcard",
+      """from nation
+        |join r = region [n_regionkey == r_regionkey]
+        |select [nation.*, r_name]
+        |sort n_nationkey""".stripMargin,
+      """SELECT nation.*, r_name
+        |FROM nation JOIN region r ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin),
+
+    ("q42_derive_shadow",
+      """from supplier
+        |derive s_acctbal = s_acctbal * 2
+        |select [s_suppkey, s_acctbal, nk2 = s_nationkey]
+        |select [s_suppkey, s_acctbal, nk2 = nk2 + 1]
+        |sort s_suppkey""".stripMargin,
+      // derive/select assigns with an existing name REPLACE the frame column
+      // (frame.rs:28-43)
+      """SELECT s_suppkey, s_acctbal * 2 AS s_acctbal, s_nationkey + 1 AS nk2
+        |FROM supplier ORDER BY s_suppkey""".stripMargin),
+
+    ("q43_sstring_interp",
+      """from orders
+        |derive [tag = s"upper({f"x{o_orderkey}"})",
+        |        nxt = s"CAST(datediff({o_orderdate + 1day}, o_orderdate) AS INT)"]
+        |select [o_orderkey, tag, nxt]
+        |sort o_orderkey
+        |take 50""".stripMargin,
+      // s-strings interpolating f-strings and interval arithmetic
+      """SELECT o_orderkey, upper('x' || CAST(o_orderkey AS VARCHAR)) AS tag,
+        |  CAST(date_diff('day', o_orderdate, o_orderdate + INTERVAL 1 DAY) AS INT) AS nxt
+        |FROM orders ORDER BY o_orderkey LIMIT 50""".stripMargin),
+
+    ("q44_agg_exact_ints",
+      """from orders
+        |group o_orderstatus (
+        |  aggregate [
+        |    key_sum = ((sum o_custkey) | as bigint),
+        |    d_min = min o_orderdate,
+        |    d_max = max o_orderdate,
+        |    n = count,
+        |  ]
+        |)
+        |sort o_orderstatus""".stripMargin,
+      """SELECT o_orderstatus, CAST(SUM(o_custkey) AS BIGINT) AS key_sum,
+        |  MIN(o_orderdate) AS d_min, MAX(o_orderdate) AS d_max, count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

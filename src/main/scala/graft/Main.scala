@@ -22,8 +22,8 @@ object Main {
     System.err.println(
       """usage: graft.Main <command> [query.prql|-] [options]
         |commands:
-        |  ast       print the JSON AST (round-trips via Graft.fromJson)
-        |  fmt       parse then re-print the JSON AST after a round-trip check
+        |  ast       print the JSON AST (round-trips via AstJson.fromJson)
+        |  fmt       re-print formatted PRQL (round-trip-checked)
         |  plan      print the analyzed + optimized Spark plan
         |  compile   execute and print rows
         |options:
@@ -52,12 +52,15 @@ object Main {
 
     cmd match {
       case "ast" =>
-        println(ast.AstJson.toJson(Graft.parse(src)))
-      case "fmt" =>
         val q = Graft.parse(src)
         val json = ast.AstJson.toJson(q)
-        require(ast.AstJson.fromJson(json) == q, "AST round-trip mismatch")
+        require(ast.AstJson.fromJson(json) == q, "AST json round-trip mismatch")
         println(json)
+      case "fmt" =>
+        val q = Graft.parse(src)
+        val printed = ast.PrqlPrinter.print(q)
+        require(Graft.parse(printed) == q, "fmt round-trip mismatch")
+        println(printed)
       case "plan" | "compile" =>
         val spark = SparkSession.builder()
           .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")

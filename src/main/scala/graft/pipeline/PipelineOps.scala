@@ -374,6 +374,80 @@ object PipelineOps {
     SELECT ida, idb, round(cos, 6) AS sim
     FROM pairs WHERE cos >= 0.2 ORDER BY ida, idb"""
 
+  // ---- p11: standalone n-gram Jaccard similarity ---------------------------
+  // Exact word-3-gram Jaccard for a deterministic pair set (adjacent doc_ids
+  // within each source) — the verification primitive of p04 exposed as its
+  // own operator. Pairing by key join, never all-pairs.
+
+  private val p11Spark = s"""
+    WITH w AS (SELECT doc_id, source, $wordsSpark AS words FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+        row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+        array_distinct(transform(sequence(1, size(words) - 2),
+          i -> concat(element_at(words, i), ' ', element_at(words, i + 1), ' ', element_at(words, i + 2)))) AS s
+      FROM w WHERE size(words) >= 3)
+    SELECT a.doc_id AS ida, b.doc_id AS idb,
+      round(CAST(size(array_intersect(a.s, b.s)) AS DOUBLE)
+        / (size(a.s) + size(b.s) - size(array_intersect(a.s, b.s))), 6) AS jaccard
+    FROM sh a JOIN sh b ON b.rn = a.rn + 1 AND a.source = b.source
+    ORDER BY ida"""
+  private val p11Duck = s"""
+    WITH w AS (SELECT doc_id, source, $wordsDuck AS words FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+        row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+        list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+          for i in generate_series(1, len(words) - 2)]) AS s
+      FROM w WHERE len(words) >= 3)
+    SELECT a.doc_id AS ida, b.doc_id AS idb,
+      round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+    FROM sh a JOIN sh b ON b.rn = a.rn + 1 AND a.source = b.source
+    ORDER BY ida"""
+
+  // ---- p12: language identification (stopword n-gram heuristic) ------------
+  // Per-doc scores against tiny per-language stopword sets; argmax via
+  // CASE/greatest; rollup of predicted vs labeled. Map-side scoring + one
+  // partial-agg groupBy.
+
+  private val langSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "de", "y"),
+    "fr" -> Seq("le", "la", "et", "un"),
+  )
+  private def scoreSpark(ws: Seq[String]) =
+    s"CAST(size(filter(words, w -> w IN (${ws.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) / size(words)"
+  private def scoreDuck(ws: Seq[String]) =
+    s"CAST(len(list_filter(words, w -> w IN (${ws.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) / len(words)"
+
+  private def argmaxCase(scores: Seq[(String, String)]): String = {
+    // highest score wins; ties resolve in declaration order; all-zero -> 'und'
+    val greatest = s"greatest(${scores.map(_._2).mkString(", ")})"
+    val whens = scores.map { case (lang, s) =>
+      s"WHEN $s > 0 AND $s = $greatest THEN '$lang'"
+    }.mkString(" ")
+    s"CASE $whens ELSE 'und' END"
+  }
+
+  private val p12Spark = s"""
+    WITH w AS (SELECT doc_id, lang, $wordsSpark AS words FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+        ${argmaxCase(langSets.map { case (l, ws) => (l, scoreSpark(ws)) })} AS predicted
+      FROM w WHERE size(words) > 0)
+    SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+    FROM scored GROUP BY lang, predicted ORDER BY lang, predicted"""
+  private val p12Duck = s"""
+    WITH w AS (SELECT doc_id, lang, $wordsDuck AS words FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+        ${argmaxCase(langSets.map { case (l, ws) => (l, scoreDuck(ws)) })} AS predicted
+      FROM w WHERE len(words) > 0)
+    SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+    FROM scored GROUP BY lang, predicted ORDER BY lang, predicted"""
+
   // ---- p09: multimodal binary-column metadata ------------------------------
   // Opaque binary payloads (here: utf-8 of text, standing in for image/audio
   // bytes) + typed metadata extraction, all SQL-expressible and map-side.
@@ -424,6 +498,8 @@ object PipelineOps {
     // typed mapPartitions decode plumbing — deterministic stub "decoder",
     // no SQL oracle (driver does the weaker rows-only check)
     "p10_media_decode" -> ((spark, dir) => MediaOps.decodeFeatures(spark, dir)),
+    "p11_ngram_jaccard" -> onDocs(p11Spark),
+    "p12_lang_id" -> onDocs(p12Spark),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -436,5 +512,7 @@ object PipelineOps {
     "p07_cosine_topk" -> p07Duck,
     "p08_ann_srp_lsh" -> p08Duck,
     "p09_media_meta" -> p09Duck,
+    "p11_ngram_jaccard" -> p11Duck,
+    "p12_lang_id" -> p12Duck,
   )
 }

@@ -32,7 +32,9 @@ object PrqlPrinter {
       case FuncDef.Param(n, Some(d)) => s"$n:${atom(d)}"
       case FuncDef.Param(n, None) => n
     }
-    s"func ${f.name} ${params.mkString(" ")} -> ${expr(f.body)}".replace("  ", " ")
+    // body is `expr`, not `expr_call` (prql.pest:18) — a bare call like
+    // `-> myfn 1` does not parse; parenthesize compound bodies
+    s"func ${f.name} ${params.mkString(" ")} -> ${atom(f.body)}".replace("  ", " ")
   }
 
   /** A pipeline stage: a transform call printed bare. */
@@ -45,7 +47,11 @@ object PrqlPrinter {
   private def call(name: String, args: List[Expr], named: List[(String, Expr)]): String = {
     val a = args.map {
       case Assign(n, v) => s"$n = ${atom(v)}" // bare assign arg (from x = t)
-      case x => atom(x)
+      case x =>
+        val r = atom(x)
+        // a call argument may not START with an operator (prql.pest:75
+        // `!operator`): parenthesize leading -/+ so `take (-5)` re-parses
+        if (r.startsWith("-") || r.startsWith("+")) s"($r)" else r
     }
     val n = named.map { case (k, v) => s"$k:${atom(v)}" }
     (name :: (a ++ n)).mkString(" ")
@@ -56,7 +62,11 @@ object PrqlPrinter {
     case _: Binary | _: FuncCall | _: Assign =>
       s"(${expr(e)})"
     case Pipeline(_) => expr(e) // already parenthesized
-    case Unary(op, x) => s"$op${atom(x)}"
+    case Unary(op, x) => unary(op, x)
+    case RangeLit(None, _) =>
+      // an open-start range after another token would swallow it as the
+      // range start (`f x ..67` parses as x..67) — parenthesize
+      s"(${expr(e)})"
     case other => expr(other)
   }
 
@@ -74,7 +84,7 @@ object PrqlPrinter {
     case JinjaLit(src) => src
     case RangeLit(a, b) => s"${a.map(expr).getOrElse("")}..${b.map(expr).getOrElse("")}"
     case Binary(op, l, r) => s"${atom(l)} $op ${atom(r)}"
-    case Unary(op, x) => s"$op${atom(x)}"
+    case Unary(op, x) => unary(op, x)
     case FuncCall("coalesce", List(a, b), Nil) => s"${atom(a)} ?? ${atom(b)}"
     case FuncCall(n, args, named) => call(n, args, named)
     case Assign(n, x) => s"$n = ${atom(x)}"
@@ -92,6 +102,13 @@ object PrqlPrinter {
   private def listAtom(e: Expr): String = e match {
     case FuncCall(n, args, named) => call(n, args, named)
     case other => atom(other)
+  }
+
+  /** Unary operand: anything beyond a plain ident is parenthesized —
+    * e.g. `!45..94` would re-parse as a range of `!45`. */
+  private def unary(op: String, x: Expr): String = x match {
+    case _: Ident => s"$op${expr(x)}"
+    case _ => s"$op(${expr(x)})"
   }
 
   private def ident(parts: List[String]): String =

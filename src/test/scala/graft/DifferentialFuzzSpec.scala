@@ -1,0 +1,144 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential fuzzing: random PRQL pipelines over a small integer table,
+  * executed BOTH through the engine (PRQL → Spark) and through a trivial
+  * pure-Scala interpreter of the same semantics. Any divergence is a
+  * planner/lowering bug. Integer-only arithmetic keeps the oracle exact.
+  */
+class DifferentialFuzzSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  // the table: 60 rows, columns a (unique key 1..60), b (cyclic), c (signed)
+  private val rowsIn: Seq[(Long, Long, Long)] =
+    (1L to 60L).map(i => (i, i % 7, (i % 11) - 5))
+
+  private lazy val ready: Unit = {
+    import spark.implicits._
+    rowsIn.toDF("a", "b", "c").createOrReplaceTempView("fuzz")
+  }
+
+  // ---- pipeline stage model: (prql text, Seq interpreter) ----
+  private type Row3 = Map[String, Long]
+  private case class Stage(prql: String, eval: Seq[Row3] => Seq[Row3])
+
+  private val cmpOps = Seq("==", "!=", ">", "<", ">=", "<=")
+  private def cmp(op: String, l: Long, r: Long): Boolean = op match {
+    case "==" => l == r
+    case "!=" => l != r
+    case ">" => l > r
+    case "<" => l < r
+    case ">=" => l >= r
+    case "<=" => l <= r
+  }
+  private def arith(op: String, l: Long, r: Long): Long = op match {
+    case "+" => l + r
+    case "-" => l - r
+    case "*" => l * r
+  }
+
+  private def colGen(cols: Seq[String]): Gen[String] = Gen.oneOf(cols)
+
+  /** One random stage valid for the current column set. `sorted` tracks
+    * whether a total order has been established: positional `take` is only
+    * generated after a sort (unsorted take is order-arbitrary in Spark but
+    * insertion-ordered in the Seq interpreter — not comparable). Returns
+    * (stage, columns-after, sorted-after). */
+  private def stageGen(cols: Vector[String], fresh: Int,
+                       sorted: Boolean): Gen[(Stage, Vector[String], Boolean)] = {
+    val base: Seq[(Int, Gen[(Stage, Vector[String], Boolean)])] = Seq(
+      4 -> (for {
+        col <- colGen(cols)
+        op <- Gen.oneOf(cmpOps)
+        k <- Gen.choose(-6L, 8L)
+      } yield (Stage(s"filter $col $op $k",
+        rs => rs.filter(r => cmp(op, r(col), k))), cols, sorted)),
+      3 -> (for {
+        l <- colGen(cols)
+        op <- Gen.oneOf("+", "-", "*")
+        r <- Gen.oneOf(colGen(cols).map(Left(_)), Gen.choose(-5L, 9L).map(Right(_)))
+      } yield {
+        val name = s"d$fresh"
+        val rhs = r.fold(identity, _.toString)
+        (Stage(s"derive $name = $l $op $rhs",
+          rs => rs.map(row => row + (name -> arith(op, row(l), r.fold(row(_), identity))))),
+          cols :+ name, sorted)
+      }),
+      2 -> (for {
+        col <- colGen(cols)
+        desc <- Gen.oneOf(true, false)
+      } yield {
+        // always tiebreak on the unique head column for a total order
+        val dir = if (desc) "-" else "+"
+        val key = cols.head
+        (Stage(s"sort [$dir$col, $key]",
+          rs => rs.sortBy(r => (if (desc) -r(col) else r(col), r(key)))), cols, true)
+      }),
+      1 -> (for {
+        keep <- Gen.someOf(cols.tail).map(ks => (cols.head +: ks.toVector).distinct)
+      } yield (Stage(s"select [${keep.mkString(", ")}]",
+        rs => rs.map(r => keep.map(k => k -> r(k)).toMap)), keep, sorted)),
+      1 -> (for {
+        key <- colGen(cols)
+        agg <- colGen(cols)
+      } yield {
+        val sn = s"s$fresh"
+        // group+aggregate: new frame is [key, sum(agg), count]; the key is
+        // unique afterwards and becomes the head/order column
+        (Stage(s"group $key (aggregate [$sn = sum $agg, n$fresh = count])",
+          rs => rs.groupBy(_(key)).toSeq.map { case (k, grp) =>
+            Map(key -> k, sn -> grp.map(_(agg)).sum, s"n$fresh" -> grp.size.toLong)
+          }),
+          Vector(key, sn, s"n$fresh"), false)
+      }),
+    )
+    val takes: Seq[(Int, Gen[(Stage, Vector[String], Boolean)])] =
+      if (!sorted) Nil
+      else Seq(
+        2 -> Gen.choose(1, 40).map(n => (Stage(s"take $n", _.take(n)), cols, sorted)),
+        1 -> (for {
+          s <- Gen.choose(2, 20)
+          e <- Gen.choose(21, 50)
+        } yield (Stage(s"take $s..$e", _.slice(s - 1, e)), cols, sorted)),
+      )
+    Gen.frequency(base ++ takes: _*)
+  }
+
+  private def pipelineGen: Gen[(List[Stage], Vector[String])] = {
+    def loop(n: Int, cols: Vector[String], fresh: Int, sorted: Boolean,
+             acc: List[Stage]): Gen[(List[Stage], Vector[String])] =
+      if (n == 0) Gen.const((acc.reverse, cols))
+      else stageGen(cols, fresh, sorted).flatMap { case (s, cols2, sorted2) =>
+        loop(n - 1, cols2, fresh + 1, sorted2, s :: acc)
+      }
+    Gen.choose(1, 6).flatMap(n => loop(n, Vector("a", "b", "c"), 0, sorted = false, Nil))
+  }
+
+  test("random pipelines agree with a pure-Scala interpreter (120 seeds)") {
+    ready
+    (1 to 120).foreach { i =>
+      val (stages, cols) = pipelineGen(Gen.Parameters.default, Seed(i.toLong))
+        .getOrElse(fail(s"no pipeline for seed $i"))
+      // final total-order sort on the (unique) head column so unordered
+      // Spark output compares positionally
+      val key = cols.head
+      val prql = ("from fuzz" :: stages.map(_.prql)).mkString("\n") + s"\nsort $key"
+      val expected = stages.foldLeft(
+        rowsIn.map { case (a, b, c) => Map("a" -> a, "b" -> b, "c" -> c) }: Seq[Row3]
+      )((rs, s) => s.eval(rs)).sortBy(_(key))
+
+      val got =
+        try Graft.compileSession(prql, spark).collect()
+        catch { case e: Throwable => fail(s"seed=$i failed to run: ${e.getMessage}\n$prql") }
+      val gotRows = got.map(r => cols.map(c => c -> r.getAs[Long](c)).toMap).toSeq
+        .sortBy(_(key))
+      val expProj = expected.map(r => cols.map(c => c -> r(c)).toMap)
+      assert(gotRows == expProj,
+        s"seed=$i divergence\n--- prql:\n$prql\n--- got ${gotRows.take(5)}\n--- exp ${expProj.take(5)}")
+    }
+  }
+}

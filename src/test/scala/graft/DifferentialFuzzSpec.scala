@@ -104,6 +104,23 @@ class DifferentialFuzzSpec extends AnyFunSuite {
           s <- Gen.choose(2, 20)
           e <- Gen.choose(21, 50)
         } yield (Stage(s"take $s..$e", _.slice(s - 1, e)), cols, sorted)),
+        // window functions ride the ambient sort (only valid once sorted):
+        // row_number over the current total order, and lag with a coalesce
+        // default (rows are non-null longs, so -999 marks the first row)
+        1 -> Gen.const {
+          val name = s"r$fresh"
+          (Stage(s"derive [$name = ((row_number) | as bigint)]",
+            rs => rs.zipWithIndex.map { case (r, ix) => r + (name -> (ix + 1).toLong) }),
+            cols :+ name, sorted)
+        },
+        1 -> colGen(cols).map { col =>
+          val name = s"l$fresh"
+          (Stage(s"derive [$name = ((lag 1 $col) ?? -999)]",
+            rs => rs.zipWithIndex.map { case (r, ix) =>
+              r + (name -> (if (ix == 0) -999L else rs(ix - 1)(col)))
+            }),
+            cols :+ name, sorted)
+        },
       )
     Gen.frequency(base ++ takes: _*)
   }

@@ -38,11 +38,19 @@ object Main {
     var file = "-"
     var dataDir = "/root/testdata/sf0.001"
     var show = 20
+    def optArg(i: Int): String =
+      if (i + 1 < args.length) args(i + 1)
+      else { System.err.println(s"missing value for ${args(i)}"); usage() }
     var i = 1
     while (i < args.length) {
       args(i) match {
-        case "--data-dir" => dataDir = args(i + 1); i += 2
-        case "--show" => show = args(i + 1).toInt; i += 2
+        case "--data-dir" => dataDir = optArg(i); i += 2
+        case "--show" =>
+          show = try optArg(i).toInt catch {
+            case _: NumberFormatException =>
+              System.err.println("--show expects an integer"); usage()
+          }
+          i += 2
         case f0 => file = f0; i += 1
       }
     }

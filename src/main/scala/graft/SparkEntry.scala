@@ -589,6 +589,17 @@ object SparkEntry {
       """SELECT o_orderstatus, CAST(SUM(o_custkey) AS BIGINT) AS key_sum,
         |  MIN(o_orderdate) AS d_min, MAX(o_orderdate) AS d_max, count(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    ("q45_bool_precedence",
+      // flat or/and chain: AND must bind tighter than OR (the reference
+      // renders unparenthesized SQL that every engine parses this way)
+      """from orders
+        |filter o_orderstatus == "P" or o_orderstatus == "F" and o_totalprice > 200000
+        |group o_orderstatus (aggregate [n = count])
+        |sort o_orderstatus""".stripMargin,
+      """SELECT o_orderstatus, count(*) AS n FROM orders
+        |WHERE o_orderstatus = 'P' OR o_orderstatus = 'F' AND o_totalprice > 200000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

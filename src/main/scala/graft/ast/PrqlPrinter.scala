@@ -29,12 +29,12 @@ object PrqlPrinter {
 
   private def printFunc(f: FuncDef): String = {
     val params = f.params.map {
-      case FuncDef.Param(n, Some(d)) => s"$n:${atom(d)}"
-      case FuncDef.Param(n, None) => n
-    }
+      case FuncDef.Param(n, Some(d)) => s" $n:${atom(d)}"
+      case FuncDef.Param(n, None) => s" $n"
+    }.mkString
     // body is `expr`, not `expr_call` (prql.pest:18) — a bare call like
     // `-> myfn 1` does not parse; parenthesize compound bodies
-    s"func ${f.name} ${params.mkString(" ")} -> ${atom(f.body)}".replace("  ", " ")
+    s"func ${f.name}$params -> ${atom(f.body)}"
   }
 
   /** A pipeline stage: a transform call printed bare. */

@@ -202,11 +202,25 @@ private final class Parser(toks: Vector[Tok]) {
   // right-recursive, but translator.rs renders BinaryOp without parentheses
   // and the target DB re-parses the flat SQL left-associatively, so the
   // observable semantics of `a - b + c` are `(a - b) + c`.
+  // `and` binds tighter than `or`: the reference's grammar has one flat
+  // operator_logical level, but it renders unparenthesized SQL that the
+  // target DB re-parses with standard AND > OR precedence — that is the
+  // observable semantics (`a or b and c` ≡ `a or (b and c)`).
   def parseExpr(): Expr = {
+    var l = parseAndChain()
+    var going = true
+    while (going) peek match {
+      case TOp("or", _) => next(); l = Binary("or", l, parseAndChain())
+      case _ => going = false
+    }
+    l
+  }
+
+  private def parseAndChain(): Expr = {
     var l = parseCoalesce()
     var going = true
     while (going) peek match {
-      case TOp(op @ ("and" | "or"), _) => next(); l = Binary(op, l, parseCoalesce())
+      case TOp("and", _) => next(); l = Binary("and", l, parseCoalesce())
       case _ => going = false
     }
     l

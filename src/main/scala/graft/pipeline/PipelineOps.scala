@@ -112,9 +112,9 @@ object PipelineOps {
       CAST(size(words) AS BIGINT) AS n_tokens,
       CAST(size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)) AS BIGINT) AS n_subtokens,
       CAST(length(text) AS BIGINT) AS n_chars_m,
-      round(CAST(length(regexp_replace(text, '\\\\s', '')) AS DOUBLE) / size(words), 4) AS avg_tok_len,
-      round(CAST(size(filter(words, w -> w IN ('the','a','of','and'))) AS DOUBLE) / size(words), 6) AS stop_ratio,
-      round(CAST(size(filter(words, w -> length(w) <= 2)) AS DOUBLE) / size(words), 6) AS short_tok_ratio
+      CAST(floor((CAST(length(regexp_replace(text, '\\\\s', '')) AS DOUBLE) / size(words)) * 1e4 + 0.5) AS DOUBLE) / 1e4 AS avg_tok_len,
+      CAST(floor((CAST(size(filter(words, w -> w IN ('the','a','of','and'))) AS DOUBLE) / size(words)) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS stop_ratio,
+      CAST(floor((CAST(size(filter(words, w -> length(w) <= 2)) AS DOUBLE) / size(words)) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS short_tok_ratio
     FROM t ORDER BY doc_id"""
   private val p02Duck = s"""
     WITH t AS (SELECT doc_id, text, $wordsDuck AS words FROM documents)
@@ -122,9 +122,9 @@ object PipelineOps {
       CAST(len(words) AS BIGINT) AS n_tokens,
       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_subtokens,
       CAST(length(text) AS BIGINT) AS n_chars_m,
-      round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(words), 4) AS avg_tok_len,
-      round(CAST(len(list_filter(words, w -> w IN ('the','a','of','and'))) AS DOUBLE) / len(words), 6) AS stop_ratio,
-      round(CAST(len(list_filter(words, w -> length(w) <= 2)) AS DOUBLE) / len(words), 6) AS short_tok_ratio
+      floor((CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(words)) * 1e4 + 0.5) / 1e4 AS avg_tok_len,
+      floor((CAST(len(list_filter(words, w -> w IN ('the','a','of','and'))) AS DOUBLE) / len(words)) * 1e6 + 0.5) / 1e6 AS stop_ratio,
+      floor((CAST(len(list_filter(words, w -> length(w) <= 2)) AS DOUBLE) / len(words)) * 1e6 + 0.5) / 1e6 AS short_tok_ratio
     FROM t ORDER BY doc_id"""
 
   // ---- p03: language / source quality rollup ------------------------------
@@ -139,10 +139,10 @@ object PipelineOps {
       FROM documents)
     SELECT lang, source,
       CAST(count(*) AS BIGINT) AS n_docs,
-      round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
-      round(avg(CAST(n_tokens AS DOUBLE)), 4) AS avg_tokens,
-      round(CAST(sum(CASE WHEN n_chars < 250 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pct_short,
-      round(CAST(sum(CASE WHEN stop_ratio >= 0.05 AND n_tokens >= 20 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pct_quality
+      CAST(floor((avg(CAST(n_chars AS DOUBLE))) * 1e4 + 0.5) AS DOUBLE) / 1e4 AS avg_chars,
+      CAST(floor((avg(CAST(n_tokens AS DOUBLE))) * 1e4 + 0.5) AS DOUBLE) / 1e4 AS avg_tokens,
+      CAST(floor((CAST(sum(CASE WHEN n_chars < 250 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS pct_short,
+      CAST(floor((CAST(sum(CASE WHEN stop_ratio >= 0.05 AND n_tokens >= 20 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS pct_quality
     FROM s GROUP BY lang, source ORDER BY lang, source"""
   private val p03Duck = s"""
     WITH s AS (
@@ -152,10 +152,10 @@ object PipelineOps {
       FROM documents)
     SELECT lang, source,
       CAST(count(*) AS BIGINT) AS n_docs,
-      round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
-      round(avg(CAST(n_tokens AS DOUBLE)), 4) AS avg_tokens,
-      round(CAST(sum(CASE WHEN n_chars < 250 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pct_short,
-      round(CAST(sum(CASE WHEN stop_ratio >= 0.05 AND n_tokens >= 20 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pct_quality
+      floor((avg(CAST(n_chars AS DOUBLE))) * 1e4 + 0.5) / 1e4 AS avg_chars,
+      floor((avg(CAST(n_tokens AS DOUBLE))) * 1e4 + 0.5) / 1e4 AS avg_tokens,
+      floor((CAST(sum(CASE WHEN n_chars < 250 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS pct_short,
+      floor((CAST(sum(CASE WHEN stop_ratio >= 0.05 AND n_tokens >= 20 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS pct_quality
     FROM s GROUP BY lang, source ORDER BY lang, source"""
 
   // ---- p04: MinHash-LSH near-duplicate pairs -------------------------------
@@ -207,7 +207,7 @@ object PipelineOps {
       FROM cands c
       JOIN sh sa ON sa.doc_id = c.ida
       JOIN sh sb ON sb.doc_id = c.idb)
-    SELECT ida, idb, round(jac, 6) AS jaccard
+    SELECT ida, idb, CAST(floor((jac) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS jaccard
     FROM verified WHERE jac >= 0.5 ORDER BY ida, idb"""
 
   private val p04Duck = s"""
@@ -240,7 +240,7 @@ object PipelineOps {
       FROM cands c
       JOIN sh sa ON sa.doc_id = c.ida
       JOIN sh sb ON sb.doc_id = c.idb)
-    SELECT ida, idb, round(jac, 6) AS jaccard
+    SELECT ida, idb, floor((jac) * 1e6 + 0.5) / 1e6 AS jaccard
     FROM verified WHERE jac >= 0.5 ORDER BY ida, idb"""
 
   // ---- p05: SimHash fingerprints ------------------------------------------
@@ -323,7 +323,7 @@ object PipelineOps {
       SELECT q_id, nn_id, cos,
         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rn
       FROM scored)
-    SELECT q_id, nn_id, CAST(rn AS BIGINT) AS rank, round(cos, 6) AS sim
+    SELECT q_id, nn_id, CAST(rn AS BIGINT) AS rank, CAST(floor((cos) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS sim
     FROM ranked WHERE rn <= $TopK ORDER BY q_id, rank"""
   private val p07Duck = s"""
     WITH e AS (
@@ -338,7 +338,7 @@ object PipelineOps {
       SELECT q_id, nn_id, cos,
         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rn
       FROM scored)
-    SELECT q_id, nn_id, CAST(rn AS BIGINT) AS rank, round(cos, 6) AS sim
+    SELECT q_id, nn_id, CAST(rn AS BIGINT) AS rank, floor((cos) * 1e6 + 0.5) / 1e6 AS sim
     FROM ranked WHERE rn <= $TopK ORDER BY q_id, rank"""
 
   // ---- p08: SRP-LSH bucketed near-neighbour pairs --------------------------
@@ -359,7 +359,7 @@ object PipelineOps {
       SELECT a.vec_id AS ida, b.vec_id AS idb,
         ${dotSpark("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) AS cos
       FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-    SELECT ida, idb, round(cos, 6) AS sim
+    SELECT ida, idb, CAST(floor((cos) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS sim
     FROM pairs WHERE cos >= 0.2 ORDER BY ida, idb"""
   private val p08Duck = s"""
     WITH e AS (
@@ -374,7 +374,7 @@ object PipelineOps {
       SELECT a.vec_id AS ida, b.vec_id AS idb,
         ${dotDuck("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) AS cos
       FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-    SELECT ida, idb, round(cos, 6) AS sim
+    SELECT ida, idb, floor((cos) * 1e6 + 0.5) / 1e6 AS sim
     FROM pairs WHERE cos >= 0.2 ORDER BY ida, idb"""
 
   // ---- p11: standalone n-gram Jaccard similarity ---------------------------
@@ -391,8 +391,8 @@ object PipelineOps {
           i -> concat(element_at(words, i), ' ', element_at(words, i + 1), ' ', element_at(words, i + 2)))) AS s
       FROM w WHERE size(words) >= 3)
     SELECT a.doc_id AS ida, b.doc_id AS idb,
-      round(CAST(size(array_intersect(a.s, b.s)) AS DOUBLE)
-        / (size(a.s) + size(b.s) - size(array_intersect(a.s, b.s))), 6) AS jaccard
+      CAST(floor((CAST(size(array_intersect(a.s, b.s)) AS DOUBLE)
+        / (size(a.s) + size(b.s) - size(array_intersect(a.s, b.s)))) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS jaccard
     FROM sh a JOIN sh b ON b.rn = a.rn + 1 AND a.source = b.source
     ORDER BY ida"""
   private val p11Duck = s"""
@@ -404,8 +404,8 @@ object PipelineOps {
           for i in generate_series(1, len(words) - 2)]) AS s
       FROM w WHERE len(words) >= 3)
     SELECT a.doc_id AS ida, b.doc_id AS idb,
-      round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+      floor((CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) * 1e6 + 0.5) / 1e6 AS jaccard
     FROM sh a JOIN sh b ON b.rn = a.rn + 1 AND a.source = b.source
     ORDER BY ida"""
 

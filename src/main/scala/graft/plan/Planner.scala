@@ -195,16 +195,19 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
     } else {
       // grouped take — the reference's signature rewrite (distinct.rs:8-126)
       rng match {
-        case (None, Some(1)) if ctx.sort.isEmpty =>
-          // unsorted `group ks (take 1)` → SELECT DISTINCT over the whole
-          // frame, unconditionally (distinct.rs:33-40) — never an arbitrary
-          // row per group
+        case (None | Some(1), Some(1)) if ctx.sort.isEmpty =>
+          // unsorted `group ks (take 1)` / `take 1..1` → SELECT DISTINCT over
+          // the whole frame, unconditionally (distinct.rs:33-40,
+          // take_only_first: start.unwrap_or(1)==1 && end==Some(1)) — never
+          // an arbitrary row per group
           ctx.copy(df = ctx.df.distinct())
         case (lo, hi) =>
           if (ctx.sort.isEmpty)
             throw new PlanError(
-              "grouped take of more than one row requires a sort inside the group " +
-                "(the reference synthesizes ROW_NUMBER over the group sort, distinct.rs:60-126)")
+              "grouped take of a range beyond the first row requires a sort inside " +
+                "the group: the reference emits ROW_NUMBER() with no ORDER BY here " +
+                "(distinct.rs:60-126), which picks arbitrary rows — this engine " +
+                "refuses to produce nondeterministic results")
           val w = Window.partitionBy(ctx.groupKeys.map(k => lower(ctx, k)): _*)
             .orderBy(ctx.sort.map(sortCol(ctx, _)): _*)
           val rn = "_rn_graft"
@@ -296,8 +299,10 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
     go(e)
   }
 
+  /** Backtick-quote an identifier segment for Spark unless it's plain
+    * (shared by column refs, join conditions, and s-string rendering). */
   private def quoteName(s: String): String =
-    if (s.matches("[A-Za-z_$][A-Za-z0-9_$]*")) s
+    if (s == "*" || s.matches("[A-Za-z_$][A-Za-z0-9_$]*")) s
     else "`" + s.replace("`", "``") + "`"
 
   // ---- group/window helpers ----
@@ -614,12 +619,8 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
       case other => throw new PlanError(s"unknown binary op $other")
     }
 
-  private def identCol(parts: List[String]): Column = {
-    def quote(s: String): String =
-      if (s == "*" || s.matches("[A-Za-z_$][A-Za-z0-9_$]*")) s
-      else "`" + s.replace("`", "``") + "`"
-    F.col(parts.map(quote).mkString("."))
-  }
+  private def identCol(parts: List[String]): Column =
+    F.col(parts.map(quoteName).mkString("."))
 
   /** `(x | f a | g)` — pipe appends upstream as last positional arg
     * (materializer.rs:276-301). */
@@ -687,10 +688,7 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
     }.mkString
 
   private def exprSql(e: Expr): String = e match {
-    case Ident(parts) => parts.map { s =>
-      if (s.matches("[A-Za-z_$][A-Za-z0-9_$]*") || s == "*") s
-      else "`" + s + "`"
-    }.mkString(".")
+    case Ident(parts) => parts.map(quoteName).mkString(".")
     case IntLit(v) => v.toString
     case FloatLit(v) => v.toString
     case StrLit(v) => "'" + v.replace("'", "''") + "'"

@@ -27,11 +27,16 @@ class ParserSpec extends AnyFunSuite {
     assert(exprOf("a + b > c") == Binary(">", Binary("+", Ident("a"), Ident("b")), Ident("c")))
   }
 
-  test("logical operators bind loosest; and/or chain left") {
+  test("logical operators bind loosest; and binds tighter than or") {
     assert(exprOf("a > b and c > d") ==
       Binary("and", Binary(">", Ident("a"), Ident("b")), Binary(">", Ident("c"), Ident("d"))))
     assert(exprOf("a and b or c") ==
       Binary("or", Binary("and", Ident("a"), Ident("b")), Ident("c")))
+    // the reference emits flat SQL which the target DB parses with AND > OR
+    assert(exprOf("a or b and c") ==
+      Binary("or", Ident("a"), Binary("and", Ident("b"), Ident("c"))))
+    assert(exprOf("a or b and c or d") ==
+      Binary("or", Binary("or", Ident("a"), Binary("and", Ident("b"), Ident("c"))), Ident("d")))
   }
 
   test("?? parses to coalesce calls and chains") {

@@ -86,6 +86,26 @@ class PlannerSemanticsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("requires a sort"))
   }
 
+  test("group ks (take 1..1) without sort is DISTINCT too (distinct.rs take_only_first)") {
+    val r = rows(
+      """from employees
+        |select [country, title]
+        |group country (take 1..1)
+        |sort [country, title]""".stripMargin)
+    assert(r == Seq(Row("UK", "Eng"), Row("USA", "Eng"), Row("USA", "Ops")))
+  }
+
+  test("or/and precedence in filters matches flat SQL semantics") {
+    // salary > 2500 or country == "UK" and gender == "M"
+    // ≡ salary > 2500 OR (country = UK AND gender = M) -> Grace + Alan
+    val r = rows(
+      """from employees
+        |filter salary > 2500 or country == "UK" and gender == "M"
+        |select [name]
+        |sort name""".stripMargin)
+    assert(r == Seq(Row("Alan T"), Row("Grace H")))
+  }
+
   // ---- join semantics ----
 
   test("USING join dedups the key column") {

@@ -30,6 +30,11 @@ class PrqlPrinterSpec extends AnyFunSuite {
     }
   }
 
+  test("string literals with consecutive spaces survive fmt") {
+    val q = Graft.parse("func f x -> x + \"a  b\"\n\nfrom t\nderive y = (f z)")
+    assert(Graft.parse(PrqlPrinter.print(q)) == q)
+  }
+
   test("printed output is stable (printing twice is identical)") {
     val src = "from employees\nfilter a > 1 and b < 2\nderive [x = a + b * 2, y = f\"{a}_{b}\"]\ntake 1..20\n"
     val q = Graft.parse(src)

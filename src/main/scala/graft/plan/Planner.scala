@@ -308,7 +308,11 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
   // ---- group/window helpers ----
 
   private def keyList(e: Expr): List[Expr] = e match {
-    case EList(items) => items
+    case EList(items) => items.map {
+      case i: Ident => i
+      case other => throw new PlanError(
+        s"group keys must be idents (transforms.rs:148-159), got $other")
+    }
     case i: Ident => List(i)
     case other => throw new PlanError(s"group keys must be idents, got $other")
   }

@@ -145,6 +145,12 @@ class PlannerSemanticsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not allowed inside window"))
   }
 
+  test("group keys must be idents, even inside a list") {
+    val e = intercept[PlanError](
+      compile("from employees\ngroup [country, salary + 1] (aggregate [n = count])"))
+    assert(e.getMessage.contains("group keys must be idents"))
+  }
+
   test("sort by expression is rejected") {
     val e = intercept[PlanError](compile("from employees\nsort (salary + 1)"))
     assert(e.getMessage.contains("sort expects column identifiers"))

@@ -98,9 +98,14 @@ object Lexer {
           }
           while (!endExpr) { sb += src.charAt(i); i += 1 }
           val s = sb.toString
-          if (s.contains("T")) out += TTimestamp(s, p)
+          // validate the literal shape (prql.pest:146-160 requires a clean
+          // end_expr boundary) — otherwise `@2020-01-01+1days` would become a
+          // silent string literal instead of a parse error
+          if (s.matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}(:\d{2}(\.\d+)?)?([+-]\d{2}:?\d{2}|Z)?"""))
+            out += TTimestamp(s, p)
           else if (s.matches("""\d{4}-\d{2}-\d{2}""")) out += TDate(s, p)
-          else out += TTime(s, p)
+          else if (s.matches("""\d{2}:\d{2}(:\d{2}(\.\d+)?)?""")) out += TTime(s, p)
+          else throw new LexError(s"malformed date/time literal '@$s'", p)
         case '\'' | '"' =>
           val (v, ni) = lexString(src, i)
           out += TStr(v, p); i = ni

@@ -40,8 +40,10 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
       df: DataFrame,
       sort: List[SortItem] = Nil,      // ambient sort, feeds OVER(ORDER BY)
       groupKeys: List[Expr] = Nil,     // inside `group` — feeds PARTITION BY
-      frame: Option[FrameSpec] = None, // inside `window`
-      inGroupBody: Boolean = false)
+      frame: Option[FrameSpec] = None, // explicit frame from `window ...:`
+      inGroupBody: Boolean = false,
+      inWindowBody: Boolean = false,   // legality gate, independent of frame
+      aggregated: Boolean = false)     // a group body ran `aggregate` (1 row/group)
 
   def planMain(): DataFrame = {
     val main = query.main.getOrElse(throw new PlanError("query has no main pipeline"))
@@ -54,9 +56,27 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
     p.stages.foldLeft(init)(applyTransform).df
   }
 
+  /** Table defs currently being planned: a def that references its own name
+    * (`table trips = (from trips | …)`) resolves the inner name to the BASE
+    * catalog table, like the reference's non-recursive WITH
+    * (translator.rs:97 hardcodes recursive: false). */
+  private val planningDefs = scala.collection.mutable.Set.empty[String]
+
   private def resolveTable(name: String): DataFrame =
-    tableCache.getOrElseUpdate(name,
-      tableDefs.get(name).map(t => planPipeline(t.pipeline)).getOrElse(catalog(name)))
+    tableCache.get(name) match {
+      case Some(df) => df
+      case None =>
+        val df = tableDefs.get(name) match {
+          case Some(t) if !planningDefs(name) =>
+            planningDefs += name
+            try planPipeline(t.pipeline) finally planningDefs -= name
+          case _ => catalog(name)
+        }
+        // cache only fully-resolved defs (a shadowed base read stays uncached
+        // so the outer `from name` still gets the def)
+        if (!planningDefs(name)) tableCache(name) = df
+        df
+    }
 
   // ---------------- transforms ----------------
 
@@ -80,10 +100,10 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
   private def applyCall(ctx: Ctx, name: String, args: List[Expr],
                         named: List[(String, Expr)]): Ctx = {
     if (isTransformName(name)) {
-      if (ctx.frame.isDefined && !legalInWindow(name))
+      if (ctx.inWindowBody && !legalInWindow(name))
         throw new PlanError(
           s"transform '$name' is not allowed inside window (only select/derive; name_resolver.rs:414-423)")
-      if (ctx.frame.isEmpty && ctx.inGroupBody && !legalInGroup(name))
+      if (!ctx.inWindowBody && ctx.inGroupBody && !legalInGroup(name))
         throw new PlanError(
           s"transform '$name' is not allowed inside group (only ${legalInGroup.mkString("/")}; name_resolver.rs:375-412)")
     }
@@ -117,6 +137,7 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
       ctx.copy(df = df)
 
     case "filter" =>
+      if (args.isEmpty) throw new PlanError("filter expects a condition")
       val conds = args.map(a => lower(ctx, a))
       ctx.copy(df = ctx.df.filter(conds.reduce(_ && _)))
 
@@ -135,11 +156,16 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
         val c = lowerAgg(ctx, e)
         nameOpt.map(c.as).getOrElse(c.as(prettyName(e)))
       }
+      if (items.isEmpty) throw new PlanError("aggregate expects at least one expression")
       val out =
         if (ctx.groupKeys.isEmpty) ctx.df.agg(aggCols.head, aggCols.tail: _*)
         else ctx.df.groupBy(ctx.groupKeys.map(k => lower(ctx, k)): _*)
           .agg(aggCols.head, aggCols.tail: _*)
-      ctx.copy(df = out, groupKeys = Nil, sort = Nil)
+      // inside a group body, keep the keys: the reference distributes them
+      // into any LATER take in the body (name_resolver.rs:383-388), so
+      // `group k (aggregate […] | take n)` stays per-group
+      ctx.copy(df = out, groupKeys = if (ctx.inGroupBody) ctx.groupKeys else Nil,
+        sort = Nil, aggregated = ctx.inGroupBody)
 
     case "take" => applyTake(ctx, args)
 
@@ -151,10 +177,11 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
         case _ => throw new PlanError("group expects keys and a sub-pipeline")
       }
       // group clears the ambient sort (frame.rs:65-72)
-      val entry = ctx.copy(sort = Nil, groupKeys = keys, inGroupBody = true)
+      val entry = ctx.copy(sort = Nil, groupKeys = keys, inGroupBody = true,
+        aggregated = false)
       val out = body.foldLeft(entry)(applyTransform)
       out.copy(groupKeys = Nil, sort = Nil, inGroupBody = ctx.inGroupBody,
-        frame = None)
+        frame = None, aggregated = ctx.aggregated)
 
     case "window" =>
       val body = args match {
@@ -162,9 +189,9 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
         case _ => throw new PlanError("window expects a sub-pipeline")
       }
       val spec = frameSpec(named)
-      val entry = ctx.copy(frame = spec)
+      val entry = ctx.copy(frame = spec, inWindowBody = true)
       val out = body.foldLeft(entry)(applyTransform)
-      out.copy(frame = ctx.frame)
+      out.copy(frame = ctx.frame, inWindowBody = ctx.inWindowBody)
 
     case fname =>
       throw new PlanError(s"'$fname' is not a transform (stage-position call)")
@@ -192,6 +219,12 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
         case (None, None) => ctx.df
       }
       ctx.copy(df = df)
+    } else if (ctx.aggregated && ctx.sort.isEmpty) {
+      // take after `aggregate` in a group body: exactly one row per group, so
+      // the reference's per-group ROW_NUMBER filter keeps each row iff
+      // 1 ∈ [lo..hi] — deterministic even without a sort
+      val keepsFirst = rng._1.forall(_ <= 1)
+      ctx.copy(df = if (keepsFirst) ctx.df else ctx.df.limit(0))
     } else {
       // grouped take — the reference's signature rewrite (distinct.rs:8-126)
       rng match {
@@ -241,11 +274,18 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
     }
     var tableOpt: Option[(String, String)] = None // (alias, table)
     var conds: List[Expr] = Nil
+    // the reference unpacks exactly [with, filter] and errors on extras
+    // (transforms.rs:102-144) — never silently drop a condition argument
+    def addConds(cs: List[Expr]): Unit =
+      if (conds.isEmpty) conds = cs
+      else throw new PlanError(
+        "join takes one condition argument (a list or a single expression); " +
+          "combine multiple conditions with `and` or a [list]")
     args.foreach {
       case Assign(a, Ident(List(t))) if tableOpt.isEmpty => tableOpt = Some((a, t))
       case Ident(List(t)) if tableOpt.isEmpty => tableOpt = Some((t, t))
-      case EList(items) => conds = items
-      case e if tableOpt.isDefined => conds = List(e)
+      case EList(items) => addConds(items)
+      case e if tableOpt.isDefined => addConds(List(e))
       case e => throw new PlanError(s"bad join arg: $e")
     }
     val (alias, tbl) = tableOpt.getOrElse(throw new PlanError("join needs a table"))
@@ -326,6 +366,14 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
     * rows:a..b | range:a..b | expanding:true ≡ rows:..0 | rolling:n ≡ rows:-(n-1)..0 */
   private def frameSpec(named: List[(String, Expr)]): Option[FrameSpec] = {
     val m = named.toMap
+    val known = Set("rows", "range", "expanding", "rolling")
+    m.keys.find(!known(_)).foreach { k =>
+      throw new PlanError(
+        s"unknown window argument '$k' (expected ${known.mkString("/")}; transforms.rs:165-244)")
+    }
+    if (m.size > 1)
+      throw new PlanError(
+        s"window accepts one frame argument, got ${m.keys.mkString(", ")}")
     def rangeOf(e: Expr): (Option[Long], Option[Long]) = e match {
       case RangeLit(s, en) => (s.map(asLong), en.map(asLong))
       case IntLit(n) => (Some(n), Some(n))
@@ -406,14 +454,14 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
   /** Normal-context lowering: aggregate/window functions are auto-wrapped in
     * OVER(ambient group, ambient sort, ambient frame)
     * (name_resolver.rs:332-373). */
-  private def lower(ctx: Ctx, e: Expr, joinScope: Option[DataFrame] = None): Column = e match {
+  private def lower(ctx: Ctx, e: Expr): Column = e match {
     // zero-arg function referenced bare: `ct = count`, `rn = row_number`
     case Ident(List(n)) if n == "count" =>
       F.count(F.lit(1)).over(windowSpec(ctx, withFrame = true))
     case Ident(List(n)) if n == "rank" || n == "rank_dense" || n == "row_number" =>
       windowColumn(ctx, n, Nil)
     case Ident(List(n)) if funcs.get(n).exists(_.params.isEmpty) =>
-      lower(ctx, funcs(n).body, joinScope)
+      lower(ctx, funcs(n).body)
     case Ident(parts) => identCol(parts)
     case NullLit => F.lit(null)
     case IntLit(v) => F.lit(v)
@@ -424,19 +472,19 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
     case TimestampLit(s) => F.lit(s).cast(org.apache.spark.sql.types.TimestampType)
     case TimeLit(s) => F.lit(s) // no Spark TIME type; string pass-through like the reference
     case IntervalLit(n, unit) => F.expr(s"INTERVAL $n $unit")
-    case Binary(op, l, r) => lowerBinary(ctx, op, l, r, joinScope)
-    case Unary("-", x) => -lower(ctx, x, joinScope)
-    case Unary("!", x) => !lower(ctx, x, joinScope)
+    case Binary(op, l, r) => lowerBinary(ctx, op, l, r)
+    case Unary("-", x) => -lower(ctx, x)
+    case Unary("!", x) => !lower(ctx, x)
     case Unary(op, x) => throw new PlanError(s"unknown unary op $op")
     case FStr(parts) =>
       F.concat(parts.map {
         case IText(s) => F.lit(s)
-        case IExpr(x) => lower(ctx, x, joinScope).cast("string")
+        case IExpr(x) => lower(ctx, x).cast("string")
       }: _*)
     case SStr(parts) => F.expr(sstringSql(parts))
-    case p: Pipeline => lower(ctx, inlinePipe(p), joinScope)
-    case FuncCall(name, args, named) => lowerCall(ctx, name, args, named, inAgg = false, joinScope)
-    case Assign(n, x) => lower(ctx, x, joinScope).as(n)
+    case p: Pipeline => lower(ctx, inlinePipe(p))
+    case FuncCall(name, args, named) => lowerCall(ctx, name, args, named, inAgg = false)
+    case Assign(n, x) => lower(ctx, x).as(n)
     case RangeLit(_, _) => throw new PlanError("range is only valid in take/in/window")
     case JinjaLit(src) => throw new PlanError(
       s"jinja block $src parses but is unsupported in execution (the reference only renders SQL text)")
@@ -448,27 +496,29 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
     case Ident(List("count")) => F.count(F.lit(1)) // `ct = count` (stdlib.prql:9)
     case Ident(List(n)) if funcs.get(n).exists(_.params.isEmpty) =>
       lowerAgg(ctx, funcs(n).body)
-    case FuncCall(name, args, named) if aggFns(funcAliasTarget(name)) =>
-      aggColumn(ctx, funcAliasTarget(name), args)
-    case FuncCall(name, args, named) => lowerCall(ctx, name, args, named, inAgg = true, None)
+    case FuncCall(name, args, named) if !funcs.contains(name) && aggFns(name) =>
+      aggColumn(ctx, name, args)
+    case FuncCall(name, args, named) => lowerCall(ctx, name, args, named, inAgg = true)
     case Binary(op, l, r) =>
       binaryCol(op, lowerAgg(ctx, l), lowerAgg(ctx, r), l, r)
     case Unary("-", x) => -lowerAgg(ctx, x)
+    case Unary("!", x) => !lowerAgg(ctx, x)
+    case FStr(parts) =>
+      F.concat(parts.map {
+        case IText(t) => F.lit(t)
+        case IExpr(x) => lowerAgg(ctx, x).cast("string")
+      }: _*)
     case p: Pipeline => lowerAgg(ctx, inlinePipe(p))
     case SStr(parts) => F.expr(sstringSql(parts))
     case other => lower(ctx, other)
   }
 
-  /** If `name` is a user function that trivially aliases a builtin, resolve it. */
-  private def funcAliasTarget(name: String): String = name
-
   private def lowerCall(ctx: Ctx, name: String, args: List[Expr],
-                        named: List[(String, Expr)], inAgg: Boolean,
-                        joinScope: Option[DataFrame]): Column = {
+                        named: List[(String, Expr)], inAgg: Boolean): Column = {
     funcs.get(name) match {
       case Some(fd) =>
         val body = inlineFunc(fd, args, named)
-        if (inAgg) lowerAgg(ctx, body) else lower(ctx, body, joinScope)
+        if (inAgg) lowerAgg(ctx, body) else lower(ctx, body)
       case None =>
         name match {
           case n if aggFns(n) =>
@@ -478,14 +528,14 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
             if (inAgg) throw new PlanError(s"window function $n inside aggregate")
             windowColumn(ctx, n, args)
           case "round" => args match {
-            case List(c, IntLit(n)) => F.round(lowerIn(ctx, c, inAgg, joinScope), n.toInt)
-            case List(IntLit(n), c) => F.round(lowerIn(ctx, c, inAgg, joinScope), n.toInt)
+            case List(c, IntLit(n)) => F.round(lowerIn(ctx, c, inAgg), n.toInt)
+            case List(IntLit(n), c) => F.round(lowerIn(ctx, c, inAgg), n.toInt)
             case _ => throw new PlanError("round expects (column, n_digits)")
           }
           case "in" => args match {
             // stdlib: func in range value (piped value arrives last)
             case List(RangeLit(lo, hi), v) =>
-              val c = lowerIn(ctx, v, inAgg, joinScope)
+              val c = lowerIn(ctx, v, inAgg)
               (lo, hi) match {
                 case (Some(a), Some(b)) => c.between(lower(ctx, a), lower(ctx, b))
                 case (Some(a), None) => c >= lower(ctx, a)
@@ -500,21 +550,21 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
             case List(a, b) =>
               (a, b) match {
                 case (Ident(List(ty)), v) if isTypeName(ty) =>
-                  lowerIn(ctx, v, inAgg, joinScope).cast(sparkType(ty))
+                  lowerIn(ctx, v, inAgg).cast(sparkType(ty))
                 case (v, Ident(List(ty))) if isTypeName(ty) =>
-                  lowerIn(ctx, v, inAgg, joinScope).cast(sparkType(ty))
+                  lowerIn(ctx, v, inAgg).cast(sparkType(ty))
                 case _ => throw new PlanError("as expects (column, type)")
               }
             case _ => throw new PlanError("as expects (column, type)")
           }
-          case "coalesce" => F.coalesce(args.map(a => lowerIn(ctx, a, inAgg, joinScope)): _*)
+          case "coalesce" => F.coalesce(args.map(a => lowerIn(ctx, a, inAgg)): _*)
           case other => throw new PlanError(s"unknown function '$other'")
         }
     }
   }
 
-  private def lowerIn(ctx: Ctx, e: Expr, inAgg: Boolean, joinScope: Option[DataFrame]): Column =
-    if (inAgg) lowerAgg(ctx, e) else lower(ctx, e, joinScope)
+  private def lowerIn(ctx: Ctx, e: Expr, inAgg: Boolean): Column =
+    if (inAgg) lowerAgg(ctx, e) else lower(ctx, e)
 
   private def aggColumn(ctx: Ctx, name: String, args: List[Expr]): Column = {
     def one: Column = args match {
@@ -592,16 +642,15 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
     }
   }
 
-  private def lowerBinary(ctx: Ctx, op: String, l: Expr, r: Expr,
-                          joinScope: Option[DataFrame]): Column = {
+  private def lowerBinary(ctx: Ctx, op: String, l: Expr, r: Expr): Column = {
     // `x == null` → IS NULL; `x != null` → IS NOT NULL (translator.rs:643-666)
     (op, l, r) match {
-      case ("==", x, NullLit) => lower(ctx, x, joinScope).isNull
-      case ("==", NullLit, x) => lower(ctx, x, joinScope).isNull
-      case ("!=", x, NullLit) => lower(ctx, x, joinScope).isNotNull
-      case ("!=", NullLit, x) => lower(ctx, x, joinScope).isNotNull
+      case ("==", x, NullLit) => lower(ctx, x).isNull
+      case ("==", NullLit, x) => lower(ctx, x).isNull
+      case ("!=", x, NullLit) => lower(ctx, x).isNotNull
+      case ("!=", NullLit, x) => lower(ctx, x).isNotNull
       case _ =>
-        binaryCol(op, lower(ctx, l, joinScope), lower(ctx, r, joinScope), l, r)
+        binaryCol(op, lower(ctx, l), lower(ctx, r), l, r)
     }
   }
 
@@ -713,6 +762,10 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
         case IExpr(x) => s"CAST(${exprSql(x)} AS STRING)"
       }.mkString("CONCAT(", ", ", ")")
     case p: Pipeline => exprSql(inlinePipe(p))
+    case FuncCall(n, args, named) if funcs.contains(n) =>
+      // user functions are compile-time macros (materializer.rs:206-234):
+      // inline before rendering, they don't exist in Spark SQL
+      exprSql(inlineFunc(funcs(n), args, named))
     case FuncCall(n, args, _) => s"$n(${args.map(exprSql).mkString(", ")})"
     case other => throw new PlanError(s"cannot render to SQL: $other")
   }

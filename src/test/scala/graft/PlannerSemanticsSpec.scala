@@ -210,6 +210,96 @@ class PlannerSemanticsSpec extends AnyFunSuite {
     assert(r == Row(10000.0, 2000.0, 3000.0))
   }
 
+  test("join with two separate condition arguments is an error, not a silent drop") {
+    val e = intercept[PlanError](
+      compile("from e=employees\njoin titles [e.emp_no == titles.emp_no] [e.salary > 0]"))
+    assert(e.getMessage.contains("one condition argument"))
+  }
+
+  test("a table def referencing its own name reads the base table (non-recursive WITH)") {
+    val r = rows(
+      """table employees = (
+        |  from employees
+        |  filter salary >= 2000
+        |)
+        |
+        |from employees
+        |aggregate [n = count]""".stripMargin).head
+    assert(r.getLong(0) == 2L)
+  }
+
+  test("aggregate context survives ! and f-strings") {
+    val r = rows(
+      """from employees
+        |group country (
+        |  aggregate [ok = !(min salary == 0), lbl = f"n={count}"]
+        |)
+        |sort country""".stripMargin)
+    assert(r == Seq(Row("UK", true, "n=1"), Row("USA", true, "n=2")))
+  }
+
+  test("take after aggregate inside group stays per-group (keeps every group)") {
+    val r = rows(
+      """from employees
+        |group country (
+        |  aggregate [n = count]
+        |  take 1
+        |)
+        |sort country""".stripMargin)
+    assert(r.map(_.getString(0)) == Seq("UK", "USA"))
+    // take 2.. over 1-row groups selects nothing
+    val empty = rows(
+      """from employees
+        |group country (
+        |  aggregate [n = count]
+        |  take 2..
+        |)""".stripMargin)
+    assert(empty.isEmpty)
+  }
+
+  test("unknown window arguments are rejected") {
+    val e = intercept[PlanError](
+      compile("from employees\nwindow row:-2..0 (derive [s = sum salary])"))
+    assert(e.getMessage.contains("unknown window argument"))
+  }
+
+  test("window body legality holds even without a frame argument") {
+    val e = intercept[PlanError](
+      compile("from employees\nwindow (filter salary > 0)"))
+    assert(e.getMessage.contains("not allowed inside window"))
+  }
+
+  test("user functions inline inside s-string interpolations") {
+    val r = rows(
+      """func double x -> x * 2
+        |
+        |from employees
+        |filter emp_no == 1
+        |select [y = s"CAST({double salary} AS DOUBLE)"]""".stripMargin)
+    assert(r == Seq(Row(2000.0)))
+  }
+
+  test("malformed @ literals are lex errors, not silent strings") {
+    intercept[Exception](Graft.parse("from t\nfilter d > @2020-01-01+1days"))
+    intercept[Exception](Graft.parse("from t\nderive x = @garbage"))
+  }
+
+  test("zero-arg filter/aggregate produce named errors") {
+    val e1 = intercept[PlanError](compile("from employees\nfilter"))
+    assert(e1.getMessage.contains("filter expects"))
+    val e2 = intercept[PlanError](compile("from employees\naggregate []"))
+    assert(e2.getMessage.contains("aggregate expects"))
+  }
+
+  test("a user function named like an agg builtin takes precedence in aggregate") {
+    val r = rows(
+      """func sum x -> 42
+        |
+        |from employees
+        |aggregate [s = (sum salary)]""".stripMargin).head
+    assert(r.getLong(0) == 42L)
+  }
+
   test("table definitions behave as CTEs and compose") {
     val r = rows(
       """table rich = (

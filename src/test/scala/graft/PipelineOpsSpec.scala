@@ -76,6 +76,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("p11 n-gram jaccard: pairs stay within source, values in [0,1]") {
+    val out = run("p11_ngram_jaccard").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val j = r.getDouble(r.fieldIndex("jaccard"))
+      assert(j >= 0.0 && j <= 1.0)
+    }
+  }
+
+  test("p12 lang id: rollup covers every labeled doc exactly once") {
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    val out = run("p12_lang_id").collect()
+    assert(out.map(_.getLong(2)).sum == total)
+    val langs = out.map(_.getString(0)).distinct.sorted
+    assert(langs.nonEmpty)
+  }
+
   test("p10 media decode: batched stub decoder is deterministic and map-side") {
     import spark.implicits._
     val in = Seq(

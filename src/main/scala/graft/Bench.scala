@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 
 /** Per-round benchmark: one JSON line with per-query wall seconds.
   *
@@ -19,15 +19,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Graft.localSession(cpus)
 
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -58,31 +50,33 @@ object Bench {
     // own compile-bench query (prql-compiler/benches/bench.rs:11-21 uses
     // variables-0.prql; ~300us/query on the author's laptop). Tables are
     // pre-resolved so this measures the compiler, not parquet footer I/O.
-    val compileUs = {
+    // Guarded: a failure here must not discard the collected timings.
+    val compileUs: Double = try {
       val src = try {
         new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
           "/root/reference/book/tests/prql/examples/variables-0.prql")), "UTF-8")
       } catch { case _: Throwable =>
         "from employees\nfilter country == \"USA\"\nderive [gross_salary = salary + payroll_tax]\ntake 20"
       }
-      val tables = Map(
-        "employees" -> spark.range(1).selectExpr("CAST(1 AS DOUBLE) salary",
-          "CAST(1 AS DOUBLE) payroll_tax", "CAST(1 AS DOUBLE) benefits_cost",
-          "'USA' country", "'e' title", "CAST(1 AS DOUBLE) gross_salary",
-          "CAST(1 AS DOUBLE) gross_cost"))
-      val cat: String => org.apache.spark.sql.DataFrame = tables(_)
+      val employees = spark.range(1).selectExpr("CAST(1 AS DOUBLE) salary",
+        "CAST(1 AS DOUBLE) payroll_tax", "CAST(1 AS DOUBLE) benefits_cost",
+        "'USA' country", "'e' title", "CAST(1 AS DOUBLE) gross_salary",
+        "CAST(1 AS DOUBLE) gross_cost")
+      val cat: String => DataFrame = _ => employees
       (1 to 20).foreach(_ => Graft.compile(src, spark, cat)) // warm JIT
       val n = 200
       val t0 = System.nanoTime()
       (1 to n).foreach(_ => Graft.compile(src, spark, cat))
       (System.nanoTime() - t0) / 1e3 / n
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] compile-latency measure failed: ${e.getMessage}")
+      -1.0
     }
 
     val qs = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replace("\n", " ").replace("\r", " ").replace("\t", " ")
-    val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v.take(200))}"""" }
+    val errJson = errors
+      .map { case (k, v) => s"${util.Json.quote(k)}:${util.Json.quote(v.take(200))}" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"compile_us_per_query":${compileUs.round},"sf":"$sfDir"}""")
     spark.stop()

@@ -56,14 +56,27 @@ object Graft {
     * behaves; µs truncation matches DuckDB's TIMESTAMP_NS::TIMESTAMP cast. */
   private def normalizeNanos(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val nanoCols = df.schema.fields.collect {
-      case f if f.metadata.contains("isTimestampNTZ") => f.name // not used today
-    }
     // convention: the driver's only nanos column is events.ts
     if (df.columns.contains("ts") &&
         df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       // integer `div`, not double `/`: ns values overflow double mantissa
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
+  }
+
+  /** Shared local-mode session builder for the driver-contract mains (Bench,
+    * Verify, Main, Dev) — one place for the configs the determinism contract
+    * depends on (UTC session TZ, nanos-as-long parquet reads). */
+  def localSession(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
   }
 }

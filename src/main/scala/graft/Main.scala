@@ -70,13 +70,7 @@ object Main {
         require(Graft.parse(printed) == q, "fmt round-trip mismatch")
         println(printed)
       case "plan" | "compile" =>
-        val spark = SparkSession.builder()
-          .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-          .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-          .config("spark.sql.session.timeZone", "UTC")
-          .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-          .config("spark.ui.enabled", "false")
-          .getOrCreate()
+        val spark = Graft.localSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
         spark.sparkContext.setLogLevel("ERROR")
         val (df, diags) = Graft.compileWithDiagnostics(src, spark,
           Graft.parquetCatalog(spark, dataDir))

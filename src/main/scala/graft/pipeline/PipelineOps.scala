@@ -132,11 +132,12 @@ object PipelineOps {
   // exact, so avg is order-independent.
 
   private val p03Spark = s"""
-    WITH s AS (
-      SELECT lang, source, n_chars, size($wordsSpark) AS n_tokens,
-        CAST(size(filter($wordsSpark, w -> w IN ('the','a','of','and'))) AS DOUBLE)
-          / size($wordsSpark) AS stop_ratio
-      FROM documents)
+    WITH w AS (SELECT lang, source, n_chars, $wordsSpark AS words FROM documents),
+    s AS (
+      SELECT lang, source, n_chars, size(words) AS n_tokens,
+        CAST(size(filter(words, w -> w IN ('the','a','of','and'))) AS DOUBLE)
+          / size(words) AS stop_ratio
+      FROM w)
     SELECT lang, source,
       CAST(count(*) AS BIGINT) AS n_docs,
       CAST(floor((avg(CAST(n_chars AS DOUBLE))) * 1e4 + 0.5) AS DOUBLE) / 1e4 AS avg_chars,
@@ -145,11 +146,12 @@ object PipelineOps {
       CAST(floor((CAST(sum(CASE WHEN stop_ratio >= 0.05 AND n_tokens >= 20 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS pct_quality
     FROM s GROUP BY lang, source ORDER BY lang, source"""
   private val p03Duck = s"""
-    WITH s AS (
-      SELECT lang, source, n_chars, len($wordsDuck) AS n_tokens,
-        CAST(len(list_filter($wordsDuck, w -> w IN ('the','a','of','and'))) AS DOUBLE)
-          / len($wordsDuck) AS stop_ratio
-      FROM documents)
+    WITH w AS (SELECT lang, source, n_chars, $wordsDuck AS words FROM documents),
+    s AS (
+      SELECT lang, source, n_chars, len(words) AS n_tokens,
+        CAST(len(list_filter(words, w -> w IN ('the','a','of','and'))) AS DOUBLE)
+          / len(words) AS stop_ratio
+      FROM w)
     SELECT lang, source,
       CAST(count(*) AS BIGINT) AS n_docs,
       floor((avg(CAST(n_chars AS DOUBLE))) * 1e4 + 0.5) / 1e4 AS avg_chars,
@@ -425,29 +427,41 @@ object PipelineOps {
   private def scoreDuck(ws: Seq[String]) =
     s"CAST(len(list_filter(words, w -> w IN (${ws.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) / len(words)"
 
-  private def argmaxCase(scores: Seq[(String, String)]): String = {
-    // highest score wins; ties resolve in declaration order; all-zero -> 'und'
-    val greatest = s"greatest(${scores.map(_._2).mkString(", ")})"
-    val whens = scores.map { case (lang, s) =>
-      s"WHEN $s > 0 AND $s = $greatest THEN '$lang'"
+  /** CASE-argmax over pre-computed score COLUMNS (never inline score
+    * expressions here — the greatest() + per-branch repeats would expand
+    * each filter scan ~6x per row; see the p05 single-pass note). Highest
+    * score wins; ties resolve in declaration order; all-zero → 'und'. */
+  private def argmaxCase(langs: Seq[String]): String = {
+    val greatest = s"greatest(${langs.map("sc_" + _).mkString(", ")})"
+    val whens = langs.map { l =>
+      s"WHEN sc_$l > 0 AND sc_$l = $greatest THEN '$l'"
     }.mkString(" ")
     s"CASE $whens ELSE 'und' END"
   }
 
   private val p12Spark = s"""
     WITH w AS (SELECT doc_id, lang, $wordsSpark AS words FROM documents),
+    scores AS (
+      -- REPARTITION materializes the four scores before the CASE-argmax
+      -- reads each ~6 times (CollapseProject would re-inline the filter
+      -- scans; lambda HOFs get no codegen CSE)
+      SELECT /*+ REPARTITION(32) */ doc_id, lang,
+        ${langSets.map { case (l, ws) => s"${scoreSpark(ws)} AS sc_$l" }.mkString(",\n        ")}
+      FROM w WHERE size(words) > 0),
     scored AS (
-      SELECT doc_id, lang,
-        ${argmaxCase(langSets.map { case (l, ws) => (l, scoreSpark(ws)) })} AS predicted
-      FROM w WHERE size(words) > 0)
+      SELECT doc_id, lang, ${argmaxCase(langSets.map(_._1))} AS predicted
+      FROM scores)
     SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
     FROM scored GROUP BY lang, predicted ORDER BY lang, predicted"""
   private val p12Duck = s"""
     WITH w AS (SELECT doc_id, lang, $wordsDuck AS words FROM documents),
-    scored AS (
+    scores AS (
       SELECT doc_id, lang,
-        ${argmaxCase(langSets.map { case (l, ws) => (l, scoreDuck(ws)) })} AS predicted
-      FROM w WHERE len(words) > 0)
+        ${langSets.map { case (l, ws) => s"${scoreDuck(ws)} AS sc_$l" }.mkString(",\n        ")}
+      FROM w WHERE len(words) > 0),
+    scored AS (
+      SELECT doc_id, lang, ${argmaxCase(langSets.map(_._1))} AS predicted
+      FROM scores)
     SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
     FROM scored GROUP BY lang, predicted ORDER BY lang, predicted"""
 

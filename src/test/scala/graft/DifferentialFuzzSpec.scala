@@ -17,9 +17,13 @@ class DifferentialFuzzSpec extends AnyFunSuite {
   private val rowsIn: Seq[(Long, Long, Long)] =
     (1L to 60L).map(i => (i, i % 7, (i % 11) - 5))
 
+  // join dimension: unique key k 1..40 with payload v
+  private val dimIn: Map[Long, Long] = (1L to 40L).map(k => k -> (k * 3 % 13)).toMap
+
   private lazy val ready: Unit = {
     import spark.implicits._
     rowsIn.toDF("a", "b", "c").createOrReplaceTempView("fuzz")
+    dimIn.toSeq.toDF("k", "v").createOrReplaceTempView("fuzz2")
   }
 
   // ---- pipeline stage model: (prql text, Seq interpreter) ----
@@ -96,6 +100,17 @@ class DifferentialFuzzSpec extends AnyFunSuite {
           Vector(key, sn, s"n$fresh"), false)
       }),
     )
+    val joins: Seq[(Int, Gen[(Stage, Vector[String], Boolean)])] =
+      if (cols.contains("k")) Nil
+      else Seq(1 -> Gen.const {
+        // inner equi-join on the (unique) head column against the dim table;
+        // join output order is engine-arbitrary, so sortedness resets
+        val head = cols.head
+        (Stage(s"join fuzz2 [$head == k]",
+          rs => rs.flatMap(r => dimIn.get(r(head))
+            .map(v => r + ("k" -> r(head)) + ("v" -> v)))),
+          cols ++ Vector("k", "v"), false)
+      })
     val takes: Seq[(Int, Gen[(Stage, Vector[String], Boolean)])] =
       if (!sorted) Nil
       else Seq(
@@ -122,7 +137,7 @@ class DifferentialFuzzSpec extends AnyFunSuite {
             cols :+ name, sorted)
         },
       )
-    Gen.frequency(base ++ takes: _*)
+    Gen.frequency(base ++ joins ++ takes: _*)
   }
 
   private def pipelineGen: Gen[(List[Stage], Vector[String])] = {

@@ -488,6 +488,52 @@ object PipelineOps {
       CAST((octet_length(bin) // 1000) + 1 AS BIGINT) AS fake_frames
     FROM m ORDER BY doc_id"""
 
+  // ---- p13: event sessionization -------------------------------------------
+  // Gap-based session assignment over the events stream table: a session
+  // breaks after >4h idle. lag + running-sum of break flags per user —
+  // single shuffle on user_id, exact integer arithmetic in microseconds
+  // (Spark reads the nanos column as BIGINT via nanosAsLong; DuckDB's
+  // TIMESTAMP read truncates to µs, so both sides work in truncated µs).
+
+  private val SessionGapUs = 4L * 3600 * 1000000
+
+  private val p13Spark = s"""
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts div 1000 AS BIGINT) AS tus FROM events),
+    flagged AS (
+      SELECT user_id, event_id, tus,
+        CASE WHEN lag(tus) OVER w IS NULL
+                  OR tus - lag(tus) OVER w > $SessionGapUs THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+    sess AS (
+      SELECT user_id, tus,
+        SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(max(tus) - min(tus) AS BIGINT) AS span_us
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_id"""
+  private val p13Duck = s"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+    flagged AS (
+      SELECT user_id, event_id, tus,
+        CASE WHEN lag(tus) OVER w IS NULL
+                  OR tus - lag(tus) OVER w > $SessionGapUs THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+    sess AS (
+      SELECT user_id, tus,
+        SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(max(tus) - min(tus) AS BIGINT) AS span_us
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_id"""
+
   // ---- wiring --------------------------------------------------------------
 
   private def onDocs(sql: String): (SparkSession, String) => DataFrame =
@@ -517,6 +563,10 @@ object PipelineOps {
     "p10_media_decode" -> ((spark, dir) => MediaOps.decodeFeatures(spark, dir)),
     "p11_ngram_jaccard" -> onDocs(p11Spark),
     "p12_lang_id" -> onDocs(p12Spark),
+    "p13_sessionize" -> ((spark, dir) => {
+      spark.read.parquet(s"$dir/events.parquet").createOrReplaceTempView("events")
+      spark.sql(p13Spark)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -531,5 +581,6 @@ object PipelineOps {
     "p09_media_meta" -> p09Duck,
     "p11_ngram_jaccard" -> p11Duck,
     "p12_lang_id" -> p12Duck,
+    "p13_sessionize" -> p13Duck,
   )
 }

@@ -93,6 +93,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(langs.nonEmpty)
   }
 
+  test("p13 sessionize: sessions partition all events, ids start at 1 and are dense") {
+    val totalEvents = spark.read.parquet(s"$dir/events.parquet").count()
+    val out = run("p13_sessionize").collect()
+    assert(out.map(_.getLong(2)).sum == totalEvents)
+    out.groupBy(_.getLong(0)).foreach { case (_, sess) =>
+      val ids = sess.map(_.getLong(1)).sorted
+      assert(ids.head == 1L && ids.toSeq == (1L to ids.last)) // dense per user
+    }
+    out.foreach(r => assert(r.getLong(3) >= 0)) // spans non-negative
+  }
+
   test("p10 media decode: batched stub decoder is deterministic and map-side") {
     import spark.implicits._
     val in = Seq(

@@ -488,6 +488,37 @@ object PipelineOps {
       CAST((octet_length(bin) // 1000) + 1 AS BIGINT) AS fake_frames
     FROM m ORDER BY doc_id"""
 
+  // ---- p14: per-document keyword extraction (top-k terms) ------------------
+  // Top-5 terms per doc by (frequency desc, term asc). Entirely map-side
+  // HOFs; ranking keys are zero-padded "(99999-tf)term" strings so the sort
+  // is integer-exact and identical across engines (no floats involved).
+
+  private val TopTerms = 5
+
+  private val p14Spark = s"""
+    WITH w AS (SELECT doc_id, $wordsSpark AS words FROM documents),
+    k AS (
+      SELECT doc_id,
+        slice(array_sort(transform(array_distinct(words),
+          t -> concat(lpad(CAST(99999 - size(filter(words, x -> x = t)) AS STRING), 5, '0'), t))),
+          1, $TopTerms) AS keys
+      FROM w WHERE size(words) > 0)
+    SELECT doc_id,
+      concat_ws(',', transform(keys,
+        kk -> concat(substr(kk, 6), ':', CAST(99999 - CAST(substr(kk, 1, 5) AS INT) AS STRING)))) AS top_terms
+    FROM k ORDER BY doc_id"""
+  private val p14Duck = s"""
+    WITH w AS (SELECT doc_id, $wordsDuck AS words FROM documents),
+    k AS (
+      SELECT doc_id,
+        list_sort(list_transform(list_distinct(words),
+          t -> lpad(CAST(99999 - len(list_filter(words, x -> x = t)) AS VARCHAR), 5, '0') || t))[1:$TopTerms] AS keys
+      FROM w WHERE len(words) > 0)
+    SELECT doc_id,
+      array_to_string(list_transform(keys,
+        kk -> substr(kk, 6) || ':' || CAST(99999 - CAST(substr(kk, 1, 5) AS INT) AS VARCHAR)), ',') AS top_terms
+    FROM k ORDER BY doc_id"""
+
   // ---- p13: event sessionization -------------------------------------------
   // Gap-based session assignment over the events stream table: a session
   // breaks after >4h idle. lag + running-sum of break flags per user —
@@ -567,6 +598,7 @@ object PipelineOps {
       spark.read.parquet(s"$dir/events.parquet").createOrReplaceTempView("events")
       spark.sql(p13Spark)
     }),
+    "p14_top_terms" -> onDocs(p14Spark),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -582,5 +614,6 @@ object PipelineOps {
     "p11_ngram_jaccard" -> p11Duck,
     "p12_lang_id" -> p12Duck,
     "p13_sessionize" -> p13Duck,
+    "p14_top_terms" -> p14Duck,
   )
 }

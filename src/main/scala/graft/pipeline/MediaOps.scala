@@ -20,9 +20,14 @@ object MediaOps {
   /** Opaque media record: id + raw bytes + declared format. */
   final case class MediaIn(doc_id: Long, content: Array[Byte], fmt: String)
 
-  /** Extracted features (fake, deterministic — see [[decodeStub]]). */
+  /** Extracted features (fake, deterministic — see [[decodeStub]]).
+    * `checksum` is the first 8 hex chars of md5(payload) as a BIGINT — a
+    * payload digest a real decoder would also emit (content addressing /
+    * corruption detection), chosen over a float "luma" so the driver's
+    * DuckDB oracle can recompute the rollup exactly (md5 is portable;
+    * integer sums are exact). */
   final case class MediaFeature(doc_id: Long, n_bytes: Long, n_frames: Long,
-                                mean_luma: Double, fmt: String)
+                                checksum: Long, fmt: String)
 
   /** Batch size for the per-partition decode loop — the shape a vectorized
     * decoder (or a JNI codec with reusable buffers) wants. */
@@ -30,17 +35,17 @@ object MediaOps {
 
   /** STUB decoder: a real implementation would decode image/audio/video
     * bytes here. The fake is deterministic in the payload bytes so tests and
-    * the driver's rows-only check are stable. */
+    * the driver's hash gate are stable. */
   private def decodeStub(in: MediaIn): MediaFeature = {
     val bytes = in.content
     val n = bytes.length.toLong
     // "frame count": 1 frame per 1000 bytes, at least 1
     val frames = n / 1000 + 1
-    // "mean luma": mean of the first 256 bytes, unsigned, scaled to [0,1)
-    val head = bytes.take(256)
-    val luma = if (head.isEmpty) 0.0
-      else head.map(b => (b & 0xff).toLong).sum.toDouble / (head.length * 256.0)
-    MediaFeature(in.doc_id, n, frames, math.rint(luma * 1e6) / 1e6, in.fmt)
+    // payload digest: first 8 hex chars of md5 as unsigned int (< 2^32)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(bytes).take(4).map("%02x".format(_)).mkString
+    val checksum = java.lang.Long.parseLong(hex, 16)
+    MediaFeature(in.doc_id, n, frames, checksum, in.fmt)
   }
 
   /** Batched per-partition decode: Iterator-in/Iterator-out, grouping rows
@@ -54,7 +59,10 @@ object MediaOps {
   }
 
   /** Driver-contract query: documents → opaque binary payloads → batched
-    * stub decode → per-source rollup. Deterministic output. */
+    * stub decode → per-format rollup. All-integer aggregates (counts, byte/
+    * frame totals, digest sum), so the DuckDB oracle in PipelineOps
+    * reproduces the values bit-for-bit — the full hash gate applies even
+    * though the decode itself runs in typed mapPartitions. */
   def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -68,9 +76,7 @@ object MediaOps {
         count(lit(1)).as("n_media"),
         sum($"n_bytes").as("total_bytes"),
         sum($"n_frames").as("total_frames"),
-        // sum of 6-decimal-rounded lumas over a long sum of scaled ints is
-        // exact: scale to micro-units first so the double sum is of integers
-        (sum(round($"mean_luma" * 1e6).cast("long")).cast("double") / 1e6).as("sum_luma"))
+        sum($"checksum").as("checksum_sum"))
       .orderBy($"fmt")
   }
 }

@@ -47,10 +47,34 @@ object PipelineOps {
   private val hashA: Seq[Long] = (0 until MinhashK).map(i => (1103515245L * (i + 1)) % MinhashP)
   private val hashB: Seq[Long] = (0 until MinhashK).map(i => (12345L + 7919L * i) % MinhashP)
 
-  /** SRP-LSH: 8 Rademacher (±1) hyperplanes over the 64-dim embeddings,
-    * component sign = parity of md5("{plane}_{dim}") — reproducible from
-    * public md5 on any engine. */
-  private val SrpPlanes = 8
+  /** SRP-LSH: b=[[SrpBands]] bands × r=[[SrpBits]] sign bits, from
+    * b*r Rademacher (±1) hyperplanes over the 64-dim embeddings; component
+    * sign = parity of md5("{plane}_{dim}") — reproducible from public md5 on
+    * any engine.
+    *
+    * Scaling knobs (the two that matter at 100 TB):
+    *  - `SrpBits` sets the per-band bucket space (2^r buckets): candidate
+    *    pairs grow ~ b·N²/2^r, so raise r with the corpus (target
+    *    2^r ≳ N / desired_bucket_size);
+    *  - `SrpBands` buys back the recall that narrower buckets cost
+    *    (collide-in-ANY-band: recall = 1-(1-p^r)^b for per-plane agreement
+    *    probability p = 1-θ/π), exactly the p04 MinHash banding scheme.
+    * The r=4, b=8 operating point is tuned to THIS corpus's similarity
+    * regime: its nearest neighbours sit at cos≈0.3 (θ≈72°, p≈0.6), where
+    * p^4≈0.13 per band × 8 bands ⇒ ~0.66 expected recall (measured 0.71 in
+    * PipelineOpsSpec vs p07's exact top-k). At larger N, r and b rise
+    * together (r ~ log N keeps buckets O(1); b recovers recall) — the
+    * standard N^(1+ρ) LSH cost model, not a fixed 2^r bucket space.
+    * [[SrpBucketCap]] additionally bounds the damage of a degenerate bucket
+    * (all-zero vectors, duplicated embeddings): only the first `cap` members
+    * of a band bucket (ordered by vec_id — deterministic on both engines)
+    * generate candidates, so one hot bucket costs at most cap² pairs instead
+    * of |bucket|². The cap is far above any bucket size at test SF (whole
+    * corpus < cap), so it never binds here — documented, not silent. */
+  private val SrpBits = 4
+  private val SrpBands = 8
+  private val SrpPlanes = SrpBits * SrpBands
+  private val SrpBucketCap = 512
   private val EmbDim = 64
   private def md5Hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
@@ -186,8 +210,11 @@ object PipelineOps {
     sigs AS (
       -- one pass over the shingle hashes with a k-wide running-min array
       -- (k separate array_min exprs would re-inline the md5 hash k times);
-      -- the REPARTITION hint materializes sig before the 8 band keys read it
-      SELECT /*+ REPARTITION(32) */ doc_id, shingles,
+      -- the REPARTITION(doc_id) hint materializes sig behind an exchange
+      -- before the 8 band keys read it — hash-partitioned by column so the
+      -- barrier inherits spark.sql.shuffle.partitions instead of hard-capping
+      -- the cluster at a fixed partition count
+      SELECT /*+ REPARTITION(doc_id) */ doc_id, shingles,
         aggregate(hs, array_repeat(CAST($MinhashP AS BIGINT), $MinhashK),
           (acc, h) -> zip_with(acc, sequence(0, ${MinhashK - 1}),
             (m, i) -> least(m, pmod(element_at($hashALit, i + 1) * h + element_at($hashBLit, i + 1), $MinhashP)))) AS sig
@@ -344,38 +371,74 @@ object PipelineOps {
     FROM ranked WHERE rn <= $TopK ORDER BY q_id, rank"""
 
   // ---- p08: SRP-LSH bucketed near-neighbour pairs --------------------------
-  // Scale path for similarity: 8 random-hyperplane sign bits -> 256 buckets;
-  // candidates = bucket-mates (equi-join on the bucket key), verified by
-  // exact cosine. Bucket assignment is map-side (plane matrix is a literal).
+  // Scale path for similarity: 32 random-hyperplane sign bits, banded into
+  // 8 tables of 4 bits (see the SrpBits/SrpBands scaling notes above);
+  // candidates = bucket-mates in ANY band (equi-join on the band key, with a
+  // deterministic per-bucket cap), verified by exact cosine on a candidates-
+  // only re-join — the p04 architecture applied to embeddings. Sign-bit
+  // assignment is map-side (the plane matrix is a literal); the
+  // REPARTITION(doc-key) hint materializes the 16-bit array behind an
+  // exchange before the band keys slice it (HOF lambdas get no CSE).
 
   private val p08Spark = s"""
     WITH e AS (
-      SELECT vec_id, embedding, ${norm2Spark("embedding")} AS n2,
-        aggregate(transform(sequence(0, ${SrpPlanes - 1}),
+      SELECT /*+ REPARTITION(vec_id) */ vec_id, embedding,
+        ${norm2Spark("embedding")} AS n2,
+        transform(sequence(0, ${SrpPlanes - 1}),
           p -> IF(aggregate(zip_with(embedding, element_at($planesSparkLit, p + 1),
                     (x, s) -> CAST(x AS DOUBLE) * CAST(s AS DOUBLE)),
-                  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) > 0,
-                shiftleft(1, p), 0)), 0, (a, x) -> a + x) AS bucket
+                  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) > 0, 1, 0)) AS bits
       FROM embeddings),
+    bands AS (
+      SELECT vec_id, bkey,
+        row_number() OVER (PARTITION BY bkey ORDER BY vec_id) AS rnk
+      FROM (
+        SELECT vec_id, explode(transform(sequence(0, ${SrpBands - 1}),
+          j -> j * ${1 << SrpBits}
+               + aggregate(slice(bits, j * $SrpBits + 1, $SrpBits), 0,
+                   (acc, bit) -> acc * 2 + bit))) AS bkey
+        FROM e)),
+    cands AS (
+      SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+      FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.vec_id < b.vec_id
+      WHERE a.rnk <= $SrpBucketCap AND b.rnk <= $SrpBucketCap),
     pairs AS (
-      SELECT a.vec_id AS ida, b.vec_id AS idb,
-        ${dotSpark("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) AS cos
-      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      SELECT c.ida, c.idb,
+        ${dotSpark("ea.embedding", "eb.embedding")} / (sqrt(ea.n2) * sqrt(eb.n2)) AS cos
+      FROM cands c
+      JOIN e ea ON ea.vec_id = c.ida
+      JOIN e eb ON eb.vec_id = c.idb)
     SELECT ida, idb, CAST(floor((cos) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS sim
     FROM pairs WHERE cos >= 0.2 ORDER BY ida, idb"""
   private val p08Duck = s"""
     WITH e AS (
       SELECT vec_id, embedding, ${norm2Duck("embedding")} AS n2,
-        CAST(list_sum(list_transform(generate_series(0, ${SrpPlanes - 1}),
+        list_transform(generate_series(0, ${SrpPlanes - 1}),
           p -> CASE WHEN list_reduce(list_transform(generate_series(1, $EmbDim),
                       i -> CAST(embedding[i] AS DOUBLE) * CAST($planesDuckLit[p+1][i] AS DOUBLE)),
                     (x, y) -> x + y) > 0
-               THEN (1 << p) ELSE 0 END)) AS INT) AS bucket
+               THEN 1 ELSE 0 END) AS bits
       FROM embeddings),
+    b0 AS (
+      SELECT vec_id, unnest([j * ${1 << SrpBits}
+        + list_reduce(list_prepend(0, bits[j*$SrpBits+1 : j*$SrpBits+$SrpBits]),
+            (acc, bit) -> acc * 2 + bit)
+        for j in generate_series(0, ${SrpBands - 1})]) AS bkey
+      FROM e),
+    bands AS (
+      SELECT vec_id, bkey,
+        row_number() OVER (PARTITION BY bkey ORDER BY vec_id) AS rnk
+      FROM b0),
+    cands AS (
+      SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+      FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.vec_id < b.vec_id
+      WHERE a.rnk <= $SrpBucketCap AND b.rnk <= $SrpBucketCap),
     pairs AS (
-      SELECT a.vec_id AS ida, b.vec_id AS idb,
-        ${dotDuck("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) AS cos
-      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      SELECT c.ida, c.idb,
+        ${dotDuck("ea.embedding", "eb.embedding")} / (sqrt(ea.n2) * sqrt(eb.n2)) AS cos
+      FROM cands c
+      JOIN e ea ON ea.vec_id = c.ida
+      JOIN e eb ON eb.vec_id = c.idb)
     SELECT ida, idb, floor((cos) * 1e6 + 0.5) / 1e6 AS sim
     FROM pairs WHERE cos >= 0.2 ORDER BY ida, idb"""
 
@@ -442,10 +505,12 @@ object PipelineOps {
   private val p12Spark = s"""
     WITH w AS (SELECT doc_id, lang, $wordsSpark AS words FROM documents),
     scores AS (
-      -- REPARTITION materializes the four scores before the CASE-argmax
-      -- reads each ~6 times (CollapseProject would re-inline the filter
-      -- scans; lambda HOFs get no codegen CSE)
-      SELECT /*+ REPARTITION(32) */ doc_id, lang,
+      -- REPARTITION(doc_id) materializes the four scores behind an exchange
+      -- before the CASE-argmax reads each ~6 times (CollapseProject would
+      -- re-inline the filter scans; lambda HOFs get no codegen CSE). By
+      -- column, not a fixed N: the shuffle width follows
+      -- spark.sql.shuffle.partitions at any cluster size
+      SELECT /*+ REPARTITION(doc_id) */ doc_id, lang,
         ${langSets.map { case (l, ws) => s"${scoreSpark(ws)} AS sc_$l" }.mkString(",\n        ")}
       FROM w WHERE size(words) > 0),
     scored AS (
@@ -488,20 +553,68 @@ object PipelineOps {
       CAST((octet_length(bin) // 1000) + 1 AS BIGINT) AS fake_frames
     FROM m ORDER BY doc_id"""
 
+  // ---- p10 oracle: the mapPartitions decode rollup, recomputed in SQL -----
+  // The Spark side stays typed MediaOps plumbing (mapPartitions + batching —
+  // see MediaOps.decodeFeatures); the stub features are all SQL-expressible
+  // (byte length, 1-frame-per-1000-bytes, md5-prefix digest), so DuckDB can
+  // recompute the identical per-format rollup and the driver applies the
+  // full rows+schema+hash gate instead of rows-only.
+
+  private val p10Duck = """
+    SELECT 'text/plain' AS fmt,
+      CAST(count(*) AS BIGINT) AS n_media,
+      CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+      CAST(sum(octet_length(encode(text)) // 1000 + 1) AS BIGINT) AS total_frames,
+      CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT) AS checksum_sum
+    FROM documents"""
+
   // ---- p14: per-document keyword extraction (top-k terms) ------------------
-  // Top-5 terms per doc by (frequency desc, term asc). Entirely map-side
-  // HOFs; ranking keys are zero-padded "(99999-tf)term" strings so the sort
-  // is integer-exact and identical across engines (no floats involved).
+  // Top-5 terms per doc by (frequency desc, term asc). Entirely map-side,
+  // no shuffle; ranking keys are zero-padded "(99999-tf)term" strings so the
+  // sort is integer-exact and identical across engines (no floats involved).
+  //
+  // Spark side is O(W log W) per document (W = token count): sort the words
+  // once, then ONE aggregate() fold over the sorted array counts runs and
+  // maintains a TopTerms-element best-keys accumulator (insert + resort of
+  // ≤6 strings per distinct term — constant work). The sorted array is
+  // referenced exactly once (as the fold input), so CollapseProject cannot
+  // re-inline it into a per-element lambda (the no-CSE trap that made the
+  // old per-distinct-term recount O(distinct × W)). The DuckDB oracle keeps
+  // the naive quadratic form — it only verifies values at test SF.
+  //
+  // Term frequencies clamp at 99999 (least): above that, ordering among
+  // such terms collapses to term order — a documented cap, chosen so the
+  // 5-char zero-pad can never silently corrupt the sort for >99999-token
+  // repeats (identically on both engines, hence invisible to the hash gate
+  // — which is exactly why it must be clamped, not assumed).
 
   private val TopTerms = 5
+
+  /** Rank key for a counted run: lpad(99999 - min(cnt,99999)) || term. */
+  private def p14Key(term: String, cnt: String) =
+    s"concat(lpad(CAST(99999 - least($cnt, 99999) AS STRING), 5, '0'), $term)"
+
+  /** Fold step state: top = best keys so far (≤ TopTerms, sorted), cur/cnt =
+    * current run. Inserting a finished run keeps the TopTerms smallest. */
+  private def p14Insert(top: String, term: String, cnt: String) =
+    s"slice(array_sort(concat($top, array(${p14Key(term, cnt)}))), 1, $TopTerms)"
 
   private val p14Spark = s"""
     WITH w AS (SELECT doc_id, $wordsSpark AS words FROM documents),
     k AS (
       SELECT doc_id,
-        slice(array_sort(transform(array_distinct(words),
-          t -> concat(lpad(CAST(99999 - size(filter(words, x -> x = t)) AS STRING), 5, '0'), t))),
-          1, $TopTerms) AS keys
+        aggregate(
+          array_sort(words),
+          named_struct('top', CAST(array() AS ARRAY<STRING>),
+                       'cur', CAST(NULL AS STRING), 'cnt', 0),
+          (acc, w) -> CASE
+            WHEN acc.cur IS NULL
+              THEN named_struct('top', acc.top, 'cur', w, 'cnt', 1)
+            WHEN w = acc.cur
+              THEN named_struct('top', acc.top, 'cur', acc.cur, 'cnt', acc.cnt + 1)
+            ELSE named_struct('top', ${p14Insert("acc.top", "acc.cur", "acc.cnt")},
+                              'cur', w, 'cnt', 1) END,
+          acc -> ${p14Insert("acc.top", "acc.cur", "acc.cnt")}) AS keys
       FROM w WHERE size(words) > 0)
     SELECT doc_id,
       concat_ws(',', transform(keys,
@@ -512,7 +625,7 @@ object PipelineOps {
     k AS (
       SELECT doc_id,
         list_sort(list_transform(list_distinct(words),
-          t -> lpad(CAST(99999 - len(list_filter(words, x -> x = t)) AS VARCHAR), 5, '0') || t))[1:$TopTerms] AS keys
+          t -> lpad(CAST(99999 - least(len(list_filter(words, x -> x = t)), 99999) AS VARCHAR), 5, '0') || t))[1:$TopTerms] AS keys
       FROM w WHERE len(words) > 0)
     SELECT doc_id,
       array_to_string(list_transform(keys,
@@ -589,8 +702,8 @@ object PipelineOps {
     "p07_cosine_topk" -> onEmb(p07Spark),
     "p08_ann_srp_lsh" -> onEmb(p08Spark),
     "p09_media_meta" -> onDocs(p09Spark),
-    // typed mapPartitions decode plumbing — deterministic stub "decoder",
-    // no SQL oracle (driver does the weaker rows-only check)
+    // typed mapPartitions decode plumbing — deterministic stub "decoder";
+    // the rollup is all-integer so p10Duck recomputes it exactly (hash gate)
     "p10_media_decode" -> ((spark, dir) => MediaOps.decodeFeatures(spark, dir)),
     "p11_ngram_jaccard" -> onDocs(p11Spark),
     "p12_lang_id" -> onDocs(p12Spark),
@@ -611,6 +724,7 @@ object PipelineOps {
     "p07_cosine_topk" -> p07Duck,
     "p08_ann_srp_lsh" -> p08Duck,
     "p09_media_meta" -> p09Duck,
+    "p10_media_decode" -> p10Duck,
     "p11_ngram_jaccard" -> p11Duck,
     "p12_lang_id" -> p12Duck,
     "p13_sessionize" -> p13Duck,

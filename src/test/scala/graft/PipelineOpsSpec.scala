@@ -76,6 +76,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("p08 banding recall vs p07 exact top-k ground truth") {
+    // ground truth: p07's exact top-5 neighbours per query, restricted to
+    // pairs that pass p08's output threshold (cos >= 0.2) — the pairs the
+    // bucketed path is supposed to surface
+    val truth = run("p07_cosine_topk").collect()
+      .filter(_.getDouble(3) >= 0.2)
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+      .toSet
+    assert(truth.nonEmpty, "testdata should contain >=0.2-cosine top-k pairs")
+    val found = run("p08_ann_srp_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(found).toDouble / truth.size
+    // 8 bands × 4 bits at this corpus's cos≈0.3 regime: expected recall
+    // 1-(1-p^4)^8 ≈ 0.66 (measured 0.71) — the 0.5 floor flags a broken
+    // banding join, not LSH randomness
+    assert(recall >= 0.5, s"recall $recall (${truth.count(found)}/${truth.size})")
+  }
+
   test("p11 n-gram jaccard: pairs stay within source, values in [0,1]") {
     val out = run("p11_ngram_jaccard").collect()
     assert(out.nonEmpty)
@@ -113,11 +131,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     val out = MediaOps.decode(in).collect().sortBy(_.doc_id)
     assert(out(0).n_frames == 3) // 2500 bytes -> 3 fake frames
     assert(out(0).n_bytes == 2500)
-    assert(out(0).mean_luma == 0.253906) // 65/256 rounded to 6 decimals
+    // md5("hello") = 5d41402a…; first 8 hex chars as unsigned int
+    assert(out(1).checksum == java.lang.Long.parseLong("5d41402a", 16))
     assert(out(1).n_frames == 1)
     // re-run gives identical features (stub is deterministic)
     val again = MediaOps.decode(in).collect().sortBy(_.doc_id)
     assert(out.toSeq == again.toSeq)
+  }
+
+  test("p10 rollup matches a SQL recomputation of the stub features (oracle shape)") {
+    // the same check the driver's DuckDB gate performs, done Spark-side:
+    // the typed mapPartitions rollup must equal a pure-SQL recomputation
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.createOrReplaceTempView("documents")
+    val sqlSide = spark.sql(
+      """SELECT 'text/plain' AS fmt,
+        |  count(*) AS n_media,
+        |  sum(length(encode(text, 'UTF-8'))) AS total_bytes,
+        |  sum(length(encode(text, 'UTF-8')) div 1000 + 1) AS total_frames,
+        |  sum(CAST(conv(substr(md5(text), 1, 8), 16, 10) AS BIGINT)) AS checksum_sum
+        |FROM documents""".stripMargin).collect().head
+    val typed = run("p10_media_decode").collect().head
+    assert(typed.getString(0) == sqlSide.getString(0))
+    (1 to 4).foreach(i => assert(typed.getLong(i) == sqlSide.getLong(i), s"col $i"))
   }
 
   test("driver contract: every oracle key has a query, entry() returns rows") {

@@ -92,6 +92,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!d2.exists(_.contains("single partition")))
   }
 
+  test("pipeline materialization barriers are column-hash exchanges, not fixed-width") {
+    // p04/p12/p08 use /*+ REPARTITION(key) */ as a CollapseProject barrier;
+    // the exchange must hash-partition by the column (width follows
+    // spark.sql.shuffle.partitions) — a literal REPARTITION(32) would bake a
+    // 32-task cap into the query text at any cluster size
+    Seq("p04_minhash_lsh" -> "doc_id", "p12_lang_id" -> "doc_id",
+        "p08_ann_srp_lsh" -> "vec_id").foreach { case (q, key) =>
+      val p = pipeline.PipelineOps.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(p.contains(s"hashpartitioning($key"),
+        s"$q: expected hashpartitioning($key …) exchange in:\n$p")
+      assert(!p.contains("RoundRobinPartitioning"),
+        s"$q: fixed-width round-robin exchange survives in:\n$p")
+    }
+  }
+
   test("deep positional offset carries a diagnostic; plain take does not") {
     val cat = Graft.parquetCatalog(spark, dir)
     val (_, d1) = Graft.compileWithDiagnostics("from orders\nsort o_orderkey\ntake 1000..1010", spark, cat)

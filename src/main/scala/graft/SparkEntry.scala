@@ -600,6 +600,41 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n FROM orders
         |WHERE o_orderstatus = 'P' OR o_orderstatus = 'F' AND o_totalprice > 200000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    ("q46_sort_derive_agg",
+      // an aggregate over an ambient sort with NO explicit `window` frame is
+      // a FULL-partition total, not a running sum: the auto-wrap carries
+      // (Rows, unbounded..unbounded), which survives frame elision when
+      // sorted (name_resolver.rs wrap_into_windowed + translator.rs:600-617)
+      """from supplier
+        |sort s_suppkey
+        |derive [tot = ((sum (s_acctbal | as `decimal(18,2)`)) | as double)]
+        |select [s_suppkey, s_acctbal, tot]""".stripMargin,
+      """SELECT s_suppkey, s_acctbal,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) OVER (ORDER BY s_suppkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) AS tot
+        |FROM supplier ORDER BY s_suppkey""".stripMargin),
+
+    ("q47_group_sort_derive_agg",
+      // the grouped variant of q46, plus `last` (frame-sensitive): per-group
+      // totals and the group's LAST value — not running aggregates
+      """from orders
+        |group o_custkey (
+        |  sort [o_orderdate, o_orderkey]
+        |  derive [
+        |    grp_spend = ((sum (o_totalprice | as `decimal(18,2)`)) | as double),
+        |    last_price = last 1 o_totalprice,
+        |  ]
+        |)
+        |select [o_custkey, o_orderkey, grp_spend, last_price]
+        |sort [o_custkey, o_orderkey]""".stripMargin,
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS grp_spend,
+        |  LAST_VALUE(o_totalprice) OVER w AS last_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

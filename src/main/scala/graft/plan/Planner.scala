@@ -189,7 +189,7 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
         case _ => throw new PlanError("window expects a sub-pipeline")
       }
       val spec = frameSpec(named)
-      val entry = ctx.copy(frame = spec, inWindowBody = true)
+      val entry = ctx.copy(frame = Some(spec), inWindowBody = true)
       val out = body.foldLeft(entry)(applyTransform)
       out.copy(frame = ctx.frame, inWindowBody = ctx.inWindowBody)
 
@@ -222,8 +222,9 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
     } else if (ctx.aggregated && ctx.sort.isEmpty) {
       // take after `aggregate` in a group body: exactly one row per group, so
       // the reference's per-group ROW_NUMBER filter keeps each row iff
-      // 1 ∈ [lo..hi] — deterministic even without a sort
-      val keepsFirst = rng._1.forall(_ <= 1)
+      // 1 ∈ [lo..hi] — deterministic even without a sort. Both bounds must
+      // admit 1: `take 0` or `take 2..` keep nothing
+      val keepsFirst = rng._1.forall(_ <= 1) && rng._2.forall(_ >= 1)
       ctx.copy(df = if (keepsFirst) ctx.df else ctx.df.limit(0))
     } else {
       // grouped take — the reference's signature rewrite (distinct.rs:8-126)
@@ -362,34 +363,42 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
     case single => List(single)
   }
 
-  /** window named args → frame (transforms.rs:165-244):
-    * rows:a..b | range:a..b | expanding:true ≡ rows:..0 | rolling:n ≡ rows:-(n-1)..0 */
-  private def frameSpec(named: List[(String, Expr)]): Option[FrameSpec] = {
+  /** window named args → frame, with the reference's priority order when
+    * several are combined: expanding > rolling(>0) > rows > range > default
+    * `(Rows, unbounded..unbounded)` (transforms.rs:225-240). `rolling:0` and
+    * `expanding:false` are the parameters' declared defaults, not errors —
+    * they fall through to the next argument in priority. A bare `window`
+    * with no frame argument still sets the Rows-unbounded frame (the same
+    * default wrap_into_windowed applies, name_resolver.rs:343-373). */
+  private def frameSpec(named: List[(String, Expr)]): FrameSpec = {
     val m = named.toMap
     val known = Set("rows", "range", "expanding", "rolling")
     m.keys.find(!known(_)).foreach { k =>
       throw new PlanError(
         s"unknown window argument '$k' (expected ${known.mkString("/")}; transforms.rs:165-244)")
     }
-    if (m.size > 1)
-      throw new PlanError(
-        s"window accepts one frame argument, got ${m.keys.mkString(", ")}")
+    val expanding = m.get("expanding") match {
+      case Some(BoolLit(b)) => b
+      case Some(other) => throw new PlanError(s"parameter `expanding` expects a boolean, got $other")
+      case None => false
+    }
+    val rolling = m.get("rolling") match {
+      case Some(IntLit(n)) => n
+      case Some(other) => throw new PlanError(s"parameter `rolling` expects a number, got $other")
+      case None => 0L
+    }
     def rangeOf(e: Expr): (Option[Long], Option[Long]) = e match {
       case RangeLit(s, en) => (s.map(asLong), en.map(asLong))
       case IntLit(n) => (Some(n), Some(n))
       case other => throw new PlanError(s"bad window frame range: $other")
     }
-    if (m.contains("rows")) {
-      val (lo, hi) = rangeOf(m("rows")); Some(FrameSpec("rows", lo, hi))
+    if (expanding) FrameSpec("rows", None, Some(0))
+    else if (rolling > 0) FrameSpec("rows", Some(-(rolling - 1)), Some(0))
+    else if (m.contains("rows")) {
+      val (lo, hi) = rangeOf(m("rows")); FrameSpec("rows", lo, hi)
     } else if (m.contains("range")) {
-      val (lo, hi) = rangeOf(m("range")); Some(FrameSpec("range", lo, hi))
-    } else if (m.get("expanding").contains(BoolLit(true))) {
-      Some(FrameSpec("rows", None, Some(0)))
-    } else m.get("rolling") match {
-      case Some(IntLit(n)) => Some(FrameSpec("rows", Some(-(n - 1)), Some(0)))
-      case Some(other) => throw new PlanError(s"bad rolling: $other")
-      case None => None
-    }
+      val (lo, hi) = rangeOf(m("range")); FrameSpec("range", lo, hi)
+    } else FrameSpec("rows", None, None)
   }
 
   // ---- select/derive/aggregate item shapes ----
@@ -621,10 +630,20 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
     c.over(windowSpec(ctx, withFrame = frameSensitive))
   }
 
-  /** OVER (PARTITION BY ambient-group ORDER BY ambient-sort [frame])
-    * (name_resolver.rs:343-373; frame elision translator.rs:600-617 — Spark's
-    * default frames match the reference's, so we only set explicit frames
-    * from the `window` transform). */
+  /** OVER (PARTITION BY ambient-group ORDER BY ambient-sort [frame]).
+    *
+    * Frame resolution follows the reference exactly: every auto-wrapped
+    * column function carries `(Rows, unbounded..unbounded)` unless an
+    * enclosing `window` transform overrides it (wrap_into_windowed,
+    * name_resolver.rs:343-373), and the frame is then ELIDED only when it
+    * equals the SQL default — `ROWS unbounded` for an unsorted window,
+    * `RANGE ..current row` for a sorted one (translator.rs:600-617). Spark's
+    * implicit defaults are those same two, so eliding is sound; the
+    * consequence that matters: with an ambient sort and NO explicit frame,
+    * an aggregate like `sort x | derive [t = sum y]` is a full-partition
+    * total (ROWS unbounded..unbounded survives elision), NOT a running sum.
+    * `withFrame` is false for rank/row_number/lag/lead, whose frames Spark
+    * rejects and SQL ignores. */
   private def windowSpec(ctx: Ctx, withFrame: Boolean): WindowSpec = {
     if (ctx.groupKeys.isEmpty && ctx.sort.nonEmpty)
       diagnostics += ("window over a global sort (no `group` before it) moves " +
@@ -633,13 +652,18 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
         "in `group ks (...)`, or pre-aggregate before ranking.")
     var w: WindowSpec = Window.partitionBy(ctx.groupKeys.map(k => lower(ctx, k)): _*)
     if (ctx.sort.nonEmpty) w = w.orderBy(ctx.sort.map(sortCol(ctx, _)): _*)
-    ctx.frame match {
-      case Some(FrameSpec(kind, lo, hi)) if withFrame =>
-        val l = lo.getOrElse(Window.unboundedPreceding)
-        val h = hi.getOrElse(Window.unboundedFollowing)
-        if (kind == "rows") w.rowsBetween(l, h) else w.rangeBetween(l, h)
-      case _ => w
+    if (withFrame) {
+      val frame = ctx.frame.getOrElse(FrameSpec("rows", None, None))
+      val isSqlDefault =
+        if (ctx.sort.isEmpty) frame == FrameSpec("rows", None, None)
+        else frame == FrameSpec("range", None, Some(0L))
+      if (!isSqlDefault) {
+        val l = frame.lo.getOrElse(Window.unboundedPreceding)
+        val h = frame.hi.getOrElse(Window.unboundedFollowing)
+        w = if (frame.kind == "rows") w.rowsBetween(l, h) else w.rangeBetween(l, h)
+      }
     }
+    w
   }
 
   private def lowerBinary(ctx: Ctx, op: String, l: Expr, r: Expr): Column = {

@@ -185,6 +185,68 @@ class PlannerSemanticsSpec extends AnyFunSuite {
       Seq((1L, 1L), (2L, 3L), (3L, 6L), (4L, 10L)))
   }
 
+  test("aggregate over an ambient sort with no explicit frame is a full-partition total") {
+    // wrap_into_windowed default (Rows, unbounded..unbounded) survives frame
+    // elision when sorted — NOT a running sum (ADVICE r2, name_resolver.rs:343-373)
+    val r = compileSess(
+      """from nums
+        |sort n
+        |derive [t = sum n]
+        |filter n <= 3
+        |select [n, t]""".stripMargin)
+    assert(r.map(x => (x.getLong(0), x.getLong(1))) ==
+      Seq((1L, 5050L), (2L, 5050L), (3L, 5050L)))
+  }
+
+  test("bare `window (...)` sets the same Rows-unbounded frame") {
+    val r = compileSess(
+      """from nums
+        |sort n
+        |window (derive [t = sum n])
+        |filter n <= 2
+        |select [n, t]""".stripMargin)
+    assert(r.map(x => (x.getLong(0), x.getLong(1))) == Seq((1L, 5050L), (2L, 5050L)))
+  }
+
+  test("combined window arguments follow the reference priority (expanding > rows)") {
+    // transforms.rs:225-240: expanding wins over rows; an error here would
+    // reject reference-legal queries
+    val r = compileSess(
+      """from nums
+        |sort n
+        |window expanding:true rows:0..1 (derive [r = sum n])
+        |filter n <= 3
+        |select [n, r]""".stripMargin)
+    assert(r.map(x => (x.getLong(0), x.getLong(1))) ==
+      Seq((1L, 1L), (2L, 3L), (3L, 6L)))
+  }
+
+  test("rolling:0 and expanding:false fall through to the next frame argument") {
+    val r = compileSess(
+      """from nums
+        |sort n
+        |window expanding:false rolling:0 rows:0..1 (derive [r = sum n])
+        |filter n <= 3
+        |select [n, r]""".stripMargin)
+    assert(r.map(x => (x.getLong(0), x.getLong(1))) ==
+      Seq((1L, 3L), (2L, 5L), (3L, 7L)))
+  }
+
+  test("grouped take after aggregate keeps rows only when the range admits 1") {
+    val keep = rows(
+      """from employees
+        |group country (aggregate [s = sum salary] | take 1)""".stripMargin)
+    assert(keep.nonEmpty)
+    val none = rows(
+      """from employees
+        |group country (aggregate [s = sum salary] | take 0)""".stripMargin)
+    assert(none.isEmpty)
+    val none2 = rows(
+      """from employees
+        |group country (aggregate [s = sum salary] | take 2..)""".stripMargin)
+    assert(none2.isEmpty)
+  }
+
   test("lag/lead honor the ambient group sort") {
     val r = rows(
       """from employees

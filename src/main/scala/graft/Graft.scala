@@ -1,8 +1,8 @@
 package graft
 
 import graft.ast.Query
-import graft.parse.Parser
-import graft.plan.Planner
+import graft.parse.{LexError, ParseError, Parser, SpanMap}
+import graft.plan.{PlanError, Planner}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Public API: compile PRQL straight to a Spark DataFrame.
@@ -15,21 +15,42 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Graft {
 
-  /** Parse only — returns the AST. */
-  def parse(prql: String): Query = Parser.parse(prql)
+  /** Parse only — returns the AST. Lex/parse errors are rethrown with a
+    * located, annotated message (line/col + underlined source line). */
+  def parse(prql: String): Query = parseLocated(prql)._1
+
+  /** Parse with located lex/parse errors, keeping the span side-table. */
+  private def parseLocated(prql: String): (Query, SpanMap) =
+    try Parser.parseWithSpans(prql)
+    catch {
+      case e: LexError =>
+        throw new LexError(ErrorRender.annotateAt(prql, e.getMessage, e.pos), e.pos)
+      case e: ParseError =>
+        throw new ParseError(ErrorRender.annotateAt(prql, e.getMessage, e.pos), e.pos)
+    }
 
   /** Compile against an explicit table resolver (`from name` → DataFrame). */
   def compile(prql: String, spark: SparkSession,
               catalog: String => DataFrame): DataFrame =
-    new Planner(spark, catalog, Parser.parse(prql)).planMain()
+    compileWithDiagnostics(prql, spark, catalog)._1
 
   /** Compile and also return compile-time scale diagnostics: warnings about
     * plans that execute correctly but concentrate work on one partition at
     * cluster scale (global-sort windows, deep positional offsets). */
   def compileWithDiagnostics(prql: String, spark: SparkSession,
                              catalog: String => DataFrame): (DataFrame, Seq[String]) = {
-    val planner = new Planner(spark, catalog, Parser.parse(prql))
-    val df = planner.planMain()
+    val (query, spans) = parseLocated(prql)
+    val planner = new Planner(spark, catalog, query, spans)
+    val df =
+      try planner.planMain()
+      catch {
+        case e: PlanError =>
+          e.span match {
+            case Some(sp) =>
+              throw new PlanError(ErrorRender.annotate(prql, e.getMessage, sp), e.span)
+            case None => throw e
+          }
+      }
     (df, planner.diagnostics.toSeq)
   }
 

@@ -26,6 +26,8 @@ object Main {
         |  fmt       re-print formatted PRQL (round-trip-checked)
         |  plan      print the analyzed + optimized Spark plan
         |  compile   execute and print rows
+        |  frames    annotate source with the frame after each stage
+        |  refs      list resolved identifier references (line/col -> kind)
         |options:
         |  --data-dir DIR   parquet catalog dir (default /root/testdata/sf0.001)
         |  --show N         rows to print for `compile` (default 20)""".stripMargin)
@@ -77,6 +79,15 @@ object Main {
         diags.foreach(d => System.err.println(s"[graft diagnostic] $d"))
         if (cmd == "plan") df.explain("extended")
         else df.show(show, truncate = false)
+        spark.stop()
+      case "frames" | "refs" =>
+        // the reference CLI's prql-frames / prql-refs annotate modes
+        // (cli.rs:20-36); ours resolve against real parquet schemas
+        val spark = Graft.localSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+        spark.sparkContext.setLogLevel("ERROR")
+        val cat = Graft.parquetCatalog(spark, dataDir)
+        println(if (cmd == "frames") Annotate.frames(src, spark, cat)
+                else Annotate.refs(src, spark, cat))
         spark.stop()
       case _ => usage()
     }

@@ -76,6 +76,13 @@ object Expr {
 }
 
 /** `func name param… named:default… -> body` (src/ast/query.rs:14-22). */
+/** Half-open [start, end) byte-offset range into the query source. The
+  * reference threads a `Span` through every AST node for located errors
+  * (prql-compiler/src/error.rs:1-270); here spans live in a side table keyed
+  * by node identity (graft.parse.SpanMap) so the AST stays purely
+  * structural (JSON round-trip, printer, fuzzers are span-agnostic). */
+final case class Span(start: Int, end: Int)
+
 final case class FuncDef(name: String, params: List[FuncDef.Param], body: Expr)
 object FuncDef {
   final case class Param(name: String, default: Option[Expr])

@@ -6,6 +6,17 @@ import Tok._
 
 final class ParseError(msg: String, val pos: Int) extends Exception(msg)
 
+/** Source spans for parsed AST nodes, keyed by node IDENTITY (case-class
+  * equality would conflate structurally equal nodes like two `IntLit(1)`s).
+  * Nodes produced by compile-time rewrites (function inlining, pipe
+  * currying) have no entry and fall back to their enclosing call/stage. */
+final class SpanMap(m: java.util.IdentityHashMap[Expr, Span]) {
+  def get(e: Expr): Option[Span] = Option(m.get(e))
+}
+object SpanMap {
+  val empty = new SpanMap(new java.util.IdentityHashMap)
+}
+
 /** Recursive-descent parser mirroring prql.pest (reference @ v0.2.2).
   * Notable fidelity points:
   *  - binary chains at one precedence level nest to the RIGHT
@@ -20,6 +31,14 @@ object Parser {
 
   def parse(src: String): Query = new Parser(Lexer.lex(src)).parseQuery()
 
+  /** Parse and also return the node→span side table (for located errors and
+    * the CLI annotate modes). */
+  def parseWithSpans(src: String): (Query, SpanMap) = {
+    val p = new Parser(Lexer.lex(src))
+    val q = p.parseQuery()
+    (q, p.spanMap)
+  }
+
   /** Parse a single expression-call fragment (used for s/f-string interps). */
   def parseExprFragment(src: String): Expr = {
     val p = new Parser(Lexer.lex(src))
@@ -31,6 +50,19 @@ object Parser {
 
 private final class Parser(toks: Vector[Tok]) {
   private var i = 0
+
+  /** Node spans by identity; end = start of the following token (rendering
+    * trims trailing whitespace). First record wins, so a node recorded by a
+    * tight production (e.g. parsePrimary) keeps its tight span when an
+    * enclosing production records again. NullLit is the one shared case
+    * object — never record it. */
+  private val spans = new java.util.IdentityHashMap[Expr, Span]()
+  def spanMap: SpanMap = new SpanMap(spans)
+  private def recorded(start: Int, e: Expr): Expr = {
+    if ((e.asInstanceOf[AnyRef] ne Expr.NullLit) && !spans.containsKey(e))
+      spans.put(e, Span(start, peek.pos))
+    e
+  }
   private def peek: Tok = toks(i)
   private def peek2: Tok = if (i + 1 < toks.length) toks(i + 1) else toks.last
   private def next(): Tok = { val t = toks(i); if (i < toks.length - 1) i += 1; t }
@@ -160,6 +192,7 @@ private final class Parser(toks: Vector[Tok]) {
     * whitespace) by at least one argument that does not start with an
     * operator. */
   def parseExprCall(): Expr = {
+    val start = peek.pos
     peek match {
       case TIdent(parts, _) if startsArg(peek2) =>
         next()
@@ -177,7 +210,7 @@ private final class Parser(toks: Vector[Tok]) {
             case _ => args += parseExpr()
           }
         }
-        FuncCall(name, args.result(), named.result())
+        recorded(start, FuncCall(name, args.result(), named.result()))
       case _ => parseExpr()
     }
   }
@@ -207,29 +240,32 @@ private final class Parser(toks: Vector[Tok]) {
   // target DB re-parses with standard AND > OR precedence — that is the
   // observable semantics (`a or b and c` ≡ `a or (b and c)`).
   def parseExpr(): Expr = {
+    val start = peek.pos
     var l = parseAndChain()
     var going = true
     while (going) peek match {
       case TOp("or", _) => next(); l = Binary("or", l, parseAndChain())
       case _ => going = false
     }
-    l
+    recorded(start, l)
   }
 
   private def parseAndChain(): Expr = {
+    val start = peek.pos
     var l = parseCoalesce()
     var going = true
     while (going) peek match {
       case TOp("and", _) => next(); l = Binary("and", l, parseCoalesce())
       case _ => going = false
     }
-    l
+    recorded(start, l)
   }
 
   private def parseCoalesce(): Expr = {
+    val start = peek.pos
     var l = parseCompare()
     while (isOp("??")) { next(); l = FuncCall("coalesce", List(l, parseCompare()), Nil) }
-    l
+    recorded(start, l)
   }
 
   private def parseCompare(): Expr = {
@@ -283,7 +319,12 @@ private final class Parser(toks: Vector[Tok]) {
     case _ => None
   }
 
-  private def parsePrimary(): Expr = peek match {
+  private def parsePrimary(): Expr = {
+    val start = peek.pos
+    recorded(start, parsePrimary0())
+  }
+
+  private def parsePrimary0(): Expr = peek match {
     case TInt(v, _) => next(); IntLit(v)
     case TFloat(v, _) => next(); FloatLit(v)
     case TStr(v, _) => next(); StrLit(v)
@@ -363,10 +404,13 @@ private final class Parser(toks: Vector[Tok]) {
   }
 
   /** assign_call rhs may itself be a func call: `ct = count` (prql.pest:49). */
-  private def parseListItem(): Expr = peek match {
-    case TIdent(List(n), _) if isOpTok(peek2, "=") =>
-      next(); next()
-      Assign(n, parseExprCall())
-    case _ => parseExprCall()
+  private def parseListItem(): Expr = {
+    val start = peek.pos
+    peek match {
+      case TIdent(List(n), _) if isOpTok(peek2, "=") =>
+        next(); next()
+        recorded(start, Assign(n, parseExprCall()))
+      case _ => parseExprCall()
+    }
   }
 }

@@ -2,11 +2,17 @@ package graft.plan
 
 import graft.ast._
 import graft.ast.Expr._
+import graft.parse.SpanMap
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.{functions => F}
 
-final class PlanError(msg: String) extends Exception(msg)
+/** Planning error, optionally located at a source [[Span]] (attached by the
+  * planner from the parser's span table; rendered into an annotated message
+  * at the Graft API boundary, where the source text is known). */
+final class PlanError(msg: String, val span: Option[Span]) extends Exception(msg) {
+  def this(msg: String) = this(msg, None)
+}
 
 /** Lowers a resolved PRQL [[Query]] to a Spark DataFrame by folding each
   * pipeline transform into DataFrame/Column/Window operations. Catalyst is the
@@ -19,13 +25,26 @@ final class PlanError(msg: String) extends Exception(msg)
   * and src/sql/{distinct.rs,un_group.rs,translator.rs}.
   */
 final class Planner(spark: SparkSession, catalog: String => DataFrame,
-                    query: Query) {
+                    query: Query, spans: SpanMap = SpanMap.empty) {
 
   /** Compile-time scale diagnostics (not errors): plans that are correct but
     * degrade on large clusters — e.g. a window over a global ORDER BY with no
     * PARTITION BY funnels every row through one partition. Populated during
     * planning; surfaced via [[graft.Graft.compileWithDiagnostics]]. */
   val diagnostics = scala.collection.mutable.LinkedHashSet.empty[String]
+
+  /** Per-stage trace: (stage node, frame columns AFTER the stage), in
+    * application order, including group/window sub-pipeline stages. Feeds
+    * the CLI annotate modes (the reference's prql-frames,
+    * semantic/reporting.rs:11-60). */
+  val stageFrames = scala.collection.mutable.ArrayBuffer.empty[(Expr, Seq[String])]
+
+  // accessors for graft.Annotate (CLI refs/frames modes)
+  def spansForAnnotate: SpanMap = spans
+  def userFuncNames: Set[String] = funcs.keySet
+  def topLevelStages: Seq[Expr] =
+    query.tables.flatMap(_.pipeline.stages) ++
+      query.main.map(_.stages).getOrElse(Nil)
 
   private val funcs: Map[String, FuncDef] = query.funcs.map(f => f.name -> f).toMap
   private val tableDefs: Map[String, TableDef] = query.tables.map(t => t.name -> t).toMap
@@ -43,7 +62,8 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
       frame: Option[FrameSpec] = None, // explicit frame from `window ...:`
       inGroupBody: Boolean = false,
       inWindowBody: Boolean = false,   // legality gate, independent of frame
-      aggregated: Boolean = false)     // a group body ran `aggregate` (1 row/group)
+      aggregated: Boolean = false,     // a group body ran `aggregate` (1 row/group)
+      checkColumns: Boolean = true)    // off where the frame is one join side
 
   def planMain(): DataFrame = {
     val main = query.main.getOrElse(throw new PlanError("query has no main pipeline"))
@@ -52,7 +72,7 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
 
   def planPipeline(p: Pipeline): DataFrame = {
     // table-less pipelines (`derive x = 5`) start from a one-row relation
-    val init = Ctx(spark.range(1).select())
+    val init = Ctx(Planner.unitDf(spark))
     p.stages.foldLeft(init)(applyTransform).df
   }
 
@@ -80,12 +100,23 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
 
   // ---------------- transforms ----------------
 
-  private def applyTransform(ctx: Ctx, stage: Expr): Ctx = stage match {
-    case FuncCall(name, args, named) => applyCall(ctx, name, args, named)
-    case Ident(List(name)) if isTransformName(name) =>
-      applyCall(ctx, name, Nil, Nil)
-    case other =>
-      throw new PlanError(s"pipeline stage is not a transform: $other")
+  private def applyTransform(ctx: Ctx, stage: Expr): Ctx = {
+    val out =
+      try stage match {
+        case FuncCall(name, args, named) => applyCall(ctx, name, args, named)
+        case Ident(List(name)) if isTransformName(name) =>
+          applyCall(ctx, name, Nil, Nil)
+        case other =>
+          throw new PlanError(s"pipeline stage is not a transform: $other")
+      } catch {
+        // locate span-less planner errors at the enclosing stage (errors
+        // raised while lowering an expression carry the tighter expression
+        // span already — see lower/lowerAgg)
+        case e: PlanError if e.span.isEmpty =>
+          throw new PlanError(e.getMessage, spans.get(stage))
+      }
+    stageFrames += ((stage, out.df.columns.toSeq))
+    out
   }
 
   private def isTransformName(n: String): Boolean = Set(
@@ -335,7 +366,9 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
       }
       case Unary("-", v) => -go(v)
       case Unary("!", v) => !go(v)
-      case _ => lower(Ctx(left), x)
+      // nested expressions may reference either side — let the analyzer
+      // scope their idents rather than checking against the left frame
+      case _ => lower(Ctx(left, checkColumns = false), x)
     }
     go(e)
   }
@@ -444,7 +477,10 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
   }
 
   private def sortCol(ctx: Ctx, s: SortItem): Column = {
-    val c = lower(ctx, s.e)
+    // sort may reference columns a projection dropped (SQL ORDER BY
+    // semantics): Spark's ResolveMissingReferences pulls them through the
+    // child and prunes after the Sort — so no frame pre-check here
+    val c = lower(ctx.copy(checkColumns = false), s.e)
     if (s.desc) c.desc else c.asc
   }
 
@@ -471,7 +507,16 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
       windowColumn(ctx, n, Nil)
     case Ident(List(n)) if funcs.get(n).exists(_.params.isEmpty) =>
       lower(ctx, funcs(n).body)
-    case Ident(parts) => identCol(parts)
+    case id @ Ident(parts) =>
+      // single-part idents must name a column of the current frame — check
+      // here (with a located error listing the frame) instead of deferring
+      // to the Spark analyzer's unlocated UNRESOLVED_COLUMN. Qualified and
+      // wildcard idents stay analyzer-scoped (aliases, `t.*`).
+      if (ctx.checkColumns && parts.lengthCompare(1) == 0 && parts.head != "*" &&
+          !ctx.df.columns.exists(_.equalsIgnoreCase(parts.head)))
+        throw new PlanError(
+          s"unknown column '${parts.head}' (frame: ${frameHint(ctx)})", spans.get(id))
+      identCol(parts)
     case NullLit => F.lit(null)
     case IntLit(v) => F.lit(v)
     case FloatLit(v) => F.lit(v)
@@ -492,7 +537,12 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
       }: _*)
     case SStr(parts) => F.expr(sstringSql(parts))
     case p: Pipeline => lower(ctx, inlinePipe(p))
-    case FuncCall(name, args, named) => lowerCall(ctx, name, args, named, inAgg = false)
+    case fc @ FuncCall(name, args, named) =>
+      try lowerCall(ctx, name, args, named, inAgg = false)
+      catch {
+        case e: PlanError if e.span.isEmpty =>
+          throw new PlanError(e.getMessage, spans.get(fc))
+      }
     case Assign(n, x) => lower(ctx, x).as(n)
     case RangeLit(_, _) => throw new PlanError("range is only valid in take/in/window")
     case JinjaLit(src) => throw new PlanError(
@@ -507,7 +557,12 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
       lowerAgg(ctx, funcs(n).body)
     case FuncCall(name, args, named) if !funcs.contains(name) && aggFns(name) =>
       aggColumn(ctx, name, args)
-    case FuncCall(name, args, named) => lowerCall(ctx, name, args, named, inAgg = true)
+    case fc @ FuncCall(name, args, named) =>
+      try lowerCall(ctx, name, args, named, inAgg = true)
+      catch {
+        case e: PlanError if e.span.isEmpty =>
+          throw new PlanError(e.getMessage, spans.get(fc))
+      }
     case Binary(op, l, r) =>
       binaryCol(op, lowerAgg(ctx, l), lowerAgg(ctx, r), l, r)
     case Unary("-", x) => -lowerAgg(ctx, x)
@@ -699,6 +754,13 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
   private def identCol(parts: List[String]): Column =
     F.col(parts.map(quoteName).mkString("."))
 
+  /** Frame summary for unknown-column errors — first 12 columns. */
+  private def frameHint(ctx: Ctx): String = {
+    val cols = ctx.df.columns
+    if (cols.length <= 12) cols.mkString(", ")
+    else cols.take(12).mkString(", ") + s", … ${cols.length - 12} more"
+  }
+
   /** `(x | f a | g)` — pipe appends upstream as last positional arg
     * (materializer.rs:276-301). */
   private def inlinePipe(p: Pipeline): Expr =
@@ -824,5 +886,17 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
     case FloatLit(v) => v.toString
     case StrLit(v) => v
     case _ => "expr"
+  }
+}
+
+object Planner {
+  /** Per-session one-row unit relation for table-less pipelines — cached so
+    * each compile doesn't pay two analyzer runs (range + select) before the
+    * `from` stage replaces it anyway. Weak keys: sessions can be recycled. */
+  private val unitDfs = new java.util.WeakHashMap[SparkSession, DataFrame]
+  private[plan] def unitDf(spark: SparkSession): DataFrame = unitDfs.synchronized {
+    var df = unitDfs.get(spark)
+    if (df == null) { df = spark.range(1).select(); unitDfs.put(spark, df) }
+    df
   }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden outputs for the CLI annotate modes (the reference's prql-frames /
+  * prql-refs, cli.rs:20-36) against the in-memory fixtures. */
+class AnnotateSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private def cat = TestSpark.catalog
+
+  test("frames: each stage line is annotated with the frame after it") {
+    val prql =
+      """from salaries
+        |filter salary > 500
+        |derive bump = salary * 1.1
+        |select [emp_no, bump]""".stripMargin
+    val out = Annotate.frames(prql, spark, cat)
+    val expect =
+      """from salaries               # [emp_no, salary, country, from_date, to_date]
+        |filter salary > 500         # [emp_no, salary, country, from_date, to_date]
+        |derive bump = salary * 1.1  # [emp_no, salary, country, from_date, to_date, bump]
+        |select [emp_no, bump]       # [emp_no, bump]""".stripMargin
+    assert(out == expect)
+  }
+
+  test("frames: group sub-pipeline stages annotate their own lines") {
+    val prql =
+      """from salaries
+        |group country (
+        |  aggregate [avg_pay = average salary]
+        |)""".stripMargin
+    val out = Annotate.frames(prql, spark, cat)
+    assert(out.linesIterator.toSeq(2).contains("# [country, avg_pay]"))
+    // the `group` stage itself annotates its first line with the final frame
+    assert(out.linesIterator.toSeq(1).contains("# [country, avg_pay]"))
+  }
+
+  test("refs: idents are classified as table / column / functions") {
+    val prql =
+      """func double x -> x * 2
+        |from salaries
+        |derive d = (double salary)
+        |aggregate [m = max d]""".stripMargin
+    val out = Annotate.refs(prql, spark, cat)
+    val expect =
+      """line 2, col 6: salaries -> table
+        |line 3, col 13: double -> user function
+        |line 3, col 20: salary -> column
+        |line 4, col 16: max -> builtin function
+        |line 4, col 20: d -> column""".stripMargin
+    assert(out == expect)
+  }
+}

@@ -195,8 +195,11 @@ object PipelineOps {
   private val hashALit = hashA.mkString("array(", ",", ")")
   private val hashBLit = hashB.mkString("array(", ",", ")")
 
-  private val p04Spark = s"""
-    WITH w AS (
+  /** Shared LSH CTE chain (words → shingles → minhash sigs → bands →
+    * candidates → verified jaccard) — the p04 pipeline body, also reused by
+    * p16's cluster assignment. */
+  private val lshCtesSpark = s"""
+    w AS (
       SELECT doc_id, $wordsSpark AS words FROM documents),
     sh AS (
       SELECT doc_id,
@@ -235,12 +238,15 @@ object PipelineOps {
           / (size(sa.shingles) + size(sb.shingles) - size(array_intersect(sa.shingles, sb.shingles))) AS jac
       FROM cands c
       JOIN sh sa ON sa.doc_id = c.ida
-      JOIN sh sb ON sb.doc_id = c.idb)
+      JOIN sh sb ON sb.doc_id = c.idb)"""
+
+  private val p04Spark = s"""
+    WITH $lshCtesSpark
     SELECT ida, idb, CAST(floor((jac) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS jaccard
     FROM verified WHERE jac >= 0.5 ORDER BY ida, idb"""
 
-  private val p04Duck = s"""
-    WITH w AS (
+  private val lshCtesDuck = s"""
+    w AS (
       SELECT doc_id, $wordsDuck AS words FROM documents),
     sh AS (
       SELECT doc_id,
@@ -268,7 +274,10 @@ object PipelineOps {
           / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jac
       FROM cands c
       JOIN sh sa ON sa.doc_id = c.ida
-      JOIN sh sb ON sb.doc_id = c.idb)
+      JOIN sh sb ON sb.doc_id = c.idb)"""
+
+  private val p04Duck = s"""
+    WITH $lshCtesDuck
     SELECT ida, idb, floor((jac) * 1e6 + 0.5) / 1e6 AS jaccard
     FROM verified WHERE jac >= 0.5 ORDER BY ida, idb"""
 
@@ -678,6 +687,133 @@ object PipelineOps {
     FROM sess GROUP BY user_id, session_id
     ORDER BY user_id, session_id"""
 
+  // ---- p15: deterministic stratified sampling ------------------------------
+  // Hash-based sampling (md5 of the key, not rand()): rerun-stable and
+  // engine-independent — the property a training-data pipeline needs so a
+  // re-executed job selects the SAME sample. Map-side filter + one
+  // partial-agg rollup per stratum; the rate is a constant here but is the
+  // obvious per-stratum knob (e.g. downsample dominant languages).
+
+  private val SampleRatePerMille = 100 // 10%
+
+  private val p15Spark = s"""
+    WITH h AS (
+      SELECT lang, doc_id,
+        pmod(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT), 1000) AS bucket
+      FROM documents)
+    SELECT lang,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN bucket < $SampleRatePerMille THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      CAST(sum(CASE WHEN bucket < $SampleRatePerMille THEN doc_id ELSE 0 END) AS BIGINT) AS sampled_id_sum
+    FROM h GROUP BY lang ORDER BY lang"""
+  private val p15Duck = s"""
+    WITH h AS (
+      SELECT lang, doc_id,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS bucket
+      FROM documents)
+    SELECT lang,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN bucket < $SampleRatePerMille THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      CAST(sum(CASE WHEN bucket < $SampleRatePerMille THEN doc_id ELSE 0 END) AS BIGINT) AS sampled_id_sum
+    FROM h GROUP BY lang ORDER BY lang"""
+
+  // ---- p16: near-dup cluster assignment (dedup representatives) ------------
+  // Completes the dedup story: p04's verified pairs → connected components
+  // via min-label propagation, unrolled to 3 rounds (each round: one
+  // edges-join + groupBy-min = one shuffle). LSH near-dup groups are
+  // quasi-cliques (every member shares a band with most others), so the
+  // label diameter is 1-2 and 3 rounds converge; for adversarial chain
+  // topologies at 100 TB, run the single-round step in a driver loop until
+  // the label sum stops changing (same plan per iteration). Cluster
+  // representative = min doc_id of the component — the row a dedup keep-list
+  // would retain.
+
+  private def labelRound(prev: String, next: String): String = s"""
+    $next AS (
+      SELECT l.doc_id, least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
+      FROM $prev l
+      LEFT JOIN edges e ON e.a = l.doc_id
+      LEFT JOIN $prev n ON n.doc_id = e.b
+      GROUP BY l.doc_id, l.lbl)"""
+
+  private def p16Tail = s"""
+    dup_pairs AS (SELECT ida, idb FROM verified WHERE jac >= 0.5),
+    edges AS (SELECT ida AS a, idb AS b FROM dup_pairs
+              UNION ALL SELECT idb, ida FROM dup_pairs),
+    l0 AS (SELECT doc_id, doc_id AS lbl FROM documents),
+    ${labelRound("l0", "l1")},
+    ${labelRound("l1", "l2")},
+    ${labelRound("l2", "l3")}
+    SELECT lbl AS cluster_rep,
+      CAST(count(*) AS BIGINT) AS n_members,
+      CAST(sum(doc_id) AS BIGINT) AS member_id_sum
+    FROM l3 GROUP BY lbl ORDER BY cluster_rep"""
+
+  private val p16Spark = s"WITH $lshCtesSpark,\n$p16Tail"
+  private val p16Duck = s"WITH $lshCtesDuck,\n$p16Tail"
+
+  // ---- p17: rule-based quality filtering -----------------------------------
+  // The canonical pre-training keep/drop pass (Gopher/C4-style rules,
+  // thresholds tuned to this corpus): length band, stopword presence
+  // (natural-language signal), distinct-token ratio (repetition detector).
+  // Map-side only; reasons are first-match so the output is deterministic.
+
+  private val p17Spark = s"""
+    WITH t AS (SELECT doc_id, $wordsSpark AS words FROM documents),
+    s AS (
+      SELECT doc_id, size(words) AS n_tokens,
+        CAST(size(filter(words, w -> w IN ('the','a','of','and'))) AS DOUBLE)
+          / size(words) AS stop_ratio,
+        CAST(size(array_distinct(words)) AS DOUBLE) / size(words) AS distinct_ratio
+      FROM t WHERE size(words) > 0)
+    SELECT doc_id,
+      CASE WHEN n_tokens < 30 OR n_tokens > 300 THEN 'length'
+           WHEN stop_ratio < 0.02 THEN 'stopword'
+           WHEN distinct_ratio < 0.3 THEN 'repetition'
+           ELSE 'ok' END AS reason,
+      (CASE WHEN n_tokens < 30 OR n_tokens > 300 THEN 'length'
+            WHEN stop_ratio < 0.02 THEN 'stopword'
+            WHEN distinct_ratio < 0.3 THEN 'repetition'
+            ELSE 'ok' END = 'ok') AS keep
+    FROM s ORDER BY doc_id"""
+  private val p17Duck = s"""
+    WITH t AS (SELECT doc_id, $wordsDuck AS words FROM documents),
+    s AS (
+      SELECT doc_id, len(words) AS n_tokens,
+        CAST(len(list_filter(words, w -> w IN ('the','a','of','and'))) AS DOUBLE)
+          / len(words) AS stop_ratio,
+        CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS distinct_ratio
+      FROM t WHERE len(words) > 0)
+    SELECT doc_id,
+      CASE WHEN n_tokens < 30 OR n_tokens > 300 THEN 'length'
+           WHEN stop_ratio < 0.02 THEN 'stopword'
+           WHEN distinct_ratio < 0.3 THEN 'repetition'
+           ELSE 'ok' END AS reason,
+      (CASE WHEN n_tokens < 30 OR n_tokens > 300 THEN 'length'
+            WHEN stop_ratio < 0.02 THEN 'stopword'
+            WHEN distinct_ratio < 0.3 THEN 'repetition'
+            ELSE 'ok' END = 'ok') AS keep
+    FROM s ORDER BY doc_id"""
+
+  // ---- p18: text cleaning (filler removal + canonical checksum) ------------
+  // Word-level filler scrub (regex replaces diverge on overlapping matches
+  // across engines; array filter does not), single-space rejoin, md5-prefix
+  // checksum of the cleaned text — the idempotent "canonical form" step that
+  // feeds exact dedup. Map-side HOFs only.
+
+  private val p18Spark = s"""
+    WITH t AS (SELECT doc_id, $wordsSpark AS words FROM documents)
+    SELECT doc_id,
+      CAST(size(filter(words, w -> w IN ('a','the'))) AS BIGINT) AS n_removed,
+      CAST(conv(substr(md5(array_join(filter(words, w -> NOT w IN ('a','the')), ' ')), 1, 8), 16, 10) AS BIGINT) AS clean_checksum
+    FROM t ORDER BY doc_id"""
+  private val p18Duck = s"""
+    WITH t AS (SELECT doc_id, $wordsDuck AS words FROM documents)
+    SELECT doc_id,
+      CAST(len(list_filter(words, w -> w IN ('a','the'))) AS BIGINT) AS n_removed,
+      CAST(('0x' || substr(md5(array_to_string(list_filter(words, w -> NOT w IN ('a','the')), ' ')), 1, 8)) AS BIGINT) AS clean_checksum
+    FROM t ORDER BY doc_id"""
+
   // ---- wiring --------------------------------------------------------------
 
   private def onDocs(sql: String): (SparkSession, String) => DataFrame =
@@ -712,6 +848,10 @@ object PipelineOps {
       spark.sql(p13Spark)
     }),
     "p14_top_terms" -> onDocs(p14Spark),
+    "p15_sample_stratified" -> onDocs(p15Spark),
+    "p16_dedup_clusters" -> onDocs(p16Spark),
+    "p17_quality_filter" -> onDocs(p17Spark),
+    "p18_text_clean" -> onDocs(p18Spark),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -729,5 +869,9 @@ object PipelineOps {
     "p12_lang_id" -> p12Duck,
     "p13_sessionize" -> p13Duck,
     "p14_top_terms" -> p14Duck,
+    "p15_sample_stratified" -> p15Duck,
+    "p16_dedup_clusters" -> p16Duck,
+    "p17_quality_filter" -> p17Duck,
+    "p18_text_clean" -> p18Duck,
   )
 }

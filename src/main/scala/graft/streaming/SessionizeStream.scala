@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{functions => F}
+
+/** Structured Streaming surplus module. The reference compiles to SQL
+  * strings and has no streaming surface (SURVEY §1.4), but a Spark-native
+  * engine should run its pipeline operators over unbounded inputs too.
+  * This module re-expresses PipelineOps.p13 (gap-based event
+  * sessionization) in the two canonical streaming shapes, batch-checked
+  * against the p13 operator in StreamingSessionizeSpec:
+  *
+  *  1. [[sessionWindows]] — the DECLARATIVE path: built-in
+  *     `session_window(ts, gap)` + watermark. Preferred at 100 TB: Catalyst
+  *     plans it as a streaming session aggregation with state-store-backed
+  *     incremental merge, partial aggregation, and watermark-driven state
+  *     eviction — nothing hand-rolled.
+  *  2. [[sessionizeWithState]] — the CUSTOM-STATE path
+  *     (flatMapGroupsWithState): the shape to reach for when session logic
+  *     outgrows an aggregate (per-session ML features, complex close
+  *     conditions). Emits a session as soon as a gap closes it; state holds
+  *     exactly one open session per user (O(users) state, not O(events)).
+  *
+  * Ordering contract: events are processed in event-time order WITHIN each
+  * micro-batch (sorted per group below); cross-batch late data is handled
+  * by the watermark in (1) and must be handled by a reorder buffer in (2)
+  * for production use — documented here rather than hidden.
+  */
+object SessionizeStream {
+
+  final case class Ev(user_id: Long, event_id: Long, tus: Long)
+  /** Open-session state per user. */
+  final case class OpenSession(sessionId: Long, firstTus: Long, lastTus: Long,
+                               nEvents: Long)
+  final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                              span_us: Long)
+
+  /** Declarative sessionization: works identically on a static DataFrame or
+    * a stream (pass the result of readStream + withWatermark). `ts` must be
+    * a timestamp column; gap is a SQL interval string like "4 hours". */
+  def sessionWindows(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(F.col("user_id"), F.session_window(F.col("ts"), gap))
+      .agg(
+        F.count(F.lit(1)).as("n_events"),
+        // span in µs between first and last event (session_window end pads
+        // the gap, so derive the span from the actual event bounds)
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).as("span_us"))
+      .select(F.col("user_id"), F.col("session_window.start").as("session_start"),
+        F.col("n_events"), F.col("span_us"))
+
+  /** Custom-state sessionization over a typed stream: one OpenSession per
+    * user in the state store; a closed session is emitted the moment a gap
+    * exceeds `gapUs`. The final open session per user stays in state (in
+    * production it is flushed by an event-time timeout; [[flushOpen]] shows
+    * the terminal emission for bounded replays/tests). */
+  def sessionizeWithState(events: Dataset[Ev], gapUs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[OpenSession]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          // event-time order within the batch (iterator order is undefined)
+          var open = state.getOption.orNull
+          rows.toSeq.sortBy(e => (e.tus, e.event_id)).foreach { e =>
+            open match {
+              case null =>
+                open = OpenSession(1L, e.tus, e.tus, 1L)
+              case s if e.tus - s.lastTus > gapUs =>
+                out += SessionOut(userId, s.sessionId, s.nEvents, s.lastTus - s.firstTus)
+                open = OpenSession(s.sessionId + 1, e.tus, e.tus, 1L)
+              case s =>
+                open = s.copy(lastTus = e.tus, nEvents = s.nEvents + 1)
+            }
+          }
+          if (open != null) state.update(open)
+          out.iterator
+      }
+  }
+
+  /** Terminal flush for bounded replays: the per-user sessions still open
+    * when the input ends (streaming production replaces this with an
+    * event-time timeout in the flatMapGroupsWithState callback). */
+  def flushOpen(finalStates: Dataset[(Long, OpenSession)]): Dataset[SessionOut] = {
+    import finalStates.sparkSession.implicits._
+    finalStates.map { case (uid, s) =>
+      SessionOut(uid, s.sessionId, s.nEvents, s.lastTus - s.firstTus)
+    }
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import graft.pipeline.PipelineOps
+import graft.streaming.SessionizeStream
+import graft.streaming.SessionizeStream.{Ev, SessionOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming module's contract: the batch p13 operator is the oracle.
+  * Both streaming shapes (declarative session_window and custom
+  * flatMapGroupsWithState) must agree with it on the same input. */
+class StreamingSessionizeSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.spark
+
+  private def eventsDf = {
+    import spark.implicits._
+    // ts arrives as nanos-long (nanosAsLong); the streaming ops take µs
+    spark.read.parquet(s"$dir/events.parquet")
+      .select($"user_id", $"event_id",
+        F.timestamp_micros(F.expr("ts div 1000")).as("ts"))
+  }
+
+  private def p13Rows: Seq[(Long, Long, Long, Long)] =
+    PipelineOps.queries("p13_sessionize")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+  test("declarative session_window matches batch p13 on the events table") {
+    val sw = SessionizeStream.sessionWindows(eventsDf, "4 hours")
+      .collect().map(r => (r.getLong(r.fieldIndex("user_id")),
+        r.getLong(r.fieldIndex("n_events")), r.getLong(r.fieldIndex("span_us"))))
+    // session ids are ordinal in p13 and window-starts here — compare the
+    // (user, n_events, span) multiset (boundary note: session_window closes
+    // at gap strictly-equal where p13 keeps it open; no such exact-gap pair
+    // exists in µs-grained data)
+    val a = sw.toSeq.sorted
+    val b = p13Rows.map(r => (r._1, r._3, r._4)).sorted
+    assert(a == b)
+  }
+
+  test("flatMapGroupsWithState emits exactly the closed sessions (batch replay)") {
+    import spark.implicits._
+    val typed = spark.read.parquet(s"$dir/events.parquet")
+      .select($"user_id", $"event_id", F.expr("ts div 1000").as("tus"))
+      .as[Ev]
+    val closed = SessionizeStream
+      .sessionizeWithState(typed, 4L * 3600 * 1000000)
+      .collect().map(s => (s.user_id, s.session_id, s.n_events, s.span_us)).toSet
+    // expected: every p13 session except each user's final (still-open) one
+    val all = p13Rows
+    val lastPerUser = all.groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).max }
+    val expected = all.filter { case (u, sid, _, _) => sid != lastPerUser(u) }
+      .map(r => (r._1, r._2, r._3, r._4)).toSet
+    assert(closed == expected)
+    assert(expected.nonEmpty, "testdata should contain multi-session users")
+  }
+
+  test("flatMapGroupsWithState carries state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val h = 3600L * 1000000
+    val ms = MemoryStream[Ev]
+    val q = SessionizeStream.sessionizeWithState(ms.toDS(), 4 * h)
+      .writeStream.format("memory").queryName("fmgs_out").outputMode("append")
+      .start()
+    try {
+      // session 1 of user 7 straddles the two micro-batches
+      ms.addData(Ev(7, 1, 0), Ev(7, 2, 1 * h))
+      q.processAllAvailable()
+      ms.addData(Ev(7, 3, 2 * h), Ev(7, 4, 10 * h)) // 8h gap closes session 1
+      q.processAllAvailable()
+      val rows = spark.table("fmgs_out").as[SessionOut].collect()
+      assert(rows.toSeq == Seq(SessionOut(7, 1, 3, 2 * h)))
+    } finally q.stop()
+  }
+
+  test("declarative session_window runs as a real stream with watermark eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val h = 3600L * 1000000
+    val ms = MemoryStream[Ev]
+    val stream = ms.toDF()
+      .select($"user_id", $"event_id", F.timestamp_micros($"tus").as("ts"))
+      .withWatermark("ts", "1 second")
+    val q = SessionizeStream.sessionWindows(stream, "4 hours")
+      .writeStream.format("memory").queryName("sw_out").outputMode("append")
+      .start()
+    try {
+      ms.addData(Ev(1, 1, 0), Ev(1, 2, 1 * h), Ev(1, 3, 10 * h), Ev(2, 1, 0))
+      q.processAllAvailable()
+      // sentinel far-future events push the watermark past every session end
+      ms.addData(Ev(1, 99, 1000 * h), Ev(2, 99, 1000 * h))
+      q.processAllAvailable()
+      ms.addData(Ev(1, 100, 2000 * h)) // one more batch applies the watermark
+      q.processAllAvailable()
+      val rows = spark.table("sw_out")
+        .select("user_id", "n_events", "span_us").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // closed: user1 session {t0, t0+1h} (span 1h), session {t0+10h} (span 0),
+      // user2 session {t0}; sentinel sessions are still open → not emitted
+      assert(rows == Set((1L, 2L, 1 * h), (1L, 1L, 0L), (2L, 1L, 0L)))
+    } finally q.stop()
+  }
+}

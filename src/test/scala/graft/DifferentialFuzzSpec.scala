@@ -136,6 +136,23 @@ class DifferentialFuzzSpec extends AnyFunSuite {
             }),
             cols :+ name, sorted)
         },
+        // aggregate over an ambient sort with NO explicit frame: the
+        // reference's auto-wrap frame (Rows, unbounded..unbounded) makes it
+        // a FULL-partition total on every row (r3 frame-semantics rule)
+        1 -> colGen(cols).map { col =>
+          val name = s"t$fresh"
+          (Stage(s"derive [$name = sum $col]",
+            rs => { val tot = rs.map(_(col)).sum; rs.map(_ + (name -> tot)) }),
+            cols :+ name, sorted)
+        },
+        // expanding frame: running prefix sum in sort order
+        1 -> colGen(cols).map { col =>
+          val name = s"e$fresh"
+          (Stage(s"window expanding:true (derive [$name = sum $col])",
+            rs => rs.zip(rs.scanLeft(0L)((acc, r) => acc + r(col)).tail)
+              .map { case (r, s) => r + (name -> s) }),
+            cols :+ name, sorted)
+        },
       )
     Gen.frequency(base ++ joins ++ takes: _*)
   }

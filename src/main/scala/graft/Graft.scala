@@ -64,10 +64,22 @@ object Graft {
   def compileSession(prql: String, spark: SparkSession): DataFrame =
     compile(prql, spark, name => spark.table(name))
 
+  /** `from name` resolution order: `$dir/name.parquet`, then `.csv` (with
+    * header + schema inference), then `.json` (JSON-lines), then the session
+    * catalog (temp views/tables). The reference has no source formats at all
+    * (it emits SQL text — SURVEY §2.9); the parquet-first convention is the
+    * driver's, csv/json are the other two formats a Spark-native engine
+    * reads without extra dependencies. */
   def parquetCatalog(spark: SparkSession, dir: String): String => DataFrame =
     name => {
-      val p = s"$dir/$name.parquet"
-      if (new java.io.File(p).exists) normalizeNanos(spark.read.parquet(p))
+      def p(ext: String) = s"$dir/$name.$ext"
+      if (new java.io.File(p("parquet")).exists)
+        normalizeNanos(spark.read.parquet(p("parquet")))
+      else if (new java.io.File(p("csv")).exists)
+        spark.read.option("header", "true").option("inferSchema", "true")
+          .csv(p("csv"))
+      else if (new java.io.File(p("json")).exists)
+        spark.read.json(p("json"))
       else spark.table(name)
     }
 

@@ -36,6 +36,25 @@ class AnnotateSpec extends AnyFunSuite {
     assert(out.linesIterator.toSeq(1).contains("# [country, avg_pay]"))
   }
 
+  test("catalog falls back to csv and json sources") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_src").toFile
+    try {
+      java.nio.file.Files.writeString(
+        new java.io.File(dir, "people.csv").toPath, "id,name\n1,ada\n2,alan\n")
+      java.nio.file.Files.writeString(
+        new java.io.File(dir, "pets.json").toPath,
+        """{"id":1,"pet":"cat"}""" + "\n" + """{"id":2,"pet":"dog"}""" + "\n")
+      val out = Graft.compileDir(
+        """from people
+          |join pets [id]
+          |select [id, name, pet]
+          |sort id""".stripMargin, spark, dir.getAbsolutePath).collect()
+      assert(out.map(_.toString).toSeq == Seq("[1,ada,cat]", "[2,alan,dog]"))
+    } finally {
+      dir.listFiles.foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("refs: idents are classified as table / column / functions") {
     val prql =
       """func double x -> x * 2

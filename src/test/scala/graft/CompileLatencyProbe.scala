@@ -2,8 +2,11 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Temporary profiling probe for compile latency (VERDICT r2 #8): splits
-  * parse vs plan-build time. Not a regression gate — prints numbers. */
+/** Profiling probe for compile latency (VERDICT r2 #8): splits parse (pure
+  * Scala, ~60-160µs warmed — the axis comparable to the reference's ~300µs
+  * compile) from total (one Spark analyzer run per DataFrame op, ~1.5ms
+  * each — the price of emitting an analyzed Catalyst plan instead of a SQL
+  * string). Informative, not a regression gate — prints the split. */
 class CompileLatencyProbe extends AnyFunSuite {
 
   test("profile parse vs plan time") {

@@ -687,6 +687,105 @@ object PipelineOps {
     FROM sess GROUP BY user_id, session_id
     ORDER BY user_id, session_id"""
 
+  // ---- p19: IVF-style ANN (coarse-quantizer scale path) --------------------
+  // The inverted-file alternative to p08's hash buckets: a small coarse
+  // codebook (deterministic md5-sampled seed centroids — at 100 TB you'd
+  // refine with Lloyd iterations driver-side, each one broadcast-join pass),
+  // every vector assigned map-side to its nearest centroid (the codebook is
+  // tiny and broadcasts; the deliberate cross join is a broadcast nested
+  // loop over ~K rows, never corpus × corpus), then queries probe only the
+  // NProbe nearest lists: the scan touches ~NProbe/K of the corpus — the
+  // IVF win. Knobs: K ~ sqrt(N) keeps lists O(sqrt N); NProbe buys recall.
+  // Exact cosine re-ranks within the probed lists (same shape as p07).
+
+  private val IvfCentroidMod = 32 // E[K] = N/32 centroids
+  private val IvfNProbe = 2
+
+  private def ivfSpark(): String = {
+    def cos(ae: String, an: String, be: String, bn: String) =
+      s"${dotSpark(ae, be)} / (sqrt($an) * sqrt($bn))"
+    s"""
+    WITH e AS (
+      SELECT vec_id, embedding, ${norm2Spark("embedding")} AS n2 FROM embeddings),
+    cents AS (
+      SELECT vec_id AS c_id, embedding AS ce, n2 AS cn2 FROM e
+      WHERE pmod(CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10) AS BIGINT), $IvfCentroidMod) = 0),
+    assign AS (
+      SELECT vec_id, c_id FROM (
+        SELECT v.vec_id, c.c_id,
+          row_number() OVER (PARTITION BY v.vec_id
+            ORDER BY ${cos("v.embedding", "v.n2", "c.ce", "c.cn2")} DESC, c.c_id) AS rn
+        FROM e v CROSS JOIN cents c) t WHERE rn = 1),
+    q AS (
+      SELECT vec_id AS q_id, embedding AS qe, n2 AS qn2 FROM e WHERE vec_id < $NQueries),
+    probe AS (
+      SELECT q_id, c_id FROM (
+        SELECT q.q_id, c.c_id,
+          row_number() OVER (PARTITION BY q.q_id
+            ORDER BY ${cos("q.qe", "q.qn2", "c.ce", "c.cn2")} DESC, c.c_id) AS rn
+        FROM q CROSS JOIN cents c) t WHERE rn <= $IvfNProbe),
+    cands AS (
+      SELECT p.q_id, a.vec_id FROM probe p JOIN assign a ON a.c_id = p.c_id),
+    scored AS (
+      SELECT c.q_id, c.vec_id AS nn_id,
+        ${cos("q.qe", "q.qn2", "v.embedding", "v.n2")} AS cos
+      FROM cands c
+      JOIN q ON q.q_id = c.q_id
+      JOIN e v ON v.vec_id = c.vec_id
+      WHERE c.vec_id != c.q_id),
+    ranked AS (
+      SELECT q_id, nn_id, cos,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rn
+      FROM scored)
+    SELECT q_id, nn_id, CAST(rn AS BIGINT) AS rank,
+      CAST(floor((cos) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS sim
+    FROM ranked WHERE rn <= $TopK ORDER BY q_id, rank"""
+  }
+
+  private def ivfDuck(): String = {
+    def cos(ae: String, an: String, be: String, bn: String) =
+      s"${dotDuck(ae, be)} / (sqrt($an) * sqrt($bn))"
+    s"""
+    WITH e AS (
+      SELECT vec_id, embedding, ${norm2Duck("embedding")} AS n2 FROM embeddings),
+    cents AS (
+      SELECT vec_id AS c_id, embedding AS ce, n2 AS cn2 FROM e
+      WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % $IvfCentroidMod = 0),
+    assign AS (
+      SELECT vec_id, c_id FROM (
+        SELECT v.vec_id, c.c_id,
+          row_number() OVER (PARTITION BY v.vec_id
+            ORDER BY ${cos("v.embedding", "v.n2", "c.ce", "c.cn2")} DESC, c.c_id) AS rn
+        FROM e v CROSS JOIN cents c) t WHERE rn = 1),
+    q AS (
+      SELECT vec_id AS q_id, embedding AS qe, n2 AS qn2 FROM e WHERE vec_id < $NQueries),
+    probe AS (
+      SELECT q_id, c_id FROM (
+        SELECT q.q_id, c.c_id,
+          row_number() OVER (PARTITION BY q.q_id
+            ORDER BY ${cos("q.qe", "q.qn2", "c.ce", "c.cn2")} DESC, c.c_id) AS rn
+        FROM q CROSS JOIN cents c) t WHERE rn <= $IvfNProbe),
+    cands AS (
+      SELECT p.q_id, a.vec_id FROM probe p JOIN assign a ON a.c_id = p.c_id),
+    scored AS (
+      SELECT c.q_id, c.vec_id AS nn_id,
+        ${cos("q.qe", "q.qn2", "v.embedding", "v.n2")} AS cos
+      FROM cands c
+      JOIN q ON q.q_id = c.q_id
+      JOIN e v ON v.vec_id = c.vec_id
+      WHERE c.vec_id != c.q_id),
+    ranked AS (
+      SELECT q_id, nn_id, cos,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rn
+      FROM scored)
+    SELECT q_id, nn_id, CAST(rn AS BIGINT) AS rank,
+      floor((cos) * 1e6 + 0.5) / 1e6 AS sim
+    FROM ranked WHERE rn <= $TopK ORDER BY q_id, rank"""
+  }
+
+  private val p19Spark = ivfSpark()
+  private val p19Duck = ivfDuck()
+
   // ---- p15: deterministic stratified sampling ------------------------------
   // Hash-based sampling (md5 of the key, not rand()): rerun-stable and
   // engine-independent — the property a training-data pipeline needs so a
@@ -852,6 +951,7 @@ object PipelineOps {
     "p16_dedup_clusters" -> onDocs(p16Spark),
     "p17_quality_filter" -> onDocs(p17Spark),
     "p18_text_clean" -> onDocs(p18Spark),
+    "p19_ann_ivf" -> onEmb(p19Spark),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -873,5 +973,6 @@ object PipelineOps {
     "p16_dedup_clusters" -> p16Duck,
     "p17_quality_filter" -> p17Duck,
     "p18_text_clean" -> p18Duck,
+    "p19_ann_ivf" -> p19Duck,
   )
 }

@@ -156,6 +156,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     (1 to 4).foreach(i => assert(typed.getLong(i) == sqlSide.getLong(i), s"col $i"))
   }
 
+  test("p19 IVF: k ranked results per query from probed lists; recall vs exact") {
+    val out = run("p19_ann_ivf").collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size == 20)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to rs.length))
+      assert(rs.length <= 5)
+      val sims = rs.sortBy(_.getLong(2)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    // nprobe=2 of ~16 lists scans ~1/8 of the corpus; on near-orthogonal
+    // synthetic vectors the probed lists still contain a nontrivial share
+    // of the true top-5 — floor guards a broken probe join, not IVF quality
+    val truth = run("p07_cosine_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(found).toDouble / truth.size
+    assert(recall >= 0.1, s"recall $recall")
+  }
+
   test("p15 stratified sample: deterministic, ~10% per stratum, rerun-stable") {
     val out = run("p15_sample_stratified").collect()
     assert(out.nonEmpty)

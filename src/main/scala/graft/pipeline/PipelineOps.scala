@@ -818,16 +818,54 @@ object PipelineOps {
 
   // ---- p16: near-dup cluster assignment (dedup representatives) ------------
   // Completes the dedup story: p04's verified pairs → connected components
-  // via min-label propagation, unrolled to 3 rounds (each round: one
-  // edges-join + groupBy-min = one shuffle). LSH near-dup groups are
-  // quasi-cliques (every member shares a band with most others), so the
-  // label diameter is 1-2 and 3 rounds converge; for adversarial chain
-  // topologies at 100 TB, run the single-round step in a driver loop until
-  // the label sum stops changing (same plan per iteration). Cluster
-  // representative = min doc_id of the component — the row a dedup keep-list
-  // would retain.
+  // via min-label propagation, 3 rounds (each round: one edges-join +
+  // groupBy-min = one shuffle). LSH near-dup groups are quasi-cliques
+  // (every member shares a band with most others), so the label diameter is
+  // 1-2 and 3 rounds converge; for adversarial chain topologies at 100 TB,
+  // keep looping until the label sum stops changing (same plan per
+  // iteration). Cluster representative = min doc_id of the component — the
+  // row a dedup keep-list would retain.
+  //
+  // The Spark side is an ITERATIVE driver function, not one SQL text: each
+  // round self-joins the previous labels, and naive CTE nesting doubles the
+  // referenced subtree per round (measured: the unrolled-SQL form planned
+  // 64 parquet scans and ran 7s at sf0.001 — an exponential-lineage
+  // scale-killer). `localCheckpoint(eager)` after the pair generation and
+  // after every round breaks the lineage so each round computes exactly
+  // once — the standard Spark pattern for iterative graph algorithms (at
+  // cluster scale, substitute a reliable `checkpoint()` dir so blocks
+  // survive executor loss). The DuckDB oracle keeps the unrolled CTE form:
+  // same values, and the oracle only runs at test SF.
 
-  private def labelRound(prev: String, next: String): String = s"""
+  private val LabelRounds = 3
+
+  private def p16Run(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    val pairs = spark.sql(
+      s"WITH $lshCtesSpark SELECT ida, idb FROM verified WHERE jac >= 0.5")
+      .localCheckpoint()
+    val edges = pairs.select(col("ida").as("a"), col("idb").as("b"))
+      .union(pairs.select(col("idb").as("a"), col("ida").as("b")))
+    var labels = spark.sql("SELECT doc_id, doc_id AS lbl FROM documents")
+      .localCheckpoint()
+    for (_ <- 1 to LabelRounds) {
+      val neighbors = labels.select(col("doc_id").as("n_id"), col("lbl").as("n_lbl"))
+      labels = labels
+        .join(edges, labels("doc_id") === edges("a"), "left")
+        .join(neighbors, neighbors("n_id") === edges("b"), "left")
+        .groupBy(labels("doc_id"), labels("lbl"))
+        .agg(least(labels("lbl"), coalesce(min(col("n_lbl")), labels("lbl"))).as("lbl2"))
+        .select(col("doc_id"), col("lbl2").as("lbl"))
+        .localCheckpoint()
+    }
+    labels.groupBy(col("lbl").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("doc_id")).as("member_id_sum"))
+      .orderBy("cluster_rep")
+  }
+
+  private def labelRoundDuck(prev: String, next: String): String = s"""
     $next AS (
       SELECT l.doc_id, least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
       FROM $prev l
@@ -835,21 +873,19 @@ object PipelineOps {
       LEFT JOIN $prev n ON n.doc_id = e.b
       GROUP BY l.doc_id, l.lbl)"""
 
-  private def p16Tail = s"""
+  private val p16Duck = s"""
+    WITH $lshCtesDuck,
     dup_pairs AS (SELECT ida, idb FROM verified WHERE jac >= 0.5),
     edges AS (SELECT ida AS a, idb AS b FROM dup_pairs
               UNION ALL SELECT idb, ida FROM dup_pairs),
     l0 AS (SELECT doc_id, doc_id AS lbl FROM documents),
-    ${labelRound("l0", "l1")},
-    ${labelRound("l1", "l2")},
-    ${labelRound("l2", "l3")}
+    ${labelRoundDuck("l0", "l1")},
+    ${labelRoundDuck("l1", "l2")},
+    ${labelRoundDuck("l2", "l3")}
     SELECT lbl AS cluster_rep,
       CAST(count(*) AS BIGINT) AS n_members,
       CAST(sum(doc_id) AS BIGINT) AS member_id_sum
     FROM l3 GROUP BY lbl ORDER BY cluster_rep"""
-
-  private val p16Spark = s"WITH $lshCtesSpark,\n$p16Tail"
-  private val p16Duck = s"WITH $lshCtesDuck,\n$p16Tail"
 
   // ---- p17: rule-based quality filtering -----------------------------------
   // The canonical pre-training keep/drop pass (Gopher/C4-style rules,
@@ -948,7 +984,7 @@ object PipelineOps {
     }),
     "p14_top_terms" -> onDocs(p14Spark),
     "p15_sample_stratified" -> onDocs(p15Spark),
-    "p16_dedup_clusters" -> onDocs(p16Spark),
+    "p16_dedup_clusters" -> ((spark, dir) => p16Run(spark, dir)),
     "p17_quality_filter" -> onDocs(p17Spark),
     "p18_text_clean" -> onDocs(p18Spark),
     "p19_ann_ivf" -> onEmb(p19Spark),

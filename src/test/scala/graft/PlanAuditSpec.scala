@@ -108,6 +108,16 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("p16 iterative label propagation breaks lineage between rounds") {
+    // the unrolled-CTE form planned 64 parquet scans (subtree doubling per
+    // round); the iterative localCheckpoint form must leave the final plan
+    // a small rollup over materialized labels
+    val df = pipeline.PipelineOps.queries("p16_dedup_clusters")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"expected no rescans in the final p16 plan, got $scans:\n$p")
+  }
+
   test("deep positional offset carries a diagnostic; plain take does not") {
     val cat = Graft.parquetCatalog(spark, dir)
     val (_, d1) = Graft.compileWithDiagnostics("from orders\nsort o_orderkey\ntake 1000..1010", spark, cat)

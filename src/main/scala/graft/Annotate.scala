@@ -2,7 +2,6 @@ package graft
 
 import graft.ast._
 import graft.ast.Expr._
-import graft.parse.Parser
 import graft.plan.Planner
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -76,14 +75,14 @@ object Annotate {
           }
         (name, args) match {
           case (("from" | "join"), _) =>
-            // first ident/assign arg names a table, the rest are conditions
+            // first ident/assign arg names a table, the rest are conditions;
+            // named args (join's `side:left`) are keywords, not references
             var tableSeen = false
             args.foreach {
               case id: Ident if !tableSeen => tableSeen = true; emit(id, "table")
               case Assign(_, id: Ident) if !tableSeen => tableSeen = true; emit(id, "table")
               case a => walk(a)
             }
-            named.foreach { case (_, v) => walk(v) }
           case _ =>
             args.foreach(walk); named.foreach { case (_, v) => walk(v) }
         }
@@ -112,11 +111,9 @@ object Annotate {
   private val Transforms = Set("from", "select", "derive", "filter",
     "aggregate", "sort", "take", "join", "group", "window")
 
+  /** Parse + plan through the same located-error path as Graft.compile, so
+    * frames/refs render annotated errors too. */
   private def run(prql: String, spark: SparkSession,
-                  catalog: String => DataFrame): Planner = {
-    val (query, spans) = Parser.parseWithSpans(prql)
-    val planner = new Planner(spark, catalog, query, spans)
-    planner.planMain()
-    planner
-  }
+                  catalog: String => DataFrame): Planner =
+    Graft.plannedFor(prql, spark, catalog)._1
 }

@@ -21,6 +21,39 @@ object Bench {
   private def execute(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Compile latency (parse + plan-build, no execution) on the reference's
+    * own compile-bench query (prql-compiler/benches/bench.rs:11-21 uses
+    * variables-0.prql; ~300us/query on the author's laptop). Tables are
+    * pre-resolved so this measures the compiler, not parquet footer I/O.
+    * Returns (parseUs, totalUs) per query: parse is pure Scala (~60-160us
+    * warmed — the axis comparable to the reference's parse+render); total
+    * adds one Spark ANALYZER run per DataFrame op (~1.5ms each on this
+    * 11-op query) — the price of emitting an analyzed, Catalyst-optimizable
+    * plan instead of SQL text. Shared with CompileLatencyProbe so the two
+    * measurements cannot diverge methodologically. */
+  def measureCompileLatency(spark: org.apache.spark.sql.SparkSession,
+                            warm: Int = 20, n: Int = 200): (Double, Double) = {
+    val src = try {
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        "/root/reference/book/tests/prql/examples/variables-0.prql")), "UTF-8")
+    } catch { case _: Throwable =>
+      "from employees\nfilter country == \"USA\"\nderive [gross_salary = salary + payroll_tax]\ntake 20"
+    }
+    val employees = spark.range(1).selectExpr("CAST(1 AS DOUBLE) salary",
+      "CAST(1 AS DOUBLE) payroll_tax", "CAST(1 AS DOUBLE) benefits_cost",
+      "'USA' country", "'e' title", "CAST(1 AS DOUBLE) gross_salary",
+      "CAST(1 AS DOUBLE) gross_cost")
+    val cat: String => DataFrame = _ => employees
+    (1 to warm).foreach(_ => Graft.compile(src, spark, cat)) // warm JIT
+    var t0 = System.nanoTime()
+    (1 to n).foreach(_ => graft.parse.Parser.parseWithSpans(src))
+    val parseUs = (System.nanoTime() - t0) / 1e3 / n
+    t0 = System.nanoTime()
+    (1 to n).foreach(_ => Graft.compile(src, spark, cat))
+    val totalUs = (System.nanoTime() - t0) / 1e3 / n
+    (parseUs, totalUs)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -49,42 +82,19 @@ object Bench {
           None
         }
       }
+      // contract: ANY failed run records -1 (a median of the surviving runs
+      // would report a healthy-looking time for a flaky query)
       val median =
-        if (times.isEmpty) -1.0
+        if (times.length < TimedRuns) -1.0
         else times.sorted.apply(times.length / 2)
       name -> median
     }
 
-    // Compile latency (parse + plan-build, no execution) on the reference's
-    // own compile-bench query (prql-compiler/benches/bench.rs:11-21 uses
-    // variables-0.prql; ~300us/query on the author's laptop). Tables are
-    // pre-resolved so this measures the compiler, not parquet footer I/O.
-    // Split: parse (pure Scala, ~160us — the part comparable to the
-    // reference's 300us parse+render) vs total (parse + one Spark ANALYZER
-    // run per DataFrame op, ~1.5ms each for this 11-op query — the price of
-    // emitting an analyzed, Catalyst-optimizable plan instead of SQL text).
-    // Guarded: a failure here must not discard the collected timings.
+    // Compile latency — see measureCompileLatency. Guarded: a failure here
+    // must not discard the collected timings.
     var parseUs: Double = -1.0
     val compileUs: Double = try {
-      val src = try {
-        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
-          "/root/reference/book/tests/prql/examples/variables-0.prql")), "UTF-8")
-      } catch { case _: Throwable =>
-        "from employees\nfilter country == \"USA\"\nderive [gross_salary = salary + payroll_tax]\ntake 20"
-      }
-      val employees = spark.range(1).selectExpr("CAST(1 AS DOUBLE) salary",
-        "CAST(1 AS DOUBLE) payroll_tax", "CAST(1 AS DOUBLE) benefits_cost",
-        "'USA' country", "'e' title", "CAST(1 AS DOUBLE) gross_salary",
-        "CAST(1 AS DOUBLE) gross_cost")
-      val cat: String => DataFrame = _ => employees
-      (1 to 20).foreach(_ => Graft.compile(src, spark, cat)) // warm JIT
-      val n = 200
-      var t0 = System.nanoTime()
-      (1 to n).foreach(_ => graft.parse.Parser.parseWithSpans(src))
-      parseUs = (System.nanoTime() - t0) / 1e3 / n
-      t0 = System.nanoTime()
-      (1 to n).foreach(_ => Graft.compile(src, spark, cat))
-      (System.nanoTime() - t0) / 1e3 / n
+      val (p, t) = measureCompileLatency(spark); parseUs = p; t
     } catch { case e: Throwable =>
       System.err.println(s"[bench] compile-latency measure failed: ${e.getMessage}")
       -1.0

@@ -34,11 +34,11 @@ object Graft {
               catalog: String => DataFrame): DataFrame =
     compileWithDiagnostics(prql, spark, catalog)._1
 
-  /** Compile and also return compile-time scale diagnostics: warnings about
-    * plans that execute correctly but concentrate work on one partition at
-    * cluster scale (global-sort windows, deep positional offsets). */
-  def compileWithDiagnostics(prql: String, spark: SparkSession,
-                             catalog: String => DataFrame): (DataFrame, Seq[String]) = {
+  /** Parse + plan with located, annotated errors; returns the planner (for
+    * diagnostics/stage traces) and the planned main DataFrame. Single entry
+    * for compile and the CLI annotate modes. */
+  private[graft] def plannedFor(prql: String, spark: SparkSession,
+                                catalog: String => DataFrame): (Planner, DataFrame) = {
     val (query, spans) = parseLocated(prql)
     val planner = new Planner(spark, catalog, query, spans)
     val df =
@@ -51,6 +51,15 @@ object Graft {
             case None => throw e
           }
       }
+    (planner, df)
+  }
+
+  /** Compile and also return compile-time scale diagnostics: warnings about
+    * plans that execute correctly but concentrate work on one partition at
+    * cluster scale (global-sort windows, deep positional offsets). */
+  def compileWithDiagnostics(prql: String, spark: SparkSession,
+                             catalog: String => DataFrame): (DataFrame, Seq[String]) = {
+    val (planner, df) = plannedFor(prql, spark, catalog)
     (df, planner.diagnostics.toSeq)
   }
 

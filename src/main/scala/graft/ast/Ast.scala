@@ -75,7 +75,6 @@ object Expr {
   final case class Pipeline(stages: List[Expr]) extends Expr
 }
 
-/** `func name param… named:default… -> body` (src/ast/query.rs:14-22). */
 /** Half-open [start, end) byte-offset range into the query source. The
   * reference threads a `Span` through every AST node for located errors
   * (prql-compiler/src/error.rs:1-270); here spans live in a side table keyed
@@ -83,6 +82,7 @@ object Expr {
   * structural (JSON round-trip, printer, fuzzers are span-agnostic). */
 final case class Span(start: Int, end: Int)
 
+/** `func name param… named:default… -> body` (src/ast/query.rs:14-22). */
 final case class FuncDef(name: String, params: List[FuncDef.Param], body: Expr)
 object FuncDef {
   final case class Param(name: String, default: Option[Expr])

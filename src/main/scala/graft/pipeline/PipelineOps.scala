@@ -691,14 +691,20 @@ object PipelineOps {
   // The inverted-file alternative to p08's hash buckets: a small coarse
   // codebook (deterministic md5-sampled seed centroids — at 100 TB you'd
   // refine with Lloyd iterations driver-side, each one broadcast-join pass),
-  // every vector assigned map-side to its nearest centroid (the codebook is
-  // tiny and broadcasts; the deliberate cross join is a broadcast nested
-  // loop over ~K rows, never corpus × corpus), then queries probe only the
-  // NProbe nearest lists: the scan touches ~NProbe/K of the corpus — the
-  // IVF win. Knobs: K ~ sqrt(N) keeps lists O(sqrt N); NProbe buys recall.
-  // Exact cosine re-ranks within the probed lists (same shape as p07).
+  // every vector assigned map-side to its nearest centroid (the codebook
+  // broadcasts; the deliberate cross join is corpus × K — the standard
+  // O(N·K) IVF assignment cost — never corpus × corpus), then queries probe
+  // only the NProbe nearest lists: a query scans ~NProbe·N/K vectors.
+  // Knobs: `IvfCentroidMod` is the SAMPLING RATE, K = E[N/mod]; it must be
+  // set ~ sqrt(N) at deployment so K ~ sqrt(N) (lists stay O(sqrt N), the
+  // codebook broadcast stays ~sqrt(N) rows, assignment is O(N^1.5) dots).
+  // It is a constant here only because the test corpus is fixed-size
+  // (N = 500 → mod 32 → K ≈ 16 ≈ sqrt(N), on target); a fixed mod at
+  // growing N would grow K linearly and break the broadcast contract.
+  // NProbe buys recall. Exact cosine re-ranks within the probed lists
+  // (same output shape as p07).
 
-  private val IvfCentroidMod = 32 // E[K] = N/32 centroids
+  private val IvfCentroidMod = 32 // ≈ sqrt(N) for the test corpus (N = 500)
   private val IvfNProbe = 2
 
   private def ivfSpark(): String = {

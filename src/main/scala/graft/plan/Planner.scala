@@ -416,7 +416,14 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
       case None => false
     }
     val rolling = m.get("rolling") match {
-      case Some(IntLit(n)) => n
+      case Some(IntLit(n)) =>
+        // the reference accepts any integer and only rolling>0 selects the
+        // trailing frame (transforms.rs:227) — match that, but flag the
+        // almost-certainly-unintended negative, which silently becomes the
+        // default full frame
+        if (n < 0) diagnostics += (s"window rolling:$n is not positive — it " +
+          "selects no frame (full-partition default), which is rarely intended")
+        n
       case Some(other) => throw new PlanError(s"parameter `rolling` expects a number, got $other")
       case None => 0L
     }
@@ -892,11 +899,12 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
 object Planner {
   /** Per-session one-row unit relation for table-less pipelines — cached so
     * each compile doesn't pay two analyzer runs (range + select) before the
-    * `from` stage replaces it anyway. Weak keys: sessions can be recycled. */
-  private val unitDfs = new java.util.WeakHashMap[SparkSession, DataFrame]
+    * `from` stage replaces it anyway. Stopped sessions are purged on access
+    * (a weak-keyed map would never evict: the cached DataFrame strongly
+    * references its own session), so the cache is bounded by live sessions. */
+  private val unitDfs = scala.collection.mutable.Map.empty[SparkSession, DataFrame]
   private[plan] def unitDf(spark: SparkSession): DataFrame = unitDfs.synchronized {
-    var df = unitDfs.get(spark)
-    if (df == null) { df = spark.range(1).select(); unitDfs.put(spark, df) }
-    df
+    unitDfs.filterInPlace((s, _) => !s.sparkContext.isStopped)
+    unitDfs.getOrElseUpdate(spark, spark.range(1).select())
   }
 }

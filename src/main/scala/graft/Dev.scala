@@ -138,6 +138,31 @@ object Dev {
         }
       }
     }
+    // annotate-mode and located-error probes (round-3 surface)
+    if (only.isEmpty) {
+      try {
+        val fr = Annotate.frames("from nation\nselect [n_name]", spark,
+          Graft.parquetCatalog(spark, dir))
+        if (fr.contains("# [n_name]")) println("=== probe-frames ok")
+        else { failed += 1; println(s"=== probe-frames BAD OUTPUT:\n$fr") }
+        val rf = Annotate.refs("from nation\nselect [n_name]", spark,
+          Graft.parquetCatalog(spark, dir))
+        if (rf.contains("nation -> table")) println("=== probe-refs ok")
+        else { failed += 1; println(s"=== probe-refs BAD OUTPUT:\n$rf") }
+        try {
+          Graft.compileDir("from nation\nfilter no_col > 1", spark, dir)
+          failed += 1; println("=== probe-located-error: UNEXPECTED SUCCESS")
+        } catch {
+          case e: Throwable =>
+            if (e.getMessage.contains("--> line 2")) println("=== probe-located-error ok")
+            else { failed += 1; println(s"=== probe-located-error UNLOCATED: ${e.getMessage}") }
+        }
+      } catch {
+        case e: Throwable =>
+          failed += 1
+          println(s"=== annotate probes FAILED: ${e.getMessage}")
+      }
+    }
     println(s"done, failed=$failed")
     spark.stop()
   }

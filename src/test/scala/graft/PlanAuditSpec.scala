@@ -108,6 +108,27 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("p13 sessionization shuffles user data exactly once") {
+    // windows + per-session rollup all ride one hashpartitioning(user_id…)
+    // (HashPartitioning on a key prefix satisfies the rollup's clustered
+    // distribution); the only other exchange is the output sort
+    val p = pipeline.PipelineOps.queries("p13_sessionize")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val hashParts = "hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(hashParts == 1, s"expected one user_id shuffle, plan:\n$p")
+    assert("hashpartitioning".r.findAllIn(p).length == 1,
+      s"unexpected extra hash shuffle:\n$p")
+  }
+
+  test("p01 exact dedup aggregates in two phases over one hash shuffle") {
+    val p = pipeline.PipelineOps.queries("p01_dedup_exact")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final HashAggregate:\n$p")
+    assert("hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected exactly one hash shuffle:\n$p")
+  }
+
   test("p16 iterative label propagation breaks lineage between rounds") {
     // the unrolled-CTE form planned 64 parquet scans (subtree doubling per
     // round); the iterative localCheckpoint form must leave the final plan

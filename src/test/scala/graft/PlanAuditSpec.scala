@@ -139,6 +139,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scans == 0, s"expected no rescans in the final p16 plan, got $scans:\n$p")
   }
 
+  test("session carries the scale configs the 100 TB contract depends on") {
+    // Graft.localSession is the one place these are set; losing any of them
+    // silently degrades cluster behavior (AQE re-planning incl. skew-join
+    // splitting, shuffle width, UTC determinism)
+    val c = spark.conf
+    assert(c.get("spark.sql.adaptive.enabled") == "true")
+    assert(c.get("spark.sql.adaptive.skewJoin.enabled", "true") == "true")
+    assert(c.get("spark.sql.session.timeZone") == "UTC")
+    assert(c.get("spark.sql.shuffle.partitions").toInt > 0)
+  }
+
   test("deep positional offset carries a diagnostic; plain take does not") {
     val cat = Graft.parquetCatalog(spark, dir)
     val (_, d1) = Graft.compileWithDiagnostics("from orders\nsort o_orderkey\ntake 1000..1010", spark, cat)

@@ -845,7 +845,10 @@ object PipelineOps {
 
   private val LabelRounds = 3
 
-  private def p16Run(spark: SparkSession, dir: String): DataFrame = {
+  /** doc_id → near-dup component label after [[LabelRounds]] min-label
+    * rounds (see the p16 design comment). Shared by p16's rollup and p20's
+    * composed curation pipeline. */
+  private def p16Labels(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
     val pairs = spark.sql(
@@ -865,7 +868,13 @@ object PipelineOps {
         .select(col("doc_id"), col("lbl2").as("lbl"))
         .localCheckpoint()
     }
-    labels.groupBy(col("lbl").as("cluster_rep"))
+    labels
+  }
+
+  private def p16Run(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    p16Labels(spark, dir)
+      .groupBy(col("lbl").as("cluster_rep"))
       .agg(count(lit(1)).as("n_members"),
         sum(col("doc_id")).as("member_id_sum"))
       .orderBy("cluster_rep")
@@ -955,6 +964,85 @@ object PipelineOps {
       CAST(('0x' || substr(md5(array_to_string(list_filter(words, w -> NOT w IN ('a','the')), ' ')), 1, 8)) AS BIGINT) AS clean_checksum
     FROM t ORDER BY doc_id"""
 
+  // ---- p20: composed curation pipeline (the end-to-end shape) --------------
+  // What an actual training-data job runs, as ONE operator: near-dup dedup
+  // keeps only cluster representatives (p16 labels) → rule-based quality
+  // gate (p17 rules) → deterministic stratified sample (p15 rule) →
+  // canonical clean-text checksum (p18) — rolled up per language with
+  // funnel counts. Each stage's filter is a monotone refinement, so the
+  // output audits the funnel (n_docs ≥ n_unique ≥ n_quality ≥ n_sampled).
+  // Per-doc work is map-side; the only shuffles are the label propagation
+  // (p16's, lineage-broken), one reps equi-join, and the final rollup.
+
+  private val p20SparkTail = s"""
+    WITH w AS (
+      SELECT d.doc_id, d.lang, $wordsSpark AS words,
+        (r.doc_id IS NOT NULL) AS is_rep
+      FROM documents d LEFT JOIN dedup_reps r ON r.doc_id = d.doc_id),
+    m AS (
+      SELECT doc_id, lang, is_rep,
+        size(words) AS n_tokens,
+        CAST(size(filter(words, w -> w IN ('the','a','of','and'))) AS DOUBLE)
+          / size(words) AS stop_ratio,
+        CAST(size(array_distinct(words)) AS DOUBLE) / size(words) AS distinct_ratio,
+        pmod(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT), 1000) AS bucket,
+        CAST(conv(substr(md5(array_join(filter(words, w -> NOT w IN ('a','the')), ' ')), 1, 8), 16, 10) AS BIGINT) AS ck
+      FROM w WHERE size(words) > 0),
+    f AS (
+      SELECT *, (n_tokens BETWEEN 30 AND 300 AND stop_ratio >= 0.02
+                 AND distinct_ratio >= 0.3) AS q
+      FROM m)
+    SELECT lang,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN is_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+      CAST(sum(CASE WHEN is_rep AND q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+      CAST(sum(CASE WHEN is_rep AND q AND bucket < $SampleRatePerMille THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      CAST(sum(CASE WHEN is_rep AND q AND bucket < $SampleRatePerMille THEN ck ELSE 0 END) AS BIGINT) AS clean_sum
+    FROM f GROUP BY lang ORDER BY lang"""
+
+  private def p20Run(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    p16Labels(spark, dir)
+      .filter(col("doc_id") === col("lbl")).select("doc_id")
+      .createOrReplaceTempView("dedup_reps")
+    spark.sql(p20SparkTail)
+  }
+
+  private val p20Duck = s"""
+    WITH $lshCtesDuck,
+    dup_pairs AS (SELECT ida, idb FROM verified WHERE jac >= 0.5),
+    edges AS (SELECT ida AS a, idb AS b FROM dup_pairs
+              UNION ALL SELECT idb, ida FROM dup_pairs),
+    l0 AS (SELECT doc_id, doc_id AS lbl FROM documents),
+    ${labelRoundDuck("l0", "l1")},
+    ${labelRoundDuck("l1", "l2")},
+    ${labelRoundDuck("l2", "l3")},
+    dedup_reps AS (SELECT doc_id FROM l3 WHERE doc_id = lbl),
+    w2 AS (
+      SELECT d.doc_id, d.lang, $wordsDuck AS words,
+        (r.doc_id IS NOT NULL) AS is_rep
+      FROM documents d LEFT JOIN dedup_reps r ON r.doc_id = d.doc_id),
+    m AS (
+      SELECT doc_id, lang, is_rep,
+        len(words) AS n_tokens,
+        CAST(len(list_filter(words, w -> w IN ('the','a','of','and'))) AS DOUBLE)
+          / len(words) AS stop_ratio,
+        CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS distinct_ratio,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS bucket,
+        CAST(('0x' || substr(md5(array_to_string(list_filter(words, w -> NOT w IN ('a','the')), ' ')), 1, 8)) AS BIGINT) AS ck
+      FROM w2 WHERE len(words) > 0),
+    f AS (
+      SELECT *, (n_tokens BETWEEN 30 AND 300 AND stop_ratio >= 0.02
+                 AND distinct_ratio >= 0.3) AS q
+      FROM m)
+    SELECT lang,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN is_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+      CAST(sum(CASE WHEN is_rep AND q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+      CAST(sum(CASE WHEN is_rep AND q AND bucket < $SampleRatePerMille THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      CAST(sum(CASE WHEN is_rep AND q AND bucket < $SampleRatePerMille THEN ck ELSE 0 END) AS BIGINT) AS clean_sum
+    FROM f GROUP BY lang ORDER BY lang"""
+
   // ---- wiring --------------------------------------------------------------
 
   private def onDocs(sql: String): (SparkSession, String) => DataFrame =
@@ -994,6 +1082,7 @@ object PipelineOps {
     "p17_quality_filter" -> onDocs(p17Spark),
     "p18_text_clean" -> onDocs(p18Spark),
     "p19_ann_ivf" -> onEmb(p19Spark),
+    "p20_curation" -> ((spark, dir) => p20Run(spark, dir)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1016,5 +1105,6 @@ object PipelineOps {
     "p17_quality_filter" -> p17Duck,
     "p18_text_clean" -> p18Duck,
     "p19_ann_ivf" -> p19Duck,
+    "p20_curation" -> p20Duck,
   )
 }

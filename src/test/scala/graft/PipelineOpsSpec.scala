@@ -223,6 +223,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.exists(_.getLong(1) > 0), "fillers exist in the corpus")
   }
 
+  test("p20 curation funnel is monotone and consistent with its stages") {
+    val out = run("p20_curation").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val Seq(docs, uniq, qual, samp) = (1 to 4).map(r.getLong)
+      assert(docs >= uniq && uniq >= qual && qual >= samp, r.toString)
+    }
+    val totalDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(out.map(_.getLong(1)).sum == totalDocs)
+    // dedup stage agrees with p16: unique count == cluster count
+    assert(out.map(_.getLong(2)).sum == run("p16_dedup_clusters").count())
+  }
+
   test("driver contract: every oracle key has a query, entry() returns rows") {
     assert(PipelineOps.oracleSql.keySet.subsetOf(PipelineOps.queries.keySet))
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

@@ -964,6 +964,53 @@ object PipelineOps {
       CAST(('0x' || substr(md5(array_to_string(list_filter(words, w -> NOT w IN ('a','the')), ' ')), 1, 8)) AS BIGINT) AS clean_checksum
     FROM t ORDER BY doc_id"""
 
+  // ---- p21: decontamination (benchmark n-gram overlap) ---------------------
+  // The Gopher/GPT-3-style test-set overlap check: flag training documents
+  // sharing any 8-gram with the eval set (here: doc_id < 20 stands in for a
+  // benchmark corpus). Eval grams are DISTINCT and tiny relative to the
+  // corpus → they broadcast, so at 100 TB this is one map-side gram
+  // generation pass + a broadcast hash join on the gram hash — no shuffle
+  // of the training side until the per-doc rollup. Grams are md5-prefix
+  // hashes (64-bit int) rather than strings: 8x smaller broadcast and
+  // cheaper equality, with a collision probability (~n²/2^32 for n eval
+  // grams) that only ever over-flags — acceptable for a contamination
+  // screen, and deterministic on both engines.
+
+  private val DecontamN = 8 // gram width
+  private val EvalDocs = 20
+
+  private def gramsSpark(src: String) = s"""
+      SELECT doc_id, explode(gs) AS g FROM (
+        SELECT doc_id, array_distinct(transform(sequence(1, size(words) - ${DecontamN - 1}),
+          i -> ${hSpark(s"concat_ws(' ', slice(words, i, $DecontamN))")})) AS gs
+        FROM $src WHERE size(words) >= $DecontamN)"""
+
+  private val p21Spark = s"""
+    WITH w AS (SELECT doc_id, $wordsSpark AS words FROM documents),
+    train_grams AS (${gramsSpark("w")}),
+    eval_grams AS (
+      SELECT DISTINCT g FROM train_grams WHERE doc_id < $EvalDocs),
+    hits AS (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+      FROM train_grams t JOIN eval_grams e ON t.g = e.g
+      WHERE t.doc_id >= $EvalDocs
+      GROUP BY t.doc_id)
+    SELECT doc_id, n_shared_grams FROM hits ORDER BY doc_id"""
+  private val p21Duck = s"""
+    WITH w AS (SELECT doc_id, $wordsDuck AS words FROM documents),
+    train_grams AS (
+      SELECT doc_id, unnest(list_distinct([${hDuck(s"array_to_string(words[i:i+${DecontamN - 1}], ' ')")}
+        for i in generate_series(1, len(words) - ${DecontamN - 1})])) AS g
+      FROM w WHERE len(words) >= $DecontamN),
+    eval_grams AS (
+      SELECT DISTINCT g FROM train_grams WHERE doc_id < $EvalDocs),
+    hits AS (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+      FROM train_grams t JOIN eval_grams e ON t.g = e.g
+      WHERE t.doc_id >= $EvalDocs
+      GROUP BY t.doc_id)
+    SELECT doc_id, n_shared_grams FROM hits ORDER BY doc_id"""
+
   // ---- p20: composed curation pipeline (the end-to-end shape) --------------
   // What an actual training-data job runs, as ONE operator: near-dup dedup
   // keeps only cluster representatives (p16 labels) → rule-based quality
@@ -1083,6 +1130,7 @@ object PipelineOps {
     "p18_text_clean" -> onDocs(p18Spark),
     "p19_ann_ivf" -> onEmb(p19Spark),
     "p20_curation" -> ((spark, dir) => p20Run(spark, dir)),
+    "p21_decontam" -> onDocs(p21Spark),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1106,5 +1154,6 @@ object PipelineOps {
     "p18_text_clean" -> p18Duck,
     "p19_ann_ivf" -> p19Duck,
     "p20_curation" -> p20Duck,
+    "p21_decontam" -> p21Duck,
   )
 }

@@ -236,6 +236,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.map(_.getLong(2)).sum == run("p16_dedup_clusters").count())
   }
 
+  test("p21 decontam: flags exactly the training docs sharing an 8-gram with the eval set") {
+    // ground truth by brute force over word arrays
+    val docs = spark.read.parquet(s"$dir/documents.parquet").collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")),
+        r.getString(r.fieldIndex("text")).trim.split("\\s+").toSeq))
+    def grams(ws: Seq[String]) = ws.sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSet
+    val evalGrams = docs.filter(_._1 < 20).flatMap(d => grams(d._2)).toSet
+    val expected = docs.filter(_._1 >= 20)
+      .map { case (id, ws) => id -> grams(ws).count(evalGrams) }
+      .filter(_._2 > 0).toMap
+    val out = run("p21_decontam").collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(out == expected, s"got $out expected $expected")
+    assert(expected.nonEmpty, "testdata should contain eval-overlapping docs")
+  }
+
   test("driver contract: every oracle key has a query, entry() returns rows") {
     assert(PipelineOps.oracleSql.keySet.subsetOf(PipelineOps.queries.keySet))
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

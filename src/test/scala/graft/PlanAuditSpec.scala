@@ -129,6 +129,13 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected exactly one hash shuffle:\n$p")
   }
 
+  test("p21 decontamination broadcasts the eval gram set") {
+    val p = pipeline.PipelineOps.queries("p21_decontam")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"eval grams should broadcast, plan:\n$p")
+  }
+
   test("p16 iterative label propagation breaks lineage between rounds") {
     // the unrolled-CTE form planned 64 parquet scans (subtree doubling per
     // round); the iterative localCheckpoint form must leave the final plan

@@ -974,7 +974,10 @@ object PipelineOps {
   // hashes (64-bit int) rather than strings: 8x smaller broadcast and
   // cheaper equality, with a collision probability (~n²/2^32 for n eval
   // grams) that only ever over-flags — acceptable for a contamination
-  // screen, and deterministic on both engines.
+  // screen, and deterministic on both engines. md5-per-gram is the
+  // cross-engine-oracle tax and dominates this operator's runtime; a
+  // production deployment (no DuckDB gate) swaps in xxhash64, which is
+  // codegen-native and far cheaper with the identical plan shape.
 
   private val DecontamN = 8 // gram width
   private val EvalDocs = 20

@@ -635,6 +635,36 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    ("q48_join_using_full",
+      // USING on an outer join: the deduped key column is COALESCE(l, r)
+      // (SQL-standard USING provenance — SURVEY §7.4 "needs care"); rows
+      // unique to either side keep a non-null key
+      """table big_cust = (
+        |  from customer
+        |  filter c_acctbal > 9000
+        |  derive custkey = c_custkey
+        |)
+        |
+        |table big_ord = (
+        |  from orders
+        |  filter o_totalprice > 350000
+        |  derive custkey = o_custkey
+        |)
+        |
+        |from big_ord
+        |join side:full big_cust [custkey]
+        |select [custkey, okey = o_orderkey ?? -1, bal = c_acctbal ?? -1.0]
+        |sort [custkey, okey]""".stripMargin,
+      """WITH big_cust AS (
+        |  SELECT *, c_custkey AS custkey FROM customer WHERE c_acctbal > 9000),
+        |     big_ord AS (
+        |  SELECT *, o_custkey AS custkey FROM orders WHERE o_totalprice > 350000)
+        |SELECT custkey,
+        |       COALESCE(o_orderkey, -1) AS okey,
+        |       COALESCE(c_acctbal, CAST(-1.0 AS DOUBLE)) AS bal
+        |FROM big_ord FULL JOIN big_cust USING (custkey)
+        |ORDER BY custkey, okey""".stripMargin),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

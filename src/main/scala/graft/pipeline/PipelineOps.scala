@@ -47,50 +47,71 @@ object PipelineOps {
   private val hashA: Seq[Long] = (0 until MinhashK).map(i => (1103515245L * (i + 1)) % MinhashP)
   private val hashB: Seq[Long] = (0 until MinhashK).map(i => (12345L + 7919L * i) % MinhashP)
 
-  /** SRP-LSH: b=[[SrpBands]] bands × r=[[SrpBits]] sign bits, from
-    * b*r Rademacher (±1) hyperplanes over the 64-dim embeddings; component
-    * sign = parity of md5("{plane}_{dim}") — reproducible from public md5 on
-    * any engine.
+  /** SRP-LSH: b=[[SrpBands]] bands × r sign bits, from b*r Rademacher (±1)
+    * hyperplanes over the 64-dim embeddings; component sign = parity of
+    * md5("{plane}_{dim}") — reproducible from public md5 on any engine.
     *
     * Scaling knobs (the two that matter at 100 TB):
-    *  - `SrpBits` sets the per-band bucket space (2^r buckets): candidate
-    *    pairs grow ~ b·N²/2^r, so raise r with the corpus (target
+    *  - `r` sets the per-band bucket space (2^r buckets): candidate
+    *    pairs grow ~ b·N²/2^r, so r rises with the corpus (target
     *    2^r ≳ N / desired_bucket_size);
     *  - `SrpBands` buys back the recall that narrower buckets cost
     *    (collide-in-ANY-band: recall = 1-(1-p^r)^b for per-plane agreement
     *    probability p = 1-θ/π), exactly the p04 MinHash banding scheme.
-    * The r=4, b=8 operating point is tuned to THIS corpus's similarity
-    * regime: its nearest neighbours sit at cos≈0.3 (θ≈72°, p≈0.6), where
-    * p^4≈0.13 per band × 8 bands ⇒ ~0.66 expected recall (measured 0.71 in
-    * PipelineOpsSpec vs p07's exact top-k). At larger N, r and b rise
-    * together (r ~ log N keeps buckets O(1); b recovers recall) — the
-    * standard N^(1+ρ) LSH cost model, not a fixed 2^r bucket space.
+    * `r` is NOT a constant: [[chooseSrpBits]] derives it from the actual
+    * corpus count as r = clamp(ceil(log2(N / [[SrpTargetBucket]])), 4, 12)
+    * — the `r ~ log N` law that keeps expected bucket size O(1) (the
+    * standard N^(1+ρ) LSH cost model). At the correctness-gate corpus
+    * (N=500 → r=4, p≈0.6 at this corpus's cos≈0.3 regime) expected recall
+    * is 1-(1-p^4)^8 ≈ 0.66 (measured 0.71 in PipelineOpsSpec vs p07's
+    * exact top-k); at bench SF (N=2000 → r=6) buckets stay ~32 wide so
+    * candidate generation stays ~b·N·32/2 instead of drifting quadratic.
+    * At deployment scale b should rise alongside r to hold recall — a
+    * per-cluster operating-point choice, deliberately not auto-derived.
     * [[SrpBucketCap]] additionally bounds the damage of a degenerate bucket
     * (all-zero vectors, duplicated embeddings): only the first `cap` members
     * of a band bucket (ordered by vec_id — deterministic on both engines)
     * generate candidates, so one hot bucket costs at most cap² pairs instead
     * of |bucket|². The cap is far above any bucket size at test SF (whole
     * corpus < cap), so it never binds here — documented, not silent. */
-  private val SrpBits = 4
+  /** Embeddings row count at the driver's correctness-gate SF (sf0.01) —
+    * the static oracle SQL is generated at this operating point; the Spark
+    * side recomputes r from the live count and lands on the same value at
+    * the gate SF. */
+  private val OracleEmbeddingsN = 500L
   private val SrpBands = 8
-  private val SrpPlanes = SrpBits * SrpBands
+  private val SrpTargetBucket = 32
+  private val SrpBitsMin = 4
+  private val SrpBitsMax = 12
   private val SrpBucketCap = 512
   private val EmbDim = 64
+
+  /** r ~ log2(N / target-bucket-size), clamped to [4, 12]. 500 → 4,
+    * 2000 → 6, 5000 → 8, 1e6 → 12 (the clamp point where a deployment
+    * should also raise [[SrpBands]]). */
+  private[graft] def chooseSrpBits(n: Long): Int = {
+    val r = math.ceil(math.log(math.max(n, 1L).toDouble / SrpTargetBucket) /
+      math.log(2.0)).toInt
+    math.min(SrpBitsMax, math.max(SrpBitsMin, r))
+  }
+
   private def md5Hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
     d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
+  /** Plane p depends only on its index, so any r uses the same prefix of
+    * this matrix (generated once up to the r=12 maximum). */
   private val planes: Seq[Seq[Int]] =
-    (0 until SrpPlanes).map { p =>
+    (0 until SrpBitsMax * SrpBands).map { p =>
       (1 to EmbDim).map { d =>
         val h = java.lang.Long.parseLong(md5Hex(s"${p}_$d").take(8), 16)
         if (h % 2 == 1) 1 else -1
       }
     }
-  private val planesSparkLit: String =
-    planes.map(_.mkString("array(", ",", ")")).mkString("array(", ",", ")")
-  private val planesDuckLit: String =
-    planes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+  private def planesSparkLit(nPlanes: Int): String =
+    planes.take(nPlanes).map(_.mkString("array(", ",", ")")).mkString("array(", ",", ")")
+  private def planesDuckLit(nPlanes: Int): String =
+    planes.take(nPlanes).map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
 
   // Spark-side fragments ----------------------------------------------------
 
@@ -380,21 +401,21 @@ object PipelineOps {
     FROM ranked WHERE rn <= $TopK ORDER BY q_id, rank"""
 
   // ---- p08: SRP-LSH bucketed near-neighbour pairs --------------------------
-  // Scale path for similarity: 32 random-hyperplane sign bits, banded into
-  // 8 tables of 4 bits (see the SrpBits/SrpBands scaling notes above);
-  // candidates = bucket-mates in ANY band (equi-join on the band key, with a
-  // deterministic per-bucket cap), verified by exact cosine on a candidates-
-  // only re-join — the p04 architecture applied to embeddings. Sign-bit
-  // assignment is map-side (the plane matrix is a literal); the
-  // REPARTITION(doc-key) hint materializes the 16-bit array behind an
+  // Scale path for similarity: b*r random-hyperplane sign bits (r derived
+  // from the corpus count — see chooseSrpBits), banded into b tables of r
+  // bits; candidates = bucket-mates in ANY band (equi-join on the band key,
+  // with a deterministic per-bucket cap), verified by exact cosine on a
+  // candidates-only re-join — the p04 architecture applied to embeddings.
+  // Sign-bit assignment is map-side (the plane matrix is a literal); the
+  // REPARTITION(doc-key) hint materializes the bit array behind an
   // exchange before the band keys slice it (HOF lambdas get no CSE).
 
-  private val p08Spark = s"""
+  private def p08Spark(srpBits: Int) = s"""
     WITH e AS (
       SELECT /*+ REPARTITION(vec_id) */ vec_id, embedding,
         ${norm2Spark("embedding")} AS n2,
-        transform(sequence(0, ${SrpPlanes - 1}),
-          p -> IF(aggregate(zip_with(embedding, element_at($planesSparkLit, p + 1),
+        transform(sequence(0, ${srpBits * SrpBands - 1}),
+          p -> IF(aggregate(zip_with(embedding, element_at(${planesSparkLit(srpBits * SrpBands)}, p + 1),
                     (x, s) -> CAST(x AS DOUBLE) * CAST(s AS DOUBLE)),
                   CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) > 0, 1, 0)) AS bits
       FROM embeddings),
@@ -403,8 +424,8 @@ object PipelineOps {
         row_number() OVER (PARTITION BY bkey ORDER BY vec_id) AS rnk
       FROM (
         SELECT vec_id, explode(transform(sequence(0, ${SrpBands - 1}),
-          j -> j * ${1 << SrpBits}
-               + aggregate(slice(bits, j * $SrpBits + 1, $SrpBits), 0,
+          j -> j * ${1 << srpBits}
+               + aggregate(slice(bits, j * $srpBits + 1, $srpBits), 0,
                    (acc, bit) -> acc * 2 + bit))) AS bkey
         FROM e)),
     cands AS (
@@ -419,18 +440,18 @@ object PipelineOps {
       JOIN e eb ON eb.vec_id = c.idb)
     SELECT ida, idb, CAST(floor((cos) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS sim
     FROM pairs WHERE cos >= 0.2 ORDER BY ida, idb"""
-  private val p08Duck = s"""
+  private def p08Duck(srpBits: Int) = s"""
     WITH e AS (
       SELECT vec_id, embedding, ${norm2Duck("embedding")} AS n2,
-        list_transform(generate_series(0, ${SrpPlanes - 1}),
+        list_transform(generate_series(0, ${srpBits * SrpBands - 1}),
           p -> CASE WHEN list_reduce(list_transform(generate_series(1, $EmbDim),
-                      i -> CAST(embedding[i] AS DOUBLE) * CAST($planesDuckLit[p+1][i] AS DOUBLE)),
+                      i -> CAST(embedding[i] AS DOUBLE) * CAST(${planesDuckLit(srpBits * SrpBands)}[p+1][i] AS DOUBLE)),
                     (x, y) -> x + y) > 0
                THEN 1 ELSE 0 END) AS bits
       FROM embeddings),
     b0 AS (
-      SELECT vec_id, unnest([j * ${1 << SrpBits}
-        + list_reduce(list_prepend(0, bits[j*$SrpBits+1 : j*$SrpBits+$SrpBits]),
+      SELECT vec_id, unnest([j * ${1 << srpBits}
+        + list_reduce(list_prepend(0, bits[j*$srpBits+1 : j*$srpBits+$srpBits]),
             (acc, bit) -> acc * 2 + bit)
         for j in generate_series(0, ${SrpBands - 1})]) AS bkey
       FROM e),
@@ -824,13 +845,16 @@ object PipelineOps {
 
   // ---- p16: near-dup cluster assignment (dedup representatives) ------------
   // Completes the dedup story: p04's verified pairs → connected components
-  // via min-label propagation, 3 rounds (each round: one edges-join +
-  // groupBy-min = one shuffle). LSH near-dup groups are quasi-cliques
-  // (every member shares a band with most others), so the label diameter is
-  // 1-2 and 3 rounds converge; for adversarial chain topologies at 100 TB,
-  // keep looping until the label sum stops changing (same plan per
-  // iteration). Cluster representative = min doc_id of the component — the
-  // row a dedup keep-list would retain.
+  // via min-label propagation TO CONVERGENCE (each round: one edges-join +
+  // groupBy-min = one shuffle; loop until the label sum stops changing).
+  // LSH near-dup groups are quasi-cliques (every member shares a band with
+  // most others), so the label diameter is 1-2 and 2-3 rounds converge in
+  // practice — but chain topologies (doc i near-dups only doc i±1) need
+  // diameter-many rounds, so the loop is convergence-driven, capped at
+  // [[LabelMaxRounds]] with a loud warning if the cap binds. Labels only
+  // ever decrease (min-propagation), so an unchanged per-round label sum ⟺
+  // no label changed ⟺ fixpoint. Cluster representative = min doc_id of
+  // the component — the row a dedup keep-list would retain.
   //
   // The Spark side is an ITERATIVE driver function, not one SQL text: each
   // round self-joins the previous labels, and naive CTE nesting doubles the
@@ -840,25 +864,27 @@ object PipelineOps {
   // after every round breaks the lineage so each round computes exactly
   // once — the standard Spark pattern for iterative graph algorithms (at
   // cluster scale, substitute a reliable `checkpoint()` dir so blocks
-  // survive executor loss). The DuckDB oracle keeps the unrolled CTE form:
-  // same values, and the oracle only runs at test SF.
+  // survive executor loss). The convergence probe is one cheap aggregation
+  // action per round over the already-materialized labels. The DuckDB
+  // oracle computes EXACT components via a recursive transitive closure —
+  // deliberately independent of the round count, so it verifies the loop
+  // actually reached the fixpoint rather than unrolling the same rounds.
 
-  private val LabelRounds = 3
+  private val LabelMaxRounds = 20
 
-  /** doc_id → near-dup component label after [[LabelRounds]] min-label
-    * rounds (see the p16 design comment). Shared by p16's rollup and p20's
-    * composed curation pipeline. */
-  private def p16Labels(spark: SparkSession, dir: String): DataFrame = {
+  /** Min-label propagation over an undirected edge list until fixpoint.
+    * `init` must have columns (doc_id, lbl); `edges` columns (a, b) with
+    * both directions present. Exposed for direct topology tests
+    * (PipelineOpsSpec drives it with an adversarial chain graph). */
+  private[graft] def labelPropagate(init: DataFrame, edges: DataFrame,
+                                    maxRounds: Int = LabelMaxRounds): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
-    val pairs = spark.sql(
-      s"WITH $lshCtesSpark SELECT ida, idb FROM verified WHERE jac >= 0.5")
-      .localCheckpoint()
-    val edges = pairs.select(col("ida").as("a"), col("idb").as("b"))
-      .union(pairs.select(col("idb").as("a"), col("ida").as("b")))
-    var labels = spark.sql("SELECT doc_id, doc_id AS lbl FROM documents")
-      .localCheckpoint()
-    for (_ <- 1 to LabelRounds) {
+    var labels = init.localCheckpoint()
+    var prevSum = labels.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      round += 1
       val neighbors = labels.select(col("doc_id").as("n_id"), col("lbl").as("n_lbl"))
       labels = labels
         .join(edges, labels("doc_id") === edges("a"), "left")
@@ -867,8 +893,28 @@ object PipelineOps {
         .agg(least(labels("lbl"), coalesce(min(col("n_lbl")), labels("lbl"))).as("lbl2"))
         .select(col("doc_id"), col("lbl2").as("lbl"))
         .localCheckpoint()
+      val s = labels.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
+      converged = s == prevSum
+      prevSum = s
     }
+    if (!converged)
+      System.err.println(s"[graft] labelPropagate: label sum still changing after " +
+        s"$maxRounds rounds — components wider than the cap are under-merged")
     labels
+  }
+
+  /** doc_id → near-dup component label at fixpoint (see the p16 design
+    * comment). Shared by p16's rollup and p20's composed curation
+    * pipeline. */
+  private def p16Labels(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    val pairs = spark.sql(
+      s"WITH $lshCtesSpark SELECT ida, idb FROM verified WHERE jac >= 0.5")
+      .localCheckpoint()
+    val edges = pairs.select(col("ida").as("a"), col("idb").as("b"))
+      .union(pairs.select(col("idb").as("a"), col("ida").as("b")))
+    labelPropagate(spark.sql("SELECT doc_id, doc_id AS lbl FROM documents"), edges)
   }
 
   private def p16Run(spark: SparkSession, dir: String): DataFrame = {
@@ -880,27 +926,29 @@ object PipelineOps {
       .orderBy("cluster_rep")
   }
 
-  private def labelRoundDuck(prev: String, next: String): String = s"""
-    $next AS (
-      SELECT l.doc_id, least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
-      FROM $prev l
-      LEFT JOIN edges e ON e.a = l.doc_id
-      LEFT JOIN $prev n ON n.doc_id = e.b
-      GROUP BY l.doc_id, l.lbl)"""
-
-  private val p16Duck = s"""
-    WITH $lshCtesDuck,
+  /** Exact connected components in DuckDB: recursive transitive closure
+    * (reach = every node reachable from doc_id; UNION dedups (doc_id, r)
+    * pairs so the recursion terminates), label = min reachable node. Sound
+    * for any topology/diameter — the point is that the oracle does NOT
+    * mirror the Spark loop's round structure, so it catches a
+    * non-converged loop instead of unrolling the same mistake. */
+  private val closureCtesDuck = s"""
     dup_pairs AS (SELECT ida, idb FROM verified WHERE jac >= 0.5),
     edges AS (SELECT ida AS a, idb AS b FROM dup_pairs
               UNION ALL SELECT idb, ida FROM dup_pairs),
-    l0 AS (SELECT doc_id, doc_id AS lbl FROM documents),
-    ${labelRoundDuck("l0", "l1")},
-    ${labelRoundDuck("l1", "l2")},
-    ${labelRoundDuck("l2", "l3")}
+    reach AS (
+      SELECT doc_id, doc_id AS r FROM documents
+      UNION
+      SELECT reach.doc_id, e.b AS r FROM reach JOIN edges e ON e.a = reach.r),
+    lbls AS (SELECT doc_id, min(r) AS lbl FROM reach GROUP BY doc_id)"""
+
+  private val p16Duck = s"""
+    WITH RECURSIVE $lshCtesDuck,
+    $closureCtesDuck
     SELECT lbl AS cluster_rep,
       CAST(count(*) AS BIGINT) AS n_members,
       CAST(sum(doc_id) AS BIGINT) AS member_id_sum
-    FROM l3 GROUP BY lbl ORDER BY cluster_rep"""
+    FROM lbls GROUP BY lbl ORDER BY cluster_rep"""
 
   // ---- p17: rule-based quality filtering -----------------------------------
   // The canonical pre-training keep/drop pass (Gopher/C4-style rules,
@@ -970,26 +1018,45 @@ object PipelineOps {
   // benchmark corpus). Eval grams are DISTINCT and tiny relative to the
   // corpus → they broadcast, so at 100 TB this is one map-side gram
   // generation pass + a broadcast hash join on the gram hash — no shuffle
-  // of the training side until the per-doc rollup. Grams are md5-prefix
-  // hashes (64-bit int) rather than strings: 8x smaller broadcast and
-  // cheaper equality, with a collision probability (~n²/2^32 for n eval
-  // grams) that only ever over-flags — acceptable for a contamination
-  // screen, and deterministic on both engines. md5-per-gram is the
-  // cross-engine-oracle tax and dominates this operator's runtime; a
-  // production deployment (no DuckDB gate) swaps in xxhash64, which is
-  // codegen-native and far cheaper with the identical plan shape.
+  // of the training side until the per-doc rollup.
+  //
+  // Gram hashing: each WORD is md5-hashed exactly once (32-bit prefix),
+  // then every 8-gram combines its 8 word hashes with TWO independent
+  // rolling polynomials (bases 31/37, mod 2^31-1 — the p06 scheme), packed
+  // into one BIGINT key h1·2^31 + h2. That keeps md5 — the expensive,
+  // cross-engine-deterministic primitive — at O(words) instead of
+  // O(grams × gram_chars) (~6 bytes hashed per word vs ~50 per gram, and
+  // no per-gram string concat), while the paired-polynomial key space
+  // (~2^62) makes cross-gram collisions negligible at any realistic gram
+  // count (a single 31-bit polynomial would expect ~n_train·n_eval/2^31
+  // false flags — material even at test SF). Collisions only ever
+  // over-flag — the safe direction for a contamination screen — and the
+  // whole scheme is bit-deterministic on both engines. A production
+  // deployment (no DuckDB gate) swaps the word hash for xxhash64, which is
+  // codegen-native, cheaper still, and widens the per-word hash to 64 bits
+  // with the identical plan shape.
 
   private val DecontamN = 8 // gram width
   private val EvalDocs = 20
+  private val PolyP = 2147483647L // 2^31 - 1 (also MinhashP)
+
+  /** Fold 8 word hashes with polynomial base `b` mod 2^31-1; acc·b + h
+    * < 2^37 — no overflow. Applied to `slice` of the per-doc word-hash
+    * array. */
+  private def gramPolySpark(arr: String, b: Int) =
+    s"aggregate($arr, CAST(7 AS BIGINT), (acc, h) -> pmod(acc * $b + h, $PolyP))"
+  private def gramPolyDuck(arr: String, b: Int) =
+    s"list_reduce(list_prepend(CAST(7 AS BIGINT), $arr), (acc, h) -> (acc * $b + h) % $PolyP)"
 
   private def gramsSpark(src: String) = s"""
       SELECT doc_id, explode(gs) AS g FROM (
-        SELECT doc_id, array_distinct(transform(sequence(1, size(words) - ${DecontamN - 1}),
-          i -> ${hSpark(s"concat_ws(' ', slice(words, i, $DecontamN))")})) AS gs
-        FROM $src WHERE size(words) >= $DecontamN)"""
+        SELECT doc_id, array_distinct(transform(sequence(1, size(hw) - ${DecontamN - 1}),
+          i -> ${gramPolySpark(s"slice(hw, i, $DecontamN)", 31)} * ${PolyP + 1}
+               + ${gramPolySpark(s"slice(hw, i, $DecontamN)", 37)})) AS gs
+        FROM $src WHERE size(hw) >= $DecontamN)"""
 
   private val p21Spark = s"""
-    WITH w AS (SELECT doc_id, $wordsSpark AS words FROM documents),
+    WITH w AS (SELECT doc_id, transform($wordsSpark, w -> ${hSpark("w")}) AS hw FROM documents),
     train_grams AS (${gramsSpark("w")}),
     eval_grams AS (
       SELECT DISTINCT g FROM train_grams WHERE doc_id < $EvalDocs),
@@ -1000,11 +1067,12 @@ object PipelineOps {
       GROUP BY t.doc_id)
     SELECT doc_id, n_shared_grams FROM hits ORDER BY doc_id"""
   private val p21Duck = s"""
-    WITH w AS (SELECT doc_id, $wordsDuck AS words FROM documents),
+    WITH w AS (SELECT doc_id, list_transform($wordsDuck, w -> ${hDuck("w")}) AS hw FROM documents),
     train_grams AS (
-      SELECT doc_id, unnest(list_distinct([${hDuck(s"array_to_string(words[i:i+${DecontamN - 1}], ' ')")}
-        for i in generate_series(1, len(words) - ${DecontamN - 1})])) AS g
-      FROM w WHERE len(words) >= $DecontamN),
+      SELECT doc_id, unnest(list_distinct([${gramPolyDuck(s"hw[i:i+${DecontamN - 1}]", 31)} * ${PolyP + 1}
+        + ${gramPolyDuck(s"hw[i:i+${DecontamN - 1}]", 37)}
+        for i in generate_series(1, len(hw) - ${DecontamN - 1})])) AS g
+      FROM w WHERE len(hw) >= $DecontamN),
     eval_grams AS (
       SELECT DISTINCT g FROM train_grams WHERE doc_id < $EvalDocs),
     hits AS (
@@ -1059,15 +1127,9 @@ object PipelineOps {
   }
 
   private val p20Duck = s"""
-    WITH $lshCtesDuck,
-    dup_pairs AS (SELECT ida, idb FROM verified WHERE jac >= 0.5),
-    edges AS (SELECT ida AS a, idb AS b FROM dup_pairs
-              UNION ALL SELECT idb, ida FROM dup_pairs),
-    l0 AS (SELECT doc_id, doc_id AS lbl FROM documents),
-    ${labelRoundDuck("l0", "l1")},
-    ${labelRoundDuck("l1", "l2")},
-    ${labelRoundDuck("l2", "l3")},
-    dedup_reps AS (SELECT doc_id FROM l3 WHERE doc_id = lbl),
+    WITH RECURSIVE $lshCtesDuck,
+    $closureCtesDuck,
+    dedup_reps AS (SELECT doc_id FROM lbls WHERE doc_id = lbl),
     w2 AS (
       SELECT d.doc_id, d.lang, $wordsDuck AS words,
         (r.doc_id IS NOT NULL) AS is_rep
@@ -1115,7 +1177,12 @@ object PipelineOps {
     "p05_simhash" -> onDocs(p05Spark),
     "p06_fingerprint" -> onDocs(p06Spark),
     "p07_cosine_topk" -> onEmb(p07Spark),
-    "p08_ann_srp_lsh" -> onEmb(p08Spark),
+    // r derived from the ACTUAL corpus count (parquet metadata count — no
+    // data scan), so the bucket space tracks the corpus at any SF
+    "p08_ann_srp_lsh" -> ((spark, dir) => {
+      val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      onEmb(p08Spark(chooseSrpBits(n)))(spark, dir)
+    }),
     "p09_media_meta" -> onDocs(p09Spark),
     // typed mapPartitions decode plumbing — deterministic stub "decoder";
     // the rollup is all-integer so p10Duck recomputes it exactly (hash gate)
@@ -1144,7 +1211,12 @@ object PipelineOps {
     "p05_simhash" -> p05Duck,
     "p06_fingerprint" -> p06Duck,
     "p07_cosine_topk" -> p07Duck,
-    "p08_ann_srp_lsh" -> p08Duck,
+    // the driver's DuckDB gate runs at sf0.01, whose embeddings corpus is
+    // [[OracleEmbeddingsN]] rows; the Spark side derives the identical r
+    // from the actual count, so the two sides agree by construction at the
+    // gate SF (and chooseSrpBits(500) = 4 keeps this SQL byte-identical to
+    // the pre-adaptive operating point)
+    "p08_ann_srp_lsh" -> p08Duck(chooseSrpBits(OracleEmbeddingsN)),
     "p09_media_meta" -> p09Duck,
     "p10_media_decode" -> p10Duck,
     "p11_ngram_jaccard" -> p11Duck,

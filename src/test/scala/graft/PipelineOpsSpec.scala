@@ -205,6 +205,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(nClusters == total - merged, s"expected ${total - merged} clusters, got $nClusters")
   }
 
+  test("p16 label propagation converges on an adversarial chain topology (diameter > 6)") {
+    // path graph 0-1-2-…-12: min-label 0 travels ONE hop per round, so a
+    // fixed-3-round unroll would leave labels {0,0,0,0,1,2,…} — the loop
+    // must iterate to the fixpoint where every node carries label 0 (the
+    // union-find ground truth for a single component)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val n = 13L
+    val init = (0L until n).toDF("doc_id").withColumn("lbl", col("doc_id"))
+    val edges = (0L until n - 1).flatMap(i => Seq((i, i + 1), (i + 1, i))).toDF("a", "b")
+    val out = PipelineOps.labelPropagate(init, edges).collect()
+    assert(out.length == n)
+    assert(out.forall(_.getLong(1) == 0L),
+      s"chain not fully merged: ${out.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).mkString(",")}")
+  }
+
+  test("p16 label propagation respects the round cap on an over-deep chain") {
+    // diameter 9 with maxRounds 2: must NOT fully merge (and must not hang)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val init = (0L until 10L).toDF("doc_id").withColumn("lbl", col("doc_id"))
+    val edges = (0L until 9L).flatMap(i => Seq((i, i + 1), (i + 1, i))).toDF("a", "b")
+    val out = PipelineOps.labelPropagate(init, edges, maxRounds = 2).collect()
+    assert(out.exists(_.getLong(1) != 0L), "2 rounds cannot close a diameter-9 chain")
+  }
+
+  test("p08 bucket width follows the corpus: r ~ log2(N/32), clamped to [4,12]") {
+    assert(PipelineOps.chooseSrpBits(1L) == 4)
+    assert(PipelineOps.chooseSrpBits(500L) == 4)   // correctness-gate corpus → oracle operating point
+    assert(PipelineOps.chooseSrpBits(2000L) == 6)  // bench corpus (sf0.1)
+    assert(PipelineOps.chooseSrpBits(5000L) == 8)
+    assert(PipelineOps.chooseSrpBits(100000000L) == 12) // clamp: raise bands too at this scale
+  }
+
   test("p17 quality filter: every doc judged once; keep matches reason") {
     val out = run("p17_quality_filter").collect()
     assert(out.nonEmpty)

@@ -63,9 +63,13 @@ object Annotate {
       case id: Ident => emit(id, classify(id))
       case fc @ FuncCall(name, args, named) =>
         // non-transform call names are references too (the parser stores
-        // them as strings; the call's span starts at the name)
+        // them as strings; the call's span starts at the name) — but only
+        // when the name literally appears at the recorded position:
+        // parser-synthesized calls (`a ?? b` desugars to coalesce) carry
+        // the operator expression's span, where no such identifier exists
         if (!Transforms(name))
-          spans.get(fc).foreach { sp =>
+          spans.get(fc).filter(sp => prql.regionMatches(sp.start, name, 0, name.length))
+            .foreach { sp =>
             val (l, c) = ErrorRender.lineCol(prql, sp.start)
             val kind =
               if (userFuncs(name)) "user function"

@@ -105,7 +105,16 @@ object Bench {
     val errJson = errors
       .map { case (k, v) => s"${util.Json.quote(k)}:${util.Json.quote(v.take(200))}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"compile_us_per_query":${compileUs.round},"parse_us_per_query":${parseUs.round},"runs_per_query":$TimedRuns,"aggregation":"median","sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"compile_us_per_query":${compileUs.round},"parse_us_per_query":${parseUs.round},"runs_per_query":$TimedRuns,"aggregation":"median","sf":"$sfDir"}"""
+    println(line)
+    // the full per-query record also lands on disk: the r3 driver artifact
+    // lost its tail to log truncation, and a file survives that
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
+    }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -70,4 +70,19 @@ class AnnotateSpec extends AnyFunSuite {
         |line 4, col 20: d -> column""".stripMargin
     assert(out == expect)
   }
+
+  test("refs: desugared `??` emits no phantom coalesce ref; explicit coalesce does") {
+    // `a ?? b` parses to FuncCall("coalesce") carrying the operator
+    // expression's span — refs must not report an identifier that isn't in
+    // the source at that position
+    val desugared = Annotate.refs(
+      """from salaries
+        |derive x = salary ?? 0""".stripMargin, spark, cat)
+    assert(!desugared.contains("coalesce ->"), desugared)
+    assert(desugared.contains("salary -> column"))
+    val explicit = Annotate.refs(
+      """from salaries
+        |derive x = (coalesce salary 0)""".stripMargin, spark, cat)
+    assert(explicit.contains("coalesce -> builtin function"), explicit)
+  }
 }

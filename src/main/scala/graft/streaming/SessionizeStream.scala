@@ -20,7 +20,10 @@ import org.apache.spark.sql.{functions => F}
   *     (flatMapGroupsWithState): the shape to reach for when session logic
   *     outgrows an aggregate (per-session ML features, complex close
   *     conditions). Emits a session as soon as a gap closes it; state holds
-  *     exactly one open session per user (O(users) state, not O(events)).
+  *     exactly one open session per user (O(users) state, not O(events)),
+  *     and an EVENT-TIME TIMEOUT flushes the final open session once the
+  *     watermark passes its close boundary — the stream emits every
+  *     session on its own, no terminal helper needed.
   *
   * Ordering contract: events are processed in event-time order WITHIN each
   * micro-batch (sorted per group below); cross-batch late data is handled
@@ -50,44 +53,67 @@ object SessionizeStream {
       .select(F.col("user_id"), F.col("session_window.start").as("session_start"),
         F.col("n_events"), F.col("span_us"))
 
+  /** [[Ev]] widened with the event-time column the watermark attaches to. */
+  final case class EvW(user_id: Long, event_id: Long, tus: Long,
+                       ts: java.sql.Timestamp)
+
   /** Custom-state sessionization over a typed stream: one OpenSession per
     * user in the state store; a closed session is emitted the moment a gap
-    * exceeds `gapUs`. The final open session per user stays in state (in
-    * production it is flushed by an event-time timeout; [[flushOpen]] shows
-    * the terminal emission for bounded replays/tests). */
-  def sessionizeWithState(events: Dataset[Ev], gapUs: Long): Dataset[SessionOut] = {
+    * exceeds `gapUs`, and the still-open session is flushed by an
+    * EVENT-TIME TIMEOUT once the watermark (derived from `tus` with
+    * `watermarkDelay` slack) passes its close boundary `last + gap` — so a
+    * session whose user simply stops producing events is still emitted by
+    * the stream itself, with O(users) state reclaimed on the way out.
+    *
+    * On a BATCH Dataset this degrades exactly as Spark defines it: the
+    * watermark node is a no-op and timeouts never fire, so a bounded
+    * replay emits precisely the closed sessions (the final open session
+    * per user stays unemitted — the batch-equivalence check in
+    * StreamingSessionizeSpec relies on that). */
+  def sessionizeWithState(events: Dataset[Ev], gapUs: Long,
+                          watermarkDelay: String = "10 seconds"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    val streaming = events.isStreaming
     events
+      .withColumn("ts", F.timestamp_micros(F.col("tus")))
+      .withWatermark("ts", watermarkDelay)
+      .as[EvW]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, rows: Iterator[Ev], state: GroupState[OpenSession]) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          // event-time order within the batch (iterator order is undefined)
-          var open = state.getOption.orNull
-          rows.toSeq.sortBy(e => (e.tus, e.event_id)).foreach { e =>
-            open match {
-              case null =>
-                open = OpenSession(1L, e.tus, e.tus, 1L)
-              case s if e.tus - s.lastTus > gapUs =>
-                out += SessionOut(userId, s.sessionId, s.nEvents, s.lastTus - s.firstTus)
-                open = OpenSession(s.sessionId + 1, e.tus, e.tus, 1L)
-              case s =>
-                open = s.copy(lastTus = e.tus, nEvents = s.nEvents + 1)
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[EvW], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last + gap: the open session can never grow
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.sessionId, s.nEvents, s.lastTus - s.firstTus))
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            // event-time order within the batch (iterator order is undefined)
+            var open = state.getOption.orNull
+            rows.toSeq.sortBy(e => (e.tus, e.event_id)).foreach { e =>
+              open match {
+                case null =>
+                  open = OpenSession(1L, e.tus, e.tus, 1L)
+                case s if e.tus - s.lastTus > gapUs =>
+                  out += SessionOut(userId, s.sessionId, s.nEvents, s.lastTus - s.firstTus)
+                  open = OpenSession(s.sessionId + 1, e.tus, e.tus, 1L)
+                case s =>
+                  open = s.copy(lastTus = e.tus, nEvents = s.nEvents + 1)
+              }
             }
+            if (open != null) {
+              state.update(open)
+              // flush once the watermark clears the close boundary; clamp
+              // above the current watermark (late data can leave last+gap
+              // behind it, and a non-future timestamp is rejected)
+              if (streaming)
+                state.setTimeoutTimestamp(math.max(
+                  (open.lastTus + gapUs) / 1000 + 1,
+                  state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
           }
-          if (open != null) state.update(open)
-          out.iterator
       }
-  }
-
-  /** Terminal flush for bounded replays: the per-user sessions still open
-    * when the input ends (streaming production replaces this with an
-    * event-time timeout in the flatMapGroupsWithState callback). */
-  def flushOpen(finalStates: Dataset[(Long, OpenSession)]): Dataset[SessionOut] = {
-    import finalStates.sparkSession.implicits._
-    finalStates.map { case (uid, s) =>
-      SessionOut(uid, s.sessionId, s.nEvents, s.lastTus - s.firstTus)
-    }
   }
 }

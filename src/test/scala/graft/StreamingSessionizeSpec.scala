@@ -62,17 +62,59 @@ class StreamingSessionizeSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val h = 3600L * 1000000
     val ms = MemoryStream[Ev]
-    val q = SessionizeStream.sessionizeWithState(ms.toDS(), 4 * h)
+    // watermark far behind event time: nothing is late, no timeout fires —
+    // this test isolates the state carry-over across batches
+    val q = SessionizeStream.sessionizeWithState(ms.toDS(), 4 * h, "1000 hours")
       .writeStream.format("memory").queryName("fmgs_out").outputMode("append")
       .start()
     try {
-      // session 1 of user 7 straddles the two micro-batches
-      ms.addData(Ev(7, 1, 0), Ev(7, 2, 1 * h))
+      // session 1 of user 7 straddles the two micro-batches. Events start
+      // at B > 0: the event-time-timeout path drops rows at-or-below the
+      // watermark, and the INITIAL watermark is epoch 0 — a tus=0 event
+      // would be born late (an artifact of epoch-0 test timestamps, not a
+      // real stream shape)
+      val B = 100 * h
+      ms.addData(Ev(7, 1, B), Ev(7, 2, B + 1 * h))
       q.processAllAvailable()
-      ms.addData(Ev(7, 3, 2 * h), Ev(7, 4, 10 * h)) // 8h gap closes session 1
+      ms.addData(Ev(7, 3, B + 2 * h), Ev(7, 4, B + 10 * h)) // 8h gap closes session 1
       q.processAllAvailable()
       val rows = spark.table("fmgs_out").as[SessionOut].collect()
       assert(rows.toSeq == Seq(SessionOut(7, 1, 3, 2 * h)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState flushes an open session via event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val h = 3600L * 1000000
+    val ms = MemoryStream[Ev]
+    // the delay must cover the in-batch event spread (events arriving hours
+    // apart in one micro-batch ARE late data to a seconds-scale watermark —
+    // the event-time-timeout path drops them, by design), while staying
+    // small enough that the sentinel batches push the watermark past
+    // user 7's close boundary (1h + 4h gap)
+    val q = SessionizeStream.sessionizeWithState(ms.toDS(), 4 * h, "10 hours")
+      .writeStream.format("memory").queryName("fmgs_timeout_out").outputMode("append")
+      .start()
+    try {
+      // user 7's session never sees a closing event — only the watermark,
+      // advanced by OTHER users' traffic, may flush it. Events start at
+      // B > 0 (the initial watermark is epoch 0 and at-or-below-watermark
+      // rows are dropped by the event-time-timeout path)
+      val B = 100 * h
+      ms.addData(Ev(7, 1, B), Ev(7, 2, B + 1 * h))
+      q.processAllAvailable()
+      assert(spark.table("fmgs_timeout_out").isEmpty) // nothing closed yet
+      // a far-future event advances the watermark past B + 1h + 4h…
+      ms.addData(Ev(8, 1, B + 100 * h))
+      q.processAllAvailable()
+      // …and the NEXT batch evaluates timeouts against it
+      ms.addData(Ev(8, 2, B + 101 * h))
+      q.processAllAvailable()
+      val rows = spark.table("fmgs_timeout_out").as[SessionOut].collect().toSet
+      assert(rows.contains(SessionOut(7, 1, 2, 1 * h)),
+        s"user 7's open session should be timeout-flushed, got $rows")
+      assert(!rows.exists(_.user_id == 8), "user 8's session is still open")
     } finally q.stop()
   }
 

@@ -27,12 +27,13 @@ object Bench {
     * pre-resolved so this measures the compiler, not parquet footer I/O.
     * Returns (parseUs, totalUs) per query: parse is pure Scala (~60-160us
     * warmed — the axis comparable to the reference's parse+render); total
-    * adds one Spark ANALYZER run per DataFrame op (~1.5ms each on this
-    * 11-op query) — the price of emitting an analyzed, Catalyst-optimizable
-    * plan instead of SQL text. Shared with CompileLatencyProbe so the two
-    * measurements cannot diverge methodologically. */
+    * adds ONE Spark analyzer run over the single unresolved plan the fold
+    * builds (single-pass resolver where eligible — Planner.toDf), ~1.1 ms —
+    * the price of emitting an analyzed, Catalyst-optimizable plan instead
+    * of SQL text. Shared with CompileLatencyProbe so the two measurements
+    * cannot diverge methodologically. */
   def measureCompileLatency(spark: org.apache.spark.sql.SparkSession,
-                            warm: Int = 20, n: Int = 200): (Double, Double) = {
+                            warm: Int = 400, n: Int = 400): (Double, Double) = {
     val src = try {
       new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
         "/root/reference/book/tests/prql/examples/variables-0.prql")), "UTF-8")

@@ -1,0 +1,173 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native (codegen) vector kernels for the similarity operators.
+  *
+  * The SQL-HOF forms (`aggregate(zip_with(a, b, …))`) are semantically
+  * right and oracle-portable, but Spark evaluates lambda functions
+  * interpreted — no whole-stage codegen, no CSE — which made the hyperplane
+  * sign bits and the candidate-verify cosine the dominant cost of p08
+  * (~5 µs per 64-dim dot). These expressions generate the same arithmetic
+  * (same left-to-right accumulation order ⇒ bit-identical doubles, so the
+  * DuckDB oracle SQL is unchanged) as a tight Java loop inside whole-stage
+  * codegen. This is the design-doc preference order at work: compose
+  * built-ins where they're efficient, drop to a custom Catalyst
+  * `Expression` with `doGenCode` where they're not.
+  *
+  * Registered per-session by [[GraftFunctions.ensureRegistered]] as
+  * `graft_dot(a, b)` and `graft_srp_keys(embedding)`.
+  */
+
+/** Σ a(i)·b(i) over two float arrays, accumulated left-to-right in double —
+  * exactly `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0.0d,
+  * (acc,v) -> acc+v)`. Null if either side is null; null ELEMENTS are not
+  * expected (embeddings are dense) and read as 0. */
+case class GraftDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_dot expects (array<float>, array<float>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+        }
+        ${ev.value} = $acc;
+      """
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GraftDot =
+    copy(left = l, right = r)
+}
+
+/** All `bands` SRP band keys of one embedding in a single pass:
+  * key(j) = j·2^r + Σ_k bit(j·r+k)·2^(r-1-k), where bit(p) = 1 iff the
+  * plane-p Rademacher dot product is > 0 — value-identical to the HOF form
+  * (`transform(sequence…, aggregate(zip_with(…)))` then per-band
+  * `aggregate(slice(bits…))`), which accumulates the same products in the
+  * same order. The ±1 plane matrix rides along as a codegen reference
+  * object instead of a b·r·64-element SQL literal. */
+case class GraftSrpKeys(child: Expression, planes: Array[Array[Int]],
+                        srpBits: Int, srpBands: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_srp_keys expects array<float>, got ${t.simpleString}")
+    }
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val dims = x.numElements()
+    val keys = new Array[Int](srpBands)
+    var j = 0
+    while (j < srpBands) {
+      var packed = 0
+      var k = 0
+      while (k < srpBits) {
+        val plane = planes(j * srpBits + k)
+        var acc = 0.0
+        var d = 0
+        val n = math.min(dims, plane.length)
+        while (d < n) {
+          acc += x.getFloat(d).toDouble * plane(d).toDouble
+          d += 1
+        }
+        packed = packed * 2 + (if (acc > 0) 1 else 0)
+        k += 1
+      }
+      keys(j) = (j << srpBits) + packed
+      j += 1
+    }
+    new GenericArrayData(keys)
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "int[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val d = ctx.freshName("d")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val key = ctx.freshName("key")
+      val keys = ctx.freshName("keys")
+      val plane = ctx.freshName("plane")
+      s"""
+        int[] $keys = new int[$srpBands];
+        for (int $j = 0; $j < $srpBands; $j++) {
+          int $key = 0;
+          for (int $k = 0; $k < $srpBits; $k++) {
+            int[] $plane = $planesRef[$j * $srpBits + $k];
+            double $acc = 0.0;
+            int $n = java.lang.Math.min($a.numElements(), $plane.length);
+            for (int $d = 0; $d < $n; $d++) {
+              $acc += (double) $a.getFloat($d) * (double) $plane[$d];
+            }
+            $key = $key * 2 + ($acc > 0 ? 1 : 0);
+          }
+          $keys[$j] = ($j << $srpBits) + $key;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
+      """
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): GraftSrpKeys =
+    copy(child = c)
+}
+
+/** Session registration for the native kernels (idempotent — the pipeline
+  * run functions call this on every invocation; re-registering only when
+  * something changed keeps the registry's replaced-function WARN quiet). */
+object GraftFunctions {
+  private val dotRegistered = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+  private val srpRegistered = new java.util.WeakHashMap[SparkSession, (Int, Int)]()
+
+  def registerDot(spark: SparkSession): Unit = synchronized {
+    if (dotRegistered.add(spark))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_dot",
+        exprs => GraftDot(exprs(0), exprs(1)), "built-in")
+  }
+
+  /** `graft_srp_keys(embedding)` with the plane matrix and band geometry
+    * bound at registration (they derive from the corpus count — p08Run). */
+  def registerSrpKeys(spark: SparkSession, srpPlanes: Array[Array[Int]],
+                      srpBits: Int, srpBands: Int): Unit = synchronized {
+    if (srpRegistered.get(spark) != ((srpBits, srpBands))) {
+      srpRegistered.put(spark, (srpBits, srpBands))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_srp_keys",
+        exprs => GraftSrpKeys(exprs.head, srpPlanes, srpBits, srpBands), "built-in")
+    }
+  }
+}

@@ -108,8 +108,6 @@ object PipelineOps {
         if (h % 2 == 1) 1 else -1
       }
     }
-  private def planesSparkLit(nPlanes: Int): String =
-    planes.take(nPlanes).map(_.mkString("array(", ",", ")")).mkString("array(", ",", ")")
   private def planesDuckLit(nPlanes: Int): String =
     planes.take(nPlanes).map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
 
@@ -124,15 +122,18 @@ object PipelineOps {
   private def hDuck(e: String) = s"CAST(('0x'||substr(md5($e),1,8)) AS BIGINT)"
 
   /** Left-fold double dot product of two float arrays (bit-identical on both
-    * engines — strict sequential order, no parallel reassociation). */
-  private def dotSpark(a: String, b: String) =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    * engines — strict sequential order, no parallel reassociation). The
+    * Spark side is the native codegen kernel [[graft.functions.GraftDot]]
+    * (registered by [[onEmb]]/[[p08Run]]): the HOF form
+    * `aggregate(zip_with(…))` computes the same sum but interpreted
+    * (~5 µs/64-dim), which dominated p07/p08/p19. Same accumulation order ⇒
+    * same doubles, so the DuckDB fold below stays the oracle. */
+  private def dotSpark(a: String, b: String) = s"graft_dot($a, $b)"
   private def dotDuck(a: String, b: String) =
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 
-  /** Squared-norm via the same left fold. */
-  private def norm2Spark(a: String) =
-    s"aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+  /** Squared-norm via the same fold (graft_dot of a vector with itself). */
+  private def norm2Spark(a: String) = s"graft_dot($a, $a)"
   private def norm2Duck(a: String) =
     s"list_reduce(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)"
 
@@ -216,11 +217,37 @@ object PipelineOps {
   private val hashALit = hashA.mkString("array(", ",", ")")
   private val hashBLit = hashB.mkString("array(", ",", ")")
 
-  /** Shared LSH CTE chain (words → shingles → minhash sigs → bands →
+  /** A REAL materialization barrier for reused expensive arrays.
+    *
+    * The r2/r3 form put a `REPARTITION(key)` hint on the producing SELECT,
+    * on the theory that the exchange stops CollapseProject from re-inlining
+    * HOF-computed arrays into every consumer lambda (lambdas get neither
+    * codegen nor CSE). Measured at sf0.1, the theory is FALSE: the
+    * optimizer collapses projections through RepartitionByExpression
+    * without the repeat-reference cost guard plain Project pairs get, so
+    * e.g. p21's per-word md5 hash array was re-evaluated once per gram
+    * REFERENCE (28.5 s with the hint; 204 s with 16 references/gram; 64 s
+    * with no hint at all — the guard doesn't see references inside lambda
+    * bodies either). `localCheckpoint` is a barrier that actually holds:
+    * the consumer plan starts from the materialized partitions (`Scan
+    * ExistingRDD` — asserted in PlanAuditSpec), the array is computed
+    * exactly once (p21: ~2 s), and NO exchange is added — partitioning is
+    * preserved, unlike the repartition hint, which paid a full shuffle for
+    * nothing. At cluster scale substitute a reliable `checkpoint()` /
+    * `persist(DISK_ONLY)` so blocks survive executor loss — the p16
+    * iterative-loop note applies verbatim. */
+  private def materialized(spark: SparkSession, view: String, sql: String): Unit =
+    spark.sql(sql).localCheckpoint().createOrReplaceTempView(view)
+
+  /** Shared LSH chain (words → shingles → minhash sigs, then bands →
     * candidates → verified jaccard) — the p04 pipeline body, also reused by
-    * p16's cluster assignment. */
-  private val lshCtesSpark = s"""
-    w AS (
+    * p16's cluster assignment. The sig/shingle relation is materialized
+    * once via [[materialized]]: `sig` is read by 8 band keys and `shingles`
+    * by the verify re-join, and each reference would otherwise re-run the
+    * whole shingle→md5→16-way-min chain (see the barrier note). */
+  private val LshSigsView = "graft_lsh_sigs"
+  private val lshSigsSql = s"""
+    WITH w AS (
       SELECT doc_id, $wordsSpark AS words FROM documents),
     sh AS (
       SELECT doc_id,
@@ -230,23 +257,19 @@ object PipelineOps {
     hashed AS (
       SELECT doc_id, shingles,
         transform(shingles, s -> pmod(${hSpark("s")}, $MinhashP)) AS hs
-      FROM sh),
-    sigs AS (
+      FROM sh)
+    SELECT doc_id, shingles,
       -- one pass over the shingle hashes with a k-wide running-min array
-      -- (k separate array_min exprs would re-inline the md5 hash k times);
-      -- the REPARTITION(doc_id) hint materializes sig behind an exchange
-      -- before the 8 band keys read it — hash-partitioned by column so the
-      -- barrier inherits spark.sql.shuffle.partitions instead of hard-capping
-      -- the cluster at a fixed partition count
-      SELECT /*+ REPARTITION(doc_id) */ doc_id, shingles,
-        aggregate(hs, array_repeat(CAST($MinhashP AS BIGINT), $MinhashK),
-          (acc, h) -> zip_with(acc, sequence(0, ${MinhashK - 1}),
-            (m, i) -> least(m, pmod(element_at($hashALit, i + 1) * h + element_at($hashBLit, i + 1), $MinhashP)))) AS sig
-      FROM hashed),
+      -- (k separate array_min exprs would re-inline the md5 hash k times)
+      aggregate(hs, array_repeat(CAST($MinhashP AS BIGINT), $MinhashK),
+        (acc, h) -> zip_with(acc, sequence(0, ${MinhashK - 1}),
+          (m, i) -> least(m, pmod(element_at($hashALit, i + 1) * h + element_at($hashBLit, i + 1), $MinhashP)))) AS sig
+    FROM hashed"""
+  private val lshPairCtesSpark = s"""
     bands AS (
-      SELECT doc_id, shingles, explode(transform(sequence(0, ${Bands - 1}),
+      SELECT doc_id, explode(transform(sequence(0, ${Bands - 1}),
         j -> concat(j, '|', element_at(sig, 2 * j + 1), '|', element_at(sig, 2 * j + 2)))) AS bkey
-      FROM sigs),
+      FROM $LshSigsView),
     cands AS (
       SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
       FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
@@ -258,13 +281,17 @@ object PipelineOps {
         CAST(size(array_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
           / (size(sa.shingles) + size(sb.shingles) - size(array_intersect(sa.shingles, sb.shingles))) AS jac
       FROM cands c
-      JOIN sh sa ON sa.doc_id = c.ida
-      JOIN sh sb ON sb.doc_id = c.idb)"""
+      JOIN $LshSigsView sa ON sa.doc_id = c.ida
+      JOIN $LshSigsView sb ON sb.doc_id = c.idb)"""
 
-  private val p04Spark = s"""
-    WITH $lshCtesSpark
-    SELECT ida, idb, CAST(floor((jac) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS jaccard
-    FROM verified WHERE jac >= 0.5 ORDER BY ida, idb"""
+  private def p04Run(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    materialized(spark, LshSigsView, lshSigsSql)
+    spark.sql(s"""
+      WITH $lshPairCtesSpark
+      SELECT ida, idb, CAST(floor((jac) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS jaccard
+      FROM verified WHERE jac >= 0.5 ORDER BY ida, idb""")
+  }
 
   private val lshCtesDuck = s"""
     w AS (
@@ -407,27 +434,26 @@ object PipelineOps {
   // with a deterministic per-bucket cap), verified by exact cosine on a
   // candidates-only re-join — the p04 architecture applied to embeddings.
   // Sign-bit assignment is map-side (the plane matrix is a literal); the
-  // REPARTITION(doc-key) hint materializes the bit array behind an
-  // exchange before the band keys slice it (HOF lambdas get no CSE).
+  // b*r-bit array is materialized ONCE via [[materialized]] before the band
+  // keys slice it b times and the verify re-join reads embedding/n2 (each
+  // reference would otherwise re-run all b*r hyperplane dot products — the
+  // CollapseProject hazard documented on the barrier helper).
 
-  private def p08Spark(srpBits: Int) = s"""
-    WITH e AS (
-      SELECT /*+ REPARTITION(vec_id) */ vec_id, embedding,
-        ${norm2Spark("embedding")} AS n2,
-        transform(sequence(0, ${srpBits * SrpBands - 1}),
-          p -> IF(aggregate(zip_with(embedding, element_at(${planesSparkLit(srpBits * SrpBands)}, p + 1),
-                    (x, s) -> CAST(x AS DOUBLE) * CAST(s AS DOUBLE)),
-                  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) > 0, 1, 0)) AS bits
-      FROM embeddings),
-    bands AS (
+  private val SrpEView = "graft_p08_e"
+  // band keys come from the native codegen kernel graft_srp_keys (the HOF
+  // per-plane zip_with/aggregate chain is value-identical but interpreted —
+  // see graft.functions.VectorExpressions); the DuckDB oracle keeps the
+  // per-plane fold, which pins the exact arithmetic both must produce
+  private val p08ESql = s"""
+    SELECT vec_id, embedding,
+      ${norm2Spark("embedding")} AS n2,
+      graft_srp_keys(embedding) AS bkeys
+    FROM embeddings"""
+  private val p08PairsSql = s"""
+    WITH bands AS (
       SELECT vec_id, bkey,
         row_number() OVER (PARTITION BY bkey ORDER BY vec_id) AS rnk
-      FROM (
-        SELECT vec_id, explode(transform(sequence(0, ${SrpBands - 1}),
-          j -> j * ${1 << srpBits}
-               + aggregate(slice(bits, j * $srpBits + 1, $srpBits), 0,
-                   (acc, bit) -> acc * 2 + bit))) AS bkey
-        FROM e)),
+      FROM (SELECT vec_id, explode(bkeys) AS bkey FROM $SrpEView)),
     cands AS (
       SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
       FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.vec_id < b.vec_id
@@ -436,10 +462,23 @@ object PipelineOps {
       SELECT c.ida, c.idb,
         ${dotSpark("ea.embedding", "eb.embedding")} / (sqrt(ea.n2) * sqrt(eb.n2)) AS cos
       FROM cands c
-      JOIN e ea ON ea.vec_id = c.ida
-      JOIN e eb ON eb.vec_id = c.idb)
+      JOIN $SrpEView ea ON ea.vec_id = c.ida
+      JOIN $SrpEView eb ON eb.vec_id = c.idb)
     SELECT ida, idb, CAST(floor((cos) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS sim
     FROM pairs WHERE cos >= 0.2 ORDER BY ida, idb"""
+
+  private def p08Run(spark: SparkSession, dir: String): DataFrame = {
+    // r derived from the ACTUAL corpus count (parquet metadata count — no
+    // data scan), so the bucket space tracks the corpus at any SF
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val srpBits = chooseSrpBits(n)
+    graft.functions.GraftFunctions.registerSrpKeys(spark,
+      planes.take(srpBits * SrpBands).map(_.toArray).toArray, srpBits, SrpBands)
+    spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("embeddings")
+    graft.functions.GraftFunctions.registerDot(spark)
+    materialized(spark, SrpEView, p08ESql)
+    spark.sql(p08PairsSql)
+  }
   private def p08Duck(srpBits: Int) = s"""
     WITH e AS (
       SELECT vec_id, embedding, ${norm2Duck("embedding")} AS n2,
@@ -532,22 +571,28 @@ object PipelineOps {
     s"CASE $whens ELSE 'und' END"
   }
 
-  private val p12Spark = s"""
-    WITH w AS (SELECT doc_id, lang, $wordsSpark AS words FROM documents),
-    scores AS (
-      -- REPARTITION(doc_id) materializes the four scores behind an exchange
-      -- before the CASE-argmax reads each ~6 times (CollapseProject would
-      -- re-inline the filter scans; lambda HOFs get no codegen CSE). By
-      -- column, not a fixed N: the shuffle width follows
-      -- spark.sql.shuffle.partitions at any cluster size
-      SELECT /*+ REPARTITION(doc_id) */ doc_id, lang,
-        ${langSets.map { case (l, ws) => s"${scoreSpark(ws)} AS sc_$l" }.mkString(",\n        ")}
-      FROM w WHERE size(words) > 0),
-    scored AS (
+  // the four scores are materialized once via [[materialized]] before the
+  // CASE-argmax reads each ~6 times (CollapseProject re-inlines the filter
+  // scans per reference otherwise — the hazard documented on the barrier
+  // helper; a tiny relation here, but the idiom is the same at any scale)
+  private val LangScoresView = "graft_p12_scores"
+  private val p12ScoresSql = s"""
+    WITH w AS (SELECT doc_id, lang, $wordsSpark AS words FROM documents)
+    SELECT doc_id, lang,
+      ${langSets.map { case (l, ws) => s"${scoreSpark(ws)} AS sc_$l" }.mkString(",\n      ")}
+    FROM w WHERE size(words) > 0"""
+  private val p12RollupSql = s"""
+    WITH scored AS (
       SELECT doc_id, lang, ${argmaxCase(langSets.map(_._1))} AS predicted
-      FROM scores)
+      FROM $LangScoresView)
     SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
     FROM scored GROUP BY lang, predicted ORDER BY lang, predicted"""
+
+  private def p12Run(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    materialized(spark, LangScoresView, p12ScoresSql)
+    spark.sql(p12RollupSql)
+  }
   private val p12Duck = s"""
     WITH w AS (SELECT doc_id, lang, $wordsDuck AS words FROM documents),
     scores AS (
@@ -909,8 +954,9 @@ object PipelineOps {
   private def p16Labels(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    materialized(spark, LshSigsView, lshSigsSql)
     val pairs = spark.sql(
-      s"WITH $lshCtesSpark SELECT ida, idb FROM verified WHERE jac >= 0.5")
+      s"WITH $lshPairCtesSpark SELECT ida, idb FROM verified WHERE jac >= 0.5")
       .localCheckpoint()
     val edges = pairs.select(col("ida").as("a"), col("idb").as("b"))
       .union(pairs.select(col("idb").as("a"), col("ida").as("b")))
@@ -1016,9 +1062,10 @@ object PipelineOps {
   // The Gopher/GPT-3-style test-set overlap check: flag training documents
   // sharing any 8-gram with the eval set (here: doc_id < 20 stands in for a
   // benchmark corpus). Eval grams are DISTINCT and tiny relative to the
-  // corpus → they broadcast, so at 100 TB this is one map-side gram
-  // generation pass + a broadcast hash join on the gram hash — no shuffle
-  // of the training side until the per-doc rollup.
+  // corpus → they broadcast, so at 100 TB this is one word-hash pass
+  // materialized in place (no exchange — see [[materialized]]), map-side
+  // gram generation + a broadcast hash join on the gram hash, then the
+  // per-doc rollup.
   //
   // Gram hashing: each WORD is md5-hashed exactly once (32-bit prefix),
   // then every 8-gram combines its 8 word hashes with TWO independent
@@ -1055,9 +1102,17 @@ object PipelineOps {
                + ${gramPolySpark(s"slice(hw, i, $DecontamN)", 37)})) AS gs
         FROM $src WHERE size(hw) >= $DecontamN)"""
 
-  private val p21Spark = s"""
-    WITH w AS (SELECT doc_id, transform($wordsSpark, w -> ${hSpark("w")}) AS hw FROM documents),
-    train_grams AS (${gramsSpark("w")}),
+  // the per-word md5 hash array is materialized once via [[materialized]]
+  // before the per-gram folds slice it (each gram's two polynomial folds
+  // would otherwise re-run the WHOLE word-hash transform — O(words) md5 per
+  // gram reference, the CollapseProject hazard measured at 28.5 s/sf0.1 on
+  // the barrier helper's doc); with the barrier, md5 count is O(words) and
+  // gram combining is pure arithmetic (~2 s)
+  private val P21HwView = "graft_p21_hw"
+  private val p21HwSql =
+    s"SELECT doc_id, transform($wordsSpark, w -> ${hSpark("w")}) AS hw FROM documents"
+  private val p21MainSql = s"""
+    WITH train_grams AS (${gramsSpark(P21HwView)}),
     eval_grams AS (
       SELECT DISTINCT g FROM train_grams WHERE doc_id < $EvalDocs),
     hits AS (
@@ -1066,6 +1121,12 @@ object PipelineOps {
       WHERE t.doc_id >= $EvalDocs
       GROUP BY t.doc_id)
     SELECT doc_id, n_shared_grams FROM hits ORDER BY doc_id"""
+
+  private def p21Run(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    materialized(spark, P21HwView, p21HwSql)
+    spark.sql(p21MainSql)
+  }
   private val p21Duck = s"""
     WITH w AS (SELECT doc_id, list_transform($wordsDuck, w -> ${hDuck("w")}) AS hw FROM documents),
     train_grams AS (
@@ -1165,6 +1226,7 @@ object PipelineOps {
 
   private def onEmb(sql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => {
+      graft.functions.GraftFunctions.registerDot(spark)
       spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("embeddings")
       spark.sql(sql)
     }
@@ -1173,22 +1235,17 @@ object PipelineOps {
     "p01_dedup_exact" -> onDocs(p01Spark),
     "p02_text_stats" -> onDocs(p02Spark),
     "p03_lang_quality" -> onDocs(p03Spark),
-    "p04_minhash_lsh" -> onDocs(p04Spark),
+    "p04_minhash_lsh" -> ((spark, dir) => p04Run(spark, dir)),
     "p05_simhash" -> onDocs(p05Spark),
     "p06_fingerprint" -> onDocs(p06Spark),
     "p07_cosine_topk" -> onEmb(p07Spark),
-    // r derived from the ACTUAL corpus count (parquet metadata count — no
-    // data scan), so the bucket space tracks the corpus at any SF
-    "p08_ann_srp_lsh" -> ((spark, dir) => {
-      val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
-      onEmb(p08Spark(chooseSrpBits(n)))(spark, dir)
-    }),
+    "p08_ann_srp_lsh" -> ((spark, dir) => p08Run(spark, dir)),
     "p09_media_meta" -> onDocs(p09Spark),
     // typed mapPartitions decode plumbing — deterministic stub "decoder";
     // the rollup is all-integer so p10Duck recomputes it exactly (hash gate)
     "p10_media_decode" -> ((spark, dir) => MediaOps.decodeFeatures(spark, dir)),
     "p11_ngram_jaccard" -> onDocs(p11Spark),
-    "p12_lang_id" -> onDocs(p12Spark),
+    "p12_lang_id" -> ((spark, dir) => p12Run(spark, dir)),
     "p13_sessionize" -> ((spark, dir) => {
       spark.read.parquet(s"$dir/events.parquet").createOrReplaceTempView("events")
       spark.sql(p13Spark)
@@ -1200,7 +1257,7 @@ object PipelineOps {
     "p18_text_clean" -> onDocs(p18Spark),
     "p19_ann_ivf" -> onEmb(p19Spark),
     "p20_curation" -> ((spark, dir) => p20Run(spark, dir)),
-    "p21_decontam" -> onDocs(p21Spark),
+    "p21_decontam" -> ((spark, dir) => p21Run(spark, dir)),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -4,6 +4,11 @@ import graft.ast._
 import graft.ast.Expr._
 import graft.parse.SpanMap
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedStar}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Expression, Literal, NamedExpression, SortOrder}
+import org.apache.spark.sql.catalyst.plans.{JoinType, UsingJoin}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Filter, Join, JoinHint, Limit, LogicalPlan, Offset, Project, Sort, SubqueryAlias}
+import org.apache.spark.sql.GraftPlanBridge
 import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.{functions => F}
 
@@ -15,11 +20,21 @@ final class PlanError(msg: String, val span: Option[Span]) extends Exception(msg
 }
 
 /** Lowers a resolved PRQL [[Query]] to a Spark DataFrame by folding each
-  * pipeline transform into DataFrame/Column/Window operations. Catalyst is the
-  * optimizer: we emit declarative plans (filter/select/groupBy/join/window)
-  * and rely on predicate pushdown, column pruning and AQE for the physical
-  * strategy — the role the target DB plays for the reference
+  * pipeline transform into Catalyst logical-plan nodes. Catalyst is the
+  * optimizer: we emit declarative plans (Filter/Project/Aggregate/Join/
+  * Window) and rely on predicate pushdown, column pruning and AQE for the
+  * physical strategy — the role the target DB plays for the reference
   * (SURVEY.md §3.3, §4).
+  *
+  * The fold builds ONE UNRESOLVED LogicalPlan and analyzes it exactly once
+  * at the end (`Dataset.ofRows`): per-DataFrame-op construction would run
+  * the Spark analyzer after every stage (~11 growing passes on a typical
+  * query — the r3 compile-latency gap vs the reference's ~300 µs,
+  * bench.rs:4). Column existence, join USING checks and the annotate-mode
+  * frame traces therefore come from a SYMBOLIC frame ([[Planner.Frame]])
+  * tracked through the fold — the reference's own design
+  * (semantic/frame.rs:10-25), except ours starts from real source schemas
+  * so the checks are exact rather than deferred.
   *
   * Transform semantics follow prql-compiler/src/semantic/transforms.rs:7-253
   * and src/sql/{distinct.rs,un_group.rs,translator.rs}.
@@ -48,33 +63,106 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
 
   private val funcs: Map[String, FuncDef] = query.funcs.map(f => f.name -> f).toMap
   private val tableDefs: Map[String, TableDef] = query.tables.map(t => t.name -> t).toMap
-  private val tableCache = scala.collection.mutable.Map.empty[String, DataFrame]
+  private val tableCache = scala.collection.mutable.Map.empty[String, (LogicalPlan, Frame)]
 
   // ---- ambient pipeline state (the reference's Frame, frame.rs:10-18) ----
   private final case class SortItem(e: Expr, desc: Boolean)
   /** kind ∈ rows|range; None bound = UNBOUNDED (translator.rs:667-693). */
   private final case class FrameSpec(kind: String, lo: Option[Long], hi: Option[Long])
 
+  /** Symbolic relation layout tracked through the fold (frame.rs:10-25):
+    * output column names in order, alias → source-table columns (wildcard
+    * expansion), and whether the name list is exact. `exact = false` (an
+    * unnamed computed select item whose Spark-generated name we don't
+    * replicate) downgrades unknown-column checks to analyzer-deferred
+    * rather than risking a false rejection. */
+  private final case class Frame(cols: Vector[String],
+                                 tables: Map[String, Seq[String]] = Map.empty,
+                                 exact: Boolean = true) {
+    def hasCol(n: String): Boolean = cols.exists(_.equalsIgnoreCase(n))
+  }
+
   private final case class Ctx(
-      df: DataFrame,
+      plan: LogicalPlan,
+      frame: Frame,
       sort: List[SortItem] = Nil,      // ambient sort, feeds OVER(ORDER BY)
       groupKeys: List[Expr] = Nil,     // inside `group` — feeds PARTITION BY
-      frame: Option[FrameSpec] = None, // explicit frame from `window ...:`
+      frameSpec: Option[FrameSpec] = None, // explicit frame from `window ...:`
       inGroupBody: Boolean = false,
       inWindowBody: Boolean = false,   // legality gate, independent of frame
       aggregated: Boolean = false,     // a group body ran `aggregate` (1 row/group)
       checkColumns: Boolean = true)    // off where the frame is one join side
 
-  def planMain(): DataFrame = {
-    val main = query.main.getOrElse(throw new PlanError("query has no main pipeline"))
-    planPipeline(main)
+  // ---- Column/expression bridge (Column stays the expression-builder
+  //      surface; plans are assembled from the underlying Expressions) ----
+
+  private def ex(c: Column): Expression = GraftPlanBridge.expression(spark, c)
+  private def nmd(c: Column): NamedExpression = GraftPlanBridge.toNamed(ex(c))
+  private def attr(name: String): NamedExpression = UnresolvedAttribute(Seq(name))
+  private def sortOrder(c: Column): SortOrder = ex(c) match {
+    case so: SortOrder => so
+    case e => SortOrder(e, Ascending)
   }
 
-  def planPipeline(p: Pipeline): DataFrame = {
-    // table-less pipelines (`derive x = 5`) start from a one-row relation
-    val init = Ctx(Planner.unitDf(spark))
-    p.stages.foldLeft(init)(applyTransform).df
+  def planMain(): DataFrame = {
+    val main = query.main.getOrElse(throw new PlanError("query has no main pipeline"))
+    toDf(planPipelineCtx(main).plan)
   }
+
+  /** Unresolved plan only, no analysis — the latency probe uses this to
+    * split fold cost from the single analyzer run. */
+  private[graft] def planMainUnresolved(): LogicalPlan = {
+    val main = query.main.getOrElse(throw new PlanError("query has no main pipeline"))
+    planPipelineCtx(main).plan
+  }
+
+  /** The single analyzer run of a compile (see the class doc).
+    *
+    * The session enables Spark's single-pass resolver in tentative mode
+    * (Graft.localSession) — ~6× faster than the fixed-point analyzer on the
+    * compile-bench query. The resolver is experimental in 4.1 and its
+    * ResolverGuard approves UsingJoin plans it then mis-resolves (hidden
+    * USING-key columns leak into a Project above an Aggregate →
+    * MISSING_ATTRIBUTES on e.g. the book's employees-0), so USING-join
+    * plans go straight to the fixed-point analyzer, and ANY single-pass
+    * failure falls back to it too — legacy behavior (result or error) is
+    * always the one that stands. */
+  private def toDf(plan: LogicalPlan): DataFrame = {
+    val hasUsingJoin = plan.exists {
+      case j: Join => j.joinType.isInstanceOf[UsingJoin]
+      case _ => false
+    }
+    if (hasUsingJoin || !singlePassEnabled) analyzeLegacy(plan)
+    else
+      try GraftPlanBridge.ofRows(spark, plan)
+      catch { case scala.util.control.NonFatal(_) => analyzeLegacy(plan) }
+  }
+
+  private def singlePassEnabled: Boolean =
+    spark.conf.getOption(Planner.TentativeKey).contains("true")
+
+  private def analyzeLegacy(plan: LogicalPlan): DataFrame =
+    if (!singlePassEnabled) GraftPlanBridge.ofRows(spark, plan)
+    else {
+      spark.conf.set(Planner.TentativeKey, "false")
+      try GraftPlanBridge.ofRows(spark, plan)
+      finally spark.conf.set(Planner.TentativeKey, "true")
+    }
+
+  def planPipeline(p: Pipeline): DataFrame = toDf(planPipelineCtx(p).plan)
+
+  private def planPipelineCtx(p: Pipeline): Ctx =
+    // Column builders capture a call-site stack trace per node for DataFrame
+    // debugging (Origin) UNLESS an origin is already set — ~22 µs/Column vs
+    // ~2 µs. Our errors carry PRQL source spans, not JVM stacks, so pin one
+    // empty origin for the whole fold (measured 1.0 ms → ~0.2 ms on the
+    // reference's compile-bench query).
+    org.apache.spark.sql.catalyst.trees.CurrentOrigin.withOrigin(Planner.foldOrigin) {
+      // table-less pipelines (`derive x = 5`) start from a one-row relation
+      val unit = Planner.unitDf(spark)
+      val init = Ctx(unit.queryExecution.analyzed, Frame(Vector.empty))
+      p.stages.foldLeft(init)(applyTransform)
+    }
 
   /** Table defs currently being planned: a def that references its own name
     * (`table trips = (from trips | …)`) resolves the inner name to the BASE
@@ -82,20 +170,27 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
     * (translator.rs:97 hardcodes recursive: false). */
   private val planningDefs = scala.collection.mutable.Set.empty[String]
 
-  private def resolveTable(name: String): DataFrame =
+  private def resolveTable(name: String): (LogicalPlan, Frame) =
     tableCache.get(name) match {
-      case Some(df) => df
+      case Some(pf) => pf
       case None =>
-        val df = tableDefs.get(name) match {
+        val pf = tableDefs.get(name) match {
           case Some(t) if !planningDefs(name) =>
             planningDefs += name
-            try planPipeline(t.pipeline) finally planningDefs -= name
-          case _ => catalog(name)
+            val c = try planPipelineCtx(t.pipeline) finally planningDefs -= name
+            (c.plan, c.frame)
+          case _ =>
+            // catalog relations arrive as DataFrames, already analyzed when
+            // the catalog built them — reuse that plan and schema, no new
+            // analyzer pass (self-joins of the same subtree are deduplicated
+            // by the analyzer, as with DataFrame self-joins)
+            val df = catalog(name)
+            (df.queryExecution.analyzed, Frame(df.columns.toVector))
         }
         // cache only fully-resolved defs (a shadowed base read stays uncached
         // so the outer `from name` still gets the def)
-        if (!planningDefs(name)) tableCache(name) = df
-        df
+        if (!planningDefs(name)) tableCache(name) = pf
+        pf
     }
 
   // ---------------- transforms ----------------
@@ -115,7 +210,7 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
         case e: PlanError if e.span.isEmpty =>
           throw new PlanError(e.getMessage, spans.get(stage))
       }
-    stageFrames += ((stage, out.df.columns.toSeq))
+    stageFrames += ((stage, out.frame.cols))
     out
   }
 
@@ -151,26 +246,62 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
           s"jinja block $src parses but is unsupported in execution (the reference only renders SQL text)")
         case _ => throw new PlanError(s"from expects a table name, got $args")
       }
-      ctx.copy(df = resolveTable(tbl).alias(alias), sort = Nil, groupKeys = Nil)
+      val (base, baseFrame) = resolveTable(tbl)
+      ctx.copy(plan = SubqueryAlias(alias, base),
+        frame = Frame(baseFrame.cols, Map(alias -> baseFrame.cols)),
+        sort = Nil, groupKeys = Nil)
 
     case "select" =>
-      val cols = assignItems(args).map {
-        case (Some(n), e) => lower(ctx, e).as(n)
-        case (None, e) => lower(ctx, e)
+      val items = assignItems(args)
+      val cols = items.map {
+        case (Some(n), e) => nmd(lower(ctx, e).as(n))
+        case (None, e) => nmd(lower(ctx, e))
       }
-      ctx.copy(df = ctx.df.select(cols: _*))
+      // symbolic output names: assigns and idents are exact; a `t.*`
+      // wildcard expands through the alias map; any other unnamed computed
+      // item gets Spark's generated name at analysis, which we don't
+      // replicate — mark the frame inexact so later checks defer
+      var exact = ctx.frame.exact
+      val names = items.flatMap {
+        case (Some(n), _) => Vector(n)
+        case (None, Ident(List("*"))) => ctx.frame.cols
+        case (None, Ident(parts)) if parts.last == "*" =>
+          ctx.frame.tables.get(parts.head) match {
+            case Some(cs) => cs.toVector
+            case None => exact = false; Vector(parts.mkString("."))
+          }
+        case (None, Ident(parts)) => Vector(parts.last)
+        case (None, e) => exact = false; Vector(prettyName(e))
+      }.toVector
+      ctx.copy(plan = Project(cols, ctx.plan),
+        frame = Frame(names, ctx.frame.tables, exact))
 
     case "derive" =>
-      val df = assignItems(args).foldLeft(ctx.df) { case (d, (nameOpt, e)) =>
-        val c = lower(ctx.copy(df = d), e)
-        d.withColumn(nameOpt.getOrElse(prettyName(e)), c)
+      // each item may reference earlier items (shadowing) → one Project per
+      // item; unresolved nesting is free, the analyzer runs once at the end
+      val (plan, frame) = assignItems(args).foldLeft((ctx.plan, ctx.frame)) {
+        case ((p, fr), (nameOpt, e)) =>
+          val name = nameOpt.getOrElse(prettyName(e))
+          val c = nmd(lower(ctx.copy(plan = p, frame = fr), e).as(name))
+          fr.cols.indexWhere(_.equalsIgnoreCase(name)) match {
+            case -1 =>
+              // append: star + new column (robust to duplicate upstream names)
+              (Project(Vector(UnresolvedStar(None), c), p), fr.copy(cols = fr.cols :+ name))
+            case i =>
+              // shadow: re-project by name, replacing in place (frame.rs:28-43)
+              val outCols = fr.cols.zipWithIndex.map {
+                case (_, `i`) => c
+                case (n, _) => attr(n)
+              }
+              (Project(outCols, p), fr.copy(cols = fr.cols.updated(i, name)))
+          }
       }
-      ctx.copy(df = df)
+      ctx.copy(plan = plan, frame = frame)
 
     case "filter" =>
       if (args.isEmpty) throw new PlanError("filter expects a condition")
       val conds = args.map(a => lower(ctx, a))
-      ctx.copy(df = ctx.df.filter(conds.reduce(_ && _)))
+      ctx.copy(plan = Filter(ex(conds.reduce(_ && _)), ctx.plan))
 
     case "sort" =>
       val items = sortItems(args)
@@ -179,23 +310,29 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
         // reference drops it from output order too (un_group.rs:6-37)
         ctx.copy(sort = items)
       else
-        ctx.copy(df = ctx.df.orderBy(items.map(sortCol(ctx, _)): _*), sort = items)
+        ctx.copy(plan = Sort(items.map(s => sortOrder(sortCol(ctx, s))),
+          global = true, ctx.plan), sort = items)
 
     case "aggregate" =>
       val items = aggItems(args)
       val aggCols = items.map { case (nameOpt, e) =>
         val c = lowerAgg(ctx, e)
-        nameOpt.map(c.as).getOrElse(c.as(prettyName(e)))
+        nmd(nameOpt.map(c.as).getOrElse(c.as(prettyName(e))))
       }
       if (items.isEmpty) throw new PlanError("aggregate expects at least one expression")
-      val out =
-        if (ctx.groupKeys.isEmpty) ctx.df.agg(aggCols.head, aggCols.tail: _*)
-        else ctx.df.groupBy(ctx.groupKeys.map(k => lower(ctx, k)): _*)
-          .agg(aggCols.head, aggCols.tail: _*)
+      val keyCols = ctx.groupKeys.map(k => nmd(lower(ctx, k)))
+      val out = Aggregate(keyCols, keyCols ++ aggCols, ctx.plan)
+      val keyNames = ctx.groupKeys.map {
+        case Ident(parts) => parts.last
+        case other => prettyName(other)
+      }
+      val frame = Frame((keyNames ++ items.map { case (n, e) =>
+        n.getOrElse(prettyName(e)) }).toVector, exact = ctx.frame.exact)
       // inside a group body, keep the keys: the reference distributes them
       // into any LATER take in the body (name_resolver.rs:383-388), so
       // `group k (aggregate […] | take n)` stays per-group
-      ctx.copy(df = out, groupKeys = if (ctx.inGroupBody) ctx.groupKeys else Nil,
+      ctx.copy(plan = out, frame = frame,
+        groupKeys = if (ctx.inGroupBody) ctx.groupKeys else Nil,
         sort = Nil, aggregated = ctx.inGroupBody)
 
     case "take" => applyTake(ctx, args)
@@ -212,17 +349,17 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
         aggregated = false)
       val out = body.foldLeft(entry)(applyTransform)
       out.copy(groupKeys = Nil, sort = Nil, inGroupBody = ctx.inGroupBody,
-        frame = None, aggregated = ctx.aggregated)
+        frameSpec = None, aggregated = ctx.aggregated)
 
     case "window" =>
       val body = args match {
         case List(b) => bodyStages(b)
         case _ => throw new PlanError("window expects a sub-pipeline")
       }
-      val spec = frameSpec(named)
-      val entry = ctx.copy(frame = Some(spec), inWindowBody = true)
+      val spec = frameSpecOf(named)
+      val entry = ctx.copy(frameSpec = Some(spec), inWindowBody = true)
       val out = body.foldLeft(entry)(applyTransform)
-      out.copy(frame = ctx.frame, inWindowBody = ctx.inWindowBody)
+      out.copy(frameSpec = ctx.frameSpec, inWindowBody = ctx.inWindowBody)
 
     case fname =>
       throw new PlanError(s"'$fname' is not a transform (stage-position call)")
@@ -236,6 +373,8 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
       case List(RangeLit(s, e)) => (s.map(asLong), e.map(asLong))
       case _ => throw new PlanError(s"take expects an int or range, got $args")
     }
+    def limit(p: LogicalPlan, n: Long) = Limit(Literal(n.toInt), p)
+    def offset(p: LogicalPlan, n: Long) = Offset(Literal(n.toInt), p)
     if (ctx.groupKeys.isEmpty) {
       // 1-based inclusive positional slice (translator.rs:194-212)
       if (rng._1.exists(_ > 1))
@@ -243,20 +382,20 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
           "through a single partition (inherent to global positional " +
           "slicing). For deep pagination at scale prefer keyset filtering " +
           "(filter key > last_seen | take n).")
-      val df = rng match {
-        case (None, Some(n)) => ctx.df.limit(n.toInt)
-        case (Some(a), Some(b)) => ctx.df.offset((a - 1).toInt).limit((b - a + 1).toInt)
-        case (Some(a), None) => ctx.df.offset((a - 1).toInt)
-        case (None, None) => ctx.df
+      val plan = rng match {
+        case (None, Some(n)) => limit(ctx.plan, n)
+        case (Some(a), Some(b)) => limit(offset(ctx.plan, a - 1), b - a + 1)
+        case (Some(a), None) => offset(ctx.plan, a - 1)
+        case (None, None) => ctx.plan
       }
-      ctx.copy(df = df)
+      ctx.copy(plan = plan)
     } else if (ctx.aggregated && ctx.sort.isEmpty) {
       // take after `aggregate` in a group body: exactly one row per group, so
       // the reference's per-group ROW_NUMBER filter keeps each row iff
       // 1 ∈ [lo..hi] — deterministic even without a sort. Both bounds must
       // admit 1: `take 0` or `take 2..` keep nothing
       val keepsFirst = rng._1.forall(_ <= 1) && rng._2.forall(_ >= 1)
-      ctx.copy(df = if (keepsFirst) ctx.df else ctx.df.limit(0))
+      ctx.copy(plan = if (keepsFirst) ctx.plan else limit(ctx.plan, 0))
     } else {
       // grouped take — the reference's signature rewrite (distinct.rs:8-126)
       rng match {
@@ -265,7 +404,7 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
           // the whole frame, unconditionally (distinct.rs:33-40,
           // take_only_first: start.unwrap_or(1)==1 && end==Some(1)) — never
           // an arbitrary row per group
-          ctx.copy(df = ctx.df.distinct())
+          ctx.copy(plan = Distinct(ctx.plan))
         case (lo, hi) =>
           if (ctx.sort.isEmpty)
             throw new PlanError(
@@ -276,14 +415,17 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
           val w = Window.partitionBy(ctx.groupKeys.map(k => lower(ctx, k)): _*)
             .orderBy(ctx.sort.map(sortCol(ctx, _)): _*)
           val rn = "_rn_graft"
-          val df = ctx.df.withColumn(rn, F.row_number().over(w))
+          val withRn = Project(Vector(UnresolvedStar(None),
+            nmd(F.row_number().over(w).as(rn))), ctx.plan)
           val cond = (lo, hi) match {
             case (None, Some(n)) => F.col(rn) <= n
             case (Some(a), Some(b)) => F.col(rn).between(a, b)
             case (Some(a), None) => F.col(rn) >= a
             case (None, None) => F.lit(true)
           }
-          ctx.copy(df = df.filter(cond).drop(rn))
+          // drop the helper column by re-projecting the original frame
+          val plan = Project(ctx.frame.cols.map(attr), Filter(ex(cond), withRn))
+          ctx.copy(plan = plan)
       }
     }
   }
@@ -321,40 +463,52 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
       case e => throw new PlanError(s"bad join arg: $e")
     }
     val (alias, tbl) = tableOpt.getOrElse(throw new PlanError("join needs a table"))
-    val right = resolveTable(tbl).alias(alias)
+    val (rightBase, rightFrame) = resolveTable(tbl)
+    val right = SubqueryAlias(alias, rightBase)
+    val joinType = JoinType(sparkSide)
     // all-bare-idents → USING (deduped key columns); else ON with AND-merge
     val usingCols = conds.collect { case Ident(List(c)) => c }
-    val joined =
+    val (joined, frame) =
       if (conds.nonEmpty && usingCols.length == conds.length) {
         // USING requires the columns on BOTH sides (name_resolver.rs:223-252)
         usingCols.foreach { c =>
-          if (!ctx.df.columns.contains(c))
+          if (!ctx.frame.cols.contains(c))
             throw new PlanError(s"join USING column '$c' is missing from the left side")
-          if (!right.columns.contains(c))
+          if (!rightFrame.cols.contains(c))
             throw new PlanError(s"join USING column '$c' is missing from the right side ('$tbl')")
         }
-        ctx.df.join(right, usingCols, sparkSide)
-      } else
-        ctx.df.join(right,
-          conds.map(c => lowerJoinCond(ctx, right, c)).reduce(_ && _), sparkSide)
-    ctx.copy(df = joined)
+        // Spark USING output: key cols, then left non-key, then right non-key
+        val cols = usingCols.toVector ++
+          ctx.frame.cols.filterNot(usingCols.contains) ++
+          rightFrame.cols.filterNot(usingCols.contains)
+        (Join(ctx.plan, right, UsingJoin(joinType, usingCols), None, JoinHint.NONE),
+          Frame(cols, ctx.frame.tables + (alias -> rightFrame.cols),
+            ctx.frame.exact && rightFrame.exact))
+      } else {
+        val cond = conds.map(c => lowerJoinCond(ctx, rightFrame, c)).reduce(_ && _)
+        (Join(ctx.plan, right, joinType, Some(ex(cond)), JoinHint.NONE),
+          Frame(ctx.frame.cols ++ rightFrame.cols,
+            ctx.frame.tables + (alias -> rightFrame.cols),
+            ctx.frame.exact && rightFrame.exact))
+      }
+    ctx.copy(plan = joined, frame = frame)
   }
 
   /** Lower a join condition with explicit side scoping
     * (name_resolver.rs:223-252): a bare ident present on exactly one side
     * resolves to that side's column; present on both sides → error (the user
-    * must qualify with the table alias); qualified `alias.col` idents resolve
-    * through the DataFrame aliases. */
-  private def lowerJoinCond(ctx: Ctx, right: DataFrame, e: Expr): Column = {
-    val left = ctx.df
+    * must qualify with the table alias); qualified `alias.col` idents are
+    * scoped by the analyzer through the subquery aliases — as is a bare
+    * ident present on exactly one side, which is unambiguous by the same
+    * check. */
+  private def lowerJoinCond(ctx: Ctx, rightFrame: Frame, e: Expr): Column = {
     def go(x: Expr): Column = x match {
       case Ident(List(n)) =>
-        val inL = left.columns.contains(n)
-        val inR = right.columns.contains(n)
+        val inL = ctx.frame.cols.contains(n)
+        val inR = rightFrame.cols.contains(n)
         if (inL && inR) throw new PlanError(
           s"join condition column '$n' exists on both sides — qualify it with the table alias")
-        else if (inL) left.col(quoteName(n))
-        else if (inR) right.col(quoteName(n))
+        else if (inL || inR) F.col(quoteName(n))
         else throw new PlanError(s"join condition column '$n' not found on either side")
       case Ident(parts) => identCol(parts) // alias-qualified: analyzer scopes it
       case Binary(op, l, r) => (op, l, r) match {
@@ -368,7 +522,7 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
       case Unary("!", v) => !go(v)
       // nested expressions may reference either side — let the analyzer
       // scope their idents rather than checking against the left frame
-      case _ => lower(Ctx(left, checkColumns = false), x)
+      case _ => lower(ctx.copy(checkColumns = false), x)
     }
     go(e)
   }
@@ -403,7 +557,7 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
     * they fall through to the next argument in priority. A bare `window`
     * with no frame argument still sets the Rows-unbounded frame (the same
     * default wrap_into_windowed applies, name_resolver.rs:343-373). */
-  private def frameSpec(named: List[(String, Expr)]): FrameSpec = {
+  private def frameSpecOf(named: List[(String, Expr)]): FrameSpec = {
     val m = named.toMap
     val known = Set("rows", "range", "expanding", "rolling")
     m.keys.find(!known(_)).foreach { k =>
@@ -519,8 +673,8 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
       // here (with a located error listing the frame) instead of deferring
       // to the Spark analyzer's unlocated UNRESOLVED_COLUMN. Qualified and
       // wildcard idents stay analyzer-scoped (aliases, `t.*`).
-      if (ctx.checkColumns && parts.lengthCompare(1) == 0 && parts.head != "*" &&
-          !ctx.df.columns.exists(_.equalsIgnoreCase(parts.head)))
+      if (ctx.checkColumns && ctx.frame.exact && parts.lengthCompare(1) == 0 &&
+          parts.head != "*" && !ctx.frame.hasCol(parts.head))
         throw new PlanError(
           s"unknown column '${parts.head}' (frame: ${frameHint(ctx)})", spans.get(id))
       identCol(parts)
@@ -715,7 +869,7 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
     var w: WindowSpec = Window.partitionBy(ctx.groupKeys.map(k => lower(ctx, k)): _*)
     if (ctx.sort.nonEmpty) w = w.orderBy(ctx.sort.map(sortCol(ctx, _)): _*)
     if (withFrame) {
-      val frame = ctx.frame.getOrElse(FrameSpec("rows", None, None))
+      val frame = ctx.frameSpec.getOrElse(FrameSpec("rows", None, None))
       val isSqlDefault =
         if (ctx.sort.isEmpty) frame == FrameSpec("rows", None, None)
         else frame == FrameSpec("range", None, Some(0L))
@@ -763,7 +917,7 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
 
   /** Frame summary for unknown-column errors — first 12 columns. */
   private def frameHint(ctx: Ctx): String = {
-    val cols = ctx.df.columns
+    val cols = ctx.frame.cols
     if (cols.length <= 12) cols.mkString(", ")
     else cols.take(12).mkString(", ") + s", … ${cols.length - 12} more"
   }
@@ -907,4 +1061,16 @@ object Planner {
     unitDfs.filterInPlace((s, _) => !s.sparkContext.isStopped)
     unitDfs.getOrElseUpdate(spark, spark.range(1).select())
   }
+
+  private[plan] val TentativeKey =
+    "spark.sql.analyzer.singlePassResolver.enabledTentatively"
+
+  /** Pinned for the whole plan fold: a present stack trace makes every
+    * Column builder skip java stack walking (see planPipelineCtx). Two
+    * synthetic frames, not an empty array — DataFrameQueryContext.callSite
+    * reads `stackTrace.tail.head` when rendering an error context. */
+  private val foldOrigin = org.apache.spark.sql.catalyst.trees.Origin(
+    stackTrace = Some(Array(
+      new StackTraceElement("graft.plan.Planner", "fold", "Planner.scala", -1),
+      new StackTraceElement("graft.plan.Planner", "fold", "Planner.scala", -1))))
 }

@@ -92,17 +92,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!d2.exists(_.contains("single partition")))
   }
 
-  test("pipeline materialization barriers are column-hash exchanges, not fixed-width") {
-    // p04/p12/p08 use /*+ REPARTITION(key) */ as a CollapseProject barrier;
-    // the exchange must hash-partition by the column (width follows
-    // spark.sql.shuffle.partitions) — a literal REPARTITION(32) would bake a
-    // 32-task cap into the query text at any cluster size
-    Seq("p04_minhash_lsh" -> "doc_id", "p12_lang_id" -> "doc_id",
-        "p08_ann_srp_lsh" -> "vec_id").foreach { case (q, key) =>
+  test("pipeline materialization barriers are real (localCheckpoint, not a hint)") {
+    // p04/p08/p12/p21 materialize their reused HOF-computed arrays behind
+    // localCheckpoint (PipelineOps.materialized): the consumer plan must
+    // start from the materialized partitions (Scan ExistingRDD), because
+    // CollapseProject inlines through a REPARTITION hint and re-evaluates
+    // the array once per lambda reference (measured 28.5 s vs ~2 s on p21
+    // at sf0.1 — see the materialized() doc). Also: no round-robin exchange
+    // may sneak in (a literal REPARTITION(32) would cap any cluster at 32
+    // tasks), and the barrier itself must not add one.
+    Seq("p04_minhash_lsh", "p08_ann_srp_lsh", "p12_lang_id",
+        "p21_decontam").foreach { q =>
       val p = pipeline.PipelineOps.queries(q)(spark, dir)
         .queryExecution.executedPlan.toString
-      assert(p.contains(s"hashpartitioning($key"),
-        s"$q: expected hashpartitioning($key …) exchange in:\n$p")
+      assert(p.contains("Scan ExistingRDD"),
+        s"$q: expected the materialized barrier (Scan ExistingRDD) in:\n$p")
       assert(!p.contains("RoundRobinPartitioning"),
         s"$q: fixed-width round-robin exchange survives in:\n$p")
     }

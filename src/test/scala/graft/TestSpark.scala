@@ -14,6 +14,10 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // mirror Graft.localSession: the whole suite must run under the same
+      // analyzer mode the driver mains use (single-pass where eligible)
+      .config("spark.sql.analyzer.singlePassResolver.enabledTentatively", "true")
+      .config("spark.sql.analyzer.singlePassResolver.validationEnabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

@@ -63,6 +63,13 @@ object Graft {
     (df, planner.diagnostics.toSeq)
   }
 
+  /** Render PRQL to ONE runnable Spark SQL string — the reference's actual
+    * artifact shape (translator.rs:32-49). A debug/parity surface: the
+    * DataFrame path (compile) is the primary backend; SqlBackendSpec proves
+    * `spark.sql(toSparkSql(q))` row-equals it across the corpus. */
+  def toSparkSql(prql: String): String =
+    new graft.plan.SqlGen(parse(prql)).render()
+
   /** Compile with `from name` resolving to `$dir/name.parquet`
     * (the TESTDATA.md convention), falling back to temp views. */
   def compileDir(prql: String, spark: SparkSession, dir: String): DataFrame =

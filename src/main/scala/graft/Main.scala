@@ -26,6 +26,7 @@ object Main {
         |  fmt       re-print formatted PRQL (round-trip-checked)
         |  plan      print the analyzed + optimized Spark plan
         |  compile   execute and print rows
+        |  sql       print the equivalent Spark SQL (no Spark session needed)
         |  frames    annotate source with the frame after each stage
         |  refs      list resolved identifier references (line/col -> kind)
         |options:
@@ -71,6 +72,8 @@ object Main {
         val printed = ast.PrqlPrinter.print(q)
         require(Graft.parse(printed) == q, "fmt round-trip mismatch")
         println(printed)
+      case "sql" =>
+        println(Graft.toSparkSql(src))
       case "plan" | "compile" =>
         val spark = Graft.localSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
         spark.sparkContext.setLogLevel("ERROR")

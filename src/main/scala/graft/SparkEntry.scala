@@ -672,6 +672,11 @@ object SparkEntry {
     Graft.compileDir(prqlQueries.find(_._1 == "q05_group_agg").get._2,
       spark, "/root/testdata/sf0.001")
 
+  /** name → PRQL source of every corpus query (SqlBackendSpec runs each
+    * through BOTH backends — DataFrame fold and toSparkSql — and compares). */
+  private[graft] def prqlTexts: Seq[(String, String)] =
+    prqlQueries.map { case (name, prql, _) => (name, prql) }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     prqlQueries.map { case (name, prql, _) =>

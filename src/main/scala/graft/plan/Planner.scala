@@ -61,14 +61,11 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
     query.tables.flatMap(_.pipeline.stages) ++
       query.main.map(_.stages).getOrElse(Nil)
 
+  import Planner._
+
   private val funcs: Map[String, FuncDef] = query.funcs.map(f => f.name -> f).toMap
   private val tableDefs: Map[String, TableDef] = query.tables.map(t => t.name -> t).toMap
   private val tableCache = scala.collection.mutable.Map.empty[String, (LogicalPlan, Frame)]
-
-  // ---- ambient pipeline state (the reference's Frame, frame.rs:10-18) ----
-  private final case class SortItem(e: Expr, desc: Boolean)
-  /** kind ∈ rows|range; None bound = UNBOUNDED (translator.rs:667-693). */
-  private final case class FrameSpec(kind: String, lo: Option[Long], hi: Option[Long])
 
   /** Symbolic relation layout tracked through the fold (frame.rs:10-25):
     * output column names in order, alias → source-table columns (wildcard
@@ -95,6 +92,14 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
 
   // ---- Column/expression bridge (Column stays the expression-builder
   //      surface; plans are assembled from the underlying Expressions) ----
+
+  private def sortCol(ctx: Ctx, s: SortItem): Column = {
+    // sort may reference columns a projection dropped (SQL ORDER BY
+    // semantics): Spark's ResolveMissingReferences pulls them through the
+    // child and prunes after the Sort — so no frame pre-check here
+    val c = lower(ctx.copy(checkColumns = false), s.e)
+    if (s.desc) c.desc else c.asc
+  }
 
   private def ex(c: Column): Expression = GraftPlanBridge.expression(spark, c)
   private def nmd(c: Column): NamedExpression = GraftPlanBridge.toNamed(ex(c))
@@ -356,7 +361,7 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
         case List(b) => bodyStages(b)
         case _ => throw new PlanError("window expects a sub-pipeline")
       }
-      val spec = frameSpecOf(named)
+      val spec = frameSpecOf(named, diagnostics += _)
       val entry = ctx.copy(frameSpec = Some(spec), inWindowBody = true)
       val out = body.foldLeft(entry)(applyTransform)
       out.copy(frameSpec = ctx.frameSpec, inWindowBody = ctx.inWindowBody)
@@ -527,128 +532,9 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
     go(e)
   }
 
-  /** Backtick-quote an identifier segment for Spark unless it's plain
-    * (shared by column refs, join conditions, and s-string rendering). */
-  private def quoteName(s: String): String =
-    if (s == "*" || s.matches("[A-Za-z_$][A-Za-z0-9_$]*")) s
-    else "`" + s.replace("`", "``") + "`"
-
   // ---- group/window helpers ----
 
-  private def keyList(e: Expr): List[Expr] = e match {
-    case EList(items) => items.map {
-      case i: Ident => i
-      case other => throw new PlanError(
-        s"group keys must be idents (transforms.rs:148-159), got $other")
-    }
-    case i: Ident => List(i)
-    case other => throw new PlanError(s"group keys must be idents, got $other")
-  }
-
-  private def bodyStages(e: Expr): List[Expr] = e match {
-    case Pipeline(stages) => stages
-    case single => List(single)
-  }
-
-  /** window named args → frame, with the reference's priority order when
-    * several are combined: expanding > rolling(>0) > rows > range > default
-    * `(Rows, unbounded..unbounded)` (transforms.rs:225-240). `rolling:0` and
-    * `expanding:false` are the parameters' declared defaults, not errors —
-    * they fall through to the next argument in priority. A bare `window`
-    * with no frame argument still sets the Rows-unbounded frame (the same
-    * default wrap_into_windowed applies, name_resolver.rs:343-373). */
-  private def frameSpecOf(named: List[(String, Expr)]): FrameSpec = {
-    val m = named.toMap
-    val known = Set("rows", "range", "expanding", "rolling")
-    m.keys.find(!known(_)).foreach { k =>
-      throw new PlanError(
-        s"unknown window argument '$k' (expected ${known.mkString("/")}; transforms.rs:165-244)")
-    }
-    val expanding = m.get("expanding") match {
-      case Some(BoolLit(b)) => b
-      case Some(other) => throw new PlanError(s"parameter `expanding` expects a boolean, got $other")
-      case None => false
-    }
-    val rolling = m.get("rolling") match {
-      case Some(IntLit(n)) =>
-        // the reference accepts any integer and only rolling>0 selects the
-        // trailing frame (transforms.rs:227) — match that, but flag the
-        // almost-certainly-unintended negative, which silently becomes the
-        // default full frame
-        if (n < 0) diagnostics += (s"window rolling:$n is not positive — it " +
-          "selects no frame (full-partition default), which is rarely intended")
-        n
-      case Some(other) => throw new PlanError(s"parameter `rolling` expects a number, got $other")
-      case None => 0L
-    }
-    def rangeOf(e: Expr): (Option[Long], Option[Long]) = e match {
-      case RangeLit(s, en) => (s.map(asLong), en.map(asLong))
-      case IntLit(n) => (Some(n), Some(n))
-      case other => throw new PlanError(s"bad window frame range: $other")
-    }
-    if (expanding) FrameSpec("rows", None, Some(0))
-    else if (rolling > 0) FrameSpec("rows", Some(-(rolling - 1)), Some(0))
-    else if (m.contains("rows")) {
-      val (lo, hi) = rangeOf(m("rows")); FrameSpec("rows", lo, hi)
-    } else if (m.contains("range")) {
-      val (lo, hi) = rangeOf(m("range")); FrameSpec("range", lo, hi)
-    } else FrameSpec("rows", None, None)
-  }
-
   // ---- select/derive/aggregate item shapes ----
-
-  /** Items of select/derive: one list, or varargs of assigns/exprs. */
-  private def assignItems(args: List[Expr]): List[(Option[String], Expr)] = {
-    val flat = args.flatMap {
-      case EList(items) => items
-      case e => List(e)
-    }
-    flat.map {
-      case Assign(n, e) => (Some(n), e)
-      case e => (None, e)
-    }
-  }
-
-  private def aggItems(args: List[Expr]): List[(Option[String], Expr)] = args match {
-    case List(EList(items)) => items.map {
-      case Assign(n, e) => (Some(n), e)
-      case e => (None, e)
-    }
-    case List(Assign(n, e)) => List((Some(n), e))
-    case List(e) => List((None, e))
-    case _ =>
-      // `aggregate average x` is an arity error in the reference (transforms.rs:342-362)
-      throw new PlanError("aggregate expects a single list argument")
-  }
-
-  private def sortItems(args: List[Expr]): List[SortItem] = {
-    val flat = args.flatMap { case EList(items) => items; case e => List(e) }
-    flat.map {
-      case Unary("-", e) => SortItem(requireSortIdent(e), desc = true)
-      case e => SortItem(requireSortIdent(e), desc = false)
-    }
-  }
-
-  /** The reference rejects sort-by-expression — idents only, with an optional
-    * +/- direction prefix (transforms.rs:61-83). */
-  private def requireSortIdent(e: Expr): Expr = e match {
-    case i: Ident => i
-    case other => throw new PlanError(
-      s"sort expects column identifiers, not expressions (transforms.rs:61-83): $other")
-  }
-
-  private def sortCol(ctx: Ctx, s: SortItem): Column = {
-    // sort may reference columns a projection dropped (SQL ORDER BY
-    // semantics): Spark's ResolveMissingReferences pulls them through the
-    // child and prunes after the Sort — so no frame pre-check here
-    val c = lower(ctx.copy(checkColumns = false), s.e)
-    if (s.desc) c.desc else c.asc
-  }
-
-  private def asLong(e: Expr): Long = e match {
-    case IntLit(n) => n
-    case other => throw new PlanError(s"expected integer, got $other")
-  }
 
   // ---------------- expression lowering ----------------
 
@@ -922,61 +808,7 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
     else cols.take(12).mkString(", ") + s", … ${cols.length - 12} more"
   }
 
-  /** `(x | f a | g)` — pipe appends upstream as last positional arg
-    * (materializer.rs:276-301). */
-  private def inlinePipe(p: Pipeline): Expr =
-    p.stages.reduceLeft { (acc, s) =>
-      s match {
-        case FuncCall(n, args, named) => FuncCall(n, args :+ acc, named)
-        case Ident(List(n)) => FuncCall(n, List(acc), Nil)
-        case other => throw new PlanError(s"cannot pipe into $other")
-      }
-    }
-
   // ---- user function inlining (materializer.rs:206-301) ----
-
-  private def inlineFunc(fd: FuncDef, args: List[Expr],
-                         named: List[(String, Expr)]): Expr = {
-    val binding = scala.collection.mutable.Map.empty[String, Expr]
-    named.foreach { case (n, e) =>
-      if (!fd.params.exists(_.name == n))
-        throw new PlanError(s"${fd.name}: unknown named arg $n")
-      binding(n) = e
-    }
-    // positional args fill required params (no default) in order, then spill
-    // into defaulted params (name_resolver.rs:425-495)
-    val required = fd.params.filter(p => p.default.isEmpty && !binding.contains(p.name))
-    val defaulted = fd.params.filter(p => p.default.nonEmpty && !binding.contains(p.name))
-    val slots = required ++ defaulted
-    if (args.length > slots.length)
-      throw new PlanError(s"${fd.name}: too many arguments (${args.length})")
-    args.zip(slots).foreach { case (a, p) => binding(p.name) = a }
-    fd.params.foreach { p =>
-      if (!binding.contains(p.name))
-        p.default match {
-          case Some(d) => binding(p.name) = d
-          case None => throw new PlanError(s"${fd.name}: missing argument ${p.name}")
-        }
-    }
-    substitute(fd.body, binding.toMap)
-  }
-
-  private def substitute(e: Expr, b: Map[String, Expr]): Expr = e match {
-    case Ident(List(n)) if b.contains(n) => b(n)
-    case Binary(op, l, r) => Binary(op, substitute(l, b), substitute(r, b))
-    case Unary(op, x) => Unary(op, substitute(x, b))
-    case FuncCall(n, args, named) =>
-      FuncCall(n, args.map(substitute(_, b)), named.map { case (k, v) => (k, substitute(v, b)) })
-    case Assign(n, x) => Assign(n, substitute(x, b))
-    case EList(items) => EList(items.map(substitute(_, b)))
-    case SStr(parts) => SStr(parts.map {
-      case IExpr(x) => IExpr(substitute(x, b)); case t => t })
-    case FStr(parts) => FStr(parts.map {
-      case IExpr(x) => IExpr(substitute(x, b)); case t => t })
-    case Pipeline(stages) => Pipeline(stages.map(substitute(_, b)))
-    case RangeLit(s, en) => RangeLit(s.map(substitute(_, b)), en.map(substitute(_, b)))
-    case other => other
-  }
 
   // ---- s-strings: interpolate to Spark SQL text (translator.rs:547-559;
   //      our raw dialect is Spark SQL) ----
@@ -1017,37 +849,6 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
     case other => throw new PlanError(s"cannot render to SQL: $other")
   }
 
-  private def isTypeName(t: String): Boolean = {
-    val base = Set("int", "integer", "long", "bigint", "float", "double",
-      "real", "bool", "boolean", "string", "text", "varchar", "date",
-      "timestamp", "datetime")
-    base(t.toLowerCase) || t.toLowerCase.matches("decimal\\s*\\(.*\\)")
-  }
-
-  private def sparkType(t: String): String = t.toLowerCase match {
-    case "int" | "integer" => "int"
-    case "long" | "bigint" => "bigint"
-    case "float" => "float"
-    case "double" => "double"
-    case "bool" | "boolean" => "boolean"
-    case "string" | "text" | "varchar" => "string"
-    case "date" => "date"
-    case "timestamp" | "datetime" => "timestamp"
-    case other => other // pass through (decimal(10,2) etc. won't reach here)
-  }
-
-  /** Deterministic display name for unnamed computed columns. */
-  private def prettyName(e: Expr): String = e match {
-    case Ident(parts) => parts.last
-    case FuncCall(n, args, _) => (n :: args.map(prettyName)).mkString("_")
-    case Binary(op, l, r) => s"${prettyName(l)}_${prettyName(r)}"
-    case Pipeline(stages) => prettyName(inlinePipe(Pipeline(stages)))
-    case Assign(n, _) => n
-    case IntLit(v) => v.toString
-    case FloatLit(v) => v.toString
-    case StrLit(v) => v
-    case _ => "expr"
-  }
 }
 
 object Planner {
@@ -1073,4 +874,209 @@ object Planner {
     stackTrace = Some(Array(
       new StackTraceElement("graft.plan.Planner", "fold", "Planner.scala", -1),
       new StackTraceElement("graft.plan.Planner", "fold", "Planner.scala", -1))))
+
+  // ---- shared AST-shape helpers (used by the DataFrame planner and the
+  //      SQL-text backend, graft.plan.SqlGen — one implementation of the
+  //      language's item/sort/frame/function-inlining rules) ----
+
+  private[plan] final case class SortItem(e: Expr, desc: Boolean)
+  /** kind ∈ rows|range; None bound = UNBOUNDED (translator.rs:667-693). */
+  private[plan] final case class FrameSpec(kind: String, lo: Option[Long], hi: Option[Long])
+
+  /** Backtick-quote an identifier segment for Spark unless it's plain
+    * (shared by column refs, join conditions, and s-string rendering). */
+  private[plan] def quoteName(s: String): String =
+    if (s == "*" || s.matches("[A-Za-z_$][A-Za-z0-9_$]*")) s
+    else "`" + s.replace("`", "``") + "`"
+
+  private[plan] def keyList(e: Expr): List[Expr] = e match {
+    case EList(items) => items.map {
+      case i: Ident => i
+      case other => throw new PlanError(
+        s"group keys must be idents (transforms.rs:148-159), got $other")
+    }
+    case i: Ident => List(i)
+    case other => throw new PlanError(s"group keys must be idents, got $other")
+  }
+
+  private[plan] def bodyStages(e: Expr): List[Expr] = e match {
+    case Pipeline(stages) => stages
+    case single => List(single)
+  }
+
+  /** window named args → frame, with the reference's priority order when
+    * several are combined: expanding > rolling(>0) > rows > range > default
+    * `(Rows, unbounded..unbounded)` (transforms.rs:225-240). `rolling:0` and
+    * `expanding:false` are the parameters' declared defaults, not errors —
+    * they fall through to the next argument in priority. A bare `window`
+    * with no frame argument still sets the Rows-unbounded frame (the same
+    * default wrap_into_windowed applies, name_resolver.rs:343-373). */
+  private[plan] def frameSpecOf(named: List[(String, Expr)], warn: String => Unit): FrameSpec = {
+    val m = named.toMap
+    val known = Set("rows", "range", "expanding", "rolling")
+    m.keys.find(!known(_)).foreach { k =>
+      throw new PlanError(
+        s"unknown window argument '$k' (expected ${known.mkString("/")}; transforms.rs:165-244)")
+    }
+    val expanding = m.get("expanding") match {
+      case Some(BoolLit(b)) => b
+      case Some(other) => throw new PlanError(s"parameter `expanding` expects a boolean, got $other")
+      case None => false
+    }
+    val rolling = m.get("rolling") match {
+      case Some(IntLit(n)) =>
+        // the reference accepts any integer and only rolling>0 selects the
+        // trailing frame (transforms.rs:227) — match that, but flag the
+        // almost-certainly-unintended negative, which silently becomes the
+        // default full frame
+        if (n < 0) warn(s"window rolling:$n is not positive — it " +
+          "selects no frame (full-partition default), which is rarely intended")
+        n
+      case Some(other) => throw new PlanError(s"parameter `rolling` expects a number, got $other")
+      case None => 0L
+    }
+    def rangeOf(e: Expr): (Option[Long], Option[Long]) = e match {
+      case RangeLit(s, en) => (s.map(asLong), en.map(asLong))
+      case IntLit(n) => (Some(n), Some(n))
+      case other => throw new PlanError(s"bad window frame range: $other")
+    }
+    if (expanding) FrameSpec("rows", None, Some(0))
+    else if (rolling > 0) FrameSpec("rows", Some(-(rolling - 1)), Some(0))
+    else if (m.contains("rows")) {
+      val (lo, hi) = rangeOf(m("rows")); FrameSpec("rows", lo, hi)
+    } else if (m.contains("range")) {
+      val (lo, hi) = rangeOf(m("range")); FrameSpec("range", lo, hi)
+    } else FrameSpec("rows", None, None)
+  }
+
+  /** Items of select/derive: one list, or varargs of assigns/exprs. */
+  private[plan] def assignItems(args: List[Expr]): List[(Option[String], Expr)] = {
+    val flat = args.flatMap {
+      case EList(items) => items
+      case e => List(e)
+    }
+    flat.map {
+      case Assign(n, e) => (Some(n), e)
+      case e => (None, e)
+    }
+  }
+
+  private[plan] def aggItems(args: List[Expr]): List[(Option[String], Expr)] = args match {
+    case List(EList(items)) => items.map {
+      case Assign(n, e) => (Some(n), e)
+      case e => (None, e)
+    }
+    case List(Assign(n, e)) => List((Some(n), e))
+    case List(e) => List((None, e))
+    case _ =>
+      // `aggregate average x` is an arity error in the reference (transforms.rs:342-362)
+      throw new PlanError("aggregate expects a single list argument")
+  }
+
+  private[plan] def sortItems(args: List[Expr]): List[SortItem] = {
+    val flat = args.flatMap { case EList(items) => items; case e => List(e) }
+    flat.map {
+      case Unary("-", e) => SortItem(requireSortIdent(e), desc = true)
+      case e => SortItem(requireSortIdent(e), desc = false)
+    }
+  }
+
+  /** The reference rejects sort-by-expression — idents only, with an optional
+    * +/- direction prefix (transforms.rs:61-83). */
+  private[plan] def requireSortIdent(e: Expr): Expr = e match {
+    case i: Ident => i
+    case other => throw new PlanError(
+      s"sort expects column identifiers, not expressions (transforms.rs:61-83): $other")
+  }
+
+  private[plan] def asLong(e: Expr): Long = e match {
+    case IntLit(n) => n
+    case other => throw new PlanError(s"expected integer, got $other")
+  }
+
+  /** `(x | f a | g)` — pipe appends upstream as last positional arg
+    * (materializer.rs:276-301). */
+  private[plan] def inlinePipe(p: Pipeline): Expr =
+    p.stages.reduceLeft { (acc, s) =>
+      s match {
+        case FuncCall(n, args, named) => FuncCall(n, args :+ acc, named)
+        case Ident(List(n)) => FuncCall(n, List(acc), Nil)
+        case other => throw new PlanError(s"cannot pipe into $other")
+      }
+    }
+
+  private[plan] def inlineFunc(fd: FuncDef, args: List[Expr],
+                         named: List[(String, Expr)]): Expr = {
+    val binding = scala.collection.mutable.Map.empty[String, Expr]
+    named.foreach { case (n, e) =>
+      if (!fd.params.exists(_.name == n))
+        throw new PlanError(s"${fd.name}: unknown named arg $n")
+      binding(n) = e
+    }
+    // positional args fill required params (no default) in order, then spill
+    // into defaulted params (name_resolver.rs:425-495)
+    val required = fd.params.filter(p => p.default.isEmpty && !binding.contains(p.name))
+    val defaulted = fd.params.filter(p => p.default.nonEmpty && !binding.contains(p.name))
+    val slots = required ++ defaulted
+    if (args.length > slots.length)
+      throw new PlanError(s"${fd.name}: too many arguments (${args.length})")
+    args.zip(slots).foreach { case (a, p) => binding(p.name) = a }
+    fd.params.foreach { p =>
+      if (!binding.contains(p.name))
+        p.default match {
+          case Some(d) => binding(p.name) = d
+          case None => throw new PlanError(s"${fd.name}: missing argument ${p.name}")
+        }
+    }
+    substitute(fd.body, binding.toMap)
+  }
+
+  private[plan] def substitute(e: Expr, b: Map[String, Expr]): Expr = e match {
+    case Ident(List(n)) if b.contains(n) => b(n)
+    case Binary(op, l, r) => Binary(op, substitute(l, b), substitute(r, b))
+    case Unary(op, x) => Unary(op, substitute(x, b))
+    case FuncCall(n, args, named) =>
+      FuncCall(n, args.map(substitute(_, b)), named.map { case (k, v) => (k, substitute(v, b)) })
+    case Assign(n, x) => Assign(n, substitute(x, b))
+    case EList(items) => EList(items.map(substitute(_, b)))
+    case SStr(parts) => SStr(parts.map {
+      case IExpr(x) => IExpr(substitute(x, b)); case t => t })
+    case FStr(parts) => FStr(parts.map {
+      case IExpr(x) => IExpr(substitute(x, b)); case t => t })
+    case Pipeline(stages) => Pipeline(stages.map(substitute(_, b)))
+    case RangeLit(s, en) => RangeLit(s.map(substitute(_, b)), en.map(substitute(_, b)))
+    case other => other
+  }
+
+  private[plan] def isTypeName(t: String): Boolean = {
+    val base = Set("int", "integer", "long", "bigint", "float", "double",
+      "real", "bool", "boolean", "string", "text", "varchar", "date",
+      "timestamp", "datetime")
+    base(t.toLowerCase) || t.toLowerCase.matches("decimal\\s*\\(.*\\)")
+  }
+
+  private[plan] def sparkType(t: String): String = t.toLowerCase match {
+    case "int" | "integer" => "int"
+    case "long" | "bigint" => "bigint"
+    case "float" => "float"
+    case "double" => "double"
+    case "bool" | "boolean" => "boolean"
+    case "string" | "text" | "varchar" => "string"
+    case "date" => "date"
+    case "timestamp" | "datetime" => "timestamp"
+    case other => other // pass through (decimal(10,2) etc. won't reach here)
+  }
+
+  /** Deterministic display name for unnamed computed columns. */
+  private[plan] def prettyName(e: Expr): String = e match {
+    case Ident(parts) => parts.last
+    case FuncCall(n, args, _) => (n :: args.map(prettyName)).mkString("_")
+    case Binary(op, l, r) => s"${prettyName(l)}_${prettyName(r)}"
+    case Pipeline(stages) => prettyName(inlinePipe(Pipeline(stages)))
+    case Assign(n, _) => n
+    case IntLit(v) => v.toString
+    case FloatLit(v) => v.toString
+    case StrLit(v) => v
+    case _ => "expr"
+  }
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL-text backend must agree with the DataFrame planner on every
+  * corpus query: `spark.sql(Graft.toSparkSql(q))` row-equals
+  * `Graft.compileDir(q)` over the sf0.001 parquet tables (columns compared
+  * by name — the two backends may order appended derive columns
+  * differently, like the driver's own hash gate). This is VERDICT r3 item
+  * 6's done-condition, run over the whole 48-query corpus rather than 10. */
+class SqlBackendSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val tablesRegistered: Unit = {
+    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders",
+                  "lineitem", "events", "documents", "embeddings")) {
+      val f = new java.io.File(s"$dir/$t.parquet")
+      if (f.exists)
+        Graft.parquetCatalog(spark, dir)(t).createOrReplaceTempView(t)
+    }
+  }
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val cols = df.columns.sorted.toSeq
+    df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .collect()
+      .map(_.toSeq.map {
+        case null => "NULL"
+        case d: Double => f"$d%.9f"
+        case f: Float => f"$f%.6f"
+        case x => x.toString
+      }.mkString("|"))
+      .sorted
+      .toSeq
+  }
+
+  for ((name, prql) <- SparkEntry.prqlTexts) {
+    test(s"sql backend row-equals the DataFrame path: $name") {
+      tablesRegistered
+      val dfPath = Graft.compileDir(prql, spark, dir)
+      val sql = Graft.toSparkSql(prql)
+      val sqlPath =
+        try spark.sql(sql)
+        catch {
+          case e: Throwable =>
+            fail(s"generated SQL failed to run:\n$sql\n${e.getMessage.take(500)}")
+        }
+      val (a, b) = (canon(dfPath), canon(sqlPath))
+      assert(a == b,
+        s"row mismatch (${a.length} vs ${b.length} rows)\nSQL:\n$sql\n" +
+          s"first diff: ${a.zip(b).find(p => p._1 != p._2).orElse(Some(("<len>", "<len>")))}")
+    }
+  }
+}

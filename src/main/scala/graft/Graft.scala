@@ -127,11 +127,12 @@ object Graft {
       // (tentative mode falls back to the fixed-point analyzer otherwise —
       // identical results either way, the whole test suite runs under this
       // conf). Cuts the one analysis run of a compile ~6.3 ms → ~1.1 ms on
-      // the reference's compile-bench query; the validator being disabled
-      // skips only the resolver's internal contract assertions (a debug
-      // aid), not user-facing analysis checks.
+      // the reference's compile-bench query. Validation stays ON: the
+      // resolver is experimental in 4.1 and its internal assertions are the
+      // only guard against a SILENT mis-resolution (a wrong-but-non-throwing
+      // result bypasses Planner.toDf's exception fallback entirely).
       .config("spark.sql.analyzer.singlePassResolver.enabledTentatively", "true")
-      .config("spark.sql.analyzer.singlePassResolver.validationEnabled", "false")
+      .config("spark.sql.analyzer.singlePassResolver.validationEnabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -26,9 +26,14 @@ import org.apache.spark.sql.types._
 /** Σ a(i)·b(i) over two float arrays, accumulated left-to-right in double —
   * exactly `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0.0d,
   * (acc,v) -> acc+v)`. Null if either side is null; null ELEMENTS are not
-  * expected (embeddings are dense) and read as 0. */
+  * expected (embeddings are dense) and read as 0. Mismatched lengths yield
+  * NULL — the HOF form's zip_with null-pads the shorter side and the null
+  * propagates through the sum, so a truncated embedding row must surface
+  * as missing, not as a silently-partial dot product. */
 case class GraftDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // may return null on length mismatch even over non-null inputs
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(t: DataType) = t match {
       case ArrayType(FloatType, _) => true
@@ -43,7 +48,8 @@ case class GraftDot(left: Expression, right: Expression) extends BinaryExpressio
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -58,12 +64,16 @@ case class GraftDot(left: Expression, right: Expression) extends BinaryExpressio
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $acc = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+          }
+          ${ev.value} = $acc;
         }
-        ${ev.value} = $acc;
       """
     })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): GraftDot =
@@ -76,10 +86,15 @@ case class GraftDot(left: Expression, right: Expression) extends BinaryExpressio
   * (`transform(sequence…, aggregate(zip_with(…)))` then per-band
   * `aggregate(slice(bits…))`), which accumulates the same products in the
   * same order. The ±1 plane matrix rides along as a codegen reference
-  * object instead of a b·r·64-element SQL literal. */
+  * object instead of a b·r·64-element SQL literal. An embedding whose
+  * length differs from the plane width yields NULL (the HOF form's
+  * zip_with null-pads and the null propagates through every band key) —
+  * never keys computed from a truncated product. */
 case class GraftSrpKeys(child: Expression, planes: Array[Array[Int]],
                         srpBits: Int, srpBands: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  // may return null on plane/embedding width mismatch over non-null input
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case ArrayType(FloatType, _) =>
@@ -90,6 +105,7 @@ case class GraftSrpKeys(child: Expression, planes: Array[Array[Int]],
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val dims = x.numElements()
+    if (dims != planes(0).length) return null
     val keys = new Array[Int](srpBands)
     var j = 0
     while (j < srpBands) {
@@ -99,7 +115,7 @@ case class GraftSrpKeys(child: Expression, planes: Array[Array[Int]],
         val plane = planes(j * srpBits + k)
         var acc = 0.0
         var d = 0
-        val n = math.min(dims, plane.length)
+        val n = dims
         while (d < n) {
           acc += x.getFloat(d).toDouble * plane(d).toDouble
           d += 1
@@ -124,21 +140,25 @@ case class GraftSrpKeys(child: Expression, planes: Array[Array[Int]],
       val keys = ctx.freshName("keys")
       val plane = ctx.freshName("plane")
       s"""
-        int[] $keys = new int[$srpBands];
-        for (int $j = 0; $j < $srpBands; $j++) {
-          int $key = 0;
-          for (int $k = 0; $k < $srpBits; $k++) {
-            int[] $plane = $planesRef[$j * $srpBits + $k];
-            double $acc = 0.0;
-            int $n = java.lang.Math.min($a.numElements(), $plane.length);
-            for (int $d = 0; $d < $n; $d++) {
-              $acc += (double) $a.getFloat($d) * (double) $plane[$d];
+        if ($a.numElements() != $planesRef[0].length) {
+          ${ev.isNull} = true;
+        } else {
+          int[] $keys = new int[$srpBands];
+          for (int $j = 0; $j < $srpBands; $j++) {
+            int $key = 0;
+            for (int $k = 0; $k < $srpBits; $k++) {
+              int[] $plane = $planesRef[$j * $srpBits + $k];
+              double $acc = 0.0;
+              int $n = $a.numElements();
+              for (int $d = 0; $d < $n; $d++) {
+                $acc += (double) $a.getFloat($d) * (double) $plane[$d];
+              }
+              $key = $key * 2 + ($acc > 0 ? 1 : 0);
             }
-            $key = $key * 2 + ($acc > 0 ? 1 : 0);
+            $keys[$j] = ($j << $srpBits) + $key;
           }
-          $keys[$j] = ($j << $srpBits) + $key;
+          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
         }
-        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
       """
     })
   }

@@ -233,11 +233,13 @@ object PipelineOps {
     * ExistingRDD` — asserted in PlanAuditSpec), the array is computed
     * exactly once (p21: ~2 s), and NO exchange is added — partitioning is
     * preserved, unlike the repartition hint, which paid a full shuffle for
-    * nothing. At cluster scale substitute a reliable `checkpoint()` /
-    * `persist(DISK_ONLY)` so blocks survive executor loss — the p16
-    * iterative-loop note applies verbatim. */
+    * nothing. The barrier IMPLEMENTATION is pluggable ([[Barrier]]):
+    * localCheckpoint blocks are non-replicated and lineage-truncating, so
+    * cluster deployments set `spark.graft.barrier=checkpoint` (reliable dir)
+    * or `persistDisk` (lineage kept → lost blocks recompute) — same barrier
+    * property, asserted per-mode in PlanAuditSpec. */
   private def materialized(spark: SparkSession, view: String, sql: String): Unit =
-    spark.sql(sql).localCheckpoint().createOrReplaceTempView(view)
+    Barrier.materialize(spark.sql(sql)).createOrReplaceTempView(view)
 
   /** Shared LSH chain (words → shingles → minhash sigs, then bands →
     * candidates → verified jaccard) — the p04 pipeline body, also reused by
@@ -905,11 +907,12 @@ object PipelineOps {
   // round self-joins the previous labels, and naive CTE nesting doubles the
   // referenced subtree per round (measured: the unrolled-SQL form planned
   // 64 parquet scans and ran 7s at sf0.001 — an exponential-lineage
-  // scale-killer). `localCheckpoint(eager)` after the pair generation and
+  // scale-killer). An eager [[Barrier]] after the pair generation and
   // after every round breaks the lineage so each round computes exactly
-  // once — the standard Spark pattern for iterative graph algorithms (at
-  // cluster scale, substitute a reliable `checkpoint()` dir so blocks
-  // survive executor loss). The convergence probe is one cheap aggregation
+  // once — the standard Spark pattern for iterative graph algorithms (the
+  // barrier strategy is the `spark.graft.barrier` config: cluster
+  // deployments use a reliable checkpoint dir or DISK_ONLY persist so
+  // blocks survive executor loss). The convergence probe is one cheap aggregation
   // action per round over the already-materialized labels. The DuckDB
   // oracle computes EXACT components via a recursive transitive closure —
   // deliberately independent of the round count, so it verifies the loop
@@ -924,20 +927,21 @@ object PipelineOps {
   private[graft] def labelPropagate(init: DataFrame, edges: DataFrame,
                                     maxRounds: Int = LabelMaxRounds): DataFrame = {
     import org.apache.spark.sql.functions._
-    var labels = init.localCheckpoint()
+    var labels = Barrier.materialize(init)
     var prevSum = labels.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
       round += 1
       val neighbors = labels.select(col("doc_id").as("n_id"), col("lbl").as("n_lbl"))
-      labels = labels
+      val prev = labels
+      labels = Barrier.materialize(labels
         .join(edges, labels("doc_id") === edges("a"), "left")
         .join(neighbors, neighbors("n_id") === edges("b"), "left")
         .groupBy(labels("doc_id"), labels("lbl"))
         .agg(least(labels("lbl"), coalesce(min(col("n_lbl")), labels("lbl"))).as("lbl2"))
-        .select(col("doc_id"), col("lbl2").as("lbl"))
-        .localCheckpoint()
+        .select(col("doc_id"), col("lbl2").as("lbl")))
+      Barrier.release(prev) // round N-1 is unreachable once N is materialized
       val s = labels.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
       converged = s == prevSum
       prevSum = s
@@ -955,9 +959,8 @@ object PipelineOps {
     import org.apache.spark.sql.functions._
     spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
     materialized(spark, LshSigsView, lshSigsSql)
-    val pairs = spark.sql(
-      s"WITH $lshPairCtesSpark SELECT ida, idb FROM verified WHERE jac >= 0.5")
-      .localCheckpoint()
+    val pairs = Barrier.materialize(spark.sql(
+      s"WITH $lshPairCtesSpark SELECT ida, idb FROM verified WHERE jac >= 0.5"))
     val edges = pairs.select(col("ida").as("a"), col("idb").as("b"))
       .union(pairs.select(col("idb").as("a"), col("ida").as("b")))
     labelPropagate(spark.sql("SELECT doc_id, doc_id AS lbl FROM documents"), edges)

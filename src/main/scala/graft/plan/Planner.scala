@@ -148,11 +148,12 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
 
   private def analyzeLegacy(plan: LogicalPlan): DataFrame =
     if (!singlePassEnabled) GraftPlanBridge.ofRows(spark, plan)
-    else {
-      spark.conf.set(Planner.TentativeKey, "false")
-      try GraftPlanBridge.ofRows(spark, plan)
-      finally spark.conf.set(Planner.TentativeKey, "true")
-    }
+    else
+      // thread-local conf override: concurrent compiles on this session
+      // keep their own resolver mode (a session-conf toggle here would
+      // race a single-pass analysis in flight on another thread)
+      GraftPlanBridge.ofRowsWithConf(spark, plan,
+        Map(Planner.TentativeKey -> "false"))
 
   def planPipeline(p: Pipeline): DataFrame = toDf(planPipelineCtx(p).plan)
 
@@ -428,8 +429,19 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
             case (Some(a), None) => F.col(rn) >= a
             case (None, None) => F.lit(true)
           }
-          // drop the helper column by re-projecting the original frame
-          val plan = Project(ctx.frame.cols.map(attr), Filter(ex(cond), withRn))
+          // drop the helper column by re-projecting the original frame —
+          // valid only when the symbolic names are trustworthy (frame is
+          // exact) and unambiguous (no duplicate names, e.g. post-join).
+          // Otherwise analyze the sub-plan now and drop by Dataset.drop,
+          // which is name-independent for every OTHER column; the resolved
+          // subtree splices back into the fold (analysis is idempotent).
+          val filtered = Filter(ex(cond), withRn)
+          val plan =
+            if (ctx.frame.exact &&
+                ctx.frame.cols.distinct.length == ctx.frame.cols.length)
+              Project(ctx.frame.cols.map(attr), filtered)
+            else
+              GraftPlanBridge.analyzed(toDf(filtered).drop(rn))
           ctx.copy(plan = plan)
       }
     }
@@ -475,11 +487,16 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
     val usingCols = conds.collect { case Ident(List(c)) => c }
     val (joined, frame) =
       if (conds.nonEmpty && usingCols.length == conds.length) {
-        // USING requires the columns on BOTH sides (name_resolver.rs:223-252)
+        // USING requires the columns on BOTH sides (name_resolver.rs:223-252).
+        // Only enforce against a side whose symbolic frame is exact — an
+        // inexact frame (unnamed computed select item, unexpandable t.*) can
+        // be missing names the real schema has, and a false rejection here
+        // would block a valid query the analyzer would accept (the unknown-
+        // ident check at `identCol` defers the same way).
         usingCols.foreach { c =>
-          if (!ctx.frame.cols.contains(c))
+          if (ctx.frame.exact && !ctx.frame.cols.contains(c))
             throw new PlanError(s"join USING column '$c' is missing from the left side")
-          if (!rightFrame.cols.contains(c))
+          if (rightFrame.exact && !rightFrame.cols.contains(c))
             throw new PlanError(s"join USING column '$c' is missing from the right side ('$tbl')")
         }
         // Spark USING output: key cols, then left non-key, then right non-key

@@ -83,18 +83,29 @@ object SessionizeStream {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[EvW], state: GroupState[OpenSession]) =>
           if (state.hasTimedOut) {
-            // watermark passed last + gap: the open session can never grow
+            // watermark passed last + gap: the open session can never grow.
+            // Keep a COUNTER-ONLY tombstone (nEvents == 0) instead of
+            // removing the state outright: dropping it would restart the
+            // user's next session at id 1 and emit a duplicate
+            // (user_id, session_id) key. The tombstone holds only the next
+            // session id — O(users) state, which is this operator's declared
+            // state budget anyway — and sets no further timeout.
             val s = state.get
-            state.remove()
+            state.update(OpenSession(s.sessionId + 1, 0L, 0L, 0L))
             Iterator.single(SessionOut(userId, s.sessionId, s.nEvents, s.lastTus - s.firstTus))
           } else {
             val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
             // event-time order within the batch (iterator order is undefined)
-            var open = state.getOption.orNull
+            var nextId = 1L
+            var open: OpenSession = null
+            state.getOption.foreach { s =>
+              if (s.nEvents == 0L) nextId = s.sessionId // counter tombstone
+              else open = s
+            }
             rows.toSeq.sortBy(e => (e.tus, e.event_id)).foreach { e =>
               open match {
                 case null =>
-                  open = OpenSession(1L, e.tus, e.tus, 1L)
+                  open = OpenSession(nextId, e.tus, e.tus, 1L)
                 case s if e.tus - s.lastTus > gapUs =>
                   out += SessionOut(userId, s.sessionId, s.nEvents, s.lastTus - s.firstTus)
                   open = OpenSession(s.sessionId + 1, e.tus, e.tus, 1L)

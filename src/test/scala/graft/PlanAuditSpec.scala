@@ -112,6 +112,52 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("the barrier property holds under every spark.graft.barrier mode") {
+    // The 100 TB story must not rest on localCheckpoint alone (its blocks
+    // are non-replicated and lineage-truncating): each configured strategy
+    // must (a) produce identical results, and (b) leave the consumer plan
+    // reading MATERIALIZED data — Scan ExistingRDD for the checkpoint
+    // modes, InMemoryTableScan for persistDisk — never the re-inlined
+    // producing plan (which would re-run p12's score arrays per reference).
+    import graft.pipeline.Barrier
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    val base = pipeline.PipelineOps.queries("p12_lang_id")(spark, dir)
+      .collect().map(_.toString).sorted
+    val modes = Seq(
+      "checkpoint" -> "Scan ExistingRDD",
+      "persistDisk" -> "InMemoryTableScan")
+    try {
+      modes.foreach { case (mode, expectNode) =>
+        spark.conf.set(Barrier.ModeKey, mode)
+        spark.conf.set(Barrier.DirKey, ckDir)
+        val df = pipeline.PipelineOps.queries("p12_lang_id")(spark, dir)
+        val p = df.queryExecution.executedPlan.toString
+        assert(p.contains(expectNode),
+          s"$mode: expected $expectNode as the barrier node in:\n$p")
+        assert(df.collect().map(_.toString).sorted.sameElements(base),
+          s"$mode: results diverge from localCheckpoint mode")
+      }
+      // p16's iterative loop under a non-default barrier: label propagation
+      // must still converge to the same clusters (exercises the per-round
+      // release path too)
+      spark.conf.set(Barrier.ModeKey, "persistDisk")
+      val p16a = pipeline.PipelineOps.queries("p16_dedup_clusters")(spark, dir)
+        .collect().map(_.toString).sorted
+      spark.conf.set(Barrier.ModeKey, "localCheckpoint")
+      val p16b = pipeline.PipelineOps.queries("p16_dedup_clusters")(spark, dir)
+        .collect().map(_.toString).sorted
+      assert(p16a.sameElements(p16b))
+      // unknown mode is a loud error, not a silent localCheckpoint
+      spark.conf.set(Barrier.ModeKey, "replicatedMagic")
+      intercept[IllegalArgumentException] {
+        pipeline.PipelineOps.queries("p12_lang_id")(spark, dir)
+      }
+    } finally {
+      spark.conf.set(Barrier.ModeKey, "localCheckpoint")
+      spark.conf.unset(Barrier.DirKey)
+    }
+  }
+
   test("p13 sessionization shuffles user data exactly once") {
     // windows + per-session rollup all ride one hashpartitioning(user_id…)
     // (HashPartitioning on a key prefix satisfies the rollup's clustered

@@ -118,6 +118,41 @@ class StreamingSessionizeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session ids stay unique across a timeout flush (counter tombstone)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val h = 3600L * 1000000
+    val ms = MemoryStream[Ev]
+    val q = SessionizeStream.sessionizeWithState(ms.toDS(), 4 * h, "10 hours")
+      .writeStream.format("memory").queryName("fmgs_tombstone_out").outputMode("append")
+      .start()
+    try {
+      // session 1 of user 7 is flushed purely by the timeout (other users'
+      // traffic advances the watermark), then user 7 RETURNS. The returned
+      // session must be id 2 — losing the counter with the flushed state
+      // would re-emit (7, 1) and corrupt any downstream keyed by
+      // (user_id, session_id).
+      val B = 100 * h
+      ms.addData(Ev(7, 1, B))
+      q.processAllAvailable()
+      ms.addData(Ev(8, 1, B + 100 * h)) // advance watermark past B + 4h
+      q.processAllAvailable()
+      ms.addData(Ev(8, 2, B + 101 * h)) // next batch fires the timeout
+      q.processAllAvailable()
+      val afterFlush = spark.table("fmgs_tombstone_out").as[SessionOut].collect().toSet
+      assert(afterFlush.contains(SessionOut(7, 1, 1, 0)), s"flush missing: $afterFlush")
+      // user 7 returns (above the current watermark) and closes a session
+      // by gap within later batches
+      ms.addData(Ev(7, 10, B + 102 * h), Ev(7, 11, B + 110 * h)) // 8h gap closes
+      q.processAllAvailable()
+      val rows = spark.table("fmgs_tombstone_out").as[SessionOut].collect()
+      assert(rows.count(s => s.user_id == 7 && s.session_id == 1) == 1,
+        s"duplicate (user 7, session 1): $rows")
+      assert(rows.exists(s => s.user_id == 7 && s.session_id == 2 && s.n_events == 1),
+        s"returned session should be id 2: $rows")
+    } finally q.stop()
+  }
+
   test("declarative session_window runs as a real stream with watermark eviction") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

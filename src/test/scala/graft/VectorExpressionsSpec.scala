@@ -67,4 +67,32 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
     assert(r.getDouble(1) == 1.5 * 2.0 + -2.0 * 0.5)
   }
+
+  test("graft_dot yields NULL on length mismatch, matching the HOF's zip_with null-pad") {
+    GraftFunctions.registerDot(spark)
+    mkVectors(50, 8)
+    // truncate one side: HOF zip_with null-pads -> product null -> sum null;
+    // the kernel must agree (NULL), never a silently-partial dot product
+    val hof = "aggregate(zip_with(slice(a.embedding, 1, 5), b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    val rows = spark.sql(
+      s"""SELECT graft_dot(slice(a.embedding, 1, 5), b.embedding) AS native, $hof AS hof
+         |FROM vecs a JOIN vecs b ON b.vec_id = pmod(a.vec_id + 1, 50)""".stripMargin)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.isNullAt(0), "kernel returned a partial dot product on mismatched lengths")
+      assert(r.isNullAt(1), "HOF baseline expectation changed")
+    }
+  }
+
+  test("graft_srp_keys yields NULL when embedding width differs from the planes") {
+    val bits = 4
+    val bands = 4
+    val planes = Array.tabulate(bits * bands, 16)((p, d) => if ((p + d) % 2 == 0) 1 else -1)
+    GraftFunctions.registerSrpKeys(spark, planes, bits, bands)
+    mkVectors(20, 12) // 12-dim embeddings vs 16-wide planes
+    val n = spark.sql("SELECT count(*) AS n FROM vecs WHERE graft_srp_keys(embedding) IS NOT NULL")
+      .head.getLong(0)
+    assert(n == 0L, s"$n rows produced band keys from truncated products")
+  }
 }

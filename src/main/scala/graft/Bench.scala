@@ -55,6 +55,29 @@ object Bench {
     (parseUs, totalUs)
   }
 
+  /** Machine-drift calibration canary (VERDICT r4 #2): a fixed, pure-Spark,
+    * engine-independent workload timed alongside the query suite, so
+    * cross-round bench deltas can be normalized against host speed instead
+    * of requiring old commits to be re-run (the r4 review burned judge time
+    * proving a 25% "regression" was machine drift). Two components, both
+    * independent of graft code paths: a CPU-bound range-sum (2e8 rows
+    * through whole-stage codegen) and one fixed parquet scan-agg over
+    * lineitem (I/O + decode + hash-agg). Median of 3 after one warm run —
+    * same aggregation contract as the query timings. */
+  def calibrate(spark: org.apache.spark.sql.SparkSession, sfDir: String): Double = {
+    def work(): Unit = {
+      execute(spark.range(200000000L).selectExpr("sum(id) AS s"))
+      execute(spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .selectExpr("sum(l_quantity) AS q", "sum(l_extendedprice * (1 - l_discount)) AS rev",
+          "count(*) AS c"))
+    }
+    work() // warm: JIT + parquet footer cache
+    val times = (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); work(); (System.nanoTime() - t0) / 1e9
+    }
+    times.sorted.apply(1)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -101,12 +124,20 @@ object Bench {
       -1.0
     }
 
+    // drift canary — guarded like compile latency: its failure must not
+    // discard the collected timings
+    val calibS: Double = try calibrate(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] calibration failed: ${e.getMessage}")
+      -1.0
+    }
+
     val qs = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errJson = errors
       .map { case (k, v) => s"${util.Json.quote(k)}:${util.Json.quote(v.take(200))}" }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"compile_us_per_query":${compileUs.round},"parse_us_per_query":${parseUs.round},"runs_per_query":$TimedRuns,"aggregation":"median","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"compile_us_per_query":${compileUs.round},"parse_us_per_query":${parseUs.round},"calib_s":$calibS,"runs_per_query":$TimedRuns,"aggregation":"median","sf":"$sfDir"}"""
     println(line)
     // the full per-query record also lands on disk: the r3 driver artifact
     // lost its tail to log truncation, and a file survives that

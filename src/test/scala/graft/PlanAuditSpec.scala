@@ -179,11 +179,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected exactly one hash shuffle:\n$p")
   }
 
-  test("p21 decontamination broadcasts the eval gram set") {
+  test("p21 decontamination broadcasts the eval gram set, no per-gram rows") {
     val p = pipeline.PipelineOps.queries("p21_decontam")(spark, dir)
       .queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
-      s"eval grams should broadcast, plan:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"eval gram array should broadcast, plan:\n$p")
+    // VERDICT r4 #3: the training side must answer membership against the
+    // broadcast eval array per-doc — never explode into per-gram rows (the
+    // r4 form's explode → join → groupBy). No Generate node may appear.
+    assert(!p.contains("Generate"),
+      s"training side must not explode per-gram rows, plan:\n$p")
   }
 
   test("p16 iterative label propagation breaks lineage between rounds") {

@@ -51,6 +51,11 @@ final class SqlGen(query: Query) {
     * `excepts`); language-ambient fields mirror [[Planner]]'s Ctx. */
   private case class Block(
       from: String,                                     // "" = no FROM (unit relation)
+      // single-relation alias (from x = t, or the table's own name): kept
+      // so flush() can re-alias the subquery and qualified references
+      // (x.col) survive a block close. A join clears it — SQL can alias a
+      // subquery only once, so multi-relation blocks stay unaliased.
+      fromAlias: Option[String] = None,
       // explicit items: (Some(name), sql) → "sql AS name"; (None, sql) →
       // rendered verbatim (wildcards like `t.*` take no alias)
       select: Option[Vector[(Option[String], String)]] = None,
@@ -102,7 +107,9 @@ final class SqlGen(query: Query) {
   /** Close the block into a subquery; ambient language state carries over
     * (derived names became real columns, so the env empties). */
   private def flush(b: Block): Block =
-    Block(from = s"(\n${renderBlock(b, isTop = false)}\n)",
+    Block(from = s"(\n${renderBlock(b, isTop = false)}\n)" +
+        b.fromAlias.map(a => s" AS ${quoteName(a)}").getOrElse(""),
+      fromAlias = b.fromAlias,
       sort = b.sort, sortForOutput = b.sortForOutput,
       groupKeys = b.groupKeys, frameSpec = b.frameSpec,
       inGroupBody = b.inGroupBody, inWindowBody = b.inWindowBody,
@@ -140,7 +147,7 @@ final class SqlGen(query: Query) {
           case List(Ident(List(t))) => (t, t)
           case _ => throw new SqlGenError(s"from expects a table name, got $args")
         }
-        Block(from = relSql(tbl, alias))
+        Block(from = relSql(tbl, alias), fromAlias = Some(alias))
 
       case "select" =>
         val b1 = if (closed(b)) flush(b) else b
@@ -315,7 +322,8 @@ final class SqlGen(query: Query) {
              |$inner
              |))
              |WHERE $cond""".stripMargin
-        fb.copy(from = s"(\n$sql\n)")
+        fb.copy(from = s"(\n$sql\n)" +
+          fb.fromAlias.map(a => s" AS ${quoteName(a)}").getOrElse(""))
     }
   }
 
@@ -363,7 +371,8 @@ final class SqlGen(query: Query) {
           throw new SqlGenError("window expressions in join conditions are not SQL-expressible")
         s"ON $on"
       }
-    b1.copy(from = s"${b1.from}\n$joinKw ${relSql(tbl, alias)} $clause")
+    b1.copy(from = s"${b1.from}\n$joinKw ${relSql(tbl, alias)} $clause",
+      fromAlias = None)
   }
 
   private def relSql(tbl: String, alias: String): String =

@@ -1067,7 +1067,18 @@ object PipelineOps {
       s"WITH $lshPairCtesSpark SELECT ida, idb FROM verified WHERE jac >= 0.5"))
     val edges = pairs.select(col("ida").as("a"), col("idb").as("b"))
       .union(pairs.select(col("idb").as("a"), col("ida").as("b")))
-    labelPropagate(spark.sql("SELECT doc_id, doc_id AS lbl FROM documents"), edges)
+    // The label loop runs over EDGE-INCIDENT nodes only: a doc with no
+    // near-dup edge is its own singleton cluster and can never change
+    // label, so iterating it every round is pure waste — near-dup pairs
+    // are o(N) of the corpus, and at 100 TB the per-round join shrinks
+    // from N docs to the small dup-graph node set. Singletons rejoin via
+    // one left join + coalesce at the end (label = own doc_id, exactly
+    // what flooding would have assigned them).
+    val nodes = edges.select(col("a").as("doc_id")).distinct()
+    val sub = labelPropagate(nodes.select(col("doc_id"), col("doc_id").as("lbl")), edges)
+    spark.sql("SELECT doc_id FROM documents")
+      .join(sub, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("lbl"))
   }
 
   private def p16Run(spark: SparkSession, dir: String): DataFrame = {

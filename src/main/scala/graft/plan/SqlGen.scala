@@ -142,12 +142,16 @@ final class SqlGen(query: Query) {
       throw new SqlGenError(s"transform '$name' is not allowed inside group")
     name match {
       case "from" =>
-        val (alias, tbl) = args match {
-          case List(Assign(a, Ident(List(t)))) => (a, t)
-          case List(Ident(List(t))) => (t, t)
+        args match {
+          case List(Assign(a, Ident(List(t)))) =>
+            Block(from = relSql(t, a), fromAlias = Some(a))
+          case List(Ident(List(t))) =>
+            Block(from = relSql(t, t), fromAlias = Some(t))
+          case List(JinjaLit(src)) =>
+            // `from {{ source(...) }}` → verbatim template table reference
+            Block(from = src, fromAlias = None)
           case _ => throw new SqlGenError(s"from expects a table name, got $args")
         }
-        Block(from = relSql(tbl, alias), fromAlias = Some(alias))
 
       case "select" =>
         val b1 = if (closed(b)) flush(b) else b
@@ -422,7 +426,13 @@ final class SqlGen(query: Query) {
     case FuncCall(name, args, named) => renderCall(b, name, args, named, inAgg)
     case Assign(_, x) => renderExpr(b, x, inAgg) // names handled at item level
     case RangeLit(_, _) => throw new SqlGenError("range is only valid in take/in/window")
-    case JinjaLit(src) => throw new SqlGenError(s"jinja block $src is unsupported in SQL rendering")
+    // jinja blocks pass through VERBATIM into the SQL text — the
+    // reference's exact artifact behavior (translator.rs:44-46 un-mangles
+    // `{{`; translate_ident:764 emits jinja idents unquoted): the output
+    // is a template for a downstream renderer (dbt-style), not runnable
+    // SQL. The DataFrame backend still refuses jinja with a named error —
+    // a Catalyst plan cannot defer template expansion.
+    case JinjaLit(src) => src
     case other => throw new SqlGenError(s"cannot render expression: $other")
   }
 

@@ -161,6 +161,17 @@ class PlannerSemanticsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("jinja"))
   }
 
+  test("jinja blocks pass through VERBATIM in the SQL text backend") {
+    // the reference's artifact behavior (translator.rs:44-46, :764): the
+    // rendered SQL is a TEMPLATE for a downstream jinja renderer, so the
+    // blocks must survive untouched — in FROM position and in expressions
+    val sql = Graft.toSparkSql(
+      "from {{ ref('x') }}\nfilter country == {{ var('country') }}\ntake 1")
+    assert(sql.contains("FROM {{ ref('x') }}"), sql)
+    assert(sql.contains("{{ var('country') }}"), sql)
+    assert(sql.contains("LIMIT 1"), sql)
+  }
+
   // ---- window semantics ----
 
   test("rolling window sums trail n rows inclusive") {

@@ -166,6 +166,78 @@ case class GraftSrpKeys(child: Expression, planes: Array[Array[Int]],
     copy(child = c)
 }
 
+/** All k minhash signature values of one shingle-hash array in a single
+  * pass: sig(i) = min over h in hs of (a_i·h + b_i) mod p, initialized at
+  * p — value-identical to the HOF fold
+  * `aggregate(hs, array_repeat(p, k), (acc, h) -> zip_with(acc, seq,
+  * (m, i) -> least(m, pmod(a_i*h + b_i, p))))`: pure integer arithmetic
+  * (a_i, h < p < 2^31 so a_i·h + b_i < 2^62 — exact in long; all operands
+  * non-negative so Java % == pmod), min is order-free. The HOF form walks
+  * the array k times through interpreted lambdas allocating a k-array per
+  * element; this is one k×n Java loop inside whole-stage codegen. NULL
+  * elements are skipped (Spark's `least` ignores nulls — same fold
+  * result); a NULL array yields NULL. */
+case class GraftMinhash(child: Expression, hashA: Array[Long],
+                        hashB: Array[Long], p: Long) extends UnaryExpression {
+  private val k = hashA.length
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash expects array<bigint>, got ${t.simpleString}")
+    }
+  override def nullSafeEval(a: Any): Any = {
+    val hs = a.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val sig = Array.fill(k)(p)
+    var j = 0
+    while (j < n) {
+      if (!hs.isNullAt(j)) {
+        val h = hs.getLong(j)
+        var i = 0
+        while (i < k) {
+          val v = (hashA(i) * h + hashB(i)) % p
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("hashA", hashA, "long[]")
+    val bRef = ctx.addReferenceObj("hashB", hashB, "long[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val sig = ctx.freshName("sig")
+      s"""
+        int $n = $a.numElements();
+        long[] $sig = new long[$k];
+        java.util.Arrays.fill($sig, ${p}L);
+        for (int $j = 0; $j < $n; $j++) {
+          if (!$a.isNullAt($j)) {
+            long $h = $a.getLong($j);
+            for (int $i = 0; $i < $k; $i++) {
+              long $v = ($aRef[$i] * $h + $bRef[$i]) % ${p}L;
+              if ($v < $sig[$i]) $sig[$i] = $v;
+            }
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+      """
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): GraftMinhash =
+    copy(child = c)
+}
+
 /** Session registration for the native kernels (idempotent — the pipeline
   * run functions call this on every invocation; re-registering only when
   * something changed keeps the registry's replaced-function WARN quiet). */
@@ -173,11 +245,23 @@ object GraftFunctions {
   private val dotRegistered = java.util.Collections.newSetFromMap(
     new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
   private val srpRegistered = new java.util.WeakHashMap[SparkSession, (Int, Int)]()
+  private val minhashRegistered = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   def registerDot(spark: SparkSession): Unit = synchronized {
     if (dotRegistered.add(spark))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_dot",
         exprs => GraftDot(exprs(0), exprs(1)), "built-in")
+  }
+
+  /** `graft_minhash(hs)` with the permutation coefficients and modulus
+    * bound at registration (they are compile-time constants of the LSH
+    * scheme — PipelineOps.hashA/hashB/MinhashP). */
+  def registerMinhash(spark: SparkSession, hashA: Array[Long],
+                      hashB: Array[Long], p: Long): Unit = synchronized {
+    if (minhashRegistered.add(spark))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_minhash",
+        exprs => GraftMinhash(exprs.head, hashA, hashB, p), "built-in")
   }
 
   /** `graft_srp_keys(embedding)` with the plane matrix and band geometry

@@ -214,8 +214,6 @@ object PipelineOps {
   private def sigExprDuck(i: Int) =
     s"list_min(list_transform(hs, h -> (${hashA(i)} * h + ${hashB(i)}) % $MinhashP))"
 
-  private val hashALit = hashA.mkString("array(", ",", ")")
-  private val hashBLit = hashB.mkString("array(", ",", ")")
 
   /** A REAL materialization barrier for reused expensive arrays.
     *
@@ -261,11 +259,12 @@ object PipelineOps {
         transform(shingles, s -> pmod(${hSpark("s")}, $MinhashP)) AS hs
       FROM sh)
     SELECT doc_id, shingles,
-      -- one pass over the shingle hashes with a k-wide running-min array
-      -- (k separate array_min exprs would re-inline the md5 hash k times)
-      aggregate(hs, array_repeat(CAST($MinhashP AS BIGINT), $MinhashK),
-        (acc, h) -> zip_with(acc, sequence(0, ${MinhashK - 1}),
-          (m, i) -> least(m, pmod(element_at($hashALit, i + 1) * h + element_at($hashBLit, i + 1), $MinhashP)))) AS sig
+      -- all k minhash values in one codegen pass over the shingle hashes
+      -- (graft.functions.GraftMinhash — value-identical to the k-wide
+      -- running-min HOF fold it replaced, which walked the array through
+      -- interpreted lambdas allocating a k-array per element; the DuckDB
+      -- oracle keeps the per-permutation fold, pinning the arithmetic)
+      graft_minhash(hs) AS sig
     FROM hashed"""
   private val lshPairCtesSpark = s"""
     bands AS (
@@ -288,6 +287,8 @@ object PipelineOps {
 
   private def p04Run(spark: SparkSession, dir: String): DataFrame = {
     spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    graft.functions.GraftFunctions.registerMinhash(spark,
+      hashA.toArray, hashB.toArray, MinhashP)
     materialized(spark, LshSigsView, lshSigsSql)
     spark.sql(s"""
       WITH $lshPairCtesSpark
@@ -1062,6 +1063,8 @@ object PipelineOps {
   private def p16Labels(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    graft.functions.GraftFunctions.registerMinhash(spark,
+      hashA.toArray, hashB.toArray, MinhashP)
     materialized(spark, LshSigsView, lshSigsSql)
     val pairs = Barrier.materialize(spark.sql(
       s"WITH $lshPairCtesSpark SELECT ida, idb FROM verified WHERE jac >= 0.5"))

@@ -85,6 +85,42 @@ class VectorExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_minhash equals the interpreted k-wide running-min fold exactly") {
+    val k = 16
+    val p = 2147483647L
+    val hashA = (0 until k).map(i => (1103515245L * (i + 1)) % p).toArray
+    val hashB = (0 until k).map(i => (12345L + 7919L * i) % p).toArray
+    GraftFunctions.registerMinhash(spark, hashA, hashB, p)
+    val aLit = hashA.mkString("array(", ",", ")")
+    val bLit = hashB.mkString("array(", ",", ")")
+    // deterministic pseudo-random shingle-hash arrays of varying length,
+    // incl. an empty array (id 0 -> sequence(1, 0) = []) — the fold's
+    // initial accumulator [p, …, p] must survive
+    spark.sql(
+      s"""SELECT id AS doc_id,
+         |  transform(sequence(1, CAST(id % 40 AS INT)),
+         |    j -> pmod(id * 2654435761 + j * 40503, $p)) AS hs
+         |FROM range(0, 120)""".stripMargin).createOrReplaceTempView("minhash_hs")
+    val hof =
+      s"""aggregate(hs, array_repeat(CAST($p AS BIGINT), $k),
+         |  (acc, h) -> zip_with(acc, sequence(0, ${k - 1}),
+         |    (m, i) -> least(m, pmod(element_at($aLit, i + 1) * h
+         |                            + element_at($bLit, i + 1), $p))))""".stripMargin
+    val diff = spark.sql(
+      s"""SELECT count(*) AS n FROM minhash_hs
+         |WHERE to_json(graft_minhash(hs)) != to_json($hof)""".stripMargin)
+      .head.getLong(0)
+    assert(diff == 0L, s"$diff rows diverge from the HOF minhash fold")
+    // null array -> null; null ELEMENTS are skipped (least ignores nulls)
+    val r = spark.sql(
+      s"""SELECT graft_minhash(CAST(NULL AS ARRAY<BIGINT>)) AS a,
+         |  to_json(graft_minhash(array(CAST(NULL AS BIGINT), 7L))) AS b,
+         |  to_json($hof) AS c FROM (SELECT array(CAST(NULL AS BIGINT), 7L) AS hs)""".stripMargin)
+      .head
+    assert(r.isNullAt(0))
+    assert(r.getString(1) == r.getString(2), "null-element handling diverges from the fold")
+  }
+
   test("graft_srp_keys yields NULL when embedding width differs from the planes") {
     val bits = 4
     val bands = 4

@@ -238,6 +238,80 @@ case class GraftMinhash(child: Expression, hashA: Array[Long],
     copy(child = c)
 }
 
+/** The p14 top-k-terms fold in one native pass: sort the token array
+  * (binary UTF8 order — UTF8String.compareTo IS array_sort's StringType
+  * ordering), count runs, and keep the k smallest rank keys
+  * `lpad(99999 - min(cnt, 99999), 5, '0') || term` — byte-identical to the
+  * interpreted `aggregate(array_sort(words), …)` accumulator fold it
+  * replaces (same clamp, same key bytes, same ascending order), which paid
+  * an interpreted lambda + a ≤(k+1)-array sort per DISTINCT term. Null
+  * tokens cannot occur (the tokenizer splits non-null text) and are
+  * skipped defensively; a NULL array yields NULL; an empty array yields an
+  * empty key array (upstream filters size(words) > 0). */
+case class GraftTopTerms(child: Expression, k: Int) extends UnaryExpression {
+  import org.apache.spark.unsafe.types.UTF8String
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_top_terms expects array<string>, got ${t.simpleString}")
+    }
+  override def nullSafeEval(a: Any): Any = {
+    val in = a.asInstanceOf[ArrayData]
+    val n = in.numElements()
+    val words = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      if (!in.isNullAt(i)) words.add(in.getUTF8String(i))
+      i += 1
+    }
+    java.util.Collections.sort(words) // binary order, = array_sort(StringType)
+    val top = new java.util.ArrayList[UTF8String](k + 1)
+    def insert(term: UTF8String, cnt: Int): Unit = {
+      val rank = 99999 - math.min(cnt, 99999)
+      val key = UTF8String.concat(UTF8String.fromString(f"$rank%05d"), term)
+      var pos = 0
+      while (pos < top.size() && top.get(pos).compareTo(key) <= 0) pos += 1
+      if (pos < k) {
+        top.add(pos, key)
+        if (top.size() > k) top.remove(k)
+      }
+    }
+    var cur: UTF8String = null
+    var cnt = 0
+    val m = words.size()
+    i = 0
+    while (i < m) {
+      val w = words.get(i)
+      if (cur == null) { cur = w; cnt = 1 }
+      else if (w.equals(cur)) cnt += 1
+      else { insert(cur, cnt); cur = w; cnt = 1 }
+      i += 1
+    }
+    if (cur != null) insert(cur, cnt)
+    new GenericArrayData(top.toArray.asInstanceOf[Array[AnyRef]])
+  }
+  // interpreted-eval only: the per-row work is a sort + object-array run
+  // fold — codegen would re-emit the identical JVM calls with no lambda to
+  // eliminate (unlike the arithmetic kernels above), so the split-out
+  // method form buys nothing. Marked CodegenFallback keeps the surrounding
+  // projection inside whole-stage codegen.
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("topTerms", this,
+      "graft.functions.GraftTopTerms")
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+        ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+          $self.nullSafeEval($a);
+      """
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): GraftTopTerms =
+    copy(child = c)
+}
+
 /** Session registration for the native kernels (idempotent — the pipeline
   * run functions call this on every invocation; re-registering only when
   * something changed keeps the registry's replaced-function WARN quiet). */
@@ -252,6 +326,16 @@ object GraftFunctions {
     if (dotRegistered.add(spark))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_dot",
         exprs => GraftDot(exprs(0), exprs(1)), "built-in")
+  }
+
+  private val topTermsRegistered = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** `graft_top_terms(words)` with k bound at registration. */
+  def registerTopTerms(spark: SparkSession, k: Int): Unit = synchronized {
+    if (topTermsRegistered.add(spark))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_top_terms",
+        exprs => GraftTopTerms(exprs.head, k), "built-in")
   }
 
   /** `graft_minhash(hs)` with the permutation coefficients and modulus

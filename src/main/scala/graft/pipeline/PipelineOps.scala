@@ -698,33 +698,27 @@ object PipelineOps {
   // repeats (identically on both engines, hence invisible to the hash gate
   // — which is exactly why it must be clamped, not assumed).
 
-  private val TopTerms = 5
+  private[graft] val TopTerms = 5
 
   /** Rank key for a counted run: lpad(99999 - min(cnt,99999)) || term. */
-  private def p14Key(term: String, cnt: String) =
+  private[graft] def p14Key(term: String, cnt: String) =
     s"concat(lpad(CAST(99999 - least($cnt, 99999) AS STRING), 5, '0'), $term)"
 
   /** Fold step state: top = best keys so far (≤ TopTerms, sorted), cur/cnt =
     * current run. Inserting a finished run keeps the TopTerms smallest. */
-  private def p14Insert(top: String, term: String, cnt: String) =
+  private[graft] def p14Insert(top: String, term: String, cnt: String) =
     s"slice(array_sort(concat($top, array(${p14Key(term, cnt)}))), 1, $TopTerms)"
 
+  // the sort + run-count + top-k accumulation runs in the native
+  // graft_top_terms kernel (graft.functions.GraftTopTerms) — byte-identical
+  // to the aggregate(array_sort(words), …) accumulator fold it replaced
+  // (same binary sort order, count clamp, rank-key bytes, ascending top-k),
+  // which paid an interpreted lambda + a ≤6-key array sort per distinct
+  // term; VectorExpressionsSpec asserts equality against the HOF text
   private val p14Spark = s"""
     WITH w AS (SELECT doc_id, $wordsSpark AS words FROM documents),
     k AS (
-      SELECT doc_id,
-        aggregate(
-          array_sort(words),
-          named_struct('top', CAST(array() AS ARRAY<STRING>),
-                       'cur', CAST(NULL AS STRING), 'cnt', 0),
-          (acc, w) -> CASE
-            WHEN acc.cur IS NULL
-              THEN named_struct('top', acc.top, 'cur', w, 'cnt', 1)
-            WHEN w = acc.cur
-              THEN named_struct('top', acc.top, 'cur', acc.cur, 'cnt', acc.cnt + 1)
-            ELSE named_struct('top', ${p14Insert("acc.top", "acc.cur", "acc.cnt")},
-                              'cur', w, 'cnt', 1) END,
-          acc -> ${p14Insert("acc.top", "acc.cur", "acc.cnt")}) AS keys
+      SELECT doc_id, graft_top_terms(words) AS keys
       FROM w WHERE size(words) > 0)
     SELECT doc_id,
       concat_ws(',', transform(keys,
@@ -1380,7 +1374,10 @@ object PipelineOps {
       spark.read.parquet(s"$dir/events.parquet").createOrReplaceTempView("events")
       spark.sql(p13Spark)
     }),
-    "p14_top_terms" -> onDocs(p14Spark),
+    "p14_top_terms" -> ((spark, dir) => {
+      graft.functions.GraftFunctions.registerTopTerms(spark, TopTerms)
+      onDocs(p14Spark)(spark, dir)
+    }),
     "p15_sample_stratified" -> onDocs(p15Spark),
     "p16_dedup_clusters" -> ((spark, dir) => p16Run(spark, dir)),
     "p17_quality_filter" -> onDocs(p17Spark),

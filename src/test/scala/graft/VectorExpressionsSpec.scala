@@ -121,6 +121,43 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(r.getString(1) == r.getString(2), "null-element handling diverges from the fold")
   }
 
+  test("graft_top_terms equals the interpreted sort+run-count accumulator fold exactly") {
+    import graft.pipeline.PipelineOps.{TopTerms, p14Insert}
+    GraftFunctions.registerTopTerms(spark, TopTerms)
+    // deterministic word arrays with heavy repetition, ties, and
+    // non-ASCII / shared-prefix terms (binary-order edge cases)
+    spark.sql(
+      """SELECT id AS doc_id,
+        |  transform(sequence(1, CAST(id % 60 + 1 AS INT)),
+        |    j -> element_at(array('apple', 'app', 'apfel', 'zebra', 'Ω', 'a',
+        |                          'banana', 'ananas', 'b'), CAST(pmod(id * 13 + j * j, 9) + 1 AS INT))) AS words
+        |FROM range(0, 150)""".stripMargin).createOrReplaceTempView("tt_words")
+    val hof =
+      s"""aggregate(
+         |  array_sort(words),
+         |  named_struct('top', CAST(array() AS ARRAY<STRING>),
+         |               'cur', CAST(NULL AS STRING), 'cnt', 0),
+         |  (acc, w) -> CASE
+         |    WHEN acc.cur IS NULL
+         |      THEN named_struct('top', acc.top, 'cur', w, 'cnt', 1)
+         |    WHEN w = acc.cur
+         |      THEN named_struct('top', acc.top, 'cur', acc.cur, 'cnt', acc.cnt + 1)
+         |    ELSE named_struct('top', ${p14Insert("acc.top", "acc.cur", "acc.cnt")},
+         |                      'cur', w, 'cnt', 1) END,
+         |  acc -> ${p14Insert("acc.top", "acc.cur", "acc.cnt")})""".stripMargin
+    val diff = spark.sql(
+      s"""SELECT count(*) AS n FROM tt_words
+         |WHERE to_json(graft_top_terms(words)) != to_json($hof)""".stripMargin)
+      .head.getLong(0)
+    assert(diff == 0L, s"$diff rows diverge from the HOF top-terms fold")
+    // count clamp at 99999: a term repeated beyond the clamp keeps key 00000
+    val clamped = spark.sql(
+      """SELECT element_at(graft_top_terms(
+        |  concat(array_repeat('x', 100100), array('y'))), 1) AS k""".stripMargin)
+      .head.getString(0)
+    assert(clamped == "00000x", s"clamp broken: $clamped")
+  }
+
   test("graft_srp_keys yields NULL when embedding width differs from the planes") {
     val bits = 4
     val bands = 4

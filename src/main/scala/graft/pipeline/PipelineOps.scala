@@ -246,6 +246,10 @@ object PipelineOps {
     * by the verify re-join, and each reference would otherwise re-run the
     * whole shingle→md5→16-way-min chain (see the barrier note). */
   private val LshSigsView = "graft_lsh_sigs"
+  /** The sig-producing SQL, exposed so PlanAuditSpec can assert the native
+    * minhash kernel is in the PRODUCER plan (the consumer plans start from
+    * the materialization barrier and never show it). */
+  private[graft] def lshSigsSqlForAudit: String = lshSigsSql
   private val lshSigsSql = s"""
     WITH w AS (
       SELECT doc_id, $wordsSpark AS words FROM documents),

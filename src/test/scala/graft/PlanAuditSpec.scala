@@ -191,6 +191,28 @@ class PlanAuditSpec extends AnyFunSuite {
       s"training side must not explode per-gram rows, plan:\n$p")
   }
 
+  test("hot-path folds run in the native kernels, not interpreted lambdas") {
+    // graft_minhash / graft_top_terms replaced interpreted aggregate()
+    // accumulator folds (no codegen, no CSE for lambda bodies). The plans
+    // must show the kernels; an `aggregate(...)` reappearing in these
+    // operators means someone regressed to the slow path. The minhash
+    // kernel lives in the sig PRODUCER plan (consumers start from the
+    // materialization barrier), so audit that plan directly.
+    pipeline.PipelineOps.queries("p04_minhash_lsh")(spark, dir) // registers + views
+    val sigs = spark.sql(pipeline.PipelineOps.lshSigsSqlForAudit)
+      .queryExecution.analyzed.toString.toLowerCase
+    assert(sigs.contains("graftminhash"),
+      s"sig computation should use the native kernel:\n${sigs.take(2000)}")
+    assert(!sigs.contains("aggregate(array_sort"),
+      "sig computation regressed to the interpreted accumulator fold")
+    val p14 = pipeline.PipelineOps.queries("p14_top_terms")(spark, dir)
+      .queryExecution.analyzed.toString.toLowerCase
+    assert(p14.contains("grafttopterms"),
+      s"p14 should use the native kernel:\n${p14.take(2000)}")
+    assert(!p14.contains("aggregate(array_sort"),
+      "p14 regressed to the interpreted accumulator fold")
+  }
+
   test("p16 iterative label propagation breaks lineage between rounds") {
     // the unrolled-CTE form planned 64 parquet scans (subtree doubling per
     // round); the iterative localCheckpoint form must leave the final plan

@@ -1023,10 +1023,27 @@ object PipelineOps {
 
   private val LabelMaxRounds = 20
 
+  /** Round cap for the p16 label loop; overridable for tests and for
+    * clusters where the operator should hand off to star contraction
+    * earlier (`spark.graft.labelMaxRounds`). */
+  private[graft] def labelMaxRounds(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.labelMaxRounds")
+      .map(_.toInt).getOrElse(LabelMaxRounds)
+
   /** Min-label propagation over an undirected edge list until fixpoint.
     * `init` must have columns (doc_id, lbl); `edges` columns (a, b) with
     * both directions present. Exposed for direct topology tests
-    * (PipelineOpsSpec drives it with an adversarial chain graph). */
+    * (PipelineOpsSpec drives it with an adversarial chain graph).
+    *
+    * If the round cap fires before the sum-stable fixpoint (diameter >
+    * maxRounds — adversarial topology for flooding), the residual labeling
+    * AUTO-ESCALATES to [[StarContraction.labels]] (VERDICT r5 #2): the
+    * O(log n)-round algorithm finishes what flooding started. Passing the
+    * partially-propagated labels is equivalent to passing the originals —
+    * star contraction assigns every node the minimum INITIAL label over its
+    * component, and min over a component of partially-min'd labels equals
+    * min over the original labels. The escalation is loud (stderr) so a
+    * production run knows flooding's diameter assumption was violated. */
   private[graft] def labelPropagate(init: DataFrame, edges: DataFrame,
                                     maxRounds: Int = LabelMaxRounds): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -1049,10 +1066,13 @@ object PipelineOps {
       converged = s == prevSum
       prevSum = s
     }
-    if (!converged)
+    if (!converged) {
       System.err.println(s"[graft] labelPropagate: label sum still changing after " +
-        s"$maxRounds rounds — components wider than the cap are under-merged")
-    labels
+        s"$maxRounds rounds — escalating to star contraction (O(log n) rounds)")
+      val escalated = Barrier.materialize(StarContraction.labels(labels, edges))
+      Barrier.release(labels)
+      escalated
+    } else labels
   }
 
   /** doc_id → near-dup component label at fixpoint (see the p16 design
@@ -1076,7 +1096,8 @@ object PipelineOps {
     // one left join + coalesce at the end (label = own doc_id, exactly
     // what flooding would have assigned them).
     val nodes = edges.select(col("a").as("doc_id")).distinct()
-    val sub = labelPropagate(nodes.select(col("doc_id"), col("doc_id").as("lbl")), edges)
+    val sub = labelPropagate(nodes.select(col("doc_id"), col("doc_id").as("lbl")), edges,
+      labelMaxRounds(spark))
     spark.sql("SELECT doc_id FROM documents")
       .join(sub, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("lbl"))
@@ -1251,10 +1272,56 @@ object PipelineOps {
     WHERE t.doc_id >= $EvalDocs AND arrays_overlap(t.gs, e.earr)
     ORDER BY doc_id"""
 
+  /** Bounded-memory eval-set path (VERDICT r5 #3). The single-array form
+    * above is the fast path for real benchmark suites (fixed small gram
+    * sets), but a production decontamination list (say 10^8 distinct gram
+    * hashes ~ 800 MB) exceeds what ONE row/array value should carry — and
+    * `array_intersect` rebuilds a hash set of the whole eval array per
+    * evaluation. `spark.graft.decontamBuckets = B` (default 1 = fast path)
+    * switches to a chunked shape: eval grams split into B bucket arrays
+    * (B rows, each value bounded at ~|eval|/B), each training doc splits
+    * its gram array into per-bucket sub-arrays in ONE bounded-fanout
+    * generate (<= B rows per doc — never per-gram rows, the r4 #3 sin),
+    * and the bucket-to-bucket equi-join + per-bucket intersect + one
+    * map-side-combinable sum restores the exact count. Join strategy is
+    * left to Catalyst/AQE: small eval sets broadcast, huge ones shuffle on
+    * the bucket key — either way no single 800 MB value exists anywhere. */
+  private[graft] def decontamBuckets(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.decontamBuckets").map(_.toInt).getOrElse(1)
+
+  private def p21ChunkedSql(b: Int) = s"""
+    WITH train AS (${gramArrSpark(P21HwView)}),
+    eval_grams AS (
+      SELECT DISTINCT explode(gs) AS g FROM train WHERE doc_id < $EvalDocs),
+    eval_buckets AS (
+      SELECT pmod(g, $b) AS bkt, collect_list(g) AS earr
+      FROM eval_grams GROUP BY pmod(g, $b)),
+    doc_buckets AS (
+      SELECT doc_id, bk.bkt AS bkt, bk.arr AS garr
+      FROM train
+      LATERAL VIEW explode(transform(sequence(0, ${b - 1}),
+        k -> struct(CAST(k AS BIGINT) AS bkt,
+                    filter(gs, g -> pmod(g, $b) = CAST(k AS BIGINT)) AS arr))) t AS bk
+      WHERE doc_id >= $EvalDocs AND size(bk.arr) > 0)
+    SELECT d.doc_id,
+      CAST(sum(size(array_intersect(d.garr, e.earr))) AS BIGINT) AS n_shared_grams
+    FROM doc_buckets d JOIN eval_buckets e ON d.bkt = e.bkt
+    WHERE arrays_overlap(d.garr, e.earr)
+    GROUP BY d.doc_id
+    ORDER BY doc_id"""
+
+  /** p21 body over an already-registered `documents` view — split out so
+    * the chunked-path spec can drive it with a synthetic >=10^5-gram eval
+    * corpus instead of the testdata parquet. */
+  private[graft] def p21RunOnView(spark: SparkSession): DataFrame = {
+    materialized(spark, P21HwView, p21HwSql)
+    val b = decontamBuckets(spark)
+    if (b <= 1) spark.sql(p21MainSql) else spark.sql(p21ChunkedSql(b))
+  }
+
   private def p21Run(spark: SparkSession, dir: String): DataFrame = {
     spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
-    materialized(spark, P21HwView, p21HwSql)
-    spark.sql(p21MainSql)
+    p21RunOnView(spark)
   }
   private val p21Duck = s"""
     WITH w AS (SELECT doc_id, list_transform($wordsDuck, w -> ${hDuck("w")}) AS hw FROM documents),

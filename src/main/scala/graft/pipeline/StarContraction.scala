@@ -33,11 +33,6 @@ object StarContraction {
     * Returns (star edges at fixpoint: every non-center node → its
     * component's minimum node id, rounds used). */
   private[graft] def contract(edges: DataFrame, maxRounds: Int): (DataFrame, Int) = {
-    def sig(e: DataFrame): (Long, Long, Long) = {
-      val r = e.agg(count(lit(1)), coalesce(sum("a"), lit(0L)),
-        coalesce(sum("b"), lit(0L))).head
-      (r.getLong(0), r.getLong(1), r.getLong(2))
-    }
     // large-star(u): m = min(Γ(u) ∪ {u}); rewire every LARGER neighbor to m
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select(col("a"), col("b"))
@@ -62,19 +57,21 @@ object StarContraction {
 
     var cur = Barrier.materialize(
       edges.where(col("a") =!= col("b")).select("a", "b").distinct())
-    var curSig = sig(cur)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
       round += 1
       val prev = cur
       cur = Barrier.materialize(smallStar(largeStar(cur)))
+      // EXACT fixpoint test (ADVICE r5): set equality of the materialized
+      // edge sets, not an aggregate fingerprint — two distinct edge sets
+      // can collide on (count, Σa, Σb) and silently terminate contraction
+      // early. Both sides are already distinct and materialized, so the
+      // count probe is free-ish and except() is one bounded shuffle; since
+      // the round function is a deterministic map of the edge set, set
+      // equality ⟺ true fixpoint.
+      converged = cur.count() == prev.count() && cur.except(prev).isEmpty
       Barrier.release(prev)
-      val s = sig(cur)
-      // the edge sum strictly decreases while any node can still reach a
-      // smaller minimum; stability of (count, Σa, Σb) ⟺ star fixpoint
-      converged = s == curSig
-      curSig = s
     }
     if (!converged)
       System.err.println(s"[graft] starContract: edge set still changing after " +

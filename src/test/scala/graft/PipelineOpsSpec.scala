@@ -349,14 +349,32 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"chain not fully merged: ${out.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).mkString(",")}")
   }
 
-  test("p16 label propagation respects the round cap on an over-deep chain") {
-    // diameter 9 with maxRounds 2: must NOT fully merge (and must not hang)
+  test("p16 label propagation auto-escalates to star contraction when the cap fires") {
+    // diameter 9 with maxRounds 2: flooding alone CANNOT close the chain in
+    // 2 rounds, so this exercises the VERDICT r5 #2 escalation path — the
+    // residual labeling hands off to StarContraction.labels and the result
+    // must still be the exact union-find ground truth (all labels 0)
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val init = (0L until 10L).toDF("doc_id").withColumn("lbl", col("doc_id"))
     val edges = (0L until 9L).flatMap(i => Seq((i, i + 1), (i + 1, i))).toDF("a", "b")
     val out = PipelineOps.labelPropagate(init, edges, maxRounds = 2).collect()
-    assert(out.exists(_.getLong(1) != 0L), "2 rounds cannot close a diameter-9 chain")
+    assert(out.length == 10)
+    assert(out.forall(_.getLong(1) == 0L),
+      s"escalation failed to close the chain: ${out.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).mkString(",")}")
+  }
+
+  test("p16 end-to-end result is cap-invariant (escalation kicks in at cap=1)") {
+    // with spark.graft.labelMaxRounds=1 the dup-graph cannot converge by
+    // flooding (any component of diameter >1 needs more rounds), so p16Run
+    // must route through star contraction — and produce EXACTLY the same
+    // clusters as the default-cap run
+    val expected = run("p16_dedup_clusters").collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.labelMaxRounds", "1")
+    try {
+      val capped = run("p16_dedup_clusters").collect().map(_.toSeq).toSeq
+      assert(capped == expected, "cap=1 (escalated) clusters differ from default-cap clusters")
+    } finally spark.conf.unset("spark.graft.labelMaxRounds")
   }
 
   test("p08 bucket width follows the corpus: r ~ log2(N/32), clamped to [4,12]") {
@@ -412,6 +430,48 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
     assert(out == expected, s"got $out expected $expected")
     assert(expected.nonEmpty, "testdata should contain eval-overlapping docs")
+  }
+
+  test("p21 chunked eval-set path (>=1e5 grams) matches brute force and the fast path") {
+    // VERDICT r5 #3: the single-array form carries the whole eval gram set
+    // in ONE row value — fine for real benchmark suites, a ceiling at
+    // production list sizes. This drives p21 with a synthetic eval corpus
+    // of ~120k distinct 8-grams (past the 1e5 bar) and asserts the chunked
+    // (B=16) path is row-identical to both the single-array path and a
+    // Scala brute-force ground truth.
+    import spark.implicits._
+    val evalDocs = (0L until 20L).map { id =>
+      (id, (0 until 6000).map(i => s"w${id}_$i").mkString(" "))
+    }
+    // even training docs embed a verbatim 40-word slice of eval doc id%20
+    // (33 contaminated grams); odd docs are clean filler
+    val trainDocs = (20L until 50L).map { id =>
+      if (id % 2 == 0) {
+        val slice = (100 until 140).map(i => s"w${id % 20}_$i").mkString(" ")
+        (id, (0 until 30).map(i => s"t${id}_a$i").mkString(" ") + " " + slice + " " +
+          (0 until 30).map(i => s"t${id}_b$i").mkString(" "))
+      } else (id, (0 until 100).map(i => s"t${id}_$i").mkString(" "))
+    }
+    val docs = evalDocs ++ trainDocs
+    // brute-force ground truth over word arrays
+    def grams(ws: Seq[String]) = ws.sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSet
+    val evalGrams = evalDocs.flatMap(d => grams(d._2.split(" ").toSeq)).toSet
+    assert(evalGrams.size >= 100000, s"eval set too small: ${evalGrams.size}")
+    val expected = trainDocs
+      .map { case (id, t) => id -> grams(t.split(" ").toSeq).count(evalGrams).toLong }
+      .filter(_._2 > 0).toMap
+    assert(expected.nonEmpty && expected.keySet.forall(_ % 2 == 0))
+
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val single = PipelineOps.p21RunOnView(spark).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(single == expected, s"single-array path: got $single expected $expected")
+    spark.conf.set("spark.graft.decontamBuckets", "16")
+    try {
+      val chunked = PipelineOps.p21RunOnView(spark).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(chunked == expected, s"chunked path: got $chunked expected $expected")
+    } finally spark.conf.unset("spark.graft.decontamBuckets")
   }
 
   test("driver contract: every oracle key has a query, entry() returns rows") {

@@ -191,6 +191,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"training side must not explode per-gram rows, plan:\n$p")
   }
 
+  test("p21 chunked path: bounded bucket fanout, no per-gram training-side rows") {
+    // VERDICT r5 #3: with decontamBuckets=B the training side may generate
+    // at most B bucket rows per doc (the transform(sequence(0,B-1)) split),
+    // never one row per gram. Exactly two Generates are legal: the EVAL
+    // side's per-gram explode (fixed-size benchmark set, sanctioned) and
+    // the bounded bucket split; the bucket split must be the sequence form.
+    spark.conf.set("spark.graft.decontamBuckets", "16")
+    try {
+      val p = pipeline.PipelineOps.queries("p21_decontam")(spark, dir)
+        .queryExecution.optimizedPlan.toString
+      val generates = "Generate".r.findAllIn(p).length
+      assert(generates == 2, s"expected eval explode + bucket split only, plan:\n$p")
+      assert(p.contains("sequence(0, 15"),
+        s"training-side Generate must be the bounded bucket split, plan:\n$p")
+      // the per-doc sum must partial-aggregate before the doc_id shuffle
+      assert("HashAggregate".r.findAllIn(p).nonEmpty, s"plan:\n$p")
+    } finally spark.conf.unset("spark.graft.decontamBuckets")
+  }
+
   test("hot-path folds run in the native kernels, not interpreted lambdas") {
     // graft_minhash / graft_top_terms replaced interpreted aggregate()
     // accumulator folds (no codegen, no CSE for lambda bodies). The plans

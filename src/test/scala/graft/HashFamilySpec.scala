@@ -1,0 +1,85 @@
+package graft
+
+import graft.pipeline.PipelineOps
+import org.scalatest.funsuite.AnyFunSuite
+
+/** VERDICT r5 #5: `spark.graft.hashFamily = md5 | xxhash64` must flip every
+  * operator's row-level hash with ONE config. The md5 family exists only for
+  * DuckDB-oracle determinism (the driver gate pins it via the default); the
+  * xxhash64 family is the production path — codegen'd 64-bit hashing with no
+  * hex-string materialization. These tests prove the swap is safe: same
+  * results where the hash is an implementation detail (p04 candidate
+  * generation verified by TRUE shingle Jaccard; p08's runtime path has no
+  * string hash at all), same plan shapes, and every flipped operator still
+  * runs green.
+  */
+class HashFamilySpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.spark
+
+  private def withFamily[A](fam: String)(body: => A): A = {
+    spark.conf.set("spark.graft.hashFamily", fam)
+    try body finally spark.conf.unset("spark.graft.hashFamily")
+  }
+  private def run(name: String) = PipelineOps.queries(name)(spark, dir)
+
+  test("hashFamily rejects unknown families") {
+    spark.conf.set("spark.graft.hashFamily", "sha1")
+    try {
+      val e = intercept[IllegalArgumentException](run("p01_dedup_exact"))
+      assert(e.getMessage.contains("hashFamily"))
+    } finally spark.conf.unset("spark.graft.hashFamily")
+  }
+
+  test("p04 under xxhash64: exact precision, recall floor vs the md5-family pairs") {
+    // Candidates depend on the hash family; VERIFICATION uses the true
+    // string-shingle Jaccard, so precision is exact under any family. The
+    // md5-family output equals brute-force ground truth (PipelineOpsSpec),
+    // so it serves as the truth set here; banding recall under a different
+    // collision-free hash must stay above the documented floor.
+    val truth = run("p04_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val xx = withFamily("xxhash64") {
+      run("p04_minhash_lsh").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(xx.subsetOf(truth), s"precision violated: ${xx.diff(truth)} not true near-dups")
+    assert(xx.size >= math.ceil(truth.size * 0.9).toInt,
+      s"recall under xxhash64: ${xx.size}/${truth.size} below the 0.9 floor")
+  }
+
+  test("p08 is hash-family-invariant (runtime path carries no string hash)") {
+    // SRP keys come from the compile-time plane matrix (Scala-side md5
+    // SEEDS, not per-row hashing), so flipping the family must change
+    // nothing — this pins that no row-level hash sneaks into the ANN path.
+    val md5 = run("p08_ann_srp_lsh").collect().map(_.toSeq).toSeq
+    val xx = withFamily("xxhash64")(run("p08_ann_srp_lsh").collect().map(_.toSeq).toSeq)
+    assert(xx == md5)
+  }
+
+  test("every hash-bearing operator runs green under xxhash64 with md5-free plans") {
+    val hashOps = Seq("p01_dedup_exact", "p05_simhash", "p06_fingerprint",
+      "p09_media_meta", "p15_sample_stratified", "p16_dedup_clusters",
+      "p18_text_clean", "p19_ann_ivf", "p20_curation", "p21_decontam")
+    withFamily("xxhash64") {
+      hashOps.foreach { op =>
+        val df = run(op)
+        val analyzed = df.queryExecution.analyzed.toString.toLowerCase
+        assert(!analyzed.contains("md5("),
+          s"$op still carries an md5 under hashFamily=xxhash64")
+        assert(df.count() > 0, s"$op returned no rows under xxhash64")
+      }
+    }
+  }
+
+  test("p15 sampling stays deterministic within a family, differs across families") {
+    val a = run("p15_sample_stratified").collect().map(_.toSeq).toSeq
+    val b = run("p15_sample_stratified").collect().map(_.toSeq).toSeq
+    assert(a == b, "md5 sampling must be rerun-stable")
+    val xx1 = withFamily("xxhash64")(run("p15_sample_stratified").collect().map(_.toSeq).toSeq)
+    val xx2 = withFamily("xxhash64")(run("p15_sample_stratified").collect().map(_.toSeq).toSeq)
+    assert(xx1 == xx2, "xxhash64 sampling must be rerun-stable")
+    // same strata and doc totals either way; only the selected sample moves
+    assert(a.map(r => (r.head, r(1))) == xx1.map(r => (r.head, r(1))))
+  }
+}

@@ -203,10 +203,19 @@ class PlanAuditSpec extends AnyFunSuite {
         .queryExecution.optimizedPlan.toString
       val generates = "Generate".r.findAllIn(p).length
       assert(generates == 2, s"expected eval explode + bucket split only, plan:\n$p")
-      assert(p.contains("sequence(0, 15"),
+      // training side: explode of a transform over the CONSTANT bucket array
+      // (sequence(0,B-1) constant-folds to an UnsafeArrayData literal) —
+      // bounded fanout, never explode of the raw gram array
+      // exactly ONE bounded bucket-split Generate; the other Generate is the
+      // eval side's per-gram explode (its textual form varies with project
+      // collapse — explode(gs) or explode(<inlined gram expr>) — so only
+      // the count is pinned)
+      assert("Generate explode\\(transform\\(".r.findAllIn(p).length == 1,
         s"training-side Generate must be the bounded bucket split, plan:\n$p")
-      // the per-doc sum must partial-aggregate before the doc_id shuffle
-      assert("HashAggregate".r.findAllIn(p).nonEmpty, s"plan:\n$p")
+      // the per-doc shared-gram count is one grouped sum over bucket rows
+      // (physically a partial+final HashAggregate pair around the doc_id
+      // shuffle — same contract PlanAuditSpec pins for p01)
+      assert("Aggregate \\[doc_id".r.findFirstIn(p).isDefined, s"plan:\n$p")
     } finally spark.conf.unset("spark.graft.decontamBuckets")
   }
 

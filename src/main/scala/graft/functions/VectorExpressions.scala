@@ -171,8 +171,11 @@ case class GraftSrpKeys(child: Expression, planes: Array[Array[Int]],
   * p — value-identical to the HOF fold
   * `aggregate(hs, array_repeat(p, k), (acc, h) -> zip_with(acc, seq,
   * (m, i) -> least(m, pmod(a_i*h + b_i, p))))`: pure integer arithmetic
-  * (a_i, h < p < 2^31 so a_i·h + b_i < 2^62 — exact in long; all operands
-  * non-negative so Java % == pmod), min is order-free. The HOF form walks
+  * (for the documented domain a_i, h < p < 2^31, a_i·h + b_i < 2^62 —
+  * exact in long; for inputs outside it, a pmod-style sign adjustment
+  * keeps results in [0, p) matching the SQL fold's pmod, though |h| ≥ p
+  * values that overflow the long product are outside the exactness
+  * contract), min is order-free. The HOF form walks
   * the array k times through interpreted lambdas allocating a k-array per
   * element; this is one k×n Java loop inside whole-stage codegen. NULL
   * elements are skipped (Spark's `least` ignores nulls — same fold
@@ -198,7 +201,9 @@ case class GraftMinhash(child: Expression, hashA: Array[Long],
         val h = hs.getLong(j)
         var i = 0
         while (i < k) {
-          val v = (hashA(i) * h + hashB(i)) % p
+          var v = (hashA(i) * h + hashB(i)) % p
+          if (v < 0) v += p // pmod: graft_minhash is session-registered, so
+          // negative caller inputs must not yield negative signature values
           if (v < sig(i)) sig(i) = v
           i += 1
         }
@@ -226,6 +231,7 @@ case class GraftMinhash(child: Expression, hashA: Array[Long],
             long $h = $a.getLong($j);
             for (int $i = 0; $i < $k; $i++) {
               long $v = ($aRef[$i] * $h + $bRef[$i]) % ${p}L;
+              if ($v < 0) $v += ${p}L;
               if ($v < $sig[$i]) $sig[$i] = $v;
             }
           }
@@ -316,11 +322,16 @@ case class GraftTopTerms(child: Expression, k: Int) extends UnaryExpression {
   * run functions call this on every invocation; re-registering only when
   * something changed keeps the registry's replaced-function WARN quiet). */
 object GraftFunctions {
+  // Every memo is keyed on the BOUND PARAMETERS (ADVICE r5: a boolean memo
+  // silently ignored a later registration with different constants, leaving
+  // a stale function in the session — unlike srpRegistered, which already
+  // re-registered on geometry change).
   private val dotRegistered = java.util.Collections.newSetFromMap(
     new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
   private val srpRegistered = new java.util.WeakHashMap[SparkSession, (Int, Int)]()
-  private val minhashRegistered = java.util.Collections.newSetFromMap(
-    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+  private val topTermsRegistered = new java.util.WeakHashMap[SparkSession, Int]()
+  private val minhashRegistered =
+    new java.util.WeakHashMap[SparkSession, (Seq[Long], Seq[Long], Long)]()
 
   def registerDot(spark: SparkSession): Unit = synchronized {
     if (dotRegistered.add(spark))
@@ -328,24 +339,26 @@ object GraftFunctions {
         exprs => GraftDot(exprs(0), exprs(1)), "built-in")
   }
 
-  private val topTermsRegistered = java.util.Collections.newSetFromMap(
-    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
-
-  /** `graft_top_terms(words)` with k bound at registration. */
+  /** `graft_top_terms(words)` with k bound at registration; re-registers
+    * when k changes. */
   def registerTopTerms(spark: SparkSession, k: Int): Unit = synchronized {
-    if (topTermsRegistered.add(spark))
+    if (!topTermsRegistered.containsKey(spark) || topTermsRegistered.get(spark) != k) {
+      topTermsRegistered.put(spark, k)
       spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_top_terms",
         exprs => GraftTopTerms(exprs.head, k), "built-in")
+    }
   }
 
   /** `graft_minhash(hs)` with the permutation coefficients and modulus
-    * bound at registration (they are compile-time constants of the LSH
-    * scheme — PipelineOps.hashA/hashB/MinhashP). */
+    * bound at registration; re-registers when any of them change. */
   def registerMinhash(spark: SparkSession, hashA: Array[Long],
                       hashB: Array[Long], p: Long): Unit = synchronized {
-    if (minhashRegistered.add(spark))
+    val key = (hashA.toSeq, hashB.toSeq, p)
+    if (minhashRegistered.get(spark) != key) {
+      minhashRegistered.put(spark, key)
       spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_minhash",
         exprs => GraftMinhash(exprs.head, hashA, hashB, p), "built-in")
+    }
   }
 
   /** `graft_srp_keys(embedding)` with the plane matrix and band geometry

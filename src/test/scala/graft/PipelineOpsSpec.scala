@@ -94,73 +94,79 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall (${truth.count(found)}/${truth.size})")
   }
 
-  test("p08 SRP recall law holds at production width (r=8, bands raised per rule)") {
-    // VERDICT r4 #4: the r~log N law was only recall-tested at the gate
-    // corpus (r=4). This drives chooseSrpBits to a production width on a
-    // synthetic corpus with PLANTED near-neighbour pairs of known cosine,
-    // raises b alongside r per the documented deployment rule, and asserts
-    // the measured recall against the banding formula 1-(1-p^r)^b computed
-    // from each planted pair's ACTUAL cosine — the assertion fails if the
-    // banding math (key slicing, band count, bucket join) breaks at widths
-    // the gate corpus never reaches.
+  test("p08 SRP recall law holds with the DERIVED (r, b) at two corpus sizes") {
+    // VERDICT r4 #4 + r5 #6: the r~log N law was only recall-tested at the
+    // gate corpus (r=4), and the band rule was manual. chooseSrpGeometry
+    // now derives (r, b) together; this plants near-neighbour pairs of
+    // known cosine at TWO corpus sizes landing on different production
+    // widths and asserts measured recall against the banding formula
+    // 1-(1-p^r)^b computed from each planted pair's ACTUAL cosine — the
+    // assertion fails if the geometry derivation or the banding math (key
+    // slicing, band count, bucket join) breaks at widths the gate corpus
+    // never reaches.
     val dim = 64
-    val nBase = 4800
-    val nPairs = 150
-    val rnd = new scala.util.Random(20260812L)
-    def unit(v: Array[Double]): Array[Double] = {
-      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
-    }
-    def randVec(): Array[Double] = unit(Array.fill(dim)(rnd.nextGaussian()))
-    val base = Array.fill(nBase)(randVec())
-    // planted pairs: b = unit(a + s*u), s chosen so cos ≈ 1/sqrt(1+s²)
-    // spans ~[0.85, 0.97] — the regime where per-band p^r is sensitive to r
-    val planted = (0 until nPairs).map { i =>
-      val a = randVec()
-      val s = 0.25 + 0.40 * i / nPairs
-      val u = randVec()
-      val b = unit(a.zip(u).map { case (x, e) => x + s * e })
-      (a, b)
-    }
-    val rows: Seq[(Long, Seq[Float], Int)] =
-      base.zipWithIndex.map { case (v, i) =>
-        (i.toLong, v.map(_.toFloat).toSeq, 0) }.toSeq ++
-      planted.zipWithIndex.flatMap { case ((a, b), i) =>
-        Seq((nBase + 2L * i, a.map(_.toFloat).toSeq, 1),
-            (nBase + 2L * i + 1, b.map(_.toFloat).toSeq, 1)) }
-    val n = rows.length.toLong // 5100 → r = ceil(log2(5100/32)) = 8
-    val r = PipelineOps.chooseSrpBits(n)
-    assert(r == 8, s"synthetic corpus must land on a production width, got r=$r")
-    val bands = 12 // raised alongside r (r_max * 8 = 96 planes bounds r*b)
+    def runCase(nBase: Int, nPairs: Int, expR: Int, expB: Int, seed: Long): Unit = {
+      val rnd = new scala.util.Random(seed)
+      def unit(v: Array[Double]): Array[Double] = {
+        val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+      }
+      def randVec(): Array[Double] = unit(Array.fill(dim)(rnd.nextGaussian()))
+      val base = Array.fill(nBase)(randVec())
+      // planted pairs: b = unit(a + s*u), s chosen so cos ≈ 1/sqrt(1+s²)
+      // spans ~[0.85, 0.97] — the regime where per-band p^r is sensitive
+      val planted = (0 until nPairs).map { i =>
+        val a = randVec()
+        val s = 0.25 + 0.40 * i / nPairs
+        val u = randVec()
+        val b = unit(a.zip(u).map { case (x, e) => x + s * e })
+        (a, b)
+      }
+      val rows: Seq[(Long, Seq[Float], Int)] =
+        base.zipWithIndex.map { case (v, i) =>
+          (i.toLong, v.map(_.toFloat).toSeq, 0) }.toSeq ++
+        planted.zipWithIndex.flatMap { case ((a, b), i) =>
+          Seq((nBase + 2L * i, a.map(_.toFloat).toSeq, 1),
+              (nBase + 2L * i + 1, b.map(_.toFloat).toSeq, 1)) }
+      val n = rows.length.toLong
+      val (r, bands) = PipelineOps.chooseSrpGeometry(n)
+      assert((r, bands) == ((expR, expB)),
+        s"N=$n must derive (r,b)=($expR,$expB), got ($r,$bands)")
 
-    val tmp = java.nio.file.Files.createTempDirectory("graft_srp").toString
-    import spark.implicits._
-    rows.toDF("vec_id", "embedding", "label")
-      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
-    val found = PipelineOps.p08RunWithBands(spark, tmp, bands).collect()
-      .map(x => (x.getLong(0), x.getLong(1))).toSet
+      val tmp = java.nio.file.Files.createTempDirectory("graft_srp").toString
+      import spark.implicits._
+      rows.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      // -1 → p08Run's default derived-geometry path
+      val found = PipelineOps.p08RunWithBands(spark, tmp, -1).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
 
-    def cosF(a: Array[Double], b: Array[Double]): Double = {
-      val af = a.map(_.toFloat); val bf = b.map(_.toFloat) // as stored
-      val d = af.zip(bf).map { case (x, y) => x.toDouble * y }.sum
-      d / (math.sqrt(af.map(x => x.toDouble * x).sum) *
-           math.sqrt(bf.map(x => x.toDouble * x).sum))
+      def cosF(a: Array[Double], b: Array[Double]): Double = {
+        val af = a.map(_.toFloat); val bf = b.map(_.toFloat) // as stored
+        val d = af.zip(bf).map { case (x, y) => x.toDouble * y }.sum
+        d / (math.sqrt(af.map(x => x.toDouble * x).sum) *
+             math.sqrt(bf.map(x => x.toDouble * x).sum))
+      }
+      val detectP = planted.map { case (a, b) =>
+        val p = 1.0 - math.acos(math.min(1.0, cosF(a, b))) / math.Pi
+        1.0 - math.pow(1.0 - math.pow(p, r), bands)
+      }
+      val hits = (0 until nPairs).count { i =>
+        found((nBase + 2L * i, nBase + 2L * i + 1))
+      }
+      val recall = hits.toDouble / nPairs
+      val mean = detectP.sum / nPairs
+      // 3σ of the mean of independent Bernoulli(q_i) detections
+      val sd = math.sqrt(detectP.map(q => q * (1 - q)).sum) / nPairs
+      assert(mean >= 0.85,
+        s"operating point: derived b=$bands must keep expected recall high, got $mean")
+      assert(recall >= mean - 3 * sd,
+        s"measured recall $recall below formula floor ${mean - 3 * sd} " +
+          s"(expected $mean, $hits/$nPairs found) — banding math broken at (r=$r,b=$bands)")
     }
-    val detectP = planted.map { case (a, b) =>
-      val p = 1.0 - math.acos(math.min(1.0, cosF(a, b))) / math.Pi
-      1.0 - math.pow(1.0 - math.pow(p, r), bands)
-    }
-    val hits = (0 until nPairs).count { i =>
-      found((nBase + 2L * i, nBase + 2L * i + 1))
-    }
-    val recall = hits.toDouble / nPairs
-    val mean = detectP.sum / nPairs
-    // 3σ of the mean of independent Bernoulli(q_i) detections
-    val sd = math.sqrt(detectP.map(q => q * (1 - q)).sum) / nPairs
-    assert(mean >= 0.85,
-      s"operating point: rule-raised b=$bands must keep expected recall high, got $mean")
-    assert(recall >= mean - 3 * sd,
-      s"measured recall $recall below formula floor ${mean - 3 * sd} " +
-        s"(expected $mean, $hits/$nPairs found) — banding math broken at r=$r")
+    // 5100 vecs → (8, 10): band rule exceeds the 8-band floor
+    runCase(nBase = 4800, nPairs = 150, expR = 8, expB = 10, seed = 20260812L)
+    // 1800 vecs → (6, 8): floor binds, bands stay at the baseline
+    runCase(nBase = 1600, nPairs = 100, expR = 6, expB = 8, seed = 20260813L)
   }
 
   test("p11 n-gram jaccard: pairs stay within source, values in [0,1]") {
@@ -382,7 +388,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(PipelineOps.chooseSrpBits(500L) == 4)   // correctness-gate corpus → oracle operating point
     assert(PipelineOps.chooseSrpBits(2000L) == 6)  // bench corpus (sf0.1)
     assert(PipelineOps.chooseSrpBits(5000L) == 8)
-    assert(PipelineOps.chooseSrpBits(100000000L) == 12) // clamp: raise bands too at this scale
+    assert(PipelineOps.chooseSrpBits(100000000L) == 12)
+  }
+
+  test("p08 band count is derived with r per the recall law, floored at the gate baseline") {
+    assert(PipelineOps.chooseSrpGeometry(500L) == ((4, 8)))   // gate geometry FROZEN (oracle)
+    assert(PipelineOps.chooseSrpGeometry(2000L) == ((6, 8)))  // floor binds
+    assert(PipelineOps.chooseSrpGeometry(5000L) == ((8, 10))) // rule exceeds floor
+    assert(PipelineOps.chooseSrpGeometry(100000000L) == ((12, 23))) // clamp point
+    // the plane matrix must serve the widest derivable geometry (ADVICE r5)
+    assert(PipelineOps.SrpBandsMax == 23)
   }
 
   test("p17 quality filter: every doc judged once; keep matches reason") {

@@ -168,4 +168,50 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .head.getLong(0)
     assert(n == 0L, s"$n rows produced band keys from truncated products")
   }
+
+  test("graft_minhash matches the pmod fold on NEGATIVE inputs (ADVICE r5)") {
+    // graft_minhash is session-registered, so a caller may feed hash values
+    // the internal pipelines would have pre-pmod'd; the kernel's Java %
+    // must carry the pmod sign adjustment or signatures go negative and
+    // silently diverge from the documented aggregate() contract
+    val k = 4
+    val p = 2147483647L
+    val hashA = (0 until k).map(i => (1103515245L * (i + 1)) % p).toArray
+    val hashB = (0 until k).map(i => (12345L + 7919L * i) % p).toArray
+    GraftFunctions.registerMinhash(spark, hashA, hashB, p)
+    val aLit = hashA.mkString("array(", ",", ")")
+    val bLit = hashB.mkString("array(", ",", ")")
+    val hof =
+      s"""aggregate(hs, array_repeat(CAST($p AS BIGINT), $k),
+         |  (acc, h) -> zip_with(acc, sequence(0, ${k - 1}),
+         |    (m, i) -> least(m, pmod(element_at($aLit, i + 1) * h
+         |                            + element_at($bLit, i + 1), $p))))""".stripMargin
+    val r = spark.sql(
+      s"""SELECT to_json(graft_minhash(hs)) AS native, to_json($hof) AS hof,
+         |  array_min(graft_minhash(hs)) AS mn
+         |FROM (SELECT array(-7L, -1000000L, 3L, CAST(-$p AS BIGINT)) AS hs)""".stripMargin)
+      .head
+    assert(r.getString(0) == r.getString(1),
+      s"negative-input divergence: ${r.getString(0)} vs ${r.getString(1)}")
+    assert(r.getLong(2) >= 0L, "signature values must stay in [0, p)")
+  }
+
+  test("kernel registration re-binds when the bound parameters change (ADVICE r5)") {
+    // registerTopTerms: a later k must take effect, not be silently ignored
+    GraftFunctions.registerTopTerms(spark, 2)
+    val k2 = spark.sql("SELECT size(graft_top_terms(array('a','a','b','c','d'))) AS n")
+      .head.getInt(0)
+    assert(k2 == 2, s"k=2 registration ignored, got $k2 terms")
+    GraftFunctions.registerTopTerms(spark, 4)
+    val k4 = spark.sql("SELECT size(graft_top_terms(array('a','a','b','c','d'))) AS n")
+      .head.getInt(0)
+    assert(k4 == 4, s"k=4 re-registration ignored, got $k4 terms")
+    // registerMinhash: new modulus must take effect (sig init value = p)
+    GraftFunctions.registerMinhash(spark, Array(1L), Array(0L), 97L)
+    val m97 = spark.sql("SELECT element_at(graft_minhash(CAST(array() AS ARRAY<BIGINT>)), 1) AS v").head.getLong(0)
+    assert(m97 == 97L, s"p=97 registration ignored: $m97")
+    GraftFunctions.registerMinhash(spark, Array(1L), Array(0L), 101L)
+    val m101 = spark.sql("SELECT element_at(graft_minhash(CAST(array() AS ARRAY<BIGINT>)), 1) AS v").head.getLong(0)
+    assert(m101 == 101L, s"p=101 re-registration ignored: $m101")
+  }
 }

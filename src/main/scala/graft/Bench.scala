@@ -137,9 +137,12 @@ object Bench {
     }
 
     // timed suite, with a calibration sample every CalibEveryN queries.
-    // Run count adapts on the FIRST TIMED run (not the warm-up, which
-    // absorbs plan compile and first-touch cost and would misclassify
-    // sub-second queries as slow): < 2 s → 5 runs, else 3.
+    // Run count adapts on the timed runs (not the warm-up, which absorbs
+    // plan compile and first-touch cost and would misclassify sub-second
+    // queries as slow): ANY completed timed run under 2 s promotes the
+    // query to 5 runs (ADVICE r6: classifying on the first run alone let
+    // one contention spike on that run lock a sub-second query into
+    // 3-run mode — the exact coarse-median problem FastTimedRuns fixes).
     case class QStat(median: Double, min: Double, max: Double, runs: Int, tStartS: Double)
     var sinceCalib = 0
     val results: Seq[(String, QStat)] = queries.map { case (name, fn) =>
@@ -155,7 +158,7 @@ object Bench {
         try {
           execute(fn(spark, sfDir))
           times += (System.nanoTime() - t0) / 1e9
-          if (i == 0 && times.head < FastQueryThresholdSec) target = FastTimedRuns
+          if (times.last < FastQueryThresholdSec) target = FastTimedRuns
         } catch { case e: Throwable =>
           errors.getOrElseUpdate(name,
             Option(e.getMessage).getOrElse(e.getClass.getName))

@@ -478,8 +478,11 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(expected.nonEmpty && expected.keySet.forall(_ % 2 == 0))
 
     docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
-    val single = PipelineOps.p21RunOnView(spark).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.graft.decontamBuckets", "1")
+    val single = try {
+      PipelineOps.p21RunOnView(spark).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    } finally spark.conf.unset("spark.graft.decontamBuckets")
     assert(single == expected, s"single-array path: got $single expected $expected")
     spark.conf.set("spark.graft.decontamBuckets", "16")
     try {
@@ -487,6 +490,34 @@ class PipelineOpsSpec extends AnyFunSuite {
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(chunked == expected, s"chunked path: got $chunked expected $expected")
     } finally spark.conf.unset("spark.graft.decontamBuckets")
+    // VERDICT r6 #1: with the config UNSET, B is derived from the
+    // eval-gram count — ~120k grams → B=2 — and the salted chunked path
+    // (S = ceil(partitions/B) = 2 at the suite's 4 shuffle partitions)
+    // must still be row-identical to brute force.
+    assert(PipelineOps.deriveDecontamBuckets(spark) == 2,
+      s"~120k eval grams should derive B=2")
+    assert(PipelineOps.decontamSalt(spark, 2) == 2)
+    val derived = PipelineOps.p21RunOnView(spark).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(derived == expected, s"derived-B path: got $derived expected $expected")
+  }
+
+  test("p21 bucket-count derivation law and gate-scale default") {
+    // the chooseSrpGeometry-style law: B = clamp(ceil(n/65536), 1, 4096)
+    assert(PipelineOps.chooseDecontamBuckets(0L) == 1)
+    assert(PipelineOps.chooseDecontamBuckets(10000L) == 1)
+    assert(PipelineOps.chooseDecontamBuckets(65536L) == 1)
+    assert(PipelineOps.chooseDecontamBuckets(65537L) == 2)
+    assert(PipelineOps.chooseDecontamBuckets(120000L) == 2)
+    assert(PipelineOps.chooseDecontamBuckets(100000000L) == 1526)
+    assert(PipelineOps.chooseDecontamBuckets(Long.MaxValue) == 4096)
+    // at the correctness-gate corpus the derived B must be 1 (fast path,
+    // frozen oracle untouched)
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    assert(PipelineOps.deriveDecontamBuckets(spark) == 1,
+      "gate-scale eval set must stay on the B=1 fast path")
+    // salt degenerates to 1 once B covers the partition count
+    assert(PipelineOps.decontamSalt(spark, 16) == 1)
   }
 
   test("driver contract: every oracle key has a query, entry() returns rows") {

@@ -219,6 +219,25 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.decontamBuckets")
   }
 
+  test("p21 salted chunked path: salt replicate is bounded, still no per-gram training rows") {
+    // VERDICT r6 #1 sub-split: B=2 at the suite's 4 shuffle partitions →
+    // salt S=2, which adds exactly ONE more bounded Generate (the eval-side
+    // explode(sequence(0,1)) replicate — S rows per eval bucket). The
+    // training side must still only emit the B-bounded bucket split.
+    spark.conf.set("spark.graft.decontamBuckets", "2")
+    try {
+      assert(pipeline.PipelineOps.decontamSalt(spark, 2) == 2)
+      val p = pipeline.PipelineOps.queries("p21_decontam")(spark, dir)
+        .queryExecution.optimizedPlan.toString
+      val generates = "Generate".r.findAllIn(p).length
+      assert(generates == 3,
+        s"expected eval gram explode + salt replicate + bucket split, plan:\n$p")
+      assert("Generate explode\\(transform\\(".r.findAllIn(p).length == 1,
+        s"training-side Generate must be the bounded bucket split, plan:\n$p")
+      assert("Aggregate \\[doc_id".r.findFirstIn(p).isDefined, s"plan:\n$p")
+    } finally spark.conf.unset("spark.graft.decontamBuckets")
+  }
+
   test("hot-path folds run in the native kernels, not interpreted lambdas") {
     // graft_minhash / graft_top_terms replaced interpreted aggregate()
     // accumulator folds (no codegen, no CSE for lambda bodies). The plans

@@ -40,6 +40,18 @@ object IntervalJoinStream {
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    tsCol: String, lower: String, upper: String,
                    watermarkDelay: String): DataFrame = {
+    // named errors at the API boundary (ADVICE r6 #4): a missing key/ts or
+    // a left column already carrying the _r suffix would otherwise surface
+    // as an ambiguous-attribute analyzer error far from the call site
+    def requireCol(df: DataFrame, c: String, side: String): Unit =
+      require(df.columns.contains(c),
+        s"intervalJoin: $side input is missing column '$c' (has: ${df.columns.mkString(", ")})")
+    requireCol(left, key, "left"); requireCol(left, tsCol, "left")
+    requireCol(right, key, "right"); requireCol(right, tsCol, "right")
+    val clash = left.columns.toSet.intersect(right.columns.map(_ + "_r").toSet)
+    require(clash.isEmpty,
+      s"intervalJoin: left column(s) ${clash.mkString(", ")} collide with the " +
+        "right side's _r-suffixed output columns; rename them before joining")
     val l = left.withWatermark(tsCol, watermarkDelay)
     val r = right.columns.foldLeft(right)((df, c) =>
         df.withColumnRenamed(c, s"${c}_r"))

@@ -44,8 +44,15 @@ class HashFamilySpec extends AnyFunSuite {
       run("p04_minhash_lsh").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     }
     assert(xx.subsetOf(truth), s"precision violated: ${xx.diff(truth)} not true near-dups")
-    assert(xx.size >= math.ceil(truth.size * 0.9).toInt,
-      s"recall under xxhash64: ${xx.size}/${truth.size} below the 0.9 floor")
+    // 0.8 floor (ADVICE r6 #2): the old 0.9 floor tolerated only ~2 misses
+    // on a ~25-pair truth set under a stochastic banding family — a correct
+    // family could intermittently go red. Expected per-pair banding recall
+    // at the corpus's near-dup Jaccard keeps the expected miss count well
+    // under the 5 the 0.8 floor allows, while a broken family (recall near
+    // the ~0.66 ambient-pair rate on DISJOINT candidates, i.e. ~0 overlap
+    // with the truth set) still fails loudly.
+    assert(xx.size >= math.ceil(truth.size * 0.8).toInt,
+      s"recall under xxhash64: ${xx.size}/${truth.size} below the 0.8 floor")
   }
 
   test("p08 is hash-family-invariant (runtime path carries no string hash)") {

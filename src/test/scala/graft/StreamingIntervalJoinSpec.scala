@@ -50,6 +50,29 @@ class StreamingIntervalJoinSpec extends AnyFunSuite {
       s"${got.length} streamed-shape rows vs ${oracle.length} oracle rows")
   }
 
+  test("intervalJoin rejects bad inputs with named errors (ADVICE r6 #4)") {
+    import spark.implicits._
+    val ok = Seq((1L, java.sql.Timestamp.valueOf("2022-01-01 00:00:00"), 1.0))
+      .toDF("user_id", "ts", "value")
+    def join(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+      IntervalJoinStream.intervalJoin(l, r, key = "user_id", tsCol = "ts",
+        lower = "0 seconds", upper = "1 hour", watermarkDelay = "5 minutes")
+    // missing key / ts column, either side
+    val noKey = ok.withColumnRenamed("user_id", "uid")
+    val e1 = intercept[IllegalArgumentException](join(noKey, ok))
+    assert(e1.getMessage.contains("left input is missing column 'user_id'"))
+    val noTs = ok.withColumnRenamed("ts", "event_time")
+    val e2 = intercept[IllegalArgumentException](join(ok, noTs))
+    assert(e2.getMessage.contains("right input is missing column 'ts'"))
+    // a left column literally named like an _r-suffixed output previously
+    // died as an ambiguous-attribute analyzer error at a distance
+    val clash = ok.withColumn("ts_r", F.col("ts"))
+    val e3 = intercept[IllegalArgumentException](join(clash, ok))
+    assert(e3.getMessage.contains("ts_r") && e3.getMessage.contains("collide"))
+    // valid inputs still pass validation and join
+    assert(join(ok, ok).columns.contains("ts_r"))
+  }
+
   import StreamingIntervalJoinSpec.E
 
   test("streamed matches equal the batch join; late rows are dropped (state evicted)") {

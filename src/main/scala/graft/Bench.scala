@@ -179,6 +179,35 @@ object Bench {
     }
     takeCalib("post-suite")
 
+    // Hash-family micro-bench (VERDICT r6 #6): the claim that the xxhash64
+    // production family beats the md5 oracle family gets a MEASURED number
+    // in the artifact instead of an asserted one. p01 (hash-groupBy dedup)
+    // and p18 (hash checksum over cleaned text) are the two operators whose
+    // cost is dominated by the row-level hash; each family's plans are
+    // warmed once, then the pair is timed 3x and the median reported.
+    var hashFamilyJson = "null"
+    try {
+      def timeFamily(fam: String): Double = {
+        spark.conf.set("spark.graft.hashFamily", fam)
+        try {
+          val fns = Seq("p01_dedup_exact", "p18_text_clean").map(SparkEntry.queries)
+          fns.foreach(fn => execute(fn(spark, sfDir)))
+          val times = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            fns.foreach(fn => execute(fn(spark, sfDir)))
+            (System.nanoTime() - t0) / 1e9
+          }
+          times.sorted.apply(1)
+        } finally spark.conf.unset("spark.graft.hashFamily")
+      }
+      val md5S = timeFamily("md5")
+      val xxS = timeFamily("xxhash64")
+      hashFamilyJson = f"""{"md5_s":$md5S%.3f,"xxhash64_s":$xxS%.3f,"speedup":${md5S / xxS}%.2f,"queries":["p01_dedup_exact","p18_text_clean"],"runs":3,"aggregation":"median"}"""
+      System.err.println(f"[bench:hash-family] md5=$md5S%.3fs xxhash64=$xxS%.3fs speedup=${md5S / xxS}%.2fx")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] hash-family bench failed: ${e.getMessage}")
+    }
+
     // Compile latency — see measureCompileLatency. Guarded: a failure here
     // must not discard the collected timings.
     var parseUs: Double = -1.0
@@ -245,7 +274,7 @@ object Bench {
     val errJson = errors
       .map { case (k, v) => s"${util.Json.quote(k)}:${util.Json.quote(v.take(200))}" }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_detail":$qDetail,"errors":$errJson,"compile_us_per_query":${compileUs.round},"parse_us_per_query":${parseUs.round},"calib_s":$calibS,"calib_samples":$calibJson,"calib_stats":$calibStats,"host_contended":$hostContended,"unstable_queries":${unstableQueries.map(util.Json.quote).mkString("[", ",", "]")},"epoch_ms":$benchEpochMs,"runs_per_query":$TimedRuns,"fast_runs":$FastTimedRuns,"fast_threshold_s":$FastQueryThresholdSec,"runs_policy":"median over runs_per_query timed runs; promoted to fast_runs when any timed run < fast_threshold_s; unstable queries re-timed once post-suite (query_detail.retry)","aggregation":"median","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_detail":$qDetail,"errors":$errJson,"compile_us_per_query":${compileUs.round},"parse_us_per_query":${parseUs.round},"calib_s":$calibS,"calib_samples":$calibJson,"calib_stats":$calibStats,"host_contended":$hostContended,"unstable_queries":${unstableQueries.map(util.Json.quote).mkString("[", ",", "]")},"hash_family_bench":$hashFamilyJson,"epoch_ms":$benchEpochMs,"runs_per_query":$TimedRuns,"fast_runs":$FastTimedRuns,"fast_threshold_s":$FastQueryThresholdSec,"runs_policy":"median over runs_per_query timed runs; promoted to fast_runs when any timed run < fast_threshold_s; unstable queries re-timed once post-suite (query_detail.retry)","aggregation":"median","sf":"$sfDir"}"""
     println(line)
     // the full per-query record also lands on disk: the r3 driver artifact
     // lost its tail to log truncation, and a file survives that

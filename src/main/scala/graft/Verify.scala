@@ -20,6 +20,27 @@ object Verify {
       .map { case (k, v) => s"${util.Json.quote(k)}: ${util.Json.quote(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Two-backend dump of the pipeline operators' relational re-expressions
+    // (VERDICT r6 #3): for each PipelineRelational.prql entry, write the
+    // DataFrame-fold result and the SQL-text-backend result side by side;
+    // tools/compare.py diffs them against each other AND the operator's own
+    // output above. The catalog views are re-registered first — the
+    // pipeline runs in the main loop rebound them to raw parquet.
+    for (t <- Seq("documents", "events"))
+      try Graft.parquetCatalog(spark, sfDir)(t).createOrReplaceTempView(t)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] relback view $t failed: ${e.getMessage}")
+      }
+    pipeline.PipelineRelational.prql.foreach { case (name, prql) =>
+      try {
+        Graft.compileDir(prql, spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/relback/${name}__df")
+        spark.sql(Graft.toSparkSql(prql)).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/relback/${name}__sql")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] relback $name failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

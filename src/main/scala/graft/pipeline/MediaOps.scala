@@ -10,10 +10,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * vectorize or reuse native buffers).
   *
   * The codec is REAL (VERDICT r4 #6 — no more stub): [[decodeOne]] parses
-  * actual PPM (P6) and BMP (24-bit uncompressed) containers from the
-  * binary column — magic bytes, ASCII/little-endian headers, BMP row
-  * padding and bottom-up row order — and extracts features from the
-  * DECODED pixel bytes. The testdata has no image column, so
+  * actual PPM (P6), BMP (24-bit uncompressed), and PNG (8-bit truecolor,
+  * zlib via `java.util.zip.Inflater`, per-chunk CRC32 verification)
+  * containers from the binary column — magic bytes, ASCII/little-endian/
+  * chunked-big-endian headers, BMP row padding and bottom-up row order,
+  * PNG scanline defiltering — and extracts features from the DECODED
+  * pixel bytes. The testdata has no image column, so
   * [[encodeImage]] first renders each document into a genuine container
   * (deterministic pixel function of doc_id, so the driver's DuckDB oracle
   * can recompute the rollup arithmetically); at 100 TB the encode step is
@@ -50,20 +52,26 @@ object MediaOps {
   private[graft] def dims(utf8Len: Int): (Int, Int) =
     (8 + utf8Len % 9, 4 + utf8Len % 5)
 
-  /** Render doc_id/text into a real image container: PPM P6 for even ids,
-    * 24-bit BMP for odd ids — two formats so decode dispatch is exercised
-    * end-to-end, with the same logical pixel content rule. */
+  /** Render doc_id/text into a real image container — three formats keyed
+    * by doc_id mod 3 (PPM P6 / 24-bit BMP / PNG rgb8) so decode dispatch
+    * covers an ASCII-header, a little-endian-binary, and a
+    * chunked-compressed container, all with the same logical pixel rule.
+    * The PNG's zlib stream uses STORED deflate blocks, so its container
+    * size is pure arithmetic (68 + h·(1+3w) bytes) and the DuckDB oracle
+    * can recompute it — the DECODER runs a real zlib inflate either way. */
   def encodeImage(docId: Long, text: String): MediaIn = {
     val nb = text.getBytes("UTF-8").length
     val (w, h) = dims(nb)
     val n = w * h * 3
-    if (docId % 2 == 0) {
+    if (docId % 3 == 0) {
       val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
       val out = new Array[Byte](header.length + n)
       System.arraycopy(header, 0, out, 0, header.length)
       var i = 0
       while (i < n) { out(header.length + i) = pixelByte(docId, i).toByte; i += 1 }
       MediaIn(docId, out, "image/x-portable-pixmap")
+    } else if (docId % 3 == 2) {
+      MediaIn(docId, encodePng(docId, w, h), "image/png")
     } else {
       // BMP: 14-byte file header + 40-byte BITMAPINFOHEADER, 24bpp,
       // bottom-up rows padded to 4 bytes, pixels stored BGR
@@ -98,7 +106,69 @@ object MediaOps {
     }
   }
 
-  // ---- the decoder (real header parsing, both formats) ------------------
+  // ---- PNG encode: real chunked container, stored-block zlib -------------
+
+  private def be32(out: Array[Byte], off: Int, v: Int): Unit = {
+    out(off) = ((v >>> 24) & 0xff).toByte; out(off + 1) = ((v >>> 16) & 0xff).toByte
+    out(off + 2) = ((v >>> 8) & 0xff).toByte; out(off + 3) = (v & 0xff).toByte
+  }
+
+  /** length + type + data + CRC32(type||data) — the PNG chunk frame. */
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](12 + data.length)
+    be32(out, 0, data.length)
+    System.arraycopy(typ.getBytes("US-ASCII"), 0, out, 4, 4)
+    System.arraycopy(data, 0, out, 8, data.length)
+    val crc = new java.util.zip.CRC32()
+    crc.update(out, 4, 4 + data.length)
+    be32(out, 8 + data.length, crc.getValue.toInt)
+    out
+  }
+
+  /** A valid zlib stream of STORED deflate blocks (RFC 1950/1951): 2-byte
+    * header, per-block 5-byte stored frame (≤ 65535 bytes each), Adler-32
+    * trailer. Any inflater reads it; its size is arithmetic in the input
+    * length — the property the DuckDB oracle needs. */
+  private[graft] def zlibStored(raw: Array[Byte]): Array[Byte] = {
+    val nBlocks = math.max(1, (raw.length + 65534) / 65535)
+    val out = new Array[Byte](2 + 5 * nBlocks + raw.length + 4)
+    out(0) = 0x78; out(1) = 0x01
+    var pos = 2; var off = 0; var b = 0
+    while (b < nBlocks) {
+      val len = math.min(65535, raw.length - off)
+      out(pos) = (if (b == nBlocks - 1) 1 else 0).toByte
+      out(pos + 1) = (len & 0xff).toByte; out(pos + 2) = ((len >> 8) & 0xff).toByte
+      out(pos + 3) = (~len & 0xff).toByte; out(pos + 4) = ((~len >> 8) & 0xff).toByte
+      System.arraycopy(raw, off, out, pos + 5, len)
+      pos += 5 + len; off += len; b += 1
+    }
+    val ad = new java.util.zip.Adler32()
+    ad.update(raw)
+    be32(out, pos, ad.getValue.toInt)
+    out
+  }
+
+  /** 8-bit RGB non-interlaced PNG; each scanline carries filter byte 0
+    * (None) + 3w pixel bytes. Container size = 68 + h·(1+3w). */
+  private def encodePng(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val raw = new Array[Byte](h * (1 + 3 * w))
+    var y = 0
+    while (y < h) {
+      val ro = y * (1 + 3 * w) // raw(ro) = 0 — filter None
+      var x = 0
+      while (x < 3 * w) { raw(ro + 1 + x) = pixelByte(docId, y * 3 * w + x).toByte; x += 1 }
+      y += 1
+    }
+    val ihdr = new Array[Byte](13)
+    be32(ihdr, 0, w); be32(ihdr, 4, h)
+    ihdr(8) = 8; ihdr(9) = 2 // bit depth 8, color type 2 (truecolor RGB)
+    // ihdr(10..12) = 0: deflate compression, adaptive filtering, no interlace
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", zlibStored(raw)) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  // ---- the decoder (real header parsing, all three formats) --------------
 
   private def fail(id: Long, msg: String): Nothing =
     throw new IllegalArgumentException(s"media decode failed for doc $id: $msg")
@@ -162,6 +232,75 @@ object MediaOps {
     MediaFeature(in.doc_id, w, h, b.length.toLong, sum, in.fmt)
   }
 
+  /** PNG: chunk walk with per-chunk CRC32 verification, IHDR sanity
+    * (8-bit truecolor, non-interlaced), IDAT concatenation, a REAL zlib
+    * inflate (`java.util.zip.Inflater` — handles any deflate stream, not
+    * just the stored blocks our encoder writes), then per-scanline
+    * defiltering. Only filter 0 (None) rows are supported — the same
+    * explicit-subset stance as BMP's 24bpp-only — anything else fails
+    * loudly. */
+  private def decodePng(in: MediaIn): MediaFeature = {
+    val b = in.content
+    def u32be(off: Int): Int =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+    var pos = 8 // past the signature (checked by the dispatcher)
+    var w = -1; var h = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var ended = false
+    while (!ended) {
+      if (pos + 12 > b.length) fail(in.doc_id, "PNG chunk truncated")
+      val len = u32be(pos)
+      val typ = new String(b, pos + 4, 4, "US-ASCII")
+      if (len < 0 || pos + 12 + len > b.length)
+        fail(in.doc_id, s"PNG $typ chunk data truncated")
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, pos + 4, 4 + len)
+      if (crc.getValue.toInt != u32be(pos + 8 + len))
+        fail(in.doc_id, s"PNG $typ chunk CRC mismatch")
+      typ match {
+        case "IHDR" =>
+          w = u32be(pos + 8); h = u32be(pos + 12)
+          if (b(pos + 16) != 8 || b(pos + 17) != 2)
+            fail(in.doc_id,
+              s"unsupported PNG bit depth ${b(pos + 16)} / color type ${b(pos + 17)}")
+          if (b(pos + 20) != 0) fail(in.doc_id, "interlaced PNG not supported")
+        case "IDAT" => idat.write(b, pos + 8, len)
+        case "IEND" => ended = true
+        case _ => () // ancillary chunks: skipped, CRC still verified
+      }
+      pos += 12 + len
+    }
+    if (w <= 0 || h <= 0) fail(in.doc_id, "PNG missing or empty IHDR")
+    val raw = new Array[Byte](h * (1 + 3 * w))
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          fail(in.doc_id, "PNG pixel data truncated")
+        off += n
+      }
+      if (off < raw.length) fail(in.doc_id, "PNG pixel data truncated")
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        fail(in.doc_id, s"corrupt PNG zlib stream: ${e.getMessage}")
+    } finally inf.end()
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      val ro = y * (1 + 3 * w)
+      if (raw(ro) != 0)
+        fail(in.doc_id, s"unsupported PNG row filter ${raw(ro)}")
+      var x = 0
+      while (x < 3 * w) { sum += raw(ro + 1 + x) & 0xff; x += 1 }
+      y += 1
+    }
+    MediaFeature(in.doc_id, w, h, b.length.toLong, sum, in.fmt)
+  }
+
   /** Dispatch on the container's magic bytes — the declared fmt string is
     * metadata, the bytes decide (as a real pipeline must: declared types
     * lie). Unknown magic is an error, not a silent skip. */
@@ -169,6 +308,9 @@ object MediaOps {
     val b = in.content
     if (b.length >= 2 && b(0) == 'P' && b(1) == '6') decodePpm(in)
     else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') decodeBmp(in)
+    else if (b.length >= 8 && b(0) == 0x89.toByte && b(1) == 'P' &&
+      b(2) == 'N' && b(3) == 'G' && b(4) == 0x0d && b(5) == 0x0a &&
+      b(6) == 0x1a && b(7) == 0x0a) decodePng(in)
     else fail(in.doc_id, "unknown container magic")
   }
 

@@ -1,0 +1,289 @@
+package graft.pipeline
+
+/** PRQL re-expressions of the pipeline operators' relational shapes
+  * (VERDICT r6 #3 / r5 stretch #8).
+  *
+  * Each entry in [[prql]] is a FULL-fidelity restatement of the operator:
+  * compiled through BOTH backends — the DataFrame fold (`Graft.compileDir`)
+  * and the SQL-text backend (`spark.sql(Graft.toSparkSql(…))`) — it must
+  * row-equal the operator's own `PipelineOps.queries` output under the
+  * driver's default md5 hash family. The relational skeleton (CTEs, joins,
+  * group/aggregate, windows, sort) runs through the PRQL planner; the
+  * scalar HOF bodies ride in s-strings, exactly the split a user porting a
+  * pipeline onto the query language would write. PipelineRelationalSpec
+  * asserts the three-way equality per operator; `graft.Verify` dumps both
+  * backend outputs under `relback/` and `tools/compare.py` re-checks the
+  * diff engine-independently — the driver-visible artifact.
+  *
+  * Structure rule these texts obey: an s-string may only reference columns
+  * of an upstream RELATION (a base table or a `table` CTE), never an alias
+  * derived in the same stage — the SQL-text backend folds derive/select
+  * stages into one SELECT, where a same-stage alias reference is invalid
+  * SQL. The `table` CTE is the portable stage boundary; the DataFrame
+  * backend accepts either form, so holding both backends to the stricter
+  * rule keeps one text valid on both.
+  *
+  * [[excluded]] lists the operators whose EXECUTION shape is not one
+  * relational query — iterative driver loops, materialization barriers,
+  * runtime-derived geometry, native-kernel registration, typed
+  * mapPartitions — with the specific reason. The list may only shrink.
+  */
+object PipelineRelational {
+
+  /** words array from raw text — same tokenization as PipelineOps
+    * (s-strings pass through verbatim, so the SQL fragment is identical). */
+  private val W = """split(trim(text), '\\s+')"""
+
+  /** md5-family 32-bit word hash (PipelineOps.hSpark at its md5 default —
+    * these re-expressions pin the driver-gate family). */
+  private def H(e: String) = s"CAST(conv(substr(md5($e),1,8),16,10) AS BIGINT)"
+
+  val prql: Map[String, String] = Map(
+    "p01_dedup_exact" ->
+      s"""from documents
+         |derive h = s"md5(lower(trim(text)))"
+         |group [h] (
+         |  aggregate [
+         |    doc_id = s"min(doc_id)",
+         |    n_copies = s"CAST(count(*) AS BIGINT)",
+         |  ]
+         |)
+         |select [doc_id, n_copies]
+         |sort doc_id""".stripMargin,
+
+    "p02_text_stats" ->
+      s"""table t = (
+         |  from documents
+         |  derive words = s"$W"
+         |)
+         |
+         |from t
+         |select [
+         |  doc_id,
+         |  n_tokens = s"CAST(size(words) AS BIGINT)",
+         |  n_subtokens = s"CAST(size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)) AS BIGINT)",
+         |  n_chars_m = s"CAST(length(text) AS BIGINT)",
+         |  avg_tok_len = s"CAST(floor((CAST(length(regexp_replace(text, '\\\\s', '')) AS DOUBLE) / size(words)) * 1e4 + 0.5) AS DOUBLE) / 1e4",
+         |  stop_ratio = s"CAST(floor((CAST(size(filter(words, w -> w IN ('the','a','of','and'))) AS DOUBLE) / size(words)) * 1e6 + 0.5) AS DOUBLE) / 1e6",
+         |  short_tok_ratio = s"CAST(floor((CAST(size(filter(words, w -> length(w) <= 2)) AS DOUBLE) / size(words)) * 1e6 + 0.5) AS DOUBLE) / 1e6",
+         |]
+         |sort doc_id""".stripMargin,
+
+    "p03_lang_quality" ->
+      s"""table w = (
+         |  from documents
+         |  derive words = s"$W"
+         |)
+         |
+         |table s = (
+         |  from w
+         |  derive [
+         |    n_tokens = s"size(words)",
+         |    stop_ratio = s"CAST(size(filter(words, w -> w IN ('the','a','of','and'))) AS DOUBLE) / size(words)",
+         |  ]
+         |)
+         |
+         |from s
+         |group [lang, source] (
+         |  aggregate [
+         |    n_docs = s"CAST(count(*) AS BIGINT)",
+         |    avg_chars = s"CAST(floor((avg(CAST(n_chars AS DOUBLE))) * 1e4 + 0.5) AS DOUBLE) / 1e4",
+         |    avg_tokens = s"CAST(floor((avg(CAST(n_tokens AS DOUBLE))) * 1e4 + 0.5) AS DOUBLE) / 1e4",
+         |    pct_short = s"CAST(floor((CAST(sum(CASE WHEN n_chars < 250 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 1e6 + 0.5) AS DOUBLE) / 1e6",
+         |    pct_quality = s"CAST(floor((CAST(sum(CASE WHEN stop_ratio >= 0.05 AND n_tokens >= 20 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 1e6 + 0.5) AS DOUBLE) / 1e6",
+         |  ]
+         |)
+         |sort [lang, source]""".stripMargin,
+
+    "p05_simhash" ->
+      s"""table h = (
+         |  from documents
+         |  derive hw = s"transform($W, w -> ${H("w")})"
+         |)
+         |
+         |table sims = (
+         |  from h
+         |  select [
+         |    doc_id,
+         |    simhash = s"aggregate(zip_with(aggregate(hw, array_repeat(0, 32), (acc, h) -> zip_with(acc, sequence(0, 31), (a, j) -> a + IF((shiftright(h, j) & 1) = 1, 1, -1))), sequence(0, 31), (cnt, j) -> IF(cnt > 0, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)",
+         |  ]
+         |)
+         |
+         |from sims
+         |derive n_same = s"CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT)"
+         |sort doc_id""".stripMargin,
+
+    "p06_fingerprint" ->
+      s"""table t = (
+         |  from documents
+         |  derive hw = s"transform($W, w -> ${H("w")})"
+         |)
+         |
+         |from t
+         |select [
+         |  doc_id,
+         |  fingerprint = s"aggregate(hw, CAST(7 AS BIGINT), (acc, h) -> pmod(acc * 31 + h, 1000000007))",
+         |]
+         |sort doc_id""".stripMargin,
+
+    "p09_media_meta" ->
+      s"""table m = (
+         |  from documents
+         |  derive bin = s"encode(text, 'UTF-8')"
+         |)
+         |
+         |from m
+         |select [
+         |  doc_id,
+         |  n_bytes = s"CAST(length(bin) AS BIGINT)",
+         |  header_hex = s"lower(substr(hex(bin), 1, 16))",
+         |  checksum = s"md5(text)",
+         |  fake_width = s"CAST(length(bin) % 640 AS BIGINT)",
+         |  fake_frames = s"CAST((length(bin) div 1000) + 1 AS BIGINT)",
+         |]
+         |sort doc_id""".stripMargin,
+
+    "p11_ngram_jaccard" ->
+      s"""table w = (
+         |  from documents
+         |  derive words = s"$W"
+         |)
+         |
+         |table sh = (
+         |  from w
+         |  filter s"size(words) >= 3"
+         |  derive shingles = s"array_distinct(transform(sequence(1, size(words) - 2), i -> concat(element_at(words, i), ' ', element_at(words, i + 1), ' ', element_at(words, i + 2))))"
+         |  group source (
+         |    sort doc_id
+         |    derive rn = row_number
+         |  )
+         |  select [doc_id, source, rn, shingles]
+         |)
+         |
+         |table nxt = (
+         |  from sh
+         |  derive rn_prev = rn - 1
+         |  select [idb = doc_id, source_b = source, rn_prev, s_b = shingles]
+         |)
+         |
+         |from sh
+         |join nxt [rn == rn_prev, source == source_b]
+         |select [
+         |  ida = doc_id,
+         |  idb,
+         |  jaccard = s"CAST(floor((CAST(size(array_intersect(shingles, s_b)) AS DOUBLE) / (size(shingles) + size(s_b) - size(array_intersect(shingles, s_b)))) * 1e6 + 0.5) AS DOUBLE) / 1e6",
+         |]
+         |sort ida""".stripMargin,
+
+    "p13_sessionize" ->
+      s"""table flagged = (
+         |  from events
+         |  select [user_id, event_id, tus = s"unix_micros(ts)"]
+         |  group user_id (
+         |    sort [tus, event_id]
+         |    derive [prev = lag 1 tus]
+         |  )
+         |)
+         |
+         |table sess = (
+         |  from flagged
+         |  derive new_s = s"CASE WHEN prev IS NULL OR tus - prev > 14400000000 THEN 1 ELSE 0 END"
+         |  group user_id (
+         |    sort [tus, event_id]
+         |    window expanding:true (
+         |      derive [session_id = ((sum new_s) | as bigint)]
+         |    )
+         |  )
+         |)
+         |
+         |from sess
+         |group [user_id, session_id] (
+         |  aggregate [
+         |    n_events = s"CAST(count(*) AS BIGINT)",
+         |    span_us = s"CAST(max(tus) - min(tus) AS BIGINT)",
+         |  ]
+         |)
+         |sort [user_id, session_id]""".stripMargin,
+
+    "p15_sample_stratified" ->
+      s"""table h = (
+         |  from documents
+         |  derive bucket = s"pmod(${H("CAST(doc_id AS STRING)")}, 1000)"
+         |)
+         |
+         |from h
+         |group [lang] (
+         |  aggregate [
+         |    n_docs = s"CAST(count(*) AS BIGINT)",
+         |    n_sampled = s"CAST(sum(CASE WHEN bucket < 100 THEN 1 ELSE 0 END) AS BIGINT)",
+         |    sampled_id_sum = s"CAST(sum(CASE WHEN bucket < 100 THEN doc_id ELSE 0 END) AS BIGINT)",
+         |  ]
+         |)
+         |sort lang""".stripMargin,
+
+    "p17_quality_filter" ->
+      s"""table t = (
+         |  from documents
+         |  derive words = s"$W"
+         |)
+         |
+         |table s = (
+         |  from t
+         |  filter s"size(words) > 0"
+         |  derive [
+         |    n_tokens = s"size(words)",
+         |    stop_ratio = s"CAST(size(filter(words, w -> w IN ('the','a','of','and'))) AS DOUBLE) / size(words)",
+         |    distinct_ratio = s"CAST(size(array_distinct(words)) AS DOUBLE) / size(words)",
+         |  ]
+         |)
+         |
+         |table r = (
+         |  from s
+         |  derive reason = s"CASE WHEN n_tokens < 30 OR n_tokens > 300 THEN 'length' WHEN stop_ratio < 0.02 THEN 'stopword' WHEN distinct_ratio < 0.3 THEN 'repetition' ELSE 'ok' END"
+         |)
+         |
+         |from r
+         |select [doc_id, reason, keep = s"reason = 'ok'"]
+         |sort doc_id""".stripMargin,
+
+    "p18_text_clean" ->
+      s"""table t = (
+         |  from documents
+         |  derive words = s"$W"
+         |)
+         |
+         |from t
+         |select [
+         |  doc_id,
+         |  n_removed = s"CAST(size(filter(words, w -> w IN ('a','the'))) AS BIGINT)",
+         |  clean_checksum = s"${H("array_join(filter(words, w -> NOT w IN ('a','the')), ' ')")}",
+         |]
+         |sort doc_id""".stripMargin,
+  )
+
+  /** Operator → why its execution shape is not one relational query. Each
+    * reason names the non-relational mechanism; removing an entry requires
+    * adding the operator to [[prql]]. */
+  val excluded: Map[String, String] = Map(
+    "p04_minhash_lsh" ->
+      "materialization barrier (Barrier over the sig/shingle relation) + native graft_minhash kernel registration — not one query text",
+    "p07_cosine_topk" ->
+      "requires runtime registration of the graft_dot codegen kernel before planning",
+    "p08_ann_srp_lsh" ->
+      "runtime-derived (r, b) geometry from a corpus count + SRP kernel registration + materialization barrier",
+    "p10_media_decode" ->
+      "typed mapPartitions codec (MediaOps) — imperative per-partition decode, not relational",
+    "p12_lang_id" ->
+      "score columns are materialized behind a Barrier before the CASE-argmax (CollapseProject hazard) — two-step driver sequence",
+    "p14_top_terms" ->
+      "requires runtime registration of the graft_top_terms native kernel",
+    "p16_dedup_clusters" ->
+      "iterative label-propagation driver loop with per-round barriers (convergence-driven round count)",
+    "p19_ann_ivf" ->
+      "codebook built via a driver-side seed + Lloyd step with kernel registration — multi-action sequence",
+    "p20_curation" ->
+      "composes p16's iterative labels (driver loop) with the map-side stages",
+    "p21_decontam" ->
+      "word-hash pass materialized behind a Barrier + runtime-derived bucket count — multi-action sequence",
+  )
+}

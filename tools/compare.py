@@ -52,6 +52,34 @@ def main(sfdir, outdir):
         except Exception as e:
             bad += 1
             print(f"  ERR  {name}: {e}")
+    # two-backend diff on the pipeline operators' relational re-expressions
+    # (VERDICT r6 #3): Verify writes relback/<op>__df (DataFrame fold) and
+    # relback/<op>__sql (SQL-text backend); both must hash-equal each other
+    # AND the operator's own output dumped above.
+    import os
+    for dfdir in sorted(glob.glob(f"{outdir}/relback/*__df")):
+        name = os.path.basename(dfdir)[: -len("__df")]
+        try:
+            def rd(d):
+                fs = glob.glob(f"{d}/*.parquet")
+                return con.sql(
+                    "SELECT * FROM read_parquet(" + repr(fs) + ")").df()
+            ddf, sdf, odf = rd(dfdir), rd(f"{outdir}/relback/{name}__sql"), rd(f"{outdir}/{name}")
+            dh, dn = canon(ddf)
+            sh, sn = canon(sdf)
+            oh, on = canon(odf)
+            cols_ok = sorted(ddf.columns) == sorted(sdf.columns) == sorted(odf.columns)
+            if dh == sh == oh and cols_ok:
+                ok += 1
+                print(f"  PASS relback/{name} rows={dn}")
+            else:
+                bad += 1
+                print(f"  FAIL relback/{name} rows df={dn} sql={sn} op={on} "
+                      f"df-vs-sql {'match' if dh == sh else 'MISMATCH'} "
+                      f"df-vs-op {'match' if dh == oh else 'MISMATCH'}")
+        except Exception as e:
+            bad += 1
+            print(f"  ERR  relback/{name}: {e}")
     print(f"passed {ok}, failed {bad}")
     return bad
 

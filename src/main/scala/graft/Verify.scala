@@ -26,11 +26,12 @@ object Verify {
     // tools/compare.py diffs them against each other AND the operator's own
     // output above. The catalog views are re-registered first — the
     // pipeline runs in the main loop rebound them to raw parquet.
-    for (t <- Seq("documents", "events"))
+    for (t <- Seq("documents", "events", "embeddings"))
       try Graft.parquetCatalog(spark, sfDir)(t).createOrReplaceTempView(t)
       catch { case e: Throwable =>
         System.err.println(s"[verify] relback view $t failed: ${e.getMessage}")
       }
+    pipeline.PipelineRelational.registerKernels(spark)
     pipeline.PipelineRelational.prql.foreach { case (name, prql) =>
       try {
         Graft.compileDir(prql, spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -259,24 +259,121 @@ object PipelineRelational {
          |  clean_checksum = s"${H("array_join(filter(words, w -> NOT w IN ('a','the')), ' ')")}",
          |]
          |sort doc_id""".stripMargin,
+
+    // p07/p14 use the graft_dot / graft_top_terms kernels — session-level
+    // registrations ([[registerKernels]]) that both backends then resolve
+    // like any SQL function, so kernel use alone does not force exclusion.
+    "p07_cosine_topk" ->
+      s"""table e = (
+         |  from embeddings
+         |  derive n2 = s"graft_dot(embedding, embedding)"
+         |)
+         |
+         |table q = (
+         |  from e
+         |  filter vec_id < 20
+         |  select [q_id = vec_id, qe = embedding, qn2 = n2]
+         |)
+         |
+         |table scored = (
+         |  from q
+         |  join e [q_id != vec_id]
+         |  select [
+         |    q_id,
+         |    nn_id = vec_id,
+         |    cos = s"graft_dot(qe, embedding) / (sqrt(qn2) * sqrt(n2))",
+         |  ]
+         |)
+         |
+         |table ranked = (
+         |  from scored
+         |  group q_id (
+         |    sort [-cos, nn_id]
+         |    derive [rn = row_number]
+         |  )
+         |)
+         |
+         |from ranked
+         |filter rn <= 5
+         |sort [q_id, rn]
+         |select [
+         |  q_id,
+         |  nn_id,
+         |  rank = (rn | as bigint),
+         |  sim = s"CAST(floor((cos) * 1e6 + 0.5) AS DOUBLE) / 1e6",
+         |]""".stripMargin,
+
+    // The operator materializes the score columns behind a Barrier before
+    // the CASE-argmax — a PERFORMANCE barrier against lambda re-inlining,
+    // not a semantic step — so the single-query restatement is faithful.
+    "p12_lang_id" ->
+      s"""table w = (
+         |  from documents
+         |  derive words = s"$W"
+         |)
+         |
+         |table scores = (
+         |  from w
+         |  filter s"size(words) > 0"
+         |  select [
+         |    doc_id,
+         |    lang,
+         |    sc_en = s"CAST(size(filter(words, w -> w IN ('the','a','of','and'))) AS DOUBLE) / size(words)",
+         |    sc_de = s"CAST(size(filter(words, w -> w IN ('der','die','das','und'))) AS DOUBLE) / size(words)",
+         |    sc_es = s"CAST(size(filter(words, w -> w IN ('el','la','de','y'))) AS DOUBLE) / size(words)",
+         |    sc_fr = s"CAST(size(filter(words, w -> w IN ('le','la','et','un'))) AS DOUBLE) / size(words)",
+         |  ]
+         |)
+         |
+         |table scored = (
+         |  from scores
+         |  derive predicted = s"CASE WHEN sc_en > 0 AND sc_en = greatest(sc_en, sc_de, sc_es, sc_fr) THEN 'en' WHEN sc_de > 0 AND sc_de = greatest(sc_en, sc_de, sc_es, sc_fr) THEN 'de' WHEN sc_es > 0 AND sc_es = greatest(sc_en, sc_de, sc_es, sc_fr) THEN 'es' WHEN sc_fr > 0 AND sc_fr = greatest(sc_en, sc_de, sc_es, sc_fr) THEN 'fr' ELSE 'und' END"
+         |)
+         |
+         |from scored
+         |group [lang, predicted] (
+         |  aggregate [n = s"CAST(count(*) AS BIGINT)"]
+         |)
+         |sort [lang, predicted]""".stripMargin,
+
+    "p14_top_terms" ->
+      s"""table w = (
+         |  from documents
+         |  derive words = s"$W"
+         |)
+         |
+         |table k = (
+         |  from w
+         |  filter s"size(words) > 0"
+         |  select [doc_id, keys = s"graft_top_terms(words)"]
+         |)
+         |
+         |from k
+         |select [
+         |  doc_id,
+         |  top_terms = s"concat_ws(',', transform(keys, kk -> concat(substr(kk, 6), ':', CAST(99999 - CAST(substr(kk, 1, 5) AS INT) AS STRING))))",
+         |]
+         |sort doc_id""".stripMargin,
   )
+
+  /** Session-level kernel registrations the covered texts rely on (the
+    * operators register the same functions; both backends resolve them
+    * from the session registry afterwards). */
+  def registerKernels(spark: org.apache.spark.sql.SparkSession): Unit = {
+    graft.functions.GraftFunctions.registerDot(spark)
+    graft.functions.GraftFunctions.registerTopTerms(spark, PipelineOps.TopTerms)
+  }
 
   /** Operator → why its execution shape is not one relational query. Each
     * reason names the non-relational mechanism; removing an entry requires
     * adding the operator to [[prql]]. */
   val excluded: Map[String, String] = Map(
     "p04_minhash_lsh" ->
-      "materialization barrier (Barrier over the sig/shingle relation) + native graft_minhash kernel registration — not one query text",
-    "p07_cosine_topk" ->
-      "requires runtime registration of the graft_dot codegen kernel before planning",
+      "the sig/shingle relation is consumed by 8 band keys + the verify re-join; without the Barrier each reference re-runs the whole shingle→hash→minhash chain (measured-hazard class), so the honest restatement is the two-step barrier sequence, not one query",
     "p08_ann_srp_lsh" ->
-      "runtime-derived (r, b) geometry from a corpus count + SRP kernel registration + materialization barrier",
+      "runtime-derived (r, b) geometry from a corpus count feeds registerSrpKeys BEFORE planning — the query text depends on a prior action's result",
     "p10_media_decode" ->
       "typed mapPartitions codec (MediaOps) — imperative per-partition decode, not relational",
-    "p12_lang_id" ->
-      "score columns are materialized behind a Barrier before the CASE-argmax (CollapseProject hazard) — two-step driver sequence",
-    "p14_top_terms" ->
-      "requires runtime registration of the graft_top_terms native kernel",
     "p16_dedup_clusters" ->
       "iterative label-propagation driver loop with per-round barriers (convergence-driven round count)",
     "p19_ann_ivf" ->

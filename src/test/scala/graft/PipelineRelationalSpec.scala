@@ -18,9 +18,11 @@ class PipelineRelationalSpec extends AnyFunSuite {
     * against — the PipelineOps operator runs register RAW parquet views
     * under the same names (events.ts as nanos BIGINT, not the catalog's
     * µs TIMESTAMP), so this must run after each operator invocation. */
-  private def registerTables(): Unit =
-    for (t <- Seq("documents", "events"))
+  private def registerTables(): Unit = {
+    for (t <- Seq("documents", "events", "embeddings"))
       Graft.parquetCatalog(spark, dir)(t).createOrReplaceTempView(t)
+    PipelineRelational.registerKernels(spark)
+  }
 
   private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
     val cols = df.columns.sorted.toSeq

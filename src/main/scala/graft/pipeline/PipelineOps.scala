@@ -508,8 +508,8 @@ object PipelineOps {
       ${norm2Spark("embedding")} AS n2,
       graft_srp_keys(embedding) AS bkeys
     FROM embeddings"""
-  private val p08PairsSql = s"""
-    WITH bands AS (
+  private val srpPairCtesSpark = s"""
+    bands AS (
       SELECT vec_id, bkey,
         row_number() OVER (PARTITION BY bkey ORDER BY vec_id) AS rnk
       FROM (SELECT vec_id, explode(bkeys) AS bkey FROM $SrpEView)),
@@ -522,20 +522,22 @@ object PipelineOps {
         ${dotSpark("ea.embedding", "eb.embedding")} / (sqrt(ea.n2) * sqrt(eb.n2)) AS cos
       FROM cands c
       JOIN $SrpEView ea ON ea.vec_id = c.ida
-      JOIN $SrpEView eb ON eb.vec_id = c.idb)
+      JOIN $SrpEView eb ON eb.vec_id = c.idb)"""
+  private val p08PairsSql = s"""
+    WITH $srpPairCtesSpark
     SELECT ida, idb, CAST(floor((cos) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS sim
     FROM pairs WHERE cos >= 0.2 ORDER BY ida, idb"""
 
   private def p08Run(spark: SparkSession, dir: String): DataFrame =
     p08RunWithBands(spark, dir, -1)
 
-  /** p08 with an explicit band count (-1 → derive b from the corpus via
-    * [[chooseSrpGeometry]] — the default path). `planes` is generated to
-    * r_max*b(r_max) rows, which bounds any derivable r*b. */
-  private[graft] def p08RunWithBands(spark: SparkSession, dir: String,
-                                     bandsArg: Int): DataFrame = {
-    // r derived from the ACTUAL corpus count (parquet metadata count — no
-    // data scan), so the bucket space tracks the corpus at any SF
+  /** Shared SRP setup (p08 + p22): derive (r, b) from the ACTUAL corpus
+    * count (parquet metadata count — no data scan, so the bucket space
+    * tracks the corpus at any SF), register the kernels, and materialize
+    * [[SrpEView]] once. `bandsArg` -1 → derived b (the default path);
+    * `planes` is generated to r_max*b(r_max) rows, which bounds any
+    * derivable r*b. */
+  private def srpSetup(spark: SparkSession, dir: String, bandsArg: Int): Unit = {
     val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
     val (srpBits, derivedBands) = chooseSrpGeometry(n)
     val bands = if (bandsArg > 0) bandsArg else derivedBands
@@ -546,18 +548,38 @@ object PipelineOps {
     spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("embeddings")
     graft.functions.GraftFunctions.registerDot(spark)
     materialized(spark, SrpEView, p08ESql)
+  }
+
+  /** p08 with an explicit band count (-1 → derive b from the corpus via
+    * [[chooseSrpGeometry]] — the default path). */
+  private[graft] def p08RunWithBands(spark: SparkSession, dir: String,
+                                     bandsArg: Int): DataFrame = {
+    srpSetup(spark, dir, bandsArg)
     spark.sql(p08PairsSql)
   }
 
-  private def p08Duck(srpBits: Int, bands: Int = SrpBands) = s"""
-    WITH e AS (
-      SELECT vec_id, embedding, ${norm2Duck("embedding")} AS n2,
-        list_transform(generate_series(0, ${srpBits * bands - 1}),
-          p -> CASE WHEN list_reduce(list_transform(generate_series(1, $EmbDim),
-                      i -> CAST(embedding[i] AS DOUBLE) * CAST(${planesDuckLit(srpBits * bands)}[p+1][i] AS DOUBLE)),
-                    (x, y) -> x + y) > 0
-               THEN 1 ELSE 0 END) AS bits
-      FROM embeddings),
+  // The planes literal is hoisted into a MATERIALIZED one-row-per-plane CTE
+  // and the sign bits come from a cross join + ordered list() rebuild:
+  // value-identical to the inline form (same per-plane left-fold dot, same
+  // bit order), but DuckDB evaluated the inline nested-list literal once
+  // per (row, plane, dim) access — ~330 s/execution at the 500-row gate
+  // corpus, and the p22 closure re-executes the chain several times. The
+  // hoisted+MATERIALIZED form runs in ~0.5 s (hash-verified identical).
+  private def srpCtesDuck(srpBits: Int, bands: Int) = s"""
+    pl AS MATERIALIZED (
+      SELECT idx, ${planesDuckLit(srpBits * bands)}[idx] AS v
+      FROM generate_series(1, ${srpBits * bands}) t(idx)),
+    e AS MATERIALIZED (
+      SELECT emb.vec_id, emb.embedding, ${norm2Duck("emb.embedding")} AS n2, eb.bits
+      FROM embeddings emb JOIN (
+        SELECT vec_id, list(CASE WHEN d > 0 THEN 1 ELSE 0 END ORDER BY idx) AS bits
+        FROM (
+          SELECT emb2.vec_id, pl.idx,
+            list_reduce(list_transform(generate_series(1, $EmbDim),
+              i -> CAST(emb2.embedding[i] AS DOUBLE) * CAST(pl.v[i] AS DOUBLE)),
+              (x, y) -> x + y) AS d
+          FROM embeddings emb2 CROSS JOIN pl)
+        GROUP BY vec_id) eb ON eb.vec_id = emb.vec_id),
     b0 AS (
       SELECT vec_id, unnest([j * ${1 << srpBits}
         + list_reduce(list_prepend(0, bits[j*$srpBits+1 : j*$srpBits+$srpBits]),
@@ -572,14 +594,71 @@ object PipelineOps {
       SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
       FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.vec_id < b.vec_id
       WHERE a.rnk <= $SrpBucketCap AND b.rnk <= $SrpBucketCap),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT c.ida, c.idb,
         ${dotDuck("ea.embedding", "eb.embedding")} / (sqrt(ea.n2) * sqrt(eb.n2)) AS cos
       FROM cands c
       JOIN e ea ON ea.vec_id = c.ida
-      JOIN e eb ON eb.vec_id = c.idb)
+      JOIN e eb ON eb.vec_id = c.idb)"""
+
+  private def p08Duck(srpBits: Int, bands: Int = SrpBands) = s"""
+    WITH ${srpCtesDuck(srpBits, bands)}
     SELECT ida, idb, floor((cos) * 1e6 + 0.5) / 1e6 AS sim
     FROM pairs WHERE cos >= 0.2 ORDER BY ida, idb"""
+
+  // ---- p22: embedding-cosine near-dup dedup (keep-list) --------------------
+  // The fifth dedup modality (exact p01, MinHash p04, SimHash p05, n-gram
+  // Jaccard p11): semantic near-duplicates by embedding cosine. Same
+  // architecture as the text path — SRP-LSH candidates at the p08-derived
+  // (r, b) geometry (never all-pairs; candidate volume ~N^(1+rho)), exact
+  // cosine verify at [[EmbDupThresh]], then connected components via the
+  // p16 min-label machinery over EDGE-INCIDENT vectors only. Output is the
+  // per-vector keep-list a curation job consumes: rep = component-min
+  // vec_id, is_dup = "drop me, keep rep". The threshold is the deployment
+  // knob (`spark.graft.embDupThreshold`; ~0.9 for real embedding spaces —
+  // the 0.4 default is scale-matched to the synthetic gate corpus, whose
+  // max pairwise cosine is ~0.51). The DuckDB oracle recomputes the SAME
+  // candidate set and exact components via recursive transitive closure —
+  // independent of the loop's round structure, as in p16.
+
+  private val EmbDupThresh = 0.4
+  private[graft] def embDupThreshold(spark: SparkSession): Double =
+    spark.conf.getOption("spark.graft.embDupThreshold")
+      .map(_.toDouble).getOrElse(EmbDupThresh)
+
+  private def p22Run(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    srpSetup(spark, dir, -1)
+    // barrier: the pair relation feeds both edge directions and every label
+    // round — without it each reference re-plans the band join + verify
+    val pairs = Barrier.materialize(spark.sql(s"""
+      WITH $srpPairCtesSpark
+      SELECT ida, idb FROM pairs WHERE cos >= ${embDupThreshold(spark)}"""))
+    val edges = pairs.select(col("ida").as("a"), col("idb").as("b"))
+      .union(pairs.select(col("idb").as("a"), col("ida").as("b")))
+    val nodes = edges.select(col("a").as("doc_id")).distinct()
+    val sub = labelPropagate(nodes.select(col("doc_id"), col("doc_id").as("lbl")),
+      edges, labelMaxRounds(spark))
+    // singletons (no near-dup edge) reattach as their own rep, exactly as
+    // flooding would have labeled them — see the p16 design note
+    spark.sql("SELECT vec_id FROM embeddings")
+      .join(sub, sub("doc_id") === col("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("lbl"), col("vec_id")).as("rep"))
+      .withColumn("is_dup", col("vec_id") =!= col("rep"))
+      .orderBy("vec_id")
+  }
+
+  private def p22Duck(srpBits: Int, bands: Int) = s"""
+    WITH RECURSIVE ${srpCtesDuck(srpBits, bands)},
+    dup AS MATERIALIZED (SELECT ida, idb FROM pairs WHERE cos >= $EmbDupThresh),
+    dedges AS MATERIALIZED (SELECT ida AS a, idb AS b FROM dup
+               UNION ALL SELECT idb, ida FROM dup),
+    reach AS (
+      SELECT vec_id, vec_id AS r FROM embeddings
+      UNION
+      SELECT reach.vec_id, ed.b AS r FROM reach JOIN dedges ed ON ed.a = reach.r),
+    lbls AS (SELECT vec_id, min(r) AS rep FROM reach GROUP BY vec_id)
+    SELECT vec_id, rep, (vec_id != rep) AS is_dup FROM lbls ORDER BY vec_id"""
 
   // ---- p11: standalone n-gram Jaccard similarity ---------------------------
   // Exact word-3-gram Jaccard for a deterministic pair set (adjacent doc_ids
@@ -1705,6 +1784,7 @@ object PipelineOps {
     "p19_ann_ivf" -> (p19Run(_, _)),
     "p20_curation" -> ((spark, dir) => p20Run(spark, dir)),
     "p21_decontam" -> ((spark, dir) => p21Run(spark, dir)),
+    "p22_embed_dedup" -> ((spark, dir) => p22Run(spark, dir)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1718,8 +1798,9 @@ object PipelineOps {
     // the driver's DuckDB gate runs at sf0.01, whose embeddings corpus is
     // [[OracleEmbeddingsN]] rows; the Spark side derives the identical
     // (r, b) from the actual count, so the two sides agree by construction
-    // at the gate SF (and chooseSrpGeometry(500) = (4, 8) keeps this SQL
-    // byte-identical to the pre-adaptive operating point)
+    // at the gate SF (chooseSrpGeometry(500) = (4, 8), the same operating
+    // point as every prior round; the CTE text was reformulated in r8 —
+    // hash-verified value-identical — see the srpCtesDuck note)
     "p08_ann_srp_lsh" -> (p08Duck _).tupled(chooseSrpGeometry(OracleEmbeddingsN)),
     "p09_media_meta" -> p09Duck,
     "p10_media_decode" -> p10Duck,
@@ -1734,5 +1815,7 @@ object PipelineOps {
     "p19_ann_ivf" -> p19Duck,
     "p20_curation" -> p20Duck,
     "p21_decontam" -> p21Duck,
+    // geometry derivation mirrors the p08 oracle note above
+    "p22_embed_dedup" -> (p22Duck _).tupled(chooseSrpGeometry(OracleEmbeddingsN)),
   )
 }

@@ -382,5 +382,7 @@ object PipelineRelational {
       "composes p16's iterative labels (driver loop) with the map-side stages",
     "p21_decontam" ->
       "word-hash pass materialized behind a Barrier + runtime-derived bucket count — multi-action sequence",
+    "p22_embed_dedup" ->
+      "runtime-derived SRP geometry + iterative label-propagation driver loop (p08's and p16's exclusion mechanisms composed)",
   )
 }

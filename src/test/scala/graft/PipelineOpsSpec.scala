@@ -453,6 +453,45 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"escalation failed to close the chain: ${out.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).mkString(",")}")
   }
 
+  test("p22 embed dedup: keep-list matches union-find over the SRP pairs at the dup threshold") {
+    val out = run("p22_embed_dedup").collect()
+    val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(out.length == total) // one keep-list row per vector
+    out.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(0), "rep must be the component MIN")
+      assert(r.getBoolean(2) == (r.getLong(0) != r.getLong(1)))
+    }
+    // ground truth: p08's verified pairs (same SRP candidates, sim rounded
+    // to 1e-6) filtered at the dup threshold. Guard: no pair may sit in the
+    // rounding-ambiguity window [0.3999995, 0.4], where the rounded filter
+    // could disagree with p22's exact-cos filter.
+    val p08 = run("p08_ann_srp_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(!p08.exists(p => p._3 >= 0.3999995 && p._3 < 0.4000005),
+      "boundary-ambiguous pair in testdata — pick ground truth differently")
+    val pairs = p08.collect { case (a, b, sim) if sim >= 0.4 => (a, b) }
+    assert(pairs.nonEmpty, "testdata has no dup pairs at 0.4 — test is vacuous")
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    // component min == union-find root here BECAUSE merges always point the
+    // larger root at the smaller one
+    out.foreach { r =>
+      assert(r.getLong(1) == find(r.getLong(0)),
+        s"vec ${r.getLong(0)}: rep ${r.getLong(1)} != union-find root ${find(r.getLong(0))}")
+    }
+  }
+
+  test("p22 dup threshold is a live config: 0.99 yields all-singleton keep-list") {
+    spark.conf.set("spark.graft.embDupThreshold", "0.99")
+    try {
+      val out = run("p22_embed_dedup").collect()
+      assert(out.nonEmpty)
+      assert(out.forall(r => !r.getBoolean(2) && r.getLong(0) == r.getLong(1)),
+        "synthetic corpus max cosine ~0.51 — nothing may be a dup at 0.99")
+    } finally spark.conf.unset("spark.graft.embDupThreshold")
+  }
+
   test("p16 end-to-end result is cap-invariant (escalation kicks in at cap=1)") {
     // with spark.graft.labelMaxRounds=1 the dup-graph cannot converge by
     // flooding (any component of diameter >1 needs more rounds), so p16Run

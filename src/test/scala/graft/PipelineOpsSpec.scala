@@ -492,6 +492,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.embDupThreshold")
   }
 
+  test("p22 end-to-end result is cap-invariant (cap=1 routes through escalation)") {
+    // mirror of the p16 cap-invariance property: capping the flooding
+    // rounds at 1 must yield EXACTLY the same keep-list — either flooding
+    // converges in one round (all components are single edges) or the
+    // star-contraction escalation closes the rest
+    val expected = run("p22_embed_dedup").collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.labelMaxRounds", "1")
+    try {
+      val capped = run("p22_embed_dedup").collect().map(_.toSeq).toSeq
+      assert(capped == expected, "cap=1 p22 keep-list differs from default-cap keep-list")
+    } finally spark.conf.unset("spark.graft.labelMaxRounds")
+  }
+
   test("p16 end-to-end result is cap-invariant (escalation kicks in at cap=1)") {
     // with spark.graft.labelMaxRounds=1 the dup-graph cannot converge by
     // flooding (any component of diameter >1 needs more rounds), so p16Run

@@ -273,6 +273,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scans == 1, s"expected only the singleton-reattach scan in the final p16 plan, got $scans:\n$p")
   }
 
+  test("p22 final plan reads parquet once; pairs and labels stay materialized") {
+    // same shape as the p16 audit: the SRP pair relation is behind a
+    // Barrier and the label loop checkpoints per round, so the only
+    // legitimate parquet scan in the FINAL plan is the singleton-reattach
+    // read of embeddings pruned to vec_id. More scans means the band join
+    // or a label round leaked back into the keep-list plan.
+    val df = pipeline.PipelineOps.queries("p22_embed_dedup")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected only the singleton-reattach scan in the final p22 plan, got $scans:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      "p22 keep-list plan must not contain a cartesian product")
+  }
+
   test("session carries the scale configs the 100 TB contract depends on") {
     // Graft.localSession is the one place these are set; losing any of them
     // silently degrades cluster behavior (AQE re-planning incl. skew-join

@@ -90,7 +90,7 @@ object Graft {
     name => {
       def p(ext: String) = s"$dir/$name.$ext"
       if (new java.io.File(p("parquet")).exists)
-        normalizeNanos(spark.read.parquet(p("parquet")))
+        normalizeEventTime(spark.read.parquet(p("parquet")))
       else if (new java.io.File(p("csv")).exists)
         spark.read.option("header", "true").option("inferSchema", "true")
           .csv(p("csv"))
@@ -99,18 +99,26 @@ object Graft {
       else spark.table(name)
     }
 
-  /** The driver's `events` table stores TIMESTAMP(NANOS), which Spark reads
-    * only as a nanos-since-epoch long (spark.sql.legacy.parquet.nanosAsLong).
-    * Normalize such columns to microsecond timestamps so date/window logic
-    * behaves; µs truncation matches DuckDB's TIMESTAMP_NS::TIMESTAMP cast. */
-  private def normalizeNanos(df: DataFrame): DataFrame = {
+  /** Canonicalize the `events.ts` event-time column to a microsecond
+    * TIMESTAMP (session-TZ = UTC), whichever physical schema the driver's
+    * parquet carries:
+    *   - TIMESTAMP(NANOS) → Spark reads it only as a nanos-since-epoch long
+    *     (spark.sql.legacy.parquet.nanosAsLong); convert with integer `div`
+    *     (ns values overflow a double mantissa). µs truncation matches
+    *     DuckDB's TIMESTAMP_NS::TIMESTAMP cast.
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false) → Spark 4 infers
+    *     TIMESTAMP_NTZ; cast to TIMESTAMP so `unix_micros`/window logic
+    *     applies (lossless under the UTC session TZ both engines pin).
+    * Downstream code can then assume `ts` is TimestampType everywhere. */
+  private[graft] def normalizeEventTime(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    // convention: the driver's only nanos column is events.ts
-    if (df.columns.contains("ts") &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // integer `div`, not double `/`: ns values overflow double mantissa
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    import org.apache.spark.sql.types._
+    if (!df.columns.contains("ts")) df
+    else df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
 
   /** Shared local-mode session builder for the driver-contract mains (Bench,

@@ -879,15 +879,16 @@ object PipelineOps {
   // ---- p13: event sessionization -------------------------------------------
   // Gap-based session assignment over the events stream table: a session
   // breaks after >4h idle. lag + running-sum of break flags per user —
-  // single shuffle on user_id, exact integer arithmetic in microseconds
-  // (Spark reads the nanos column as BIGINT via nanosAsLong; DuckDB's
-  // TIMESTAMP read truncates to µs, so both sides work in truncated µs).
+  // single shuffle on user_id, exact integer arithmetic in microseconds.
+  // `ts` is canonicalized to a µs TIMESTAMP by Graft.normalizeEventTime
+  // whichever physical schema the parquet carries (nanos-long or NTZ);
+  // DuckDB's read truncates to µs too, so both sides agree in µs.
 
   private val SessionGapUs = 4L * 3600 * 1000000
 
   private val p13Spark = s"""
     WITH e AS (
-      SELECT user_id, event_id, CAST(ts div 1000 AS BIGINT) AS tus FROM events),
+      SELECT user_id, event_id, unix_micros(ts) AS tus FROM events),
     flagged AS (
       SELECT user_id, event_id, tus,
         CASE WHEN lag(tus) OVER w IS NULL
@@ -1770,7 +1771,8 @@ object PipelineOps {
     "p11_ngram_jaccard" -> onDocs(p11Spark),
     "p12_lang_id" -> ((spark, dir) => p12Run(spark, dir)),
     "p13_sessionize" -> ((spark, dir) => {
-      spark.read.parquet(s"$dir/events.parquet").createOrReplaceTempView("events")
+      graft.Graft.normalizeEventTime(spark.read.parquet(s"$dir/events.parquet"))
+        .createOrReplaceTempView("events")
       spark.sql(p13Spark)
     }),
     "p14_top_terms" -> ((spark, dir) => {

@@ -18,9 +18,8 @@ class StreamingIntervalJoinSpec extends AnyFunSuite {
 
   private def eventsDf = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/events.parquet")
-      .select($"user_id", $"event_type", $"value",
-        F.timestamp_micros(F.expr("ts div 1000")).as("ts"))
+    Graft.normalizeEventTime(spark.read.parquet(s"$dir/events.parquet"))
+      .select($"user_id", $"event_type", $"value", $"ts")
   }
 
   test("batch interval join equals an independent SQL range-join oracle") {

@@ -17,10 +17,10 @@ class StreamingSessionizeSpec extends AnyFunSuite {
 
   private def eventsDf = {
     import spark.implicits._
-    // ts arrives as nanos-long (nanosAsLong); the streaming ops take µs
-    spark.read.parquet(s"$dir/events.parquet")
-      .select($"user_id", $"event_id",
-        F.timestamp_micros(F.expr("ts div 1000")).as("ts"))
+    // Graft.normalizeEventTime canonicalizes ts to a µs TIMESTAMP for
+    // either physical schema (nanos-long or TIMESTAMP_NTZ)
+    Graft.normalizeEventTime(spark.read.parquet(s"$dir/events.parquet"))
+      .select($"user_id", $"event_id", $"ts")
   }
 
   private def p13Rows: Seq[(Long, Long, Long, Long)] =
@@ -42,8 +42,8 @@ class StreamingSessionizeSpec extends AnyFunSuite {
 
   test("flatMapGroupsWithState emits exactly the closed sessions (batch replay)") {
     import spark.implicits._
-    val typed = spark.read.parquet(s"$dir/events.parquet")
-      .select($"user_id", $"event_id", F.expr("ts div 1000").as("tus"))
+    val typed = Graft.normalizeEventTime(spark.read.parquet(s"$dir/events.parquet"))
+      .select($"user_id", $"event_id", F.unix_micros($"ts").as("tus"))
       .as[Ev]
     val closed = SessionizeStream
       .sessionizeWithState(typed, 4L * 3600 * 1000000)

@@ -16,9 +16,8 @@ class StreamingWindowedAggSpec extends AnyFunSuite {
 
   private def eventsDf = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/events.parquet")
-      .select($"user_id", $"event_type", $"value",
-        F.timestamp_micros(F.expr("ts div 1000")).as("ts"))
+    Graft.normalizeEventTime(spark.read.parquet(s"$dir/events.parquet"))
+      .select($"user_id", $"event_type", $"value", $"ts")
   }
 
   test("batch tumbling stats equal an independent floor-to-window SQL rollup") {

@@ -1731,6 +1731,361 @@ object PipelineOps {
       CAST(sum(CASE WHEN is_rep AND q AND bucket < $SampleRatePerMille THEN ck ELSE 0 END) AS BIGINT) AS clean_sum
     FROM f GROUP BY lang ORDER BY lang"""
 
+  // ---- p23: sequence packing (concat-and-split into context windows) ------
+  // The tokenizer-side packing step of an LLM training pipeline: documents
+  // are concatenated in deterministic doc_id order and split into fixed
+  // [[PackWindowTokens]]-token context windows (the GPT-style "pack then
+  // chunk" layout). Each doc's window assignment needs its GLOBAL token
+  // offset — a prefix sum, which naively is `sum() OVER (ORDER BY doc_id)`:
+  // a single-partition window, the canonical 100 TB scale-killer. The
+  // Spark side instead runs the textbook TWO-LEVEL distributed prefix sum,
+  // declaratively:
+  //   1. chunk = doc_id div [[PackChunkDocsDefault]] (monotone in doc_id, so
+  //      chunk order == doc order);
+  //   2. intra-chunk running sums via a window PARTITIONED BY chunk —
+  //      parallel across chunks (Exchange hashpartitioning(chunk));
+  //   3. per-chunk totals (tiny agg: one row per chunk) get a global
+  //      running sum — a single-partition window over CHUNK COUNT rows
+  //      (~N/chunkDocs, driver-small), then broadcast-join back;
+  //   4. offset = chunk_offset + intra_cum - tok.
+  // By associativity of integer addition the decomposition is exactly the
+  // global cumsum — the DuckDB oracle computes the naive global-window form
+  // and the driver hash-compares; PipelineOpsSpec additionally asserts
+  // chunk-size invariance (any chunking yields identical bins). All
+  // arithmetic is BIGINT — hash-exact on both engines. A doc straddles a
+  // window boundary when floor(offs/W) != floor((offs+tok-1)/W); the
+  // per-bin rollup reports docs STARTING in the bin plus the straddle
+  // count (what a packing job needs to size its attention-mask reset
+  // bookkeeping).
+
+  private val PackWindowTokens = 256
+  private val PackChunkDocsDefault = 64L
+
+  private[graft] def packChunkDocs(spark: SparkSession): Long = {
+    val c = spark.conf.getOption("spark.graft.packChunkDocs")
+      .map(_.toLong).getOrElse(PackChunkDocsDefault)
+    require(c >= 1, s"spark.graft.packChunkDocs must be >= 1, got $c")
+    c
+  }
+
+  private[graft] def p23Spark(chunkDocs: Long) = s"""
+    WITH t AS (
+      SELECT doc_id, CAST(doc_id AS BIGINT) div $chunkDocs AS chunk,
+        CAST(size($wordsSpark) AS BIGINT) AS tok
+      FROM documents),
+    intra AS (
+      SELECT doc_id, chunk, tok,
+        sum(tok) OVER (PARTITION BY chunk ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_in
+      FROM t),
+    ctot AS (SELECT chunk, sum(tok) AS ct FROM t GROUP BY chunk),
+    coff AS (
+      SELECT chunk, sum(ct) OVER (ORDER BY chunk
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ct AS chunk_off
+      FROM ctot),
+    o AS (
+      SELECT i.doc_id, i.tok,
+        CAST(c.chunk_off + i.cum_in - i.tok AS BIGINT) AS offs
+      FROM intra i JOIN coff c ON c.chunk = i.chunk),
+    bins AS (
+      SELECT doc_id, tok,
+        offs div $PackWindowTokens AS bin_first,
+        (offs + tok - 1) div $PackWindowTokens AS bin_last
+      FROM o WHERE tok > 0)
+    SELECT bin_first AS bin_id,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(tok) AS BIGINT) AS n_tokens,
+      CAST(sum(CASE WHEN bin_last != bin_first THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle,
+      CAST(min(doc_id) AS BIGINT) AS first_doc,
+      CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM bins GROUP BY bin_first ORDER BY bin_id"""
+
+  private def p23Run(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    spark.sql(p23Spark(packChunkDocs(spark)))
+  }
+
+  /** Oracle: the naive global-cumsum specification the distributed form
+    * must equal. */
+  private val p23Duck = s"""
+    WITH t AS (
+      SELECT doc_id, CAST(len($wordsDuck) AS BIGINT) AS tok
+      FROM documents),
+    o AS (
+      SELECT doc_id, tok,
+        CAST(sum(tok) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS BIGINT) AS offs
+      FROM t),
+    bins AS (
+      SELECT doc_id, tok,
+        offs // $PackWindowTokens AS bin_first,
+        (offs + tok - 1) // $PackWindowTokens AS bin_last
+      FROM o WHERE tok > 0)
+    SELECT bin_first AS bin_id,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(tok) AS BIGINT) AS n_tokens,
+      CAST(sum(CASE WHEN bin_last != bin_first THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle,
+      CAST(min(doc_id) AS BIGINT) AS first_doc,
+      CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM bins GROUP BY bin_first ORDER BY bin_id"""
+
+  // ---- p24: target-mixture rebalancing sampler -----------------------------
+  // Domain/language mixture control — the "downsample the dominant
+  // language" step every pre-training corpus goes through. Target: an
+  // EQUAL share per language of a [[MixtureBudgetPpm]] overall budget;
+  // keep_ppm(g) = min(1, budget·N / (G·n_g)) in exact ppm integer
+  // arithmetic (single `div` — both engines agree bit-for-bit; products
+  // stay < 2^63 up to ~2e13 docs). Two phases, both cheap at 100 TB:
+  //   1. per-group counts — one partial-agg rollup (G rows, tiny);
+  //   2. the rates relation broadcast-joins back onto documents and the
+  //      keep rule is the p15 hash bucket (rerun-stable, engine-exact,
+  //      seed-free) — map-side filter, no second shuffle.
+  // Oversubscribed groups (n_g below their share) keep everything
+  // (rate clamps at 1e6 ppm); the unused budget is reported, not
+  // silently redistributed — redistribution is a policy choice the
+  // caller makes by re-running with a higher budget.
+
+  private val MixtureBudgetPpm = 400000L // 40% of the corpus
+
+  private def p24Spark(hf: String) = s"""
+    WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_g FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_total, CAST(count(*) AS BIGINT) AS n_grp FROM c),
+    rates AS (
+      SELECT c.lang, c.n_g,
+        least(CAST(1000000 AS BIGINT),
+          (t.n_total * $MixtureBudgetPpm) div (t.n_grp * c.n_g)) AS keep_ppm
+      FROM c CROSS JOIN tot t),
+    k AS (
+      SELECT d.lang, d.doc_id, r.n_g, r.keep_ppm,
+        (pmod(${hSpark("CAST(d.doc_id AS STRING)", hf)}, 1000000) < r.keep_ppm) AS kept
+      FROM documents d JOIN rates r ON r.lang = d.lang)
+    SELECT lang,
+      CAST(max(n_g) AS BIGINT) AS n_docs,
+      CAST(max(keep_ppm) AS BIGINT) AS keep_ppm,
+      CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(sum(CASE WHEN kept THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+    FROM k GROUP BY lang ORDER BY lang"""
+
+  private val p24Duck = s"""
+    WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_g FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_total, CAST(count(*) AS BIGINT) AS n_grp FROM c),
+    rates AS (
+      SELECT c.lang, c.n_g,
+        least(CAST(1000000 AS BIGINT),
+          (t.n_total * $MixtureBudgetPpm) // (t.n_grp * c.n_g)) AS keep_ppm
+      FROM c CROSS JOIN tot t),
+    k AS (
+      SELECT d.lang, d.doc_id, r.n_g, r.keep_ppm,
+        (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 < r.keep_ppm) AS kept
+      FROM documents d JOIN rates r ON r.lang = d.lang)
+    SELECT lang,
+      CAST(max(n_g) AS BIGINT) AS n_docs,
+      CAST(max(keep_ppm) AS BIGINT) AS keep_ppm,
+      CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(sum(CASE WHEN kept THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+    FROM k GROUP BY lang ORDER BY lang"""
+
+  // ---- p25: int8 embedding quantization + two-stage retrieval --------------
+  // The production ANN memory/bandwidth play: per-vector symmetric int8
+  // quantization (q_i = round(x_i · 127/max|x|) ∈ [-127,127] — 4× less
+  // scan bandwidth than float32; modeled here as exact small integers in
+  // a float array so the [[graft.functions.GraftDot]] codegen kernel is
+  // reused unchanged), then TWO-STAGE retrieval: a cheap quantized scan
+  // over the whole corpus takes the top-[[QuantOverfetch]]·k candidates
+  // per query, and only those are rescored with exact float cosine. The
+  // output grades both stages against the exact p07 ground truth per
+  // query: hits_rescored (two-stage ∩ exact top-k) and hits_quantized
+  // (pure quantized top-k ∩ exact top-k). hits_rescored >= hits_quantized
+  // HOLDS PER QUERY (any exact-top-k member inside the candidate set
+  // outranks, under exact cosine, everything outside it — asserted in
+  // PipelineOpsSpec), which is the whole argument for rescoring.
+  // Determinism: quantized values are exact integers (products < 127²·64
+  // — integer-exact in double), scales/cosines are IEEE-identical folds
+  // on both engines, ties break by nn_id. The quantized relation is
+  // materialized once ([[Barrier]]) — without it CollapseProject re-runs
+  // the per-element quantization lambda once per scored pair.
+
+  private val QuantOverfetch = 4 // candidates = 4k per query
+
+  /** The quantized-corpus relation: vec_id, embedding, q (int8 values in a
+    * float carrier), exact and quantized squared norms. */
+  private val quantSqlBody = s"""
+    WITH e0 AS (
+      SELECT vec_id, embedding,
+        array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      FROM embeddings),
+    nq AS (
+      SELECT vec_id, embedding,
+        CASE WHEN ma = 0.0D THEN transform(embedding, x -> CAST(0 AS FLOAT))
+             ELSE transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * (127.0D / ma) + 0.5D) AS FLOAT)) END AS q
+      FROM e0)
+    SELECT vec_id, embedding, q,
+      graft_dot(embedding, embedding) AS n2,
+      graft_dot(q, q) AS qn2
+    FROM nq"""
+  private[graft] def quantSqlForAudit: String = quantSqlBody
+
+  private val QuantView = "graft_quant"
+
+  private def p25Tail = s"""
+    WITH qq AS (
+      SELECT vec_id AS q_id, q AS qvec, qn2 AS qqn2, embedding AS qe, n2 AS qen2
+      FROM $QuantView WHERE vec_id < $NQueries),
+    qs AS (
+      SELECT qq.q_id, n.vec_id AS nn_id,
+        ${dotSpark("qq.qvec", "n.q")} / (sqrt(qq.qqn2) * sqrt(n.qn2)) AS qcos
+      FROM qq JOIN $QuantView n ON n.vec_id != qq.q_id),
+    qr AS (
+      SELECT q_id, nn_id,
+        row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, nn_id) AS rn
+      FROM qs),
+    cand AS (SELECT q_id, nn_id, rn FROM qr WHERE rn <= ${QuantOverfetch * TopK}),
+    ex AS (
+      SELECT c.q_id, c.nn_id,
+        ${dotSpark("qq.qe", "n.embedding")} / (sqrt(qq.qen2) * sqrt(n.n2)) AS cos
+      FROM cand c
+      JOIN qq ON qq.q_id = c.q_id
+      JOIN $QuantView n ON n.vec_id = c.nn_id),
+    rr AS (
+      SELECT q_id, nn_id,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rn
+      FROM ex),
+    two AS (SELECT q_id, nn_id FROM rr WHERE rn <= $TopK),
+    gs AS (
+      SELECT qq.q_id, n.vec_id AS nn_id,
+        ${dotSpark("qq.qe", "n.embedding")} / (sqrt(qq.qen2) * sqrt(n.n2)) AS cos
+      FROM qq JOIN $QuantView n ON n.vec_id != qq.q_id),
+    gr AS (
+      SELECT q_id, nn_id,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rn
+      FROM gs),
+    gt AS (SELECT q_id, nn_id FROM gr WHERE rn <= $TopK)
+    SELECT g.q_id,
+      CAST(sum(CASE WHEN t.nn_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_rescored,
+      CAST(sum(CASE WHEN c.nn_id IS NOT NULL AND c.rn <= $TopK THEN 1 ELSE 0 END) AS BIGINT) AS hits_quantized
+    FROM gt g
+    LEFT JOIN two t ON t.q_id = g.q_id AND t.nn_id = g.nn_id
+    LEFT JOIN cand c ON c.q_id = g.q_id AND c.nn_id = g.nn_id
+    GROUP BY g.q_id ORDER BY g.q_id"""
+
+  private[graft] def p25Run(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerDot(spark)
+    spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("embeddings")
+    materialized(spark, QuantView, quantSqlBody)
+    spark.sql(p25Tail)
+  }
+
+  private val p25Duck = s"""
+    WITH nq0 AS MATERIALIZED (
+      SELECT vec_id, embedding,
+        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma,
+        ${norm2Duck("embedding")} AS n2
+      FROM embeddings),
+    n AS MATERIALIZED (
+      SELECT vec_id, embedding, n2,
+        CASE WHEN ma = 0.0 THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+             ELSE list_transform(embedding,
+               x -> floor(CAST(x AS DOUBLE) * (127.0 / ma) + 0.5)) END AS q
+      FROM nq0),
+    nn AS MATERIALIZED (
+      SELECT vec_id, embedding, n2, q,
+        list_reduce(list_transform(q, x -> x * x), (x, y) -> x + y) AS qn2
+      FROM n),
+    qq AS (
+      SELECT vec_id AS q_id, q AS qvec, qn2 AS qqn2, embedding AS qe, n2 AS qen2
+      FROM nn WHERE vec_id < $NQueries),
+    qs AS (
+      SELECT qq.q_id, nn.vec_id AS nn_id,
+        list_reduce(list_transform(generate_series(1, len(qq.qvec)),
+          i -> qq.qvec[i] * nn.q[i]), (x, y) -> x + y)
+          / (sqrt(qq.qqn2) * sqrt(nn.qn2)) AS qcos
+      FROM qq JOIN nn ON nn.vec_id != qq.q_id),
+    qr AS (
+      SELECT q_id, nn_id,
+        row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, nn_id) AS rn
+      FROM qs),
+    cand AS MATERIALIZED (SELECT q_id, nn_id, rn FROM qr WHERE rn <= ${QuantOverfetch * TopK}),
+    ex AS (
+      SELECT c.q_id, c.nn_id,
+        ${dotDuck("qq.qe", "nn.embedding")} / (sqrt(qq.qen2) * sqrt(nn.n2)) AS cos
+      FROM cand c
+      JOIN qq ON qq.q_id = c.q_id
+      JOIN nn ON nn.vec_id = c.nn_id),
+    rr AS (
+      SELECT q_id, nn_id,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rn
+      FROM ex),
+    two AS (SELECT q_id, nn_id FROM rr WHERE rn <= $TopK),
+    gs AS (
+      SELECT qq.q_id, nn.vec_id AS nn_id,
+        ${dotDuck("qq.qe", "nn.embedding")} / (sqrt(qq.qen2) * sqrt(nn.n2)) AS cos
+      FROM qq JOIN nn ON nn.vec_id != qq.q_id),
+    gr AS (
+      SELECT q_id, nn_id,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rn
+      FROM gs),
+    gt AS (SELECT q_id, nn_id FROM gr WHERE rn <= $TopK)
+    SELECT g.q_id,
+      CAST(sum(CASE WHEN t.nn_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_rescored,
+      CAST(sum(CASE WHEN c.nn_id IS NOT NULL AND c.rn <= $TopK THEN 1 ELSE 0 END) AS BIGINT) AS hits_quantized
+    FROM gt g
+    LEFT JOIN two t ON t.q_id = g.q_id AND t.nn_id = g.nn_id
+    LEFT JOIN cand c ON c.q_id = g.q_id AND c.nn_id = g.nn_id
+    GROUP BY g.q_id ORDER BY g.q_id"""
+
+  // ---- p26: repetition metrics (Gopher duplicate-n-gram fractions) ---------
+  // The Gopher repetition rules as exact rationals: duplicate word /
+  // 2-gram / 3-gram fractions per document ((n - n_distinct) / n over the
+  // gram multiset), rounded with the shared 1e-6 floor rule. Map-side
+  // HOFs only (transform over index sequences — no explode, no shuffle);
+  // the flag threshold (dup-2gram > [[Dup2gramFlagThresh]]) is tuned to
+  // this corpus so both classes are populated (154/500 flagged at sf0.01).
+
+  private val Dup2gramFlagThresh = 0.04
+
+  private val p26Spark = s"""
+    WITH t AS (SELECT doc_id, $wordsSpark AS words FROM documents),
+    g AS (
+      SELECT doc_id, size(words) AS n1, size(array_distinct(words)) AS d1,
+        transform(sequence(1, size(words) - 1),
+          i -> concat(element_at(words, i), ' ', element_at(words, i + 1))) AS g2,
+        transform(sequence(1, size(words) - 2),
+          i -> concat(element_at(words, i), ' ', element_at(words, i + 1), ' ', element_at(words, i + 2))) AS g3
+      FROM t WHERE size(words) >= 3),
+    m AS (
+      SELECT doc_id, n1, d1,
+        size(g2) AS n2, size(array_distinct(g2)) AS d2,
+        size(g3) AS n3, size(array_distinct(g3)) AS d3
+      FROM g)
+    SELECT doc_id,
+      CAST(floor((CAST(n1 - d1 AS DOUBLE) / n1) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS dup_word_frac,
+      CAST(floor((CAST(n2 - d2 AS DOUBLE) / n2) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS dup_2gram_frac,
+      CAST(floor((CAST(n3 - d3 AS DOUBLE) / n3) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS dup_3gram_frac,
+      (CAST(floor((CAST(n2 - d2 AS DOUBLE) / n2) * 1e6 + 0.5) AS DOUBLE) / 1e6 > $Dup2gramFlagThresh) AS flagged
+    FROM m ORDER BY doc_id"""
+
+  private val p26Duck = s"""
+    WITH t AS (SELECT doc_id, $wordsDuck AS words FROM documents),
+    g AS (
+      SELECT doc_id, len(words) AS n1, len(list_distinct(words)) AS d1,
+        list_transform(generate_series(1, len(words) - 1),
+          i -> words[i] || ' ' || words[i + 1]) AS g2,
+        list_transform(generate_series(1, len(words) - 2),
+          i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2]) AS g3
+      FROM t WHERE len(words) >= 3),
+    m AS (
+      SELECT doc_id, n1, d1,
+        len(g2) AS n2, len(list_distinct(g2)) AS d2,
+        len(g3) AS n3, len(list_distinct(g3)) AS d3
+      FROM g)
+    SELECT doc_id,
+      floor((CAST(n1 - d1 AS DOUBLE) / n1) * 1e6 + 0.5) / 1e6 AS dup_word_frac,
+      floor((CAST(n2 - d2 AS DOUBLE) / n2) * 1e6 + 0.5) / 1e6 AS dup_2gram_frac,
+      floor((CAST(n3 - d3 AS DOUBLE) / n3) * 1e6 + 0.5) / 1e6 AS dup_3gram_frac,
+      (floor((CAST(n2 - d2 AS DOUBLE) / n2) * 1e6 + 0.5) / 1e6 > $Dup2gramFlagThresh) AS flagged
+    FROM m ORDER BY doc_id"""
+
   // ---- wiring --------------------------------------------------------------
 
   private def onDocs(sql: String): (SparkSession, String) => DataFrame =
@@ -1787,6 +2142,10 @@ object PipelineOps {
     "p20_curation" -> ((spark, dir) => p20Run(spark, dir)),
     "p21_decontam" -> ((spark, dir) => p21Run(spark, dir)),
     "p22_embed_dedup" -> ((spark, dir) => p22Run(spark, dir)),
+    "p23_pack_sequences" -> ((spark, dir) => p23Run(spark, dir)),
+    "p24_mixture_sample" -> onDocsHf(p24Spark),
+    "p25_embed_quant" -> ((spark, dir) => p25Run(spark, dir)),
+    "p26_repetition" -> onDocs(p26Spark),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1819,5 +2178,9 @@ object PipelineOps {
     "p21_decontam" -> p21Duck,
     // geometry derivation mirrors the p08 oracle note above
     "p22_embed_dedup" -> (p22Duck _).tupled(chooseSrpGeometry(OracleEmbeddingsN)),
+    "p23_pack_sequences" -> p23Duck,
+    "p24_mixture_sample" -> p24Duck,
+    "p25_embed_quant" -> p25Duck,
+    "p26_repetition" -> p26Duck,
   )
 }

@@ -354,6 +354,152 @@ object PipelineRelational {
          |  top_terms = s"concat_ws(',', transform(keys, kk -> concat(substr(kk, 6), ':', CAST(99999 - CAST(substr(kk, 1, 5) AS INT) AS STRING))))",
          |]
          |sort doc_id""".stripMargin,
+
+    // p23 pins the default chunking (64 docs), exactly as the md5-pinning
+    // entries pin the hash family: the restatement is of the default-config
+    // operator. The two-level prefix sum maps onto PRQL 1:1 — per-chunk
+    // expanding windows inside `group`, a global expanding window over the
+    // tiny chunk-totals CTE, and a USING join back.
+    "p23_pack_sequences" ->
+      s"""table t = (
+         |  from documents
+         |  derive [
+         |    chunk = s"CAST(doc_id AS BIGINT) div 64",
+         |    tok = s"CAST(size($W) AS BIGINT)",
+         |  ]
+         |)
+         |
+         |table intra = (
+         |  from t
+         |  group [chunk] (
+         |    sort doc_id
+         |    window expanding:true (derive [cum_in = sum tok])
+         |  )
+         |)
+         |
+         |table ctot = (
+         |  from t
+         |  group [chunk] (aggregate [ct = s"sum(tok)"])
+         |)
+         |
+         |table coff0 = (
+         |  from ctot
+         |  sort chunk
+         |  window expanding:true (derive [run = sum ct])
+         |)
+         |
+         |table coff = (
+         |  from coff0
+         |  select [chunk, chunk_off = s"run - ct"]
+         |)
+         |
+         |table o = (
+         |  from intra
+         |  join coff [chunk]
+         |  select [doc_id, tok, offs = s"CAST(chunk_off + cum_in - tok AS BIGINT)"]
+         |)
+         |
+         |table bins = (
+         |  from o
+         |  filter s"tok > 0"
+         |  derive [
+         |    bin_first = s"offs div 256",
+         |    bin_last = s"(offs + tok - 1) div 256",
+         |  ]
+         |)
+         |
+         |from bins
+         |group [bin_first] (
+         |  aggregate [
+         |    n_docs = s"CAST(count(*) AS BIGINT)",
+         |    n_tokens = s"CAST(sum(tok) AS BIGINT)",
+         |    n_straddle = s"CAST(sum(CASE WHEN bin_last != bin_first THEN 1 ELSE 0 END) AS BIGINT)",
+         |    first_doc = s"CAST(min(doc_id) AS BIGINT)",
+         |    last_doc = s"CAST(max(doc_id) AS BIGINT)",
+         |  ]
+         |)
+         |select [bin_id = bin_first, n_docs, n_tokens, n_straddle, first_doc, last_doc]
+         |sort bin_id""".stripMargin,
+
+    // the cross join onto the one-row totals relation rides a constant
+    // USING key (k = 1 on both sides) — the portable relational spelling.
+    "p24_mixture_sample" ->
+      s"""table c = (
+         |  from documents
+         |  group [lang] (aggregate [n_g = s"CAST(count(*) AS BIGINT)"])
+         |  derive k = s"1"
+         |)
+         |
+         |table tot = (
+         |  from c
+         |  aggregate [
+         |    n_total = s"CAST(sum(n_g) AS BIGINT)",
+         |    n_grp = s"CAST(count(*) AS BIGINT)",
+         |  ]
+         |  derive k = s"1"
+         |)
+         |
+         |table rates = (
+         |  from c
+         |  join tot [k]
+         |  select [lang, n_g, keep_ppm = s"least(CAST(1000000 AS BIGINT), (n_total * 400000) div (n_grp * n_g))"]
+         |)
+         |
+         |table kk = (
+         |  from documents
+         |  join rates [lang]
+         |  select [lang, doc_id, n_g, keep_ppm, kept = s"pmod(${H("CAST(doc_id AS STRING)")}, 1000000) < keep_ppm"]
+         |)
+         |
+         |from kk
+         |group [lang] (
+         |  aggregate [
+         |    n_docs = s"CAST(max(n_g) AS BIGINT)",
+         |    keep_ppm_out = s"CAST(max(keep_ppm) AS BIGINT)",
+         |    n_kept = s"CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)",
+         |    kept_id_sum = s"CAST(sum(CASE WHEN kept THEN doc_id ELSE 0 END) AS BIGINT)",
+         |  ]
+         |)
+         |select [lang, n_docs, keep_ppm = keep_ppm_out, n_kept, kept_id_sum]
+         |sort lang""".stripMargin,
+
+    "p26_repetition" ->
+      s"""table t = (
+         |  from documents
+         |  derive words = s"$W"
+         |)
+         |
+         |table g = (
+         |  from t
+         |  filter s"size(words) >= 3"
+         |  derive [
+         |    n1 = s"size(words)",
+         |    d1 = s"size(array_distinct(words))",
+         |    g2 = s"transform(sequence(1, size(words) - 1), i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))",
+         |    g3 = s"transform(sequence(1, size(words) - 2), i -> concat(element_at(words, i), ' ', element_at(words, i + 1), ' ', element_at(words, i + 2)))",
+         |  ]
+         |)
+         |
+         |table m = (
+         |  from g
+         |  select [
+         |    doc_id, n1, d1,
+         |    n2 = s"size(g2)",
+         |    d2 = s"size(array_distinct(g2))",
+         |    n3 = s"size(g3)",
+         |    d3 = s"size(array_distinct(g3))",
+         |  ]
+         |)
+         |
+         |from m
+         |select [
+         |  doc_id,
+         |  dup_word_frac = s"CAST(floor((CAST(n1 - d1 AS DOUBLE) / n1) * 1e6 + 0.5) AS DOUBLE) / 1e6",
+         |  dup_2gram_frac = s"CAST(floor((CAST(n2 - d2 AS DOUBLE) / n2) * 1e6 + 0.5) AS DOUBLE) / 1e6",
+         |  dup_3gram_frac = s"CAST(floor((CAST(n3 - d3 AS DOUBLE) / n3) * 1e6 + 0.5) AS DOUBLE) / 1e6",
+         |  flagged = s"CAST(floor((CAST(n2 - d2 AS DOUBLE) / n2) * 1e6 + 0.5) AS DOUBLE) / 1e6 > 0.04",
+         |]
+         |sort doc_id""".stripMargin,
   )
 
   /** Session-level kernel registrations the covered texts rely on (the
@@ -384,5 +530,7 @@ object PipelineRelational {
       "word-hash pass materialized behind a Barrier + runtime-derived bucket count — multi-action sequence",
     "p22_embed_dedup" ->
       "runtime-derived SRP geometry + iterative label-propagation driver loop (p08's and p16's exclusion mechanisms composed)",
+    "p25_embed_quant" ->
+      "the quantized relation is materialized behind the Barrier (consumed by the candidate scan, the rescore, and the ground-truth pass — the lambda re-inlining hazard class), so the honest restatement is the two-step barrier sequence, not one query",
   )
 }

@@ -655,6 +655,96 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(PipelineOps.decontamSalt(spark, 16) == 1)
   }
 
+  test("p23 packing: bins conserve tokens, straddles bounded, bins contiguous") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.createOrReplaceTempView("documents")
+    val totalTok = spark.sql(
+      "SELECT CAST(sum(size(split(trim(text), '\\\\s+'))) AS BIGINT) FROM documents")
+      .collect()(0).getLong(0)
+    val out = run("p23_pack_sequences").collect()
+    assert(out.map(_.getLong(out.head.fieldIndex("n_tokens"))).sum == totalTok,
+      "packing must conserve every token exactly once")
+    // a doc straddles at most once per START bin entry; straddle count <= doc count
+    out.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_straddle")) <= r.getLong(r.fieldIndex("n_docs")))
+    }
+    // bin ids of START bins are sorted and first bin is 0
+    val ids = out.map(_.getLong(0))
+    assert(ids.head == 0L && (ids sameElements ids.sorted))
+  }
+
+  test("p23 packing is chunk-size invariant (distributed prefix sum == global cumsum)") {
+    // the two-level decomposition must be EXACTLY the global running sum
+    // for ANY chunking — chunk=1 (one chunk per doc: all weight on the
+    // chunk-total pass) and chunk=7 (misaligned with everything) included
+    val expected = run("p23_pack_sequences").collect().map(_.toSeq).toSeq
+    for (c <- Seq("1", "7", "1000000")) {
+      spark.conf.set("spark.graft.packChunkDocs", c)
+      try {
+        val got = run("p23_pack_sequences").collect().map(_.toSeq).toSeq
+        assert(got == expected, s"chunkDocs=$c packing differs from default")
+      } finally spark.conf.unset("spark.graft.packChunkDocs")
+    }
+  }
+
+  test("p24 mixture sample: rates clamp at 1e6, dominant language is downsampled hardest") {
+    val out = run("p24_mixture_sample").collect()
+    assert(out.length >= 2)
+    val byLang = out.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    byLang.foreach { case (lang, nDocs, ppm, nKept) =>
+      assert(ppm >= 0 && ppm <= 1000000L, s"$lang keep_ppm out of range: $ppm")
+      assert(nKept <= nDocs, s"$lang kept more than it has")
+    }
+    // keep rate is inversely monotone in group size: bigger group, lower rate
+    val sorted = byLang.sortBy(_._2)
+    sorted.sliding(2).foreach { case Seq((l1, n1, p1, _), (l2, n2, p2, _)) =>
+      if (n1 < n2) assert(p1 >= p2, s"$l1(n=$n1,ppm=$p1) vs $l2(n=$n2,ppm=$p2)")
+    }
+    // rebalance property: the post-sample max share must not exceed the
+    // pre-sample max share (that's what "towards uniform" means)
+    val totD = byLang.map(_._2).sum.toDouble
+    val totK = byLang.map(_._4).sum.toDouble
+    val preMax = byLang.map(_._2 / totD).max
+    val postMax = byLang.map(_._4 / totK).max
+    assert(postMax <= preMax + 1e-9,
+      f"sampling increased the dominant share: $preMax%.3f -> $postMax%.3f")
+  }
+
+  test("p25 quantized retrieval: rescoring dominates pure-quantized per query") {
+    val out = run("p25_embed_quant").collect()
+    assert(out.length > 0)
+    out.foreach { r =>
+      val hr = r.getLong(r.fieldIndex("hits_rescored"))
+      val hq = r.getLong(r.fieldIndex("hits_quantized"))
+      assert(hr >= 0 && hr <= 5 && hq >= 0 && hq <= 5)
+      // any exact-top-k member inside the candidate set outranks (under
+      // exact cosine) everything outside it, so it survives the rescore:
+      // two-stage recall >= pure-quantized recall, PER QUERY
+      assert(hr >= hq, s"q=${r.getLong(0)}: rescored $hr < quantized $hq")
+    }
+    // int8 over 64 dims preserves neighborhoods well; a broken quantizer
+    // (wrong scale, sign flip) craters this to ~0
+    val mean = out.map(_.getLong(1)).sum.toDouble / out.length
+    assert(mean >= 4.0, f"mean rescored hits $mean%.2f — quantization broke ranking")
+  }
+
+  test("p26 repetition: fractions in range, both flag classes populated") {
+    val out = run("p26_repetition").collect()
+    assert(out.length > 0)
+    out.foreach { r =>
+      Seq("dup_word_frac", "dup_2gram_frac", "dup_3gram_frac").foreach { c =>
+        val v = r.getDouble(r.fieldIndex(c))
+        assert(v >= 0.0 && v <= 1.0, s"$c out of [0,1]: $v")
+      }
+      val flagged = r.getBoolean(r.fieldIndex("flagged"))
+      val d2 = r.getDouble(r.fieldIndex("dup_2gram_frac"))
+      assert(flagged == (d2 > 0.04), "flag must equal the documented threshold rule")
+    }
+    val flags = out.count(_.getBoolean(out.head.fieldIndex("flagged")))
+    assert(flags > 0 && flags < out.length,
+      s"threshold has no signal on this corpus: $flags/${out.length} flagged")
+  }
+
   test("driver contract: every oracle key has a query, entry() returns rows") {
     assert(PipelineOps.oracleSql.keySet.subsetOf(PipelineOps.queries.keySet))
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

@@ -238,6 +238,48 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.decontamBuckets")
   }
 
+  test("p23 packing: the corpus-sized window is chunk-partitioned, never global") {
+    // the whole point of the two-level prefix sum: the window over
+    // documents-sized data must ride Exchange hashpartitioning(chunk) —
+    // parallel across chunks — and the only SinglePartition exchange
+    // allowed is the one under the per-chunk-TOTALS running sum (row count
+    // = chunk count ~ N/64, driver-small). The chunk-offset relation must
+    // come back as a broadcast, not a shuffle join.
+    val p = pipeline.PipelineOps.queries("p23_pack_sequences")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(chunk".r.findAllIn(p).nonEmpty,
+      s"corpus window must partition by chunk:\n$p")
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 1,
+      s"more than the one sanctioned tiny-relation SinglePartition exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"chunk offsets should broadcast back onto the corpus:\n$p")
+  }
+
+  test("p25 quantized retrieval: barrier holds and candidate scoring uses the kernel") {
+    // the quantized relation is materialized once (Scan ExistingRDD) —
+    // without the barrier CollapseProject re-runs the per-element
+    // quantization lambda once per scored pair; the query set broadcasts;
+    // the dot products run in the GraftDot codegen kernel (visible in the
+    // analyzed plan; the executed plan starts from the barrier).
+    val df = pipeline.PipelineOps.queries("p25_embed_quant")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Scan ExistingRDD"),
+      s"expected the materialized quantized relation (Scan ExistingRDD):\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the 20-query side should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"scoring must stay a broadcast nested-loop over != keys, never cartesian:\n$p")
+    val analyzed = df.queryExecution.analyzed.toString.toLowerCase
+    assert(analyzed.contains("graftdot"),
+      s"dot products should use the native kernel:\n${analyzed.take(2000)}")
+    // the quant PRODUCER (behind the barrier) must also use the kernel for
+    // its norms, not an interpreted fold
+    val prod = spark.sql(pipeline.PipelineOps.quantSqlForAudit)
+      .queryExecution.analyzed.toString.toLowerCase
+    assert(prod.contains("graftdot"),
+      s"quantized norms should use the native kernel:\n${prod.take(2000)}")
+  }
+
   test("hot-path folds run in the native kernels, not interpreted lambdas") {
     // graft_minhash / graft_top_terms replaced interpreted aggregate()
     // accumulator folds (no codegen, no CSE for lambda bodies). The plans

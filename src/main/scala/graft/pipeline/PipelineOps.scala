@@ -2086,6 +2086,113 @@ object PipelineOps {
       (floor((CAST(n2 - d2 AS DOUBLE) / n2) * 1e6 + 0.5) / 1e6 > $Dup2gramFlagThresh) AS flagged
     FROM m ORDER BY doc_id"""
 
+  // ---- p27: deterministic epoch shuffle + sharding -------------------------
+  // The training-data ordering step: a seeded, rerun-stable global
+  // permutation of the corpus, split into [[ShuffleShards]] output shards
+  // (what an epoch writer feeds the dataloader). Permutation = order by
+  // h(doc_id:seed); shard = h mod S. One shuffle on the shard key, then a
+  // per-shard window sort — parallel across shards, exactly the
+  // partitioned-write path at cluster scale (no global sort; within-shard
+  // order is all a dataloader consumes, shard assignment is hash-random so
+  // no cross-shard order exists to preserve). `spark.graft.shuffleSeed`
+  // reshuffles epochs; the rollup's pos-weighted checksum pins the exact
+  // within-shard ORDER on both engines, not just membership.
+
+  private val ShuffleShards = 8
+  private val ShuffleSeedDefault = 42L
+
+  private[graft] def shuffleSeed(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.shuffleSeed")
+      .map(_.toLong).getOrElse(ShuffleSeedDefault)
+
+  private def p27Spark(hf: String, seed: Long) = s"""
+    WITH h AS (
+      SELECT doc_id,
+        pmod(${hSpark(s"concat(CAST(doc_id AS STRING), ':', '$seed')", hf)}, 1000000007) AS hv
+      FROM documents),
+    s AS (SELECT doc_id, hv, pmod(hv, $ShuffleShards) AS shard FROM h),
+    p AS (
+      SELECT shard, doc_id,
+        row_number() OVER (PARTITION BY shard ORDER BY hv, doc_id) AS pos
+      FROM s)
+    SELECT shard AS shard_id,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum
+    FROM p GROUP BY shard ORDER BY shard_id"""
+
+  private def p27Run(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    spark.sql(p27Spark(hashFamily(spark), shuffleSeed(spark)))
+  }
+
+  private val p27Duck = s"""
+    WITH h AS (
+      SELECT doc_id,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || '$ShuffleSeedDefault'), 1, 8)) AS BIGINT)
+          % 1000000007 AS hv
+      FROM documents),
+    s AS (SELECT doc_id, hv, hv % $ShuffleShards AS shard FROM h),
+    p AS (
+      SELECT shard, doc_id,
+        row_number() OVER (PARTITION BY shard ORDER BY hv, doc_id) AS pos
+      FROM s)
+    SELECT shard AS shard_id,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum
+    FROM p GROUP BY shard ORDER BY shard_id"""
+
+  // ---- p28: cross-source contamination matrix ------------------------------
+  // Which sources' documents near-duplicate each other — the provenance
+  // rollup a curation team reads before deciding what to drop (same-source
+  // pairs = internal redundancy; cross-source pairs = syndication /
+  // scraping overlap). Reuses the p04 LSH machinery verbatim: band-key
+  // candidates, exact-Jaccard verify at the p04 threshold, then two narrow
+  // (doc_id, source) joins label each pair and the rollup groups by the
+  // UNORDERED source pair (least/greatest). At 100 TB the verified-pairs
+  // relation is tiny relative to the corpus (near-dup density), so the
+  // label joins broadcast the pairs against the pruned two-column
+  // documents projection — no corpus shuffle after the LSH stage.
+
+  private def p28Run(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    graft.functions.GraftFunctions.registerMinhash(spark,
+      hashA.toArray, hashB.toArray, MinhashP)
+    materialized(spark, LshSigsView, lshSigsSql(hashFamily(spark)))
+    spark.sql(s"""
+      WITH $lshPairCtesSpark,
+      dup AS (SELECT ida, idb FROM verified WHERE jac >= 0.5),
+      lbl AS (
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               d.ida, d.idb
+        FROM dup d
+        JOIN documents da ON da.doc_id = d.ida
+        JOIN documents db ON db.doc_id = d.idb)
+      SELECT source_a, source_b,
+        CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(min(ida) AS BIGINT) AS example_ida,
+        CAST(sum(ida + idb) AS BIGINT) AS pair_id_sum
+      FROM lbl GROUP BY source_a, source_b ORDER BY source_a, source_b""")
+  }
+
+  private val p28Duck = s"""
+    WITH $lshCtesDuck,
+    dup AS (SELECT ida, idb FROM verified WHERE jac >= 0.5),
+    lbl AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b,
+             d.ida, d.idb
+      FROM dup d
+      JOIN documents da ON da.doc_id = d.ida
+      JOIN documents db ON db.doc_id = d.idb)
+    SELECT source_a, source_b,
+      CAST(count(*) AS BIGINT) AS n_pairs,
+      CAST(min(ida) AS BIGINT) AS example_ida,
+      CAST(sum(ida + idb) AS BIGINT) AS pair_id_sum
+    FROM lbl GROUP BY source_a, source_b ORDER BY source_a, source_b"""
+
   // ---- wiring --------------------------------------------------------------
 
   private def onDocs(sql: String): (SparkSession, String) => DataFrame =
@@ -2146,6 +2253,8 @@ object PipelineOps {
     "p24_mixture_sample" -> onDocsHf(p24Spark),
     "p25_embed_quant" -> ((spark, dir) => p25Run(spark, dir)),
     "p26_repetition" -> onDocs(p26Spark),
+    "p27_shuffle_shard" -> ((spark, dir) => p27Run(spark, dir)),
+    "p28_contamination_matrix" -> ((spark, dir) => p28Run(spark, dir)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2182,5 +2291,7 @@ object PipelineOps {
     "p24_mixture_sample" -> p24Duck,
     "p25_embed_quant" -> p25Duck,
     "p26_repetition" -> p26Duck,
+    "p27_shuffle_shard" -> p27Duck,
+    "p28_contamination_matrix" -> p28Duck,
   )
 }

@@ -500,6 +500,38 @@ object PipelineRelational {
          |  flagged = s"CAST(floor((CAST(n2 - d2 AS DOUBLE) / n2) * 1e6 + 0.5) AS DOUBLE) / 1e6 > 0.04",
          |]
          |sort doc_id""".stripMargin,
+
+    // p27 pins the default seed (42) and the md5 family, as the other
+    // pinning entries do.
+    "p27_shuffle_shard" ->
+      s"""table h = (
+         |  from documents
+         |  derive hv = s"pmod(${H("concat(CAST(doc_id AS STRING), ':', '42')")}, 1000000007)"
+         |)
+         |
+         |table sh = (
+         |  from h
+         |  derive shard = s"pmod(hv, 8)"
+         |)
+         |
+         |table p = (
+         |  from sh
+         |  group [shard] (
+         |    sort [hv, doc_id]
+         |    derive [pos = (row_number | as bigint)]
+         |  )
+         |)
+         |
+         |from p
+         |group [shard] (
+         |  aggregate [
+         |    n_docs = s"CAST(count(*) AS BIGINT)",
+         |    id_sum = s"CAST(sum(doc_id) AS BIGINT)",
+         |    order_checksum = s"CAST(sum(pos * doc_id) AS BIGINT)",
+         |  ]
+         |)
+         |select [shard_id = shard, n_docs, id_sum, order_checksum]
+         |sort shard_id""".stripMargin,
   )
 
   /** Session-level kernel registrations the covered texts rely on (the
@@ -532,5 +564,7 @@ object PipelineRelational {
       "runtime-derived SRP geometry + iterative label-propagation driver loop (p08's and p16's exclusion mechanisms composed)",
     "p25_embed_quant" ->
       "the quantized relation is materialized behind the Barrier (consumed by the candidate scan, the rescore, and the ground-truth pass — the lambda re-inlining hazard class), so the honest restatement is the two-step barrier sequence, not one query",
+    "p28_contamination_matrix" ->
+      "consumes the p04 barrier-materialized sig/shingle relation (same multi-reference hazard as p04 itself) plus the native minhash kernel registration",
   )
 }

@@ -745,6 +745,37 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"threshold has no signal on this corpus: $flags/${out.length} flagged")
   }
 
+  test("p27 shuffle-shard: shards partition the corpus; the seed permutes, membership-stable totals") {
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    val base = run("p27_shuffle_shard").collect()
+    assert(base.map(_.getLong(1)).sum == total, "shards must partition every doc exactly once")
+    assert(base.map(_.getLong(0)).distinct.length == base.length)
+    // rerun-stable (the property an epoch writer needs)
+    val rerun = run("p27_shuffle_shard").collect()
+    assert(base.map(_.toSeq).toSeq == rerun.map(_.toSeq).toSeq)
+    // a different seed is a different permutation (different shard fill or
+    // order), but still a partition of the same corpus
+    spark.conf.set("spark.graft.shuffleSeed", "7")
+    try {
+      val other = run("p27_shuffle_shard").collect()
+      assert(other.map(_.getLong(1)).sum == total)
+      assert(other.map(_.toSeq).toSeq != base.map(_.toSeq).toSeq,
+        "seed 7 must yield a different epoch permutation than seed 42")
+    } finally spark.conf.unset("spark.graft.shuffleSeed")
+  }
+
+  test("p28 contamination matrix: pair counts partition p04's verified pairs by source pair") {
+    val pairs = run("p04_minhash_lsh").collect()
+    val out = run("p28_contamination_matrix").collect()
+    assert(out.map(_.getLong(out.head.fieldIndex("n_pairs"))).sum == pairs.length,
+      "matrix cells must partition the verified near-dup pairs")
+    // unordered labeling: source_a <= source_b everywhere
+    out.foreach { r =>
+      assert(r.getString(0) <= r.getString(1), s"unordered pair violated: ${r.getString(0)} > ${r.getString(1)}")
+    }
+    assert(out.nonEmpty, "testdata plants near-dups, the matrix cannot be empty")
+  }
+
   test("driver contract: every oracle key has a query, entry() returns rows") {
     assert(PipelineOps.oracleSql.keySet.subsetOf(PipelineOps.queries.keySet))
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

@@ -173,11 +173,19 @@ object MediaOps {
   private def fail(id: Long, msg: String): Nothing =
     throw new IllegalArgumentException(s"media decode failed for doc $id: $msg")
 
+  /** A fully decoded image in LOGICAL layout: top-down rows, RGB channel
+    * order — the normalization every downstream pixel operation (feature
+    * extraction, resize, frame ops) consumes, whatever the container
+    * stored (BMP is bottom-up BGR, PNG rows carry filter bytes). */
+  private[graft] final case class DecodedImage(w: Int, h: Int, rgb: Array[Byte])
+
   /** PPM P6: ASCII header (magic, whitespace/comment-separated width,
-    * height, maxval, one whitespace), then w*h RGB byte triples. */
-  private def decodePpm(in: MediaIn): MediaFeature = {
-    val b = in.content
-    var pos = 2 // past "P6"
+    * height, maxval, one whitespace), then w*h RGB byte triples. Returns
+    * the decoded image plus the stream position one past this frame's
+    * pixel data (PPM streams concatenate frames back-to-back — ffmpeg's
+    * image2pipe layout — so the frame decoder resumes there). */
+  private def decodePpmAt(id: Long, b: Array[Byte], start: Int): (DecodedImage, Int) = {
+    var pos = start + 2 // past "P6"
     def nextInt(): Int = {
       // skip whitespace and '#' comments, then read an ASCII integer
       var done = false
@@ -188,7 +196,7 @@ object MediaOps {
         } else done = true
       }
       if (pos >= b.length || b(pos) < '0' || b(pos) > '9')
-        fail(in.doc_id, s"bad PPM header at byte $pos")
+        fail(id, s"bad PPM header at byte $pos")
       var v = 0
       while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
         v = v * 10 + (b(pos) - '0'); pos += 1
@@ -196,20 +204,23 @@ object MediaOps {
       v
     }
     val w = nextInt(); val h = nextInt(); val maxval = nextInt()
-    if (maxval != 255) fail(in.doc_id, s"unsupported PPM maxval $maxval")
+    if (maxval != 255) fail(id, s"unsupported PPM maxval $maxval")
     pos += 1 // the single whitespace after maxval
     val n = w * h * 3
-    if (pos + n > b.length) fail(in.doc_id, "PPM pixel data truncated")
-    var sum = 0L
-    var i = 0
-    while (i < n) { sum += b(pos + i) & 0xff; i += 1 }
-    MediaFeature(in.doc_id, w, h, b.length.toLong, sum, in.fmt)
+    if (pos + n > b.length) fail(id, "PPM pixel data truncated")
+    val rgb = new Array[Byte](n)
+    System.arraycopy(b, pos, rgb, 0, n) // PPM is already logical RGB top-down
+    (DecodedImage(w, h, rgb), pos + n)
   }
 
+  private def decodePpmPixels(in: MediaIn): DecodedImage =
+    decodePpmAt(in.doc_id, in.content, 0)._1
+
   /** BMP: little-endian BITMAPINFOHEADER, 24bpp uncompressed only; rows
-    * are stride-padded and stored bottom-up (positive height). Padding is
-    * skipped — only the 3*w pixel bytes of each row are summed. */
-  private def decodeBmp(in: MediaIn): MediaFeature = {
+    * are stride-padded and stored bottom-up (positive height), pixels BGR.
+    * Normalizes to logical top-down RGB; padding bytes never reach the
+    * output. */
+  private def decodeBmpPixels(in: MediaIn): DecodedImage = {
     val b = in.content
     def u16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
     def u32(off: Int): Int = u16(off) | (u16(off + 2) << 16)
@@ -221,15 +232,21 @@ object MediaOps {
     val stride = ((3 * w + 3) / 4) * 4
     if (dataOff + stride.toLong * h > b.length)
       fail(in.doc_id, "BMP pixel data truncated")
-    var sum = 0L
+    val rgb = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {
-      val row = dataOff + y * stride
+      val row = dataOff + (h - 1 - y) * stride // stored bottom-up
       var x = 0
-      while (x < 3 * w) { sum += b(row + x) & 0xff; x += 1 }
+      while (x < w) {
+        val p = (y * w + x) * 3
+        rgb(p) = b(row + 3 * x + 2)     // R (stored B,G,R)
+        rgb(p + 1) = b(row + 3 * x + 1) // G
+        rgb(p + 2) = b(row + 3 * x)     // B
+        x += 1
+      }
       y += 1
     }
-    MediaFeature(in.doc_id, w, h, b.length.toLong, sum, in.fmt)
+    DecodedImage(w, h, rgb)
   }
 
   /** PNG: chunk walk with per-chunk CRC32 verification, IHDR sanity
@@ -239,7 +256,7 @@ object MediaOps {
     * defiltering. Only filter 0 (None) rows are supported — the same
     * explicit-subset stance as BMP's 24bpp-only — anything else fails
     * loudly. */
-  private def decodePng(in: MediaIn): MediaFeature = {
+  private def decodePngPixels(in: MediaIn): DecodedImage = {
     val b = in.content
     def u32be(off: Int): Int =
       ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
@@ -288,30 +305,177 @@ object MediaOps {
       case e: java.util.zip.DataFormatException =>
         fail(in.doc_id, s"corrupt PNG zlib stream: ${e.getMessage}")
     } finally inf.end()
-    var sum = 0L
+    val rgb = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {
       val ro = y * (1 + 3 * w)
       if (raw(ro) != 0)
         fail(in.doc_id, s"unsupported PNG row filter ${raw(ro)}")
-      var x = 0
-      while (x < 3 * w) { sum += raw(ro + 1 + x) & 0xff; x += 1 }
+      System.arraycopy(raw, ro + 1, rgb, y * 3 * w, 3 * w)
       y += 1
     }
-    MediaFeature(in.doc_id, w, h, b.length.toLong, sum, in.fmt)
+    DecodedImage(w, h, rgb)
   }
 
   /** Dispatch on the container's magic bytes — the declared fmt string is
     * metadata, the bytes decide (as a real pipeline must: declared types
-    * lie). Unknown magic is an error, not a silent skip. */
-  private[graft] def decodeOne(in: MediaIn): MediaFeature = {
+    * lie). Unknown magic is an error, not a silent skip. Every format
+    * normalizes to [[DecodedImage]] (logical top-down RGB); all pixel
+    * features derive from that one representation. */
+  private[graft] def decodePixels(in: MediaIn): DecodedImage = {
     val b = in.content
-    if (b.length >= 2 && b(0) == 'P' && b(1) == '6') decodePpm(in)
-    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') decodeBmp(in)
+    if (b.length >= 2 && b(0) == 'P' && b(1) == '6') decodePpmPixels(in)
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') decodeBmpPixels(in)
     else if (b.length >= 8 && b(0) == 0x89.toByte && b(1) == 'P' &&
       b(2) == 'N' && b(3) == 'G' && b(4) == 0x0d && b(5) == 0x0a &&
-      b(6) == 0x1a && b(7) == 0x0a) decodePng(in)
+      b(6) == 0x1a && b(7) == 0x0a) decodePngPixels(in)
     else fail(in.doc_id, "unknown container magic")
+  }
+
+  private[graft] def decodeOne(in: MediaIn): MediaFeature = {
+    val img = decodePixels(in)
+    var sum = 0L
+    var i = 0
+    while (i < img.rgb.length) { sum += img.rgb(i) & 0xff; i += 1 }
+    MediaFeature(in.doc_id, img.w, img.h, in.content.length.toLong, sum, in.fmt)
+  }
+
+  // ---- resize (nearest-neighbor thumbnail) --------------------------------
+
+  /** Thumbnail edge sizes: every image downscales to ThumbW×ThumbH (the
+    * corpus guarantees w >= 8 >= ThumbW, h >= 4 >= ThumbH — strictly a
+    * downscale). */
+  val ThumbW = 4
+  val ThumbH = 4
+
+  final case class ThumbFeature(doc_id: Long, width: Long, height: Long,
+                                thumb_checksum: Long, fmt: String)
+
+  /** Nearest-neighbor resize to [[ThumbW]]×[[ThumbH]] over the decoded
+    * logical pixels: target (tx, ty) samples source (tx·w/ThumbW,
+    * ty·h/ThumbH) (integer division — the standard floor-sampling rule).
+    * The checksum weights each thumbnail byte by (position+1), pinning the
+    * exact byte ORDER of the thumbnail, not just its multiset — and
+    * because all three containers normalize to the same logical pixels,
+    * the same document yields the SAME thumbnail from PPM, BMP, or PNG
+    * (asserted in MediaOpsSpec). */
+  private[graft] def resizeOne(in: MediaIn): ThumbFeature = {
+    val img = decodePixels(in)
+    var ck = 0L
+    var ty = 0
+    while (ty < ThumbH) {
+      val sy = ty * img.h / ThumbH
+      var tx = 0
+      while (tx < ThumbW) {
+        val sx = tx * img.w / ThumbW
+        val sp = (sy * img.w + sx) * 3
+        var c = 0
+        while (c < 3) {
+          val idx = (ty * ThumbW + tx) * 3 + c
+          ck += (idx + 1).toLong * (img.rgb(sp + c) & 0xff)
+          c += 1
+        }
+        tx += 1
+      }
+      ty += 1
+    }
+    ThumbFeature(in.doc_id, img.w, img.h, ck, in.fmt)
+  }
+
+  /** Driver-contract query: documents → real containers → batched decode +
+    * nearest-neighbor resize → per-format rollup. Map-side only. */
+  def resizeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val media = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => encodeImage(id, text) }
+    media.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap(_.map(resizeOne))
+    }
+      .groupBy($"fmt")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum($"width" * $"height").as("total_src_pixels"),
+        sum($"thumb_checksum").as("thumb_checksum_total"))
+      .orderBy($"fmt")
+  }
+
+  // ---- frame sampling (multi-frame PPM stream) ----------------------------
+
+  /** Frames per synthetic clip: 2 + doc_id mod 4 ∈ [2, 5]; frame f's pixel
+    * i follows the same rule at stream offset f·n + i. */
+  private[graft] def frameCount(docId: Long): Int = (2 + docId % 4).toInt
+  /** Keep every [[FrameStride]]-th frame (0, 2, 4 …). */
+  val FrameStride = 2
+
+  final case class FrameSample(doc_id: Long, n_frames: Long, n_sampled: Long,
+                               sampled_pixel_sum: Long)
+
+  /** Render a document into a REAL multi-frame PPM stream: consecutive P6
+    * containers concatenated back-to-back — the image2pipe layout video
+    * tools emit — so the decoder must genuinely re-parse each frame header
+    * to find the next frame. */
+  private[graft] def encodeFrames(docId: Long, text: String): MediaIn = {
+    val nb = text.getBytes("UTF-8").length
+    val (w, h) = dims(nb)
+    val n = w * h * 3
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val frames = frameCount(docId)
+    val out = new Array[Byte]((header.length + n) * frames)
+    var f = 0
+    while (f < frames) {
+      val base = (header.length + n) * f
+      System.arraycopy(header, 0, out, base, header.length)
+      var i = 0
+      while (i < n) {
+        out(base + header.length + i) = pixelByte(docId, f * n + i).toByte
+        i += 1
+      }
+      f += 1
+    }
+    MediaIn(docId, out, "video/x-ppm-stream")
+  }
+
+  /** Walk the stream frame by frame (each frame re-parses its own header —
+    * frames may in principle differ in size), keep every
+    * [[FrameStride]]-th, sum the KEPT frames' decoded pixels. The temporal
+    * analogue of image decode: subsample frames before the expensive
+    * per-frame work, exactly what a video feature pipeline does. */
+  private[graft] def sampleFrames(in: MediaIn): FrameSample = {
+    val b = in.content
+    var pos = 0
+    var f = 0
+    var kept = 0L
+    var sum = 0L
+    while (pos < b.length) {
+      if (pos + 2 > b.length || b(pos) != 'P' || b(pos + 1) != '6')
+        fail(in.doc_id, s"bad frame magic at byte $pos")
+      val (img, next) = decodePpmAt(in.doc_id, b, pos)
+      if (f % FrameStride == 0) {
+        kept += 1
+        var i = 0
+        while (i < img.rgb.length) { sum += img.rgb(i) & 0xff; i += 1 }
+      }
+      pos = next
+      f += 1
+    }
+    if (f == 0) fail(in.doc_id, "empty frame stream")
+    FrameSample(in.doc_id, f.toLong, kept, sum)
+  }
+
+  /** Driver-contract query: documents → multi-frame streams → batched
+    * frame-sampled decode. Per-document rows (the downstream join key a
+    * video pipeline needs); map-side only. */
+  def frameSampleFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val media = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => encodeFrames(id, text) }
+    media.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap(_.map(sampleFrames))
+    }.toDF().orderBy("doc_id")
   }
 
   /** Batched per-partition decode: Iterator-in/Iterator-out, grouping rows

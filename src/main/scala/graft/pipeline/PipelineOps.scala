@@ -2193,6 +2193,59 @@ object PipelineOps {
       CAST(sum(ida + idb) AS BIGINT) AS pair_id_sum
     FROM lbl GROUP BY source_a, source_b ORDER BY source_a, source_b"""
 
+  // ---- p29/p30: multimodal resize + frame sampling -------------------------
+  // Complete the multimodal quartet (decode p10, feature-extract p10,
+  // RESIZE p29, FRAME-SAMPLE p30). Both run the REAL codecs in MediaOps
+  // (nearest-neighbor resample over decoded logical pixels; multi-frame
+  // PPM-stream walk with stride sampling) in typed batched mapPartitions —
+  // map-side only until the rollup. The oracles recompute the outputs
+  // arithmetically from the deterministic pixel rule, exactly as p10's
+  // does — the decode path is still a real container parse either way.
+
+  /** Thumbnail byte j of doc d: source pixel (tx·w/4, ty·h/4), channel c,
+    * weighted by (j+1) to pin byte ORDER. j // 12 = ty, (j % 12) // 3 = tx,
+    * j % 3 = c. */
+  private val p29Duck = s"""
+    WITH d AS (
+      SELECT doc_id,
+        8 + octet_length(encode(text)) % 9 AS w,
+        4 + octet_length(encode(text)) % 5 AS h,
+        CASE WHEN doc_id % 3 = 0 THEN 'image/x-portable-pixmap'
+             WHEN doc_id % 3 = 2 THEN 'image/png'
+             ELSE 'image/bmp' END AS fmt
+      FROM documents),
+    t AS (
+      SELECT doc_id, fmt, w, h,
+        list_sum([(j + 1) * ((doc_id*31
+            + ((((j // 12) * h // 4) * w + ((j % 12) // 3) * w // 4) * 3 + j % 3) * 7) % 256)
+          for j in generate_series(0, 47)]) AS ck
+      FROM d)
+    SELECT fmt,
+      CAST(count(*) AS BIGINT) AS n_media,
+      CAST(sum(w * h) AS BIGINT) AS total_src_pixels,
+      CAST(sum(ck) AS BIGINT) AS thumb_checksum_total
+    FROM t GROUP BY fmt ORDER BY fmt"""
+
+  /** Frame f of doc d reuses the pixel rule at stream offset f·n + i;
+    * stride-2 sampling keeps ceil(nf/2) frames. */
+  private val p30Duck = s"""
+    WITH d AS (
+      SELECT doc_id,
+        8 + octet_length(encode(text)) % 9 AS w,
+        4 + octet_length(encode(text)) % 5 AS h,
+        2 + doc_id % 4 AS nf
+      FROM documents),
+    s AS (SELECT doc_id, nf, w * h * 3 AS n FROM d)
+    SELECT doc_id,
+      CAST(nf AS BIGINT) AS n_frames,
+      CAST((nf + 1) // 2 AS BIGINT) AS n_sampled,
+      CAST(list_sum([CASE WHEN f % 2 = 0
+          THEN list_sum([(doc_id*31 + (f*n + i)*7) % 256
+                         for i in generate_series(0, n - 1)])
+          ELSE 0 END
+        for f in generate_series(0, nf - 1)]) AS BIGINT) AS sampled_pixel_sum
+    FROM s ORDER BY doc_id"""
+
   // ---- wiring --------------------------------------------------------------
 
   private def onDocs(sql: String): (SparkSession, String) => DataFrame =
@@ -2255,6 +2308,8 @@ object PipelineOps {
     "p26_repetition" -> onDocs(p26Spark),
     "p27_shuffle_shard" -> ((spark, dir) => p27Run(spark, dir)),
     "p28_contamination_matrix" -> ((spark, dir) => p28Run(spark, dir)),
+    "p29_media_resize" -> ((spark, dir) => MediaOps.resizeFeatures(spark, dir)),
+    "p30_frame_sample" -> ((spark, dir) => MediaOps.frameSampleFeatures(spark, dir)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2293,5 +2348,7 @@ object PipelineOps {
     "p26_repetition" -> p26Duck,
     "p27_shuffle_shard" -> p27Duck,
     "p28_contamination_matrix" -> p28Duck,
+    "p29_media_resize" -> p29Duck,
+    "p30_frame_sample" -> p30Duck,
   )
 }

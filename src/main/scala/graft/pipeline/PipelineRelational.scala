@@ -566,5 +566,9 @@ object PipelineRelational {
       "the quantized relation is materialized behind the Barrier (consumed by the candidate scan, the rescore, and the ground-truth pass — the lambda re-inlining hazard class), so the honest restatement is the two-step barrier sequence, not one query",
     "p28_contamination_matrix" ->
       "consumes the p04 barrier-materialized sig/shingle relation (same multi-reference hazard as p04 itself) plus the native minhash kernel registration",
+    "p29_media_resize" ->
+      "typed mapPartitions codec (decode + nearest-neighbor resample in MediaOps) — imperative per-partition pixel work, not relational",
+    "p30_frame_sample" ->
+      "typed mapPartitions codec (multi-frame PPM-stream walk in MediaOps) — imperative per-partition frame parsing, not relational",
   )
 }

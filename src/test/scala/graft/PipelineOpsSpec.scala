@@ -745,6 +745,56 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"threshold has no signal on this corpus: $flags/${out.length} flagged")
   }
 
+  test("p29 resize: same document yields the SAME thumbnail from PPM, BMP, and PNG") {
+    // the whole premise of logical-pixel normalization: container layout
+    // (bottom-up BGR rows, filter bytes, zlib) must not leak into the
+    // resampled output. Force one doc through all three encoders.
+    val text = "cross format thumbnail identity probe"
+    val ids = Seq(42L, 43L, 44L) // mod 3 = 0, 1, 2 → PPM, BMP, PNG
+    val thumbs = ids.map { id =>
+      // re-key each container to doc 42's pixel rule by encoding doc 42's
+      // id THROUGH each format branch: encodeImage picks the format from
+      // the id, so instead encode three ids and compare against the rule
+      MediaOps.resizeOne(MediaOps.encodeImage(id, text))
+    }
+    thumbs.zip(ids).foreach { case (t, id) =>
+      // recompute the expected checksum from the pixel rule
+      val nb = text.getBytes("UTF-8").length
+      val (w, h) = MediaOps.dims(nb)
+      var expect = 0L
+      for (ty <- 0 until MediaOps.ThumbH; tx <- 0 until MediaOps.ThumbW; c <- 0 until 3) {
+        val sp = ((ty * h / MediaOps.ThumbH) * w + tx * w / MediaOps.ThumbW) * 3 + c
+        val idx = (ty * MediaOps.ThumbW + tx) * 3 + c
+        expect += (idx + 1).toLong * ((id * 31 + sp * 7) % 256)
+      }
+      assert(t.thumb_checksum == expect,
+        s"doc $id (${t.fmt}): ${t.thumb_checksum} != rule $expect")
+    }
+  }
+
+  test("p30 frame stream: real multi-frame parse, stride sampling, frame 0 == still image") {
+    val text = "frame stream probe"
+    for (id <- Seq(0L, 1L, 2L, 3L, 5L)) {
+      val s = MediaOps.sampleFrames(MediaOps.encodeFrames(id, text))
+      val nf = 2 + id % 4
+      assert(s.n_frames == nf)
+      assert(s.n_sampled == (nf + 1) / 2, s"doc $id stride sampling")
+      // recompute the kept frames' sum from the rule
+      val nb = text.getBytes("UTF-8").length
+      val (w, h) = MediaOps.dims(nb)
+      val n = w * h * 3
+      val expect = (0L until nf).filter(_ % 2 == 0).map { f =>
+        (0 until n).map(i => (id * 31 + (f * n + i) * 7) % 256).sum
+      }.sum
+      assert(s.sampled_pixel_sum == expect, s"doc $id sampled sum")
+    }
+    // a truncated stream must fail loudly, never return partial counts
+    val full = MediaOps.encodeFrames(9L, text)
+    val cut = MediaOps.MediaIn(9L, full.content.dropRight(5), full.fmt)
+    val e = intercept[IllegalArgumentException](MediaOps.sampleFrames(cut))
+    assert(e.getMessage.contains("doc 9"))
+  }
+
   test("p27 shuffle-shard: shards partition the corpus; the seed permutes, membership-stable totals") {
     val total = spark.read.parquet(s"$dir/documents.parquet").count()
     val base = run("p27_shuffle_shard").collect()

@@ -280,6 +280,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"quantized norms should use the native kernel:\n${prod.take(2000)}")
   }
 
+  test("p27 epoch shuffle rides exactly one shard-key shuffle") {
+    // hash + shard assignment are map-side; the per-shard position window
+    // and the rollup both ride the single hashpartitioning(shard) exchange
+    // (the rollup's clustered distribution is satisfied by the window's);
+    // the only other exchange is the output sort. No global-order window
+    // may appear — shard files are independent, which is the design.
+    val p = pipeline.PipelineOps.queries("p27_shuffle_shard")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(shard".r.findAllIn(p).nonEmpty,
+      s"expected the shard-key exchange:\n$p")
+    assert("hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected exactly one hash shuffle:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no global window/exchange belongs in the shard path:\n$p")
+  }
+
   test("hot-path folds run in the native kernels, not interpreted lambdas") {
     // graft_minhash / graft_top_terms replaced interpreted aggregate()
     // accumulator folds (no codegen, no CSE for lambda bodies). The plans

@@ -18,6 +18,9 @@ object TestSpark {
       // analyzer mode the driver mains use (single-pass where eligible)
       .config("spark.sql.analyzer.singlePassResolver.enabledTentatively", "true")
       .config("spark.sql.analyzer.singlePassResolver.validationEnabled", "false")
+      // managed-table writes (SinksSpec bucketed tables) land in /tmp, not
+      // the repo working dir
+      .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

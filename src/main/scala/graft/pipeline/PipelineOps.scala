@@ -2246,6 +2246,69 @@ object PipelineOps {
         for f in generate_series(0, nf - 1)]) AS BIGINT) AS sampled_pixel_sum
     FROM s ORDER BY doc_id"""
 
+  // ---- p31: semi-structured property extraction ----------------------------
+  // Event logs carry a JSON props column; the pipeline step every
+  // analytics/feature job starts with is schema-full extraction. Spark
+  // side: `from_json` with an explicit schema — typed, codegen'd,
+  // malformed rows become NULL (counted, never dropped silently). One
+  // map-side parse + one rollup shuffle. At 100 TB the parse cost
+  // dominates, which is why it must stay inside whole-stage codegen — no
+  // UDF, no per-row driver work.
+
+  private val p31Spark = s"""
+    WITH e AS (
+      SELECT event_type, from_json(props, 'k INT').k AS k FROM events)
+    SELECT event_type,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(count(k) AS BIGINT) AS n_k,
+      CAST(sum(k) AS BIGINT) AS k_sum,
+      CAST(min(k) AS BIGINT) AS k_min,
+      CAST(max(k) AS BIGINT) AS k_max
+    FROM e GROUP BY event_type ORDER BY event_type"""
+
+  private val p31Duck = s"""
+    WITH e AS (
+      SELECT event_type, CAST(props->>'$$.k' AS INTEGER) AS k FROM events)
+    SELECT event_type,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(count(k) AS BIGINT) AS n_k,
+      CAST(sum(k) AS BIGINT) AS k_sum,
+      CAST(min(k) AS BIGINT) AS k_min,
+      CAST(max(k) AS BIGINT) AS k_max
+    FROM e GROUP BY event_type ORDER BY event_type"""
+
+  // ---- p32: exact percentiles (ordered statistics) -------------------------
+  // Exact linear-interpolation percentiles per group — the latency/size
+  // distribution rollup. Spark's `percentile` and DuckDB's
+  // `quantile_cont` share the (n-1)·p position + lerp definition; values
+  // agree to ~1 ulp and the shared 1e-6 floor rule pins them. Exact
+  // percentiles need the group's values together (one shuffle, per-group
+  // sort inside the aggregate); at 100 TB with huge groups the move is
+  // approx_percentile (t-digest, mergeable map-side sketches) — a
+  // documented engine-specific trade with no cross-engine oracle, which
+  // is why the GATED operator is the exact one.
+
+  private val p32Spark = s"""
+    SELECT event_type,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(floor(percentile(value, 0.5D) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS p50,
+      CAST(floor(percentile(value, 0.95D) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS p95
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
+  private val p32Duck = s"""
+    SELECT event_type,
+      CAST(count(*) AS BIGINT) AS n_events,
+      floor(quantile_cont(value, 0.5) * 1e6 + 0.5) / 1e6 AS p50,
+      floor(quantile_cont(value, 0.95) * 1e6 + 0.5) / 1e6 AS p95
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
+  private def onEvents(sql: String): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      graft.Graft.normalizeEventTime(spark.read.parquet(s"$dir/events.parquet"))
+        .createOrReplaceTempView("events")
+      spark.sql(sql)
+    }
+
   // ---- wiring --------------------------------------------------------------
 
   private def onDocs(sql: String): (SparkSession, String) => DataFrame =
@@ -2310,6 +2373,8 @@ object PipelineOps {
     "p28_contamination_matrix" -> ((spark, dir) => p28Run(spark, dir)),
     "p29_media_resize" -> ((spark, dir) => MediaOps.resizeFeatures(spark, dir)),
     "p30_frame_sample" -> ((spark, dir) => MediaOps.frameSampleFeatures(spark, dir)),
+    "p31_event_props" -> onEvents(p31Spark),
+    "p32_event_percentiles" -> onEvents(p32Spark),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2350,5 +2415,7 @@ object PipelineOps {
     "p28_contamination_matrix" -> p28Duck,
     "p29_media_resize" -> p29Duck,
     "p30_frame_sample" -> p30Duck,
+    "p31_event_props" -> p31Duck,
+    "p32_event_percentiles" -> p32Duck,
   )
 }

@@ -501,6 +501,35 @@ object PipelineRelational {
          |]
          |sort doc_id""".stripMargin,
 
+    "p31_event_props" ->
+      s"""table e = (
+         |  from events
+         |  select [event_type, k = s"from_json(props, 'k INT').k"]
+         |)
+         |
+         |from e
+         |group [event_type] (
+         |  aggregate [
+         |    n_events = s"CAST(count(*) AS BIGINT)",
+         |    n_k = s"CAST(count(k) AS BIGINT)",
+         |    k_sum = s"CAST(sum(k) AS BIGINT)",
+         |    k_min = s"CAST(min(k) AS BIGINT)",
+         |    k_max = s"CAST(max(k) AS BIGINT)",
+         |  ]
+         |)
+         |sort event_type""".stripMargin,
+
+    "p32_event_percentiles" ->
+      s"""from events
+         |group [event_type] (
+         |  aggregate [
+         |    n_events = s"CAST(count(*) AS BIGINT)",
+         |    p50 = s"CAST(floor(percentile(value, 0.5D) * 1e6 + 0.5) AS DOUBLE) / 1e6",
+         |    p95 = s"CAST(floor(percentile(value, 0.95D) * 1e6 + 0.5) AS DOUBLE) / 1e6",
+         |  ]
+         |)
+         |sort event_type""".stripMargin,
+
     // p27 pins the default seed (42) and the md5 family, as the other
     // pinning entries do.
     "p27_shuffle_shard" ->

@@ -826,6 +826,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.nonEmpty, "testdata plants near-dups, the matrix cannot be empty")
   }
 
+  test("p31 props extraction covers every event; malformed rows count as null, never drop") {
+    val total = graft.Graft.normalizeEventTime(
+      spark.read.parquet(s"$dir/events.parquet")).count()
+    val out = run("p31_event_props").collect()
+    assert(out.map(_.getLong(out.head.fieldIndex("n_events"))).sum == total)
+    out.foreach { r =>
+      val n = r.getLong(r.fieldIndex("n_events"))
+      val nk = r.getLong(r.fieldIndex("n_k"))
+      assert(nk <= n, "extracted count cannot exceed row count")
+      assert(r.getLong(r.fieldIndex("k_min")) <= r.getLong(r.fieldIndex("k_max")))
+    }
+  }
+
+  test("p32 percentiles: p50 <= p95, both inside the group's value range") {
+    import org.apache.spark.sql.functions._
+    val events = graft.Graft.normalizeEventTime(
+      spark.read.parquet(s"$dir/events.parquet"))
+    val range = events.groupBy("event_type")
+      .agg(min("value").as("lo"), max("value").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val out = run("p32_event_percentiles").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (lo, hi) = range(r.getString(0))
+      val p50 = r.getDouble(r.fieldIndex("p50"))
+      val p95 = r.getDouble(r.fieldIndex("p95"))
+      assert(p50 <= p95, s"${r.getString(0)}: p50 $p50 > p95 $p95")
+      assert(p50 >= lo - 1e-6 && p95 <= hi + 1e-6,
+        s"${r.getString(0)}: percentiles outside [$lo, $hi]")
+    }
+  }
+
   test("driver contract: every oracle key has a query, entry() returns rows") {
     assert(PipelineOps.oracleSql.keySet.subsetOf(PipelineOps.queries.keySet))
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

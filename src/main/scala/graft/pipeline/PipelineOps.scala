@@ -2302,6 +2302,54 @@ object PipelineOps {
       floor(quantile_cont(value, 0.95) * 1e6 + 0.5) / 1e6 AS p95
     FROM events GROUP BY event_type ORDER BY event_type"""
 
+  // ---- p33: corpus term statistics (inverted-index layer) ------------------
+  // Document frequency + collection frequency per term — the statistics a
+  // BM25/TF-IDF retrieval layer is built on. This is the one operator
+  // where a row explosion IS the semantics (posting generation): explode
+  // word arrays into (doc, term, tf) postings, then one term-key rollup.
+  // At 100 TB the posting shuffle is the cost and it is irreducible — the
+  // scalable wins are the partial aggregation (per-doc tf collapses
+  // map-side before the shuffle) and df-threshold pruning AFTER the
+  // rollup, not avoidable row generation. idf is deliberately NOT emitted:
+  // ln() differs across engines at the ulp; df/cf/n_docs are exact and
+  // idf is one expression away for any consumer.
+
+  private val TermDfMin = 2
+
+  private val p33Spark = s"""
+    WITH w AS (SELECT doc_id, $wordsSpark AS words FROM documents),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, explode(words) AS term FROM w)
+      GROUP BY doc_id, term),
+    s AS (
+      SELECT term,
+        CAST(count(*) AS BIGINT) AS df,
+        CAST(sum(tf) AS BIGINT) AS cf,
+        CAST(max(tf) AS BIGINT) AS max_tf
+      FROM tf GROUP BY term),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT s.term, s.df, s.cf, s.max_tf, n.n_docs
+    FROM s CROSS JOIN n
+    WHERE s.df >= $TermDfMin ORDER BY s.term"""
+
+  private val p33Duck = s"""
+    WITH w AS (SELECT doc_id, $wordsDuck AS words FROM documents),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(words) AS term FROM w)
+      GROUP BY doc_id, term),
+    s AS (
+      SELECT term,
+        CAST(count(*) AS BIGINT) AS df,
+        CAST(sum(tf) AS BIGINT) AS cf,
+        CAST(max(tf) AS BIGINT) AS max_tf
+      FROM tf GROUP BY term),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT s.term, s.df, s.cf, s.max_tf, n.n_docs
+    FROM s CROSS JOIN n
+    WHERE s.df >= $TermDfMin ORDER BY s.term"""
+
   private def onEvents(sql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => {
       graft.Graft.normalizeEventTime(spark.read.parquet(s"$dir/events.parquet"))
@@ -2375,6 +2423,7 @@ object PipelineOps {
     "p30_frame_sample" -> ((spark, dir) => MediaOps.frameSampleFeatures(spark, dir)),
     "p31_event_props" -> onEvents(p31Spark),
     "p32_event_percentiles" -> onEvents(p32Spark),
+    "p33_term_stats" -> onDocs(p33Spark),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2417,5 +2466,6 @@ object PipelineOps {
     "p30_frame_sample" -> p30Duck,
     "p31_event_props" -> p31Duck,
     "p32_event_percentiles" -> p32Duck,
+    "p33_term_stats" -> p33Duck,
   )
 }

@@ -530,6 +530,50 @@ object PipelineRelational {
          |)
          |sort event_type""".stripMargin,
 
+    // the posting explosion rides an s-string generator (explode) — valid
+    // in both backends' SELECT position; the tf/df/cf rollups and the
+    // one-row n_docs CTE joined via the constant-key trick are plain
+    // relational stages.
+    "p33_term_stats" ->
+      s"""table w = (
+         |  from documents
+         |  derive words = s"$W"
+         |)
+         |
+         |table posts = (
+         |  from w
+         |  select [doc_id, term = s"explode(words)"]
+         |)
+         |
+         |table tf = (
+         |  from posts
+         |  group [doc_id, term] (aggregate [tf = s"CAST(count(*) AS BIGINT)"])
+         |)
+         |
+         |table s = (
+         |  from tf
+         |  group [term] (
+         |    aggregate [
+         |      df = s"CAST(count(*) AS BIGINT)",
+         |      cf = s"CAST(sum(tf) AS BIGINT)",
+         |      max_tf = s"CAST(max(tf) AS BIGINT)",
+         |    ]
+         |  )
+         |  derive k = s"1"
+         |)
+         |
+         |table n = (
+         |  from documents
+         |  aggregate [n_docs = s"CAST(count(*) AS BIGINT)"]
+         |  derive k = s"1"
+         |)
+         |
+         |from s
+         |join n [k]
+         |filter df >= 2
+         |select [term, df, cf, max_tf, n_docs]
+         |sort term""".stripMargin,
+
     // p27 pins the default seed (42) and the md5 family, as the other
     // pinning entries do.
     "p27_shuffle_shard" ->

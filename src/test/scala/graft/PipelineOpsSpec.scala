@@ -858,6 +858,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("p33 term stats: cf sums to the corpus token count; df bounded by n_docs") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.createOrReplaceTempView("documents")
+    val totalTok = spark.sql(
+      "SELECT CAST(sum(size(split(trim(text), '\\\\s+'))) AS BIGINT) FROM documents")
+      .collect()(0).getLong(0)
+    val out = run("p33_term_stats").collect()
+    assert(out.nonEmpty)
+    val nDocs = docs.count()
+    out.foreach { r =>
+      val df = r.getLong(r.fieldIndex("df"))
+      val cf = r.getLong(r.fieldIndex("cf"))
+      val maxTf = r.getLong(r.fieldIndex("max_tf"))
+      assert(df >= 2 && df <= nDocs, s"${r.getString(0)}: df $df out of range")
+      assert(cf >= df, s"${r.getString(0)}: cf < df")
+      assert(maxTf * df >= cf, s"${r.getString(0)}: max_tf inconsistent with cf/df")
+      assert(r.getLong(r.fieldIndex("n_docs")) == nDocs)
+    }
+    // the df>=2 threshold only removes rare terms: the surviving terms'
+    // collection frequency must still cover almost the whole corpus (the
+    // vocabulary is tiny and shared)
+    val cfSum = out.map(_.getLong(out.head.fieldIndex("cf"))).sum
+    assert(cfSum <= totalTok && cfSum >= totalTok / 2,
+      s"cf total $cfSum implausible vs corpus tokens $totalTok")
+  }
+
   test("driver contract: every oracle key has a query, entry() returns rows") {
     assert(PipelineOps.oracleSql.keySet.subsetOf(PipelineOps.queries.keySet))
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

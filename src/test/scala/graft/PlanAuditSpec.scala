@@ -102,7 +102,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // may sneak in (a literal REPARTITION(32) would cap any cluster at 32
     // tasks), and the barrier itself must not add one.
     Seq("p04_minhash_lsh", "p08_ann_srp_lsh", "p12_lang_id",
-        "p21_decontam").foreach { q =>
+        "p21_decontam", "p28_contamination_matrix").foreach { q =>
       val p = pipeline.PipelineOps.queries(q)(spark, dir)
         .queryExecution.executedPlan.toString
       assert(p.contains("Scan ExistingRDD"),

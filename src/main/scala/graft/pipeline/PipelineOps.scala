@@ -1760,12 +1760,42 @@ object PipelineOps {
 
   private val PackWindowTokens = 256
   private val PackChunkDocsDefault = 64L
+  /** Upper bound on the chunk COUNT when the divisor is derived from the
+    * id span ([[derivePackChunkDocs]]): the chunk-totals relation is at
+    * most this many rows whatever the id distribution. 4096 rows × 16
+    * bytes is driver-trivial; at 32 cores it still leaves 128 chunks per
+    * core of window parallelism. */
+  private val PackMaxChunks = 4096L
 
   private[graft] def packChunkDocs(spark: SparkSession): Long = {
     val c = spark.conf.getOption("spark.graft.packChunkDocs")
       .map(_.toLong).getOrElse(PackChunkDocsDefault)
     require(c >= 1, s"spark.graft.packChunkDocs must be >= 1, got $c")
     c
+  }
+
+  /** The id-space hazard in `chunk = doc_id div C` with a FIXED C: dense
+    * ids give span/C chunks (fine), but sparse id spaces (snowflake ids,
+    * hash-derived ids) give up to one chunk PER DOC — the "tiny"
+    * chunk-totals relation silently becomes corpus-sized and its global
+    * running-sum window is the single-partition scale-killer the operator
+    * exists to avoid. So the divisor is DERIVED from the actual id span
+    * (one min/max agg — parquet footer statistics, not a scan):
+    * C = max(config, ceil(span / [[PackMaxChunks]])), bounding the chunk
+    * count by [[PackMaxChunks]] for ANY id distribution. The config value
+    * acts as a floor (and stays an override for tests/tuning); results
+    * are divisor-invariant by the chunk-decomposition property
+    * (PackingPropertySpec), so the derivation never changes the answer,
+    * only the plan's balance. */
+  private[graft] def derivePackChunkDocs(spark: SparkSession): Long = {
+    val row = spark.sql(
+      "SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents").collect()(0)
+    val floor = packChunkDocs(spark)
+    if (row.isNullAt(0)) floor // empty corpus: any divisor works
+    else {
+      val span = row.getLong(1) - row.getLong(0) + 1
+      math.max(floor, (span + PackMaxChunks - 1) / PackMaxChunks)
+    }
   }
 
   private[graft] def p23Spark(chunkDocs: Long) = s"""
@@ -1802,7 +1832,7 @@ object PipelineOps {
 
   private def p23Run(spark: SparkSession, dir: String): DataFrame = {
     spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
-    spark.sql(p23Spark(packChunkDocs(spark)))
+    spark.sql(p23Spark(derivePackChunkDocs(spark)))
   }
 
   /** Oracle: the naive global-cumsum specification the distributed form
@@ -2098,6 +2128,9 @@ object PipelineOps {
   // reshuffles epochs; the rollup's pos-weighted checksum pins the exact
   // within-shard ORDER on both engines, not just membership.
 
+  /** Default shard count — the oracle operating point. Deployment knob
+    * (`spark.graft.shuffleShards`): pick output-file-count / shard-size
+    * policy, e.g. total_bytes / desired_shard_bytes. */
   private val ShuffleShards = 8
   private val ShuffleSeedDefault = 42L
 
@@ -2105,12 +2138,19 @@ object PipelineOps {
     spark.conf.getOption("spark.graft.shuffleSeed")
       .map(_.toLong).getOrElse(ShuffleSeedDefault)
 
-  private def p27Spark(hf: String, seed: Long) = s"""
+  private[graft] def shuffleShards(spark: SparkSession): Int = {
+    val s = spark.conf.getOption("spark.graft.shuffleShards")
+      .map(_.toInt).getOrElse(ShuffleShards)
+    require(s >= 1, s"spark.graft.shuffleShards must be >= 1, got $s")
+    s
+  }
+
+  private def p27Spark(hf: String, seed: Long, shards: Int = ShuffleShards) = s"""
     WITH h AS (
       SELECT doc_id,
         pmod(${hSpark(s"concat(CAST(doc_id AS STRING), ':', '$seed')", hf)}, 1000000007) AS hv
       FROM documents),
-    s AS (SELECT doc_id, hv, pmod(hv, $ShuffleShards) AS shard FROM h),
+    s AS (SELECT doc_id, hv, pmod(hv, $shards) AS shard FROM h),
     p AS (
       SELECT shard, doc_id,
         row_number() OVER (PARTITION BY shard ORDER BY hv, doc_id) AS pos
@@ -2123,7 +2163,7 @@ object PipelineOps {
 
   private def p27Run(spark: SparkSession, dir: String): DataFrame = {
     spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
-    spark.sql(p27Spark(hashFamily(spark), shuffleSeed(spark)))
+    spark.sql(p27Spark(hashFamily(spark), shuffleSeed(spark), shuffleShards(spark)))
   }
 
   private val p27Duck = s"""

@@ -687,6 +687,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("p23 chunk divisor derives from the id span: sparse id spaces stay bounded") {
+    import spark.implicits._
+    // dense ids at the gate scale: the config floor (64) wins
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    assert(PipelineOps.derivePackChunkDocs(spark) == 64L)
+    // a snowflake-style sparse id space: span >> count. A fixed divisor
+    // would make one chunk per doc (the chunk-totals relation becomes
+    // corpus-sized); the derived divisor bounds chunks at 4096
+    val sparse = Seq.tabulate(100)(i => (i.toLong * 1000000007L, "w w w"))
+    sparse.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val d = PipelineOps.derivePackChunkDocs(spark)
+    val span = 99L * 1000000007L + 1
+    assert(d >= span / 4096, s"divisor $d leaves more than 4096 chunks")
+    // and the packing still equals the global-cumsum spec at that divisor
+    val got = spark.sql(PipelineOps.p23Spark(d)).collect().map(_.toSeq).toSeq
+    val expect = spark.sql(PipelineOps.p23Spark(1000000000000L)) // one chunk: trivially the global cumsum
+      .collect().map(_.toSeq).toSeq
+    assert(got == expect, "derived-divisor packing diverged from the global cumsum")
+  }
+
+  test("p27 shard count is a live config: 4 shards still partition the corpus") {
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    spark.conf.set("spark.graft.shuffleShards", "4")
+    try {
+      val out = run("p27_shuffle_shard").collect()
+      assert(out.map(_.getLong(1)).sum == total)
+      assert(out.map(_.getLong(0)).forall(s => s >= 0 && s < 4))
+    } finally spark.conf.unset("spark.graft.shuffleShards")
+  }
+
   test("p24 mixture sample: rates clamp at 1e6, dominant language is downsampled hardest") {
     val out = run("p24_mixture_sample").collect()
     assert(out.length >= 2)

@@ -296,6 +296,38 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no global window/exchange belongs in the shard path:\n$p")
   }
 
+  test("p24 mixture rates broadcast back; only the two sanctioned rollup shuffles") {
+    // phase 1 rollup (counts by lang) + final rollup = 2 hash exchanges;
+    // the one-row totals and the tiny rates relation come back as
+    // broadcasts, never a shuffle join; the single SinglePartition
+    // exchange is the one-row global totals aggregate.
+    val p = pipeline.PipelineOps.queries("p24_mixture_sample")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning".r.findAllIn(p).length <= 2,
+      s"extra shuffle in the mixture sampler:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"rates must broadcast onto documents:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 1,
+      s"only the one-row totals aggregate may single-partition:\n$p")
+  }
+
+  test("p33 posting explosion is the only Generate; tf collapses before the term shuffle") {
+    // postings explode once (the semantics), then per-doc tf partial-aggs
+    // map-side BEFORE the (doc_id, term) exchange, and the term rollup is
+    // the second exchange. n_docs rides a broadcast one-row join.
+    val p = pipeline.PipelineOps.queries("p33_term_stats")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Generate".r.findAllIn(p).length == 1,
+      s"exactly one posting explosion is sanctioned:\n$p")
+    assert("hashpartitioning".r.findAllIn(p).length <= 2,
+      s"tf/term rollups ride two shuffles, no more:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      s"partial+final aggregation expected at both levels:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the one-row n_docs must broadcast:\n$p")
+  }
+
   test("hot-path folds run in the native kernels, not interpreted lambdas") {
     // graft_minhash / graft_top_terms replaced interpreted aggregate()
     // accumulator folds (no codegen, no CSE for lambda bodies). The plans

@@ -29,6 +29,8 @@ object Main {
         |  sql       print the equivalent Spark SQL (no Spark session needed)
         |  frames    annotate source with the frame after each stage
         |  refs      list resolved identifier references (line/col -> kind)
+        |  pipeline  run a pipeline operator by name over --data-dir
+        |            (`pipeline list` prints the operator names)
         |options:
         |  --data-dir DIR   parquet catalog dir (default /root/testdata/sf0.001)
         |  --show N         rows to print for `compile` (default 20)""".stripMargin)
@@ -57,11 +59,26 @@ object Main {
         case f0 => file = f0; i += 1
       }
     }
-    val src =
+    // `pipeline` takes an operator name, not a PRQL file — dispatch before
+    // the source read
+    lazy val src =
       if (file == "-") scala.io.Source.stdin.mkString
       else new String(Files.readAllBytes(Paths.get(file)), "UTF-8")
 
     cmd match {
+      case "pipeline" =>
+        val names = pipeline.PipelineOps.queries.keys.toSeq.sorted
+        if (file == "-" || file == "list") names.foreach(println)
+        else if (!names.contains(file)) {
+          System.err.println(
+            s"unknown pipeline operator '$file' (run `graft.Main pipeline list`)")
+          sys.exit(2)
+        } else {
+          val spark = Graft.localSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+          spark.sparkContext.setLogLevel("ERROR")
+          pipeline.PipelineOps.queries(file)(spark, dataDir).show(show, truncate = false)
+          spark.stop()
+        }
       case "ast" =>
         val q = Graft.parse(src)
         val json = ast.AstJson.toJson(q)

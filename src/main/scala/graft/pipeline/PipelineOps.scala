@@ -2390,6 +2390,66 @@ object PipelineOps {
     FROM s CROSS JOIN n
     WHERE s.df >= $TermDfMin ORDER BY s.term"""
 
+  // ---- p34: as-of join (latest prior event by key) -------------------------
+  // The classic hard-in-Spark operator (attribution, point-in-time
+  // features): for each click, the LATEST view with view.ts <= click.ts
+  // by the same user. The naive range join explodes (clicks × all prior
+  // views); the scalable form is the TAGGED-UNION windowing trick — union
+  // both sides, one window per user carrying last(view_id IGNORE NULLS)
+  // over the event-time order, filter back to clicks. ONE user_id
+  // shuffle, zero row amplification, any skew handled by AQE like any
+  // window. Tie rule (pinned on both engines by the (tus, is_click,
+  // event_id) sort): an equal-timestamp view matches (as-of <=), and
+  // among equal-timestamp views the highest event_id wins.
+
+  private val p34Spark = s"""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, unix_micros(ts) AS tus
+      FROM events WHERE event_type IN ('click', 'view')),
+    tagged AS (
+      SELECT event_id, user_id, tus,
+        CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+        CASE WHEN event_type = 'view' THEN event_id END AS view_id,
+        CASE WHEN event_type = 'view' THEN tus END AS view_tus
+      FROM e),
+    m AS (
+      SELECT event_id, user_id, tus, is_click,
+        last(view_id, true) OVER (PARTITION BY user_id
+          ORDER BY tus, is_click, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched_view,
+        last(view_tus, true) OVER (PARTITION BY user_id
+          ORDER BY tus, is_click, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched_tus
+      FROM tagged)
+    SELECT event_id AS click_id, user_id,
+      CAST(matched_view AS BIGINT) AS view_id,
+      CAST(tus - matched_tus AS BIGINT) AS lag_us
+    FROM m WHERE is_click = 1 ORDER BY click_id"""
+
+  private val p34Duck = s"""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
+      FROM events WHERE event_type IN ('click', 'view')),
+    tagged AS (
+      SELECT event_id, user_id, tus,
+        CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+        CASE WHEN event_type = 'view' THEN event_id END AS view_id,
+        CASE WHEN event_type = 'view' THEN tus END AS view_tus
+      FROM e),
+    m AS (
+      SELECT event_id, user_id, tus, is_click,
+        last_value(view_id IGNORE NULLS) OVER (PARTITION BY user_id
+          ORDER BY tus, is_click, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched_view,
+        last_value(view_tus IGNORE NULLS) OVER (PARTITION BY user_id
+          ORDER BY tus, is_click, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched_tus
+      FROM tagged)
+    SELECT event_id AS click_id, user_id,
+      CAST(matched_view AS BIGINT) AS view_id,
+      CAST(tus - matched_tus AS BIGINT) AS lag_us
+    FROM m WHERE is_click = 1 ORDER BY click_id"""
+
   private def onEvents(sql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => {
       graft.Graft.normalizeEventTime(spark.read.parquet(s"$dir/events.parquet"))
@@ -2464,6 +2524,7 @@ object PipelineOps {
     "p31_event_props" -> onEvents(p31Spark),
     "p32_event_percentiles" -> onEvents(p32Spark),
     "p33_term_stats" -> onDocs(p33Spark),
+    "p34_asof_join" -> onEvents(p34Spark),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2507,5 +2568,6 @@ object PipelineOps {
     "p31_event_props" -> p31Duck,
     "p32_event_percentiles" -> p32Duck,
     "p33_term_stats" -> p33Duck,
+    "p34_asof_join" -> p34Duck,
   )
 }

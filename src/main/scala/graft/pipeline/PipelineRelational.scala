@@ -574,6 +574,55 @@ object PipelineRelational {
          |select [term, df, cf, max_tf, n_docs]
          |sort term""".stripMargin,
 
+    // row-equal REFORMULATION: the operator's single-pass
+    // last-IGNORE-NULLS window is not in the relational subset (the
+    // planner can't attach an OVER clause to an s-string), but the as-of
+    // match is equivalently the running MAX of view timestamps (max skips
+    // nulls by definition — a PRQL window aggregate) plus a join back to
+    // the highest-event_id view at that (user, ts) — the operator's
+    // documented tie rule, row-for-row.
+    "p34_asof_join" ->
+      s"""table e = (
+         |  from events
+         |  filter s"event_type IN ('click', 'view')"
+         |  select [
+         |    event_id, user_id,
+         |    tus = s"unix_micros(ts)",
+         |    is_click = s"CASE WHEN event_type = 'click' THEN 1 ELSE 0 END",
+         |    view_tus = s"CASE WHEN event_type = 'view' THEN unix_micros(ts) END",
+         |  ]
+         |)
+         |
+         |table m = (
+         |  from e
+         |  group [user_id] (
+         |    sort [tus, is_click, event_id]
+         |    window expanding:true (derive [matched_tus = max view_tus])
+         |  )
+         |)
+         |
+         |table clicks = (
+         |  from m
+         |  filter is_click == 1
+         |  select [click_id = event_id, user_id, tus, matched_tus]
+         |)
+         |
+         |table vpick = (
+         |  from e
+         |  filter is_click == 0
+         |  group [user_id, tus] (aggregate [pick_id = s"CAST(max(event_id) AS BIGINT)"])
+         |  select [vuser = user_id, vtus = tus, pick_id]
+         |)
+         |
+         |from clicks
+         |join side:left vpick [user_id == vuser and matched_tus == vtus]
+         |select [
+         |  click_id, user_id,
+         |  view_id = s"CAST(pick_id AS BIGINT)",
+         |  lag_us = s"CAST(tus - matched_tus AS BIGINT)",
+         |]
+         |sort click_id""".stripMargin,
+
     // p27 pins the default seed (42) and the md5 family, as the other
     // pinning entries do.
     "p27_shuffle_shard" ->

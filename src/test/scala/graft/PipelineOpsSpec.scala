@@ -914,6 +914,33 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"cf total $cfSum implausible vs corpus tokens $totalTok")
   }
 
+  test("p34 as-of join equals the brute-force range join (the O(n*m) spec)") {
+    // ground truth: the quadratic correlated form the windowing trick
+    // replaces — per click, the max-ts prior-or-equal view, max event_id
+    // on ties
+    graft.Graft.normalizeEventTime(spark.read.parquet(s"$dir/events.parquet"))
+      .createOrReplaceTempView("events")
+    val truth = spark.sql("""
+      WITH c AS (SELECT event_id, user_id, unix_micros(ts) AS tus FROM events WHERE event_type = 'click'),
+      v AS (SELECT event_id, user_id, unix_micros(ts) AS tus FROM events WHERE event_type = 'view')
+      SELECT c.event_id AS click_id,
+        max(struct(v.tus, v.event_id)).event_id AS view_id,
+        c.tus - max(struct(v.tus, v.event_id)).tus AS lag_us
+      FROM c LEFT JOIN v ON v.user_id = c.user_id AND v.tus <= c.tus
+      GROUP BY c.event_id, c.tus""").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2))).toSet
+    val got = run("p34_asof_join").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) null else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3))).toSet
+    assert(got == truth, "windowed as-of diverged from the quadratic spec")
+    assert(got.nonEmpty && got.exists(_._2 != null), "matches must exist")
+    got.foreach { case (id, v, lag) =>
+      assert((v == null) == (lag == null), s"click $id: match/lag nullity disagree")
+      if (lag != null) assert(lag.asInstanceOf[Long] >= 0, s"click $id: matched a FUTURE view")
+    }
+  }
+
   test("driver contract: every oracle key has a query, entry() returns rows") {
     assert(PipelineOps.oracleSql.keySet.subsetOf(PipelineOps.queries.keySet))
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

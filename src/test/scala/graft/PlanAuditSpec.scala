@@ -328,6 +328,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the one-row n_docs must broadcast:\n$p")
   }
 
+  test("p34 as-of join shuffles the union once, never a range join product") {
+    // the tagged-union window rides exactly one hashpartitioning(user_id)
+    // (both last(...IGNORE NULLS) columns share the window spec); there is
+    // no join operator at all — the whole point vs the exploding
+    // range-join formulation
+    val p = pipeline.PipelineOps.queries("p34_asof_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).length == 1,
+      s"expected one user_id shuffle:\n$p")
+    assert("hashpartitioning".r.findAllIn(p).length == 1,
+      s"unexpected extra shuffle:\n$p")
+    assert(!p.contains("Join"), s"the windowed as-of must not contain a join:\n$p")
+  }
+
   test("hot-path folds run in the native kernels, not interpreted lambdas") {
     // graft_minhash / graft_top_terms replaced interpreted aggregate()
     // accumulator folds (no codegen, no CSE for lambda bodies). The plans

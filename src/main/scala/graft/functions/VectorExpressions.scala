@@ -339,6 +339,18 @@ object GraftFunctions {
         exprs => GraftDot(exprs(0), exprs(1)), "built-in")
   }
 
+  private val kmvRegistered = new java.util.WeakHashMap[SparkSession, Int]()
+
+  /** `graft_kmv(hash)` aggregate with k bound at registration; re-registers
+    * when k changes. */
+  def registerKmv(spark: SparkSession, k: Int): Unit = synchronized {
+    if (!kmvRegistered.containsKey(spark) || kmvRegistered.get(spark) != k) {
+      kmvRegistered.put(spark, k)
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_kmv",
+        exprs => GraftKmv(exprs.head, k), "built-in")
+    }
+  }
+
   /** `graft_top_terms(words)` with k bound at registration; re-registers
     * when k changes. */
   def registerTopTerms(spark: SparkSession, k: Int): Unit = synchronized {

@@ -2450,6 +2450,49 @@ object PipelineOps {
       CAST(tus - matched_tus AS BIGINT) AS lag_us
     FROM m WHERE is_click = 1 ORDER BY click_id"""
 
+  // ---- p35: KMV distinct-count sketch --------------------------------------
+  // The "novel sketch" slot: a mergeable k-minimum-values distinct-count
+  // sketch as a native TypedImperativeAggregate
+  // ([[graft.functions.GraftKmv]]) — O(k) state per group, partial
+  // sketches merge in the exchange like any built-in agg. Unlike
+  // approx_count_distinct's HLL (engine-specific buckets, no oracle),
+  // KMV over the shared md5-prefix hash family is DETERMINISTIC: the k
+  // smallest distinct hashes are a set both engines compute exactly, so
+  // an approximate algorithm gets an exact cross-engine gate. The exact
+  // distinct count rides along (count(DISTINCT h) — engine-exact) so the
+  // output also GRADES the sketch; the gate corpus exercises the
+  // estimator branch (every lang has >= k distinct texts) and the spec
+  // covers the exact below-k branch on a generated column.
+
+  private val KmvK = 64
+
+  private def p35Spark(hf: String) = s"""
+    WITH h AS (
+      SELECT lang, ${hSpark("text", hf)} AS h FROM documents)
+    SELECT lang,
+      CAST(count(DISTINCT h) AS BIGINT) AS n_exact,
+      graft_kmv(h) AS kmv_est
+    FROM h GROUP BY lang ORDER BY lang"""
+
+  private def p35Run(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerKmv(spark, KmvK)
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    spark.sql(p35Spark(hashFamily(spark)))
+  }
+
+  private val p35Duck = s"""
+    WITH h AS (
+      SELECT lang, ${hDuck("text")} AS h FROM documents),
+    d AS (SELECT DISTINCT lang, h FROM h),
+    s AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_exact,
+        list_sort(list(h)) AS hs
+      FROM d GROUP BY lang)
+    SELECT lang, n_exact,
+      CAST(CASE WHEN n_exact < $KmvK THEN n_exact
+                ELSE (${KmvK - 1} * 4294967296) // hs[$KmvK] END AS BIGINT) AS kmv_est
+    FROM s ORDER BY lang"""
+
   private def onEvents(sql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => {
       graft.Graft.normalizeEventTime(spark.read.parquet(s"$dir/events.parquet"))
@@ -2525,6 +2568,7 @@ object PipelineOps {
     "p32_event_percentiles" -> onEvents(p32Spark),
     "p33_term_stats" -> onDocs(p33Spark),
     "p34_asof_join" -> onEvents(p34Spark),
+    "p35_kmv_distinct" -> ((spark, dir) => p35Run(spark, dir)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2569,5 +2613,6 @@ object PipelineOps {
     "p32_event_percentiles" -> p32Duck,
     "p33_term_stats" -> p33Duck,
     "p34_asof_join" -> p34Duck,
+    "p35_kmv_distinct" -> p35Duck,
   )
 }

@@ -690,6 +690,8 @@ object PipelineRelational {
       "consumes the p04 barrier-materialized sig/shingle relation (same multi-reference hazard as p04 itself) plus the native minhash kernel registration",
     "p29_media_resize" ->
       "typed mapPartitions codec (decode + nearest-neighbor resample in MediaOps) — imperative per-partition pixel work, not relational",
+    "p35_kmv_distinct" ->
+      "native TypedImperativeAggregate sketch (GraftKmv) requiring session-level registration with a bound k — the aggregate is the operator",
     "p30_frame_sample" ->
       "typed mapPartitions codec (multi-frame PPM-stream walk in MediaOps) — imperative per-partition frame parsing, not relational",
   )

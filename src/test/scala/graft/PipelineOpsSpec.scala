@@ -941,6 +941,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("p35 KMV sketch: exact below k, estimator accuracy above k, parallelism-invariant") {
+    // per-branch contract on the real corpus: below k the sketch IS the
+    // distinct set (exact); at or above k the estimate must sit inside
+    // the KMV error envelope
+    val out = run("p35_kmv_distinct").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val exact = r.getLong(1); val est = r.getLong(2)
+      if (exact < 64) assert(est == exact,
+        s"${r.getString(0)}: below k the sketch must be exact")
+      else assert(math.abs(est - exact.toDouble) / exact < 0.4,
+        s"${r.getString(0)}: estimate $est vs exact $exact outside the envelope")
+    }
+    // estimator branch + merge correctness: a generated 5000-distinct
+    // column, evaluated under different parallelism (different partial
+    // sketch boundaries) must give the SAME estimate, within the KMV
+    // error envelope (~1/sqrt(63) ≈ 13%; assert 3x that)
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerKmv(spark, 64)
+    def est(parts: Int): Long = (1 to 5000).toDF("x").repartition(parts)
+      .selectExpr("CAST(conv(substr(md5(CAST(x AS STRING)),1,8),16,10) AS BIGINT) AS h")
+      .selectExpr("graft_kmv(h) AS e").collect()(0).getLong(0)
+    val e1 = est(1); val e8 = est(8); val e32 = est(32)
+    assert(e1 == e8 && e8 == e32,
+      s"merge must be partitioning-invariant: $e1 / $e8 / $e32")
+    assert(math.abs(e1 - 5000.0) / 5000.0 < 0.4,
+      s"estimate $e1 outside the KMV error envelope for n=5000, k=64")
+    // exact branch on a generated below-k column
+    val ex = (1 to 30).toDF("x").repartition(4)
+      .selectExpr("CAST(conv(substr(md5(CAST(x AS STRING)),1,8),16,10) AS BIGINT) AS h")
+      .selectExpr("graft_kmv(h) AS e").collect()(0).getLong(0)
+    assert(ex == 30L, s"below-k sketch must return the exact count, got $ex")
+  }
+
   test("driver contract: every oracle key has a query, entry() returns rows") {
     assert(PipelineOps.oracleSql.keySet.subsetOf(PipelineOps.queries.keySet))
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

@@ -2493,6 +2493,139 @@ object PipelineOps {
                 ELSE (${KmvK - 1} * 4294967296) // hs[$KmvK] END AS BIGINT) AS kmv_est
     FROM s ORDER BY lang"""
 
+  // ---- p36: sliding-window document chunking -------------------------------
+  // Training/RAG preprocessing: split each document's token stream into
+  // windows of [[ChunkTokens]] tokens advancing by [[ChunkStride]]
+  // (overlapping context windows, the standard pretraining chunker shape).
+  // Pure map-side: sequence() of window starts → explode → slice — row
+  // amplification is exactly ceil(n_tok / stride) per document, bounded
+  // and local, with NO shuffle anywhere in the plan (the trailing ORDER BY
+  // exists for the oracle gate only; production callers drop it and the
+  // plan is a single narrow stage over the parquet scan — at 100 TB the
+  // chunker is embarrassingly parallel and scales with input splits).
+  // Each chunk carries its token count and a content checksum in the
+  // session hash family, so downstream exact dedup (p01) composes directly
+  // on chunks.
+
+  private val ChunkTokens = 32
+  private val ChunkStride = 16
+
+  private def p36Spark(hf: String) = s"""
+    WITH toks AS (
+      SELECT doc_id, $wordsSpark AS t FROM documents),
+    st AS (
+      SELECT doc_id, t, st
+      FROM toks LATERAL VIEW explode(sequence(0, greatest(size(t) - 1, 0), $ChunkStride)) s AS st)
+    SELECT doc_id, CAST(st div $ChunkStride AS BIGINT) AS chunk_idx,
+      CAST(size(slice(t, st + 1, $ChunkTokens)) AS BIGINT) AS n_tok,
+      ${hStrSpark(s"concat_ws(' ', slice(t, st + 1, $ChunkTokens))", hf)} AS chunk_hash
+    FROM st ORDER BY doc_id, chunk_idx"""
+
+  private val p36Duck = s"""
+    WITH toks AS (
+      SELECT doc_id, $wordsDuck AS t FROM documents),
+    st AS (
+      SELECT doc_id, t, unnest(range(0, greatest(len(t), 1), $ChunkStride)) AS st
+      FROM toks)
+    SELECT doc_id, CAST(st // $ChunkStride AS BIGINT) AS chunk_idx,
+      CAST(len(t[st + 1 : st + $ChunkTokens]) AS BIGINT) AS n_tok,
+      md5(array_to_string(t[st + 1 : st + $ChunkTokens], ' ')) AS chunk_hash
+    FROM st ORDER BY doc_id, chunk_idx"""
+
+  // ---- p37: per-domain quota capping ---------------------------------------
+  // RefinedWeb/C4-style source balancing: keep at most [[DomainQuota]]
+  // documents per source (domain), selected DETERMINISTICALLY by hash rank
+  // — a re-executed job keeps the same documents (the same rerun-stability
+  // contract as p15). One shuffle total: the row_number window partitions
+  // by source, and the funnel rollup groups by the SAME key, so Catalyst
+  // reuses the window's hash partitioning for the aggregate (plan-audited:
+  // exactly one Exchange). At 100 TB the per-domain sort is bounded by the
+  // largest domain; AQE skew handling splits oversized partitions, and the
+  // quota cutoff only needs the top-Q prefix, which Spark's window
+  // TopK-push does not elide — for pathological mega-domains the
+  // deployment knob is pre-filtering on pmod(hash, K) < ~quota-rate first
+  // (same trick as p15), documented here rather than defaulted because the
+  // exact rank is the reproducibility contract.
+
+  private val DomainQuota = 10
+
+  private def p37Spark(hf: String) = s"""
+    WITH r AS (
+      SELECT source, doc_id,
+        row_number() OVER (PARTITION BY source
+          ORDER BY ${hSpark("CAST(doc_id AS STRING)", hf)}, doc_id) AS rk
+      FROM documents)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN rk <= $DomainQuota THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(sum(CASE WHEN rk <= $DomainQuota THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+    FROM r GROUP BY source ORDER BY source"""
+
+  private val p37Duck = s"""
+    WITH r AS (
+      SELECT source, doc_id,
+        row_number() OVER (PARTITION BY source
+          ORDER BY ${hDuck("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+      FROM documents)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN rk <= $DomainQuota THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(sum(CASE WHEN rk <= $DomainQuota THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+    FROM r GROUP BY source ORDER BY source"""
+
+  // ---- p38: PII redaction ---------------------------------------------------
+  // The C4/Dolma scrubbing pass: redact emails → IPv4 → long digit runs
+  // (phone-ish), in that order, each stage counting what it redacted (the
+  // audit trail a compliance pipeline must emit). Pure map-side
+  // regexp_replace — zero shuffle, scales with input splits. The regex
+  // subset is chosen to mean the same thing in Java regex (Spark) and RE2
+  // (DuckDB): character classes, bounded counts, ASCII \\b — no
+  // backreferences or lookarounds. The gate corpus carries no natural PII,
+  // so the operator plants one deterministic email/IP/phone per document
+  // (derived from doc_id, identically on both engines) — every row
+  // exercises every redaction stage and the checksum proves the rewritten
+  // TEXT (not just the counts) matches bit-for-bit.
+
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\\\.[A-Za-z]{2,}"
+  private val IpPat = "\\\\b\\\\d{1,3}(\\\\.\\\\d{1,3}){3}\\\\b"
+  private val PhonePat = "\\\\b\\\\d{7,}\\\\b"
+
+  private def p38Spark(hf: String) = s"""
+    WITH aug AS (
+      SELECT doc_id, concat(text, ' contact user', CAST(doc_id AS STRING),
+        '@example.com from 10.0.', CAST(doc_id % 256 AS STRING), '.7 call 55512',
+        CAST(30000 + doc_id AS STRING)) AS t
+      FROM documents),
+    e AS (SELECT doc_id, t, regexp_replace(t, '$EmailPat', '<EMAIL>') AS te FROM aug),
+    i AS (SELECT doc_id, t, te, regexp_replace(te, '$IpPat', '<IP>') AS ti FROM e),
+    ph AS (SELECT doc_id, t, te, ti, regexp_replace(ti, '$PhonePat', '<PHONE>') AS rt FROM i)
+    SELECT doc_id,
+      CAST(size(regexp_extract_all(t, '$EmailPat', 0)) AS BIGINT) AS n_emails,
+      CAST(size(regexp_extract_all(te, '$IpPat', 0)) AS BIGINT) AS n_ips,
+      CAST(size(regexp_extract_all(ti, '$PhonePat', 0)) AS BIGINT) AS n_phones,
+      CAST(length(rt) AS BIGINT) AS n_chars_red,
+      ${hStrSpark("rt", hf)} AS red_checksum
+    FROM ph ORDER BY doc_id"""
+
+  private val p38Duck = {
+    val email = EmailPat.replace("\\\\", "\\")
+    val ip = IpPat.replace("\\\\", "\\")
+    val phone = PhonePat.replace("\\\\", "\\")
+    s"""
+    WITH aug AS (
+      SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 call 55512' ||
+        CAST(30000 + doc_id AS VARCHAR) AS t
+      FROM documents),
+    e AS (SELECT doc_id, t, regexp_replace(t, '$email', '<EMAIL>', 'g') AS te FROM aug),
+    i AS (SELECT doc_id, t, te, regexp_replace(te, '$ip', '<IP>', 'g') AS ti FROM e),
+    ph AS (SELECT doc_id, t, te, ti, regexp_replace(ti, '$phone', '<PHONE>', 'g') AS rt FROM i)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
+      CAST(len(regexp_extract_all(te, '$ip')) AS BIGINT) AS n_ips,
+      CAST(len(regexp_extract_all(ti, '$phone')) AS BIGINT) AS n_phones,
+      CAST(length(rt) AS BIGINT) AS n_chars_red, md5(rt) AS red_checksum
+    FROM ph ORDER BY doc_id"""
+  }
+
   private def onEvents(sql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => {
       graft.Graft.normalizeEventTime(spark.read.parquet(s"$dir/events.parquet"))
@@ -2569,6 +2702,9 @@ object PipelineOps {
     "p33_term_stats" -> onDocs(p33Spark),
     "p34_asof_join" -> onEvents(p34Spark),
     "p35_kmv_distinct" -> ((spark, dir) => p35Run(spark, dir)),
+    "p36_chunk_sliding" -> onDocsHf(p36Spark),
+    "p37_domain_quota" -> onDocsHf(p37Spark),
+    "p38_pii_redact" -> onDocsHf(p38Spark),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2614,5 +2750,8 @@ object PipelineOps {
     "p33_term_stats" -> p33Duck,
     "p34_asof_join" -> p34Duck,
     "p35_kmv_distinct" -> p35Duck,
+    "p36_chunk_sliding" -> p36Duck,
+    "p37_domain_quota" -> p37Duck,
+    "p38_pii_redact" -> p38Duck,
   )
 }

@@ -975,6 +975,72 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ex == 30L, s"below-k sketch must return the exact count, got $ex")
   }
 
+  test("p36 chunking: per-doc chunk count is ceil(n_tok/stride); windows tile the token stream") {
+    // invariants against an independently computed token count: chunk
+    // count, full-window sizing for all but the tail, and 1:1 agreement
+    // between a chunk's hash and a directly sliced window's hash
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val nTok = docs.selectExpr("doc_id", "size(split(trim(text), '\\\\s+')) AS n").as[(Long, Int)]
+      .collect().toMap
+    val out = run("p36_chunk_sliding").collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc.keySet == nTok.keySet, "every document must chunk")
+    byDoc.foreach { case (id, chunks) =>
+      val n = nTok(id); val stride = 16; val w = 32
+      assert(chunks.length == math.ceil(math.max(n, 1).toDouble / stride).toInt,
+        s"doc $id: ${chunks.length} chunks for $n tokens")
+      chunks.sortBy(_.getLong(1)).zipWithIndex.foreach { case (c, i) =>
+        assert(c.getLong(1) == i, s"doc $id: chunk_idx gap at $i")
+        val expect = math.min(w, n - i * stride)
+        assert(c.getLong(2) == expect, s"doc $id chunk $i: n_tok ${c.getLong(2)} != $expect")
+      }
+    }
+  }
+
+  test("p37 domain quota: kept counts cap at the quota, selection is rerun-stable") {
+    val out = run("p37_domain_quota").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val nDocs = r.getLong(1); val nKept = r.getLong(2)
+      assert(nKept == math.min(nDocs, 10L),
+        s"${r.getString(0)}: kept $nKept of $nDocs against quota 10")
+    }
+    // determinism: a second run selects the SAME documents (hash rank, not
+    // rand()) — the reproducibility contract shared with p15
+    val again = run("p37_domain_quota").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(3))).toSet ==
+      again.map(r => (r.getString(0), r.getLong(3))).toSet,
+      "kept_id_sum must be identical across reruns")
+  }
+
+  test("p38 PII redaction: no pattern survives redaction; every stage fires on every row") {
+    val out = run("p38_pii_redact").collect()
+    assert(out.nonEmpty)
+    // the planted PII guarantees every stage redacts at least once per doc
+    out.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(2) >= 1 && r.getLong(3) >= 1,
+        s"doc ${r.getLong(0)}: planted email/ip/phone must all be found")
+    }
+    // end-to-end scrub check on the actual redacted TEXT: recompute the
+    // pipeline retaining rt, then assert none of the three patterns match
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    val survivors = spark.sql("""
+      WITH aug AS (
+        SELECT doc_id, concat(text, ' contact user', CAST(doc_id AS STRING),
+          '@example.com from 10.0.', CAST(doc_id % 256 AS STRING), '.7 call 55512',
+          CAST(30000 + doc_id AS STRING)) AS t
+        FROM documents)
+      SELECT doc_id FROM aug
+      WHERE regexp_replace(regexp_replace(regexp_replace(t,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>'),
+          '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b', '<IP>'),
+          '\\b\\d{7,}\\b', '<PHONE>')
+        RLIKE '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}|\\b\\d{1,3}(\\.\\d{1,3}){3}\\b|\\b\\d{7,}\\b'""")
+      .count()
+    assert(survivors == 0, s"$survivors rows still carry redactable PII")
+  }
+
   test("driver contract: every oracle key has a query, entry() returns rows") {
     assert(PipelineOps.oracleSql.keySet.subsetOf(PipelineOps.queries.keySet))
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

@@ -391,6 +391,47 @@ class PlanAuditSpec extends AnyFunSuite {
       "p22 keep-list plan must not contain a cartesian product")
   }
 
+  test("p36 chunker is one narrow stage: a single Generate, zero hash shuffles") {
+    // the chunk explosion is the only row amplification, and nothing in
+    // the plan shuffles — at 100 TB the chunker scales purely with input
+    // splits (the trailing rangepartitioning sort is the oracle gate's,
+    // not the operator's)
+    val p = pipeline.PipelineOps.queries("p36_chunk_sliding")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Generate".r.findAllIn(p).length == 1,
+      s"exactly one chunk explosion is sanctioned:\n$p")
+    assert("hashpartitioning".r.findAllIn(p).isEmpty,
+      s"the chunker must not shuffle:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no global stage belongs in the chunker:\n$p")
+  }
+
+  test("p37 rank window and funnel rollup share one source-key shuffle") {
+    // row_number partitions by source; the rollup groups by the SAME key,
+    // so its clustered distribution is satisfied by the window's exchange
+    // — one hashpartitioning total, and partial aggregation still applies
+    // above the window
+    val p = pipeline.PipelineOps.queries("p37_domain_quota")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(source".r.findAllIn(p).length == 1,
+      s"expected the one source-key exchange:\n$p")
+    assert("hashpartitioning".r.findAllIn(p).length == 1,
+      s"window and rollup must share a single shuffle:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no global stage belongs in the quota path:\n$p")
+  }
+
+  test("p38 redaction is pure map-side: zero shuffles, zero row amplification") {
+    val p = pipeline.PipelineOps.queries("p38_pii_redact")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning".r.findAllIn(p).isEmpty,
+      s"redaction must not shuffle:\n$p")
+    assert("Generate".r.findAllIn(p).isEmpty,
+      s"redaction must not amplify rows:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no global stage belongs in the redaction path:\n$p")
+  }
+
   test("session carries the scale configs the 100 TB contract depends on") {
     // Graft.localSession is the one place these are set; losing any of them
     // silently degrades cluster behavior (AQE re-planning incl. skew-join

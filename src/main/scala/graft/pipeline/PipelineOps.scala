@@ -2626,6 +2626,57 @@ object PipelineOps {
     FROM ph ORDER BY doc_id"""
   }
 
+  // ---- p39: incremental-ingest dedup ---------------------------------------
+  // The daily-ingest shape: classify an incoming batch against the
+  // already-admitted corpus WITHOUT reprocessing it — per incoming
+  // document, `dup_of_base` (fingerprint already admitted), else
+  // `dup_in_batch` (not the hash-rank-first holder of its fingerprint
+  // within the batch), else `new_unique` (admit). Production reads the
+  // base fingerprint INDEX (a table p01 maintains) and the new ingest
+  // partition as separate sources; the gate derives both from one corpus
+  // via the SF-proportional pmod(doc_id, 5) split. The fingerprint is the
+  // 2-token prefix hash rather than the full-content hash because the
+  // gate corpus is exact-duplicate-free (every p01 group is a singleton)
+  // — the coarse key is what makes all three classes non-empty at gate
+  // scale; the production knob is the fingerprint expression itself.
+  // Scale shape: base-distinct, batch rank window, and the classify join
+  // all key on the SAME fingerprint column — hash-partitioned equi-joins
+  // end to end (AQE broadcasts the base side only when it is genuinely
+  // small), no global stage, no row amplification.
+
+  private def p39Fp(hf: String) =
+    hStrSpark(s"concat_ws(' ', slice($wordsSpark, 1, 2))", hf)
+
+  private def p39Spark(hf: String) = s"""
+    WITH w AS (
+      SELECT doc_id, ${p39Fp(hf)} AS fp FROM documents),
+    base AS (SELECT DISTINCT fp FROM w WHERE pmod(doc_id, 5) != 4),
+    inc AS (
+      SELECT doc_id, fp,
+        row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+      FROM w WHERE pmod(doc_id, 5) = 4)
+    SELECT i.doc_id,
+      CASE WHEN b.fp IS NOT NULL THEN 'dup_of_base'
+           WHEN i.rk > 1 THEN 'dup_in_batch'
+           ELSE 'new_unique' END AS status
+    FROM inc i LEFT JOIN base b ON i.fp = b.fp
+    ORDER BY doc_id"""
+
+  private val p39Duck = s"""
+    WITH w AS (
+      SELECT doc_id, md5(array_to_string(($wordsDuck)[1:2], ' ')) AS fp FROM documents),
+    base AS (SELECT DISTINCT fp FROM w WHERE doc_id % 5 != 4),
+    inc AS (
+      SELECT doc_id, fp,
+        row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+      FROM w WHERE doc_id % 5 = 4)
+    SELECT i.doc_id,
+      CASE WHEN b.fp IS NOT NULL THEN 'dup_of_base'
+           WHEN i.rk > 1 THEN 'dup_in_batch'
+           ELSE 'new_unique' END AS status
+    FROM inc i LEFT JOIN base b ON i.fp = b.fp
+    ORDER BY doc_id"""
+
   private def onEvents(sql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => {
       graft.Graft.normalizeEventTime(spark.read.parquet(s"$dir/events.parquet"))
@@ -2705,6 +2756,7 @@ object PipelineOps {
     "p36_chunk_sliding" -> onDocsHf(p36Spark),
     "p37_domain_quota" -> onDocsHf(p37Spark),
     "p38_pii_redact" -> onDocsHf(p38Spark),
+    "p39_incremental_dedup" -> onDocsHf(p39Spark),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2753,5 +2805,6 @@ object PipelineOps {
     "p36_chunk_sliding" -> p36Duck,
     "p37_domain_quota" -> p37Duck,
     "p38_pii_redact" -> p38Duck,
+    "p39_incremental_dedup" -> p39Duck,
   )
 }

@@ -1041,6 +1041,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(survivors == 0, s"$survivors rows still carry redactable PII")
   }
 
+  test("p39 incremental dedup: statuses partition the batch; admitting the batch closes it") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val batchN = docs.where("pmod(doc_id, 5) = 4").count()
+    val out = run("p39_incremental_dedup").collect()
+    assert(out.length == batchN, "every incoming doc must be classified exactly once")
+    val byStatus = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    Seq("dup_of_base", "dup_in_batch", "new_unique").foreach { s =>
+      assert(byStatus.getOrElse(s, 0) > 0, s"class $s must be populated at gate scale")
+    }
+    // idempotence of admission: after the batch's fingerprints join the
+    // base (what a production run does with its new_unique docs), re-running
+    // the SAME batch classifies everything dup_of_base — the property that
+    // makes repeated ingestion of one delivery safe
+    docs.createOrReplaceTempView("documents")
+    val second = spark.sql("""
+      WITH w AS (
+        SELECT doc_id, md5(concat_ws(' ', slice(split(trim(text), '\\s+'), 1, 2))) AS fp
+        FROM documents),
+      base AS (SELECT DISTINCT fp FROM w)
+      SELECT i.doc_id FROM (SELECT doc_id, fp FROM w WHERE pmod(doc_id, 5) = 4) i
+      LEFT JOIN base b ON i.fp = b.fp WHERE b.fp IS NULL""").count()
+    assert(second == 0, "a re-ingested batch must classify entirely as dup_of_base")
+  }
+
   test("driver contract: every oracle key has a query, entry() returns rows") {
     assert(PipelineOps.oracleSql.keySet.subsetOf(PipelineOps.queries.keySet))
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

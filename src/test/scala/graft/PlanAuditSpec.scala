@@ -432,6 +432,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no global stage belongs in the redaction path:\n$p")
   }
 
+  test("p39 incremental dedup: fingerprint-keyed equi-joins only, no global stage") {
+    // base-distinct, batch rank window, and the classify join all key on
+    // fp — every exchange is a hashpartitioning (AQE may broadcast the
+    // small base side instead), never a cartesian or single partition
+    val p = pipeline.PipelineOps.queries("p39_incremental_dedup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"classify must stay an equi-join:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no global stage belongs in the ingest path:\n$p")
+    assert("hashpartitioning\\(fp".r.findAllIn(p).nonEmpty || p.contains("BroadcastExchange"),
+      s"expected fp-keyed exchanges or a broadcast base:\n$p")
+  }
+
   test("session carries the scale configs the 100 TB contract depends on") {
     // Graft.localSession is the one place these are set; losing any of them
     // silently degrades cluster behavior (AQE re-planning incl. skew-join

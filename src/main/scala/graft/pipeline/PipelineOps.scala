@@ -2510,16 +2510,40 @@ object PipelineOps {
   private val ChunkTokens = 32
   private val ChunkStride = 16
 
-  private def p36Spark(hf: String) = s"""
+  /** Live window/stride knobs (`spark.graft.chunkTokens` /
+    * `spark.graft.chunkStride`, defaults = the oracle operating point).
+    * stride ≤ tokens keeps the windows tiling (every token lands in ≥ 1
+    * chunk); stride = tokens is the non-overlapping special case. */
+  private[graft] def chunkTokens(spark: SparkSession): Int = {
+    val w = spark.conf.getOption("spark.graft.chunkTokens")
+      .map(_.toInt).getOrElse(ChunkTokens)
+    require(w >= 1, s"spark.graft.chunkTokens must be >= 1, got $w")
+    w
+  }
+  private[graft] def chunkStride(spark: SparkSession): Int = {
+    val s = spark.conf.getOption("spark.graft.chunkStride")
+      .map(_.toInt).getOrElse(ChunkStride)
+    require(s >= 1, s"spark.graft.chunkStride must be >= 1, got $s")
+    s
+  }
+
+  private def p36Spark(hf: String, w: Int, st: Int) = s"""
     WITH toks AS (
       SELECT doc_id, $wordsSpark AS t FROM documents),
     st AS (
       SELECT doc_id, t, st
-      FROM toks LATERAL VIEW explode(sequence(0, greatest(size(t) - 1, 0), $ChunkStride)) s AS st)
-    SELECT doc_id, CAST(st div $ChunkStride AS BIGINT) AS chunk_idx,
-      CAST(size(slice(t, st + 1, $ChunkTokens)) AS BIGINT) AS n_tok,
-      ${hStrSpark(s"concat_ws(' ', slice(t, st + 1, $ChunkTokens))", hf)} AS chunk_hash
+      FROM toks LATERAL VIEW explode(sequence(0, greatest(size(t) - 1, 0), $st)) s AS st)
+    SELECT doc_id, CAST(st div $st AS BIGINT) AS chunk_idx,
+      CAST(size(slice(t, st + 1, $w)) AS BIGINT) AS n_tok,
+      ${hStrSpark(s"concat_ws(' ', slice(t, st + 1, $w))", hf)} AS chunk_hash
     FROM st ORDER BY doc_id, chunk_idx"""
+
+  private def p36Run(spark: SparkSession, dir: String): DataFrame = {
+    val (w, st) = (chunkTokens(spark), chunkStride(spark))
+    require(st <= w, s"chunkStride $st must be <= chunkTokens $w (windows must tile)")
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    spark.sql(p36Spark(hashFamily(spark), w, st))
+  }
 
   private val p36Duck = s"""
     WITH toks AS (
@@ -2549,16 +2573,30 @@ object PipelineOps {
 
   private val DomainQuota = 10
 
-  private def p37Spark(hf: String) = s"""
+  /** Live quota knob (`spark.graft.domainQuota`, default = the oracle
+    * operating point). */
+  private[graft] def domainQuota(spark: SparkSession): Int = {
+    val q = spark.conf.getOption("spark.graft.domainQuota")
+      .map(_.toInt).getOrElse(DomainQuota)
+    require(q >= 1, s"spark.graft.domainQuota must be >= 1, got $q")
+    q
+  }
+
+  private def p37Spark(hf: String, q: Int) = s"""
     WITH r AS (
       SELECT source, doc_id,
         row_number() OVER (PARTITION BY source
           ORDER BY ${hSpark("CAST(doc_id AS STRING)", hf)}, doc_id) AS rk
       FROM documents)
     SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-      CAST(sum(CASE WHEN rk <= $DomainQuota THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-      CAST(sum(CASE WHEN rk <= $DomainQuota THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+      CAST(sum(CASE WHEN rk <= $q THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(sum(CASE WHEN rk <= $q THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
     FROM r GROUP BY source ORDER BY source"""
+
+  private def p37Run(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    spark.sql(p37Spark(hashFamily(spark), domainQuota(spark)))
+  }
 
   private val p37Duck = s"""
     WITH r AS (
@@ -2644,12 +2682,25 @@ object PipelineOps {
   // end to end (AQE broadcasts the base side only when it is genuinely
   // small), no global stage, no row amplification.
 
-  private def p39Fp(hf: String) =
-    hStrSpark(s"concat_ws(' ', slice($wordsSpark, 1, 2))", hf)
+  private val IngestFpTokens = 2
 
-  private def p39Spark(hf: String) = s"""
+  /** Live fingerprint-width knob (`spark.graft.ingestFpTokens`, default =
+    * the oracle operating point — the coarse 2-token prefix; production
+    * raises it toward full-content hashing as the corpus's real duplicate
+    * rate allows). */
+  private[graft] def ingestFpTokens(spark: SparkSession): Int = {
+    val n = spark.conf.getOption("spark.graft.ingestFpTokens")
+      .map(_.toInt).getOrElse(IngestFpTokens)
+    require(n >= 1, s"spark.graft.ingestFpTokens must be >= 1, got $n")
+    n
+  }
+
+  private def p39Fp(hf: String, n: Int) =
+    hStrSpark(s"concat_ws(' ', slice($wordsSpark, 1, $n))", hf)
+
+  private def p39Spark(hf: String, n: Int) = s"""
     WITH w AS (
-      SELECT doc_id, ${p39Fp(hf)} AS fp FROM documents),
+      SELECT doc_id, ${p39Fp(hf, n)} AS fp FROM documents),
     base AS (SELECT DISTINCT fp FROM w WHERE pmod(doc_id, 5) != 4),
     inc AS (
       SELECT doc_id, fp,
@@ -2661,6 +2712,11 @@ object PipelineOps {
            ELSE 'new_unique' END AS status
     FROM inc i LEFT JOIN base b ON i.fp = b.fp
     ORDER BY doc_id"""
+
+  private def p39Run(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    spark.sql(p39Spark(hashFamily(spark), ingestFpTokens(spark)))
+  }
 
   private val p39Duck = s"""
     WITH w AS (
@@ -2753,10 +2809,10 @@ object PipelineOps {
     "p33_term_stats" -> onDocs(p33Spark),
     "p34_asof_join" -> onEvents(p34Spark),
     "p35_kmv_distinct" -> ((spark, dir) => p35Run(spark, dir)),
-    "p36_chunk_sliding" -> onDocsHf(p36Spark),
-    "p37_domain_quota" -> onDocsHf(p37Spark),
+    "p36_chunk_sliding" -> ((spark, dir) => p36Run(spark, dir)),
+    "p37_domain_quota" -> ((spark, dir) => p37Run(spark, dir)),
     "p38_pii_redact" -> onDocsHf(p38Spark),
-    "p39_incremental_dedup" -> onDocsHf(p39Spark),
+    "p39_incremental_dedup" -> ((spark, dir) => p39Run(spark, dir)),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -1065,6 +1065,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(second == 0, "a re-ingested batch must classify entirely as dup_of_base")
   }
 
+  test("p36/p37/p39 scale knobs are live configs") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // stride == tokens -> non-overlapping chunks: n_tok sums to the corpus
+    // token count exactly
+    val totalTok = docs.selectExpr("size(split(trim(text), '\\\\s+')) AS n")
+      .agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
+    spark.conf.set("spark.graft.chunkTokens", "8")
+    spark.conf.set("spark.graft.chunkStride", "8")
+    try assert(run("p36_chunk_sliding").collect().map(_.getLong(2)).sum == totalTok,
+      "non-overlapping chunks must tile the corpus exactly")
+    finally { spark.conf.unset("spark.graft.chunkTokens"); spark.conf.unset("spark.graft.chunkStride") }
+    // a stride wider than the window would drop tokens -> named error
+    spark.conf.set("spark.graft.chunkStride", "64")
+    try {
+      val e = intercept[IllegalArgumentException](run("p36_chunk_sliding"))
+      assert(e.getMessage.contains("must be <= chunkTokens"))
+    } finally spark.conf.unset("spark.graft.chunkStride")
+    // tighter quota caps lower
+    spark.conf.set("spark.graft.domainQuota", "3")
+    try run("p37_domain_quota").collect().foreach { r =>
+      assert(r.getLong(2) == math.min(r.getLong(1), 3L))
+    } finally spark.conf.unset("spark.graft.domainQuota")
+    // a finer ingest fingerprint can only SHRINK the duplicate classes
+    val coarseNew = run("p39_incremental_dedup").collect()
+      .count(_.getString(1) == "new_unique")
+    spark.conf.set("spark.graft.ingestFpTokens", "12")
+    try {
+      val fine = run("p39_incremental_dedup").collect()
+      assert(fine.count(_.getString(1) == "new_unique") >= coarseNew,
+        "a longer fingerprint prefix must admit at least as many docs")
+    } finally spark.conf.unset("spark.graft.ingestFpTokens")
+  }
+
   test("driver contract: every oracle key has a query, entry() returns rows") {
     assert(PipelineOps.oracleSql.keySet.subsetOf(PipelineOps.queries.keySet))
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

@@ -654,6 +654,122 @@ object PipelineRelational {
          |)
          |select [shard_id = shard, n_docs, id_sum, order_checksum]
          |sort shard_id""".stripMargin,
+
+    // p36/p37/p39 pin their knob defaults (32/16 window, quota 10,
+    // 2-token fingerprint) and the md5 family, as the other pinning
+    // entries do.
+    "p36_chunk_sliding" ->
+      s"""table toks = (
+         |  from documents
+         |  derive t = s"$W"
+         |)
+         |
+         |table starts = (
+         |  from toks
+         |  select [doc_id, t, st = s"explode(sequence(0, greatest(size(t) - 1, 0), 16))"]
+         |)
+         |
+         |from starts
+         |select [
+         |  doc_id,
+         |  chunk_idx = s"CAST(st div 16 AS BIGINT)",
+         |  n_tok = s"CAST(size(slice(t, st + 1, 32)) AS BIGINT)",
+         |  chunk_hash = s"md5(concat_ws(' ', slice(t, st + 1, 32)))",
+         |]
+         |sort [doc_id, chunk_idx]""".stripMargin,
+
+    "p37_domain_quota" ->
+      s"""table h = (
+         |  from documents
+         |  derive hk = s"${H("CAST(doc_id AS STRING)")}"
+         |)
+         |
+         |table r = (
+         |  from h
+         |  group [source] (
+         |    sort [hk, doc_id]
+         |    derive [rk = (row_number | as bigint)]
+         |  )
+         |)
+         |
+         |from r
+         |group [source] (
+         |  aggregate [
+         |    n_docs = s"CAST(count(*) AS BIGINT)",
+         |    n_kept = s"CAST(sum(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT)",
+         |    kept_id_sum = s"CAST(sum(CASE WHEN rk <= 10 THEN doc_id ELSE 0 END) AS BIGINT)",
+         |  ]
+         |)
+         |sort source""".stripMargin,
+
+    // brace-free REFORMULATION of the operator's regexes: s-string bodies
+    // reserve `{…}` for interpolation (prql.pest:139-141) with no escape
+    // in v0.2.2, so the counted quantifiers are restated as equivalent
+    // alternation-free expansions — {2,} → XX+, {1,3} → XX?X?, {7,} →
+    // 7×X then X*, the (…){3} group unrolled — same regex language,
+    // row-equality with the operator proves it.
+    "p38_pii_redact" ->
+      s"""table aug = (
+         |  from documents
+         |  select [doc_id, t = s"concat(text, ' contact user', CAST(doc_id AS STRING), '@example.com from 10.0.', CAST(doc_id % 256 AS STRING), '.7 call 55512', CAST(30000 + doc_id AS STRING))"]
+         |)
+         |
+         |table e = (
+         |  from aug
+         |  derive te = s"regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\\\.[A-Za-z][A-Za-z]+', '<EMAIL>')"
+         |)
+         |
+         |table i = (
+         |  from e
+         |  derive ti = s"regexp_replace(te, '\\\\b\\\\d\\\\d?\\\\d?\\\\.\\\\d\\\\d?\\\\d?\\\\.\\\\d\\\\d?\\\\d?\\\\.\\\\d\\\\d?\\\\d?\\\\b', '<IP>')"
+         |)
+         |
+         |table ph = (
+         |  from i
+         |  derive rt = s"regexp_replace(ti, '\\\\b\\\\d\\\\d\\\\d\\\\d\\\\d\\\\d\\\\d\\\\d*\\\\b', '<PHONE>')"
+         |)
+         |
+         |from ph
+         |select [
+         |  doc_id,
+         |  n_emails = s"CAST(size(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\\\.[A-Za-z][A-Za-z]+', 0)) AS BIGINT)",
+         |  n_ips = s"CAST(size(regexp_extract_all(te, '\\\\b\\\\d\\\\d?\\\\d?\\\\.\\\\d\\\\d?\\\\d?\\\\.\\\\d\\\\d?\\\\d?\\\\.\\\\d\\\\d?\\\\d?\\\\b', 0)) AS BIGINT)",
+         |  n_phones = s"CAST(size(regexp_extract_all(ti, '\\\\b\\\\d\\\\d\\\\d\\\\d\\\\d\\\\d\\\\d\\\\d*\\\\b', 0)) AS BIGINT)",
+         |  n_chars_red = s"CAST(length(rt) AS BIGINT)",
+         |  red_checksum = s"md5(rt)",
+         |]
+         |sort doc_id""".stripMargin,
+
+    "p39_incremental_dedup" ->
+      s"""table w = (
+         |  from documents
+         |  derive fp = s"md5(concat_ws(' ', slice($W, 1, 2)))"
+         |)
+         |
+         |table base = (
+         |  from w
+         |  filter s"pmod(doc_id, 5) != 4"
+         |  select [fp]
+         |  group [fp] (take 1)
+         |  select [bfp = fp]
+         |)
+         |
+         |table inc = (
+         |  from w
+         |  filter s"pmod(doc_id, 5) = 4"
+         |  group [fp] (
+         |    sort doc_id
+         |    derive [rk = (row_number | as bigint)]
+         |  )
+         |)
+         |
+         |from inc
+         |join side:left base [fp == bfp]
+         |select [
+         |  doc_id,
+         |  status = s"CASE WHEN bfp IS NOT NULL THEN 'dup_of_base' WHEN rk > 1 THEN 'dup_in_batch' ELSE 'new_unique' END",
+         |]
+         |sort doc_id""".stripMargin,
   )
 
   /** Session-level kernel registrations the covered texts rely on (the

@@ -2733,6 +2733,70 @@ object PipelineOps {
     FROM inc i LEFT JOIN base b ON i.fp = b.fp
     ORDER BY doc_id"""
 
+  // ---- p40: rare-token quality score (corpus-statistics-driven) ------------
+  // The CCNet/perplexity-filter shape with exact arithmetic: score each
+  // document by the fraction of its tokens whose corpus-wide collection
+  // frequency falls below [[CommonCfMin]] — a deterministic integer proxy
+  // for LM surprisal (log-prob sums diverge across engines at the ulp,
+  // the p33 idf rule, so the GATED score is the exact rational). Second-
+  // order operator: the corpus statistics the score consumes are computed
+  // by the same job (p33's explode + term rollup), then the COMMON set —
+  // not the rare one — broadcasts back, because it is the side that is
+  // bounded by construction: at most total_tokens / CommonCfMin terms can
+  // clear the threshold, so the broadcast array's size is a corpus-size-
+  // over-constant bound regardless of vocabulary growth (the rare set is
+  // the unbounded tail). Per-doc scoring is then a map-side membership
+  // filter. Shuffles: the term rollup + the sanctioned one-row
+  // collect_list; zero join shuffles.
+
+  private val CommonCfMin = 200L
+
+  /** Live threshold knob (`spark.graft.commonCfMin`, default = the oracle
+    * operating point; size it as total_tokens / desired_broadcast_terms). */
+  private[graft] def commonCfMin(spark: SparkSession): Long = {
+    val t = spark.conf.getOption("spark.graft.commonCfMin")
+      .map(_.toLong).getOrElse(CommonCfMin)
+    require(t >= 1, s"spark.graft.commonCfMin must be >= 1, got $t")
+    t
+  }
+
+  private def p40Spark(t: Long) = s"""
+    WITH w AS (SELECT doc_id, $wordsSpark AS words FROM documents),
+    cf AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS cf
+      FROM (SELECT doc_id, explode(words) AS term FROM w)
+      GROUP BY term),
+    common AS (SELECT collect_list(term) AS carr FROM cf WHERE cf >= $t)
+    SELECT doc_id,
+      CAST(size(words) AS BIGINT) AS n_tokens,
+      CAST(size(filter(words, x -> NOT array_contains(c.carr, x))) AS BIGINT) AS n_rare,
+      CAST(floor((CAST(size(filter(words, x -> NOT array_contains(c.carr, x))) AS DOUBLE)
+        / size(words)) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS rare_ratio,
+      (size(filter(words, x -> NOT array_contains(c.carr, x))) > 0) AS flagged
+    FROM w CROSS JOIN common c
+    ORDER BY doc_id"""
+
+  private def p40Run(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    spark.sql(p40Spark(commonCfMin(spark)))
+  }
+
+  private val p40Duck = s"""
+    WITH w AS (SELECT doc_id, $wordsDuck AS words FROM documents),
+    cf AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS cf
+      FROM (SELECT doc_id, unnest(words) AS term FROM w)
+      GROUP BY term),
+    common AS (SELECT list(term) AS carr FROM cf WHERE cf >= $CommonCfMin)
+    SELECT doc_id,
+      CAST(len(words) AS BIGINT) AS n_tokens,
+      CAST(len(list_filter(words, x -> NOT list_contains(c.carr, x))) AS BIGINT) AS n_rare,
+      floor((CAST(len(list_filter(words, x -> NOT list_contains(c.carr, x))) AS DOUBLE)
+        / len(words)) * 1e6 + 0.5) / 1e6 AS rare_ratio,
+      (len(list_filter(words, x -> NOT list_contains(c.carr, x))) > 0) AS flagged
+    FROM w CROSS JOIN common c
+    ORDER BY doc_id"""
+
   private def onEvents(sql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => {
       graft.Graft.normalizeEventTime(spark.read.parquet(s"$dir/events.parquet"))
@@ -2813,6 +2877,7 @@ object PipelineOps {
     "p37_domain_quota" -> ((spark, dir) => p37Run(spark, dir)),
     "p38_pii_redact" -> onDocsHf(p38Spark),
     "p39_incremental_dedup" -> ((spark, dir) => p39Run(spark, dir)),
+    "p40_rare_token_score" -> ((spark, dir) => p40Run(spark, dir)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2862,5 +2927,6 @@ object PipelineOps {
     "p37_domain_quota" -> p37Duck,
     "p38_pii_redact" -> p38Duck,
     "p39_incremental_dedup" -> p39Duck,
+    "p40_rare_token_score" -> p40Duck,
   )
 }

@@ -770,6 +770,47 @@ object PipelineRelational {
          |  status = s"CASE WHEN bfp IS NOT NULL THEN 'dup_of_base' WHEN rk > 1 THEN 'dup_in_batch' ELSE 'new_unique' END",
          |]
          |sort doc_id""".stripMargin,
+
+    // p40 pins the default threshold (200); the operator's one-row CROSS
+    // JOIN rides the k=1 equi-join idiom here (p33's n join).
+    "p40_rare_token_score" ->
+      s"""table w = (
+         |  from documents
+         |  derive words = s"$W"
+         |)
+         |
+         |table posts = (
+         |  from w
+         |  select [doc_id, term = s"explode(words)"]
+         |)
+         |
+         |table cf = (
+         |  from posts
+         |  group [term] (aggregate [cf = s"CAST(count(*) AS BIGINT)"])
+         |)
+         |
+         |table common = (
+         |  from cf
+         |  filter cf >= 200
+         |  aggregate [carr = s"collect_list(term)"]
+         |  derive k = s"1"
+         |)
+         |
+         |table wk = (
+         |  from w
+         |  derive k = s"1"
+         |)
+         |
+         |from wk
+         |join common [k]
+         |select [
+         |  doc_id,
+         |  n_tokens = s"CAST(size(words) AS BIGINT)",
+         |  n_rare = s"CAST(size(filter(words, x -> NOT array_contains(carr, x))) AS BIGINT)",
+         |  rare_ratio = s"CAST(floor((CAST(size(filter(words, x -> NOT array_contains(carr, x))) AS DOUBLE) / size(words)) * 1e6 + 0.5) AS DOUBLE) / 1e6",
+         |  flagged = s"(size(filter(words, x -> NOT array_contains(carr, x))) > 0)",
+         |]
+         |sort doc_id""".stripMargin,
   )
 
   /** Session-level kernel registrations the covered texts rely on (the

@@ -1098,6 +1098,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.ingestFpTokens")
   }
 
+  test("p40 rare-token score: both classes populated; threshold knob behaves monotonically") {
+    val out = run("p40_rare_token_score").collect()
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(out.length == total, "every document must be scored")
+    val flagged = out.count(_.getBoolean(4))
+    assert(flagged > 0 && flagged < total,
+      s"both classes must populate at gate scale, got $flagged/$total flagged")
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "n_rare bounded by n_tokens")
+      val ratio = r.getDouble(3)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      assert((r.getLong(2) > 0) == r.getBoolean(4), "flag must mirror n_rare > 0")
+    }
+    // commonCfMin = 1 admits every term that occurs at all -> zero rare
+    spark.conf.set("spark.graft.commonCfMin", "1")
+    try assert(run("p40_rare_token_score").collect().forall(_.getLong(2) == 0L),
+      "at threshold 1 every occurring term is common")
+    finally spark.conf.unset("spark.graft.commonCfMin")
+    // a higher threshold can only grow the rare counts
+    val base = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    spark.conf.set("spark.graft.commonCfMin", "100000")
+    try run("p40_rare_token_score").collect().foreach { r =>
+      assert(r.getLong(2) >= base(r.getLong(0)),
+        "raising the threshold must not shrink any document's rare count")
+    } finally spark.conf.unset("spark.graft.commonCfMin")
+  }
+
   test("driver contract: every oracle key has a query, entry() returns rows") {
     assert(PipelineOps.oracleSql.keySet.subsetOf(PipelineOps.queries.keySet))
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

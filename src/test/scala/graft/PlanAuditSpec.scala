@@ -446,6 +446,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected fp-keyed exchanges or a broadcast base:\n$p")
   }
 
+  test("p40 rare-token score: common set broadcasts back; posting explosion is the only Generate") {
+    // the term rollup is the one data shuffle; the one-row common array
+    // is the sanctioned SinglePartition aggregate (p21's eval_arr idiom)
+    // and must come back as a broadcast, never a shuffled or cartesian
+    // join; per-doc scoring is map-side after it
+    val p = pipeline.PipelineOps.queries("p40_rare_token_score")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Generate".r.findAllIn(p).length == 1,
+      s"exactly one posting explosion is sanctioned:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"the one-row common set must broadcast:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"no cartesian in the scoring path:\n$p")
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 1,
+      s"only the one-row common aggregate may single-partition:\n$p")
+    assert("hashpartitioning".r.findAllIn(p).length <= 1,
+      s"the term rollup is the only hash shuffle:\n$p")
+  }
+
   test("session carries the scale configs the 100 TB contract depends on") {
     // Graft.localSession is the one place these are set; losing any of them
     // silently degrades cluster behavior (AQE re-planning incl. skew-join

@@ -2527,7 +2527,7 @@ object PipelineOps {
     s
   }
 
-  private def p36Spark(hf: String, w: Int, st: Int) = s"""
+  private[graft] def p36Spark(hf: String, w: Int, st: Int) = s"""
     WITH toks AS (
       SELECT doc_id, $wordsSpark AS t FROM documents),
     st AS (

@@ -508,4 +508,151 @@ object MediaOps {
         sum($"pixel_sum").as("pixel_sum_total"))
       .orderBy($"fmt")
   }
+
+  // ---- audio: real RIFF/WAV PCM codec -------------------------------------
+  // The audio leg of the multimodal story, same contract as the image
+  // codecs: the CONTAINER is real (RIFF chunk walk with even-size padding
+  // and unknown-chunk skipping, "fmt " PCM validation, little-endian
+  // signed-16-bit sample parse, loud failure on truncation/non-PCM), the
+  // payload is a deterministic function of doc_id so the DuckDB oracle
+  // recomputes every feature arithmetically. Features stay integer-exact:
+  // peak/abs-sum/energy (sum of squares) instead of RMS — sqrt diverges
+  // across engines at the ulp (the p33 idf rule).
+
+  /** Opaque audio record: id + raw RIFF/WAV container bytes. */
+  final case class AudioIn(doc_id: Long, content: Array[Byte])
+
+  /** Integer-exact features of a decoded PCM stream. */
+  final case class AudioFeature(doc_id: Long, channels: Long, sample_rate: Long,
+                                n_frames: Long, n_bytes: Long,
+                                amp_sum: Long, energy: Long)
+
+  /** Interleaved sample i of document d, in [-2048, 2047] (16-bit-safe,
+    * oracle-recomputable: ((d·31 + i·7) mod 4096) − 2048). */
+  private def sampleVal(docId: Long, i: Int): Int =
+    ((docId * 31 + i.toLong * 7) % 4096).toInt - 2048
+
+  /** Frame count derives from the UTF-8 byte length: 64..192 frames. */
+  private[graft] def audioFrames(utf8Len: Int): Int = 64 + utf8Len % 129
+
+  private def le16(out: Array[Byte], at: Int, v: Int): Unit = {
+    out(at) = (v & 0xff).toByte; out(at + 1) = ((v >> 8) & 0xff).toByte
+  }
+  private def le32(out: Array[Byte], at: Int, v: Int): Unit = {
+    out(at) = (v & 0xff).toByte; out(at + 1) = ((v >> 8) & 0xff).toByte
+    out(at + 2) = ((v >> 16) & 0xff).toByte; out(at + 3) = ((v >> 24) & 0xff).toByte
+  }
+  private def tag(out: Array[Byte], at: Int, t: String): Unit = {
+    var i = 0; while (i < 4) { out(at + i) = t.charAt(i).toByte; i += 1 }
+  }
+
+  /** Render doc_id/text into a real WAV container. Two configurations by
+    * doc_id parity — mono@8000 and stereo@11025 — and the mono files
+    * carry a 10-byte LIST chunk BETWEEN the WAVE tag and "fmt " so the
+    * decoder's unknown-chunk skip is exercised on half the corpus (the
+    * chunk walk is the container reality, not an ornament). */
+  def encodeWav(docId: Long, text: String): AudioIn = {
+    val mono = docId % 2 == 0
+    val channels = if (mono) 1 else 2
+    val rate = if (mono) 8000 else 11025
+    val nSamples = audioFrames(text.getBytes("UTF-8").length) * channels
+    val dataBytes = nSamples * 2
+    val junk = if (mono) 18 else 0 // "LIST" + size + 10 payload bytes
+    val size = 12 + junk + 24 + 8 + dataBytes
+    val out = new Array[Byte](size)
+    tag(out, 0, "RIFF"); le32(out, 4, size - 8); tag(out, 8, "WAVE")
+    var p = 12
+    if (mono) {
+      tag(out, p, "LIST"); le32(out, p + 4, 10)
+      "INFOgraft!".getBytes("US-ASCII").copyToArray(out, p + 8)
+      p += 18
+    }
+    tag(out, p, "fmt "); le32(out, p + 4, 16)
+    le16(out, p + 8, 1) // PCM
+    le16(out, p + 10, channels)
+    le32(out, p + 12, rate)
+    le32(out, p + 16, rate * channels * 2) // byte rate
+    le16(out, p + 20, channels * 2)        // block align
+    le16(out, p + 22, 16)                  // bits per sample
+    p += 24
+    tag(out, p, "data"); le32(out, p + 4, dataBytes); p += 8
+    var i = 0
+    while (i < nSamples) { le16(out, p + 2 * i, sampleVal(docId, i) & 0xffff); i += 1 }
+    AudioIn(docId, out)
+  }
+
+  /** Parse one WAV container and extract integer-exact features. Walks
+    * RIFF chunks in ANY order, skipping unknown chunks (with the RIFF
+    * even-size pad rule); fails loudly on bad magic, truncation, non-PCM
+    * format tags, or non-16-bit samples. */
+  private[graft] def decodeWavOne(in: AudioIn): AudioFeature = {
+    val b = in.content
+    val id = in.doc_id
+    def u16(at: Int): Int = (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8)
+    def s16(at: Int): Int = u16(at).toShort.toInt
+    def u32(at: Int): Long = (u16(at) & 0xffffL) | ((u16(at + 2) & 0xffffL) << 16)
+    def fourcc(at: Int): String = new String(b, at, 4, "US-ASCII")
+    if (b.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "WAVE")
+      fail(id, "not a RIFF/WAVE container")
+    if (u32(4) != b.length - 8)
+      fail(id, s"RIFF size ${u32(4)} does not match container (${b.length - 8})")
+    var channels = -1; var rate = -1L
+    var dataAt = -1; var dataLen = -1
+    var p = 12
+    while (p + 8 <= b.length) {
+      val cc = fourcc(p); val len = u32(p + 4)
+      if (p + 8 + len > b.length) fail(id, s"truncated '$cc' chunk")
+      cc match {
+        case "fmt " =>
+          if (len < 16) fail(id, "fmt chunk too short")
+          if (u16(p + 8) != 1) fail(id, s"not PCM (format tag ${u16(p + 8)})")
+          channels = u16(p + 10); rate = u32(p + 12)
+          if (u16(p + 22) != 16) fail(id, s"expected 16-bit samples, got ${u16(p + 22)}")
+        case "data" => dataAt = p + 8; dataLen = len.toInt
+        case _ => () // unknown chunk: skip
+      }
+      p += 8 + len.toInt + (len.toInt & 1) // RIFF pads chunks to even size
+    }
+    if (channels <= 0) fail(id, "no fmt chunk")
+    if (dataAt < 0) fail(id, "no data chunk")
+    if (dataLen % (channels * 2) != 0) fail(id, "data chunk not frame-aligned")
+    var amp = 0L; var energy = 0L
+    var i = 0
+    val n = dataLen / 2
+    while (i < n) {
+      val s = s16(dataAt + 2 * i)
+      amp += math.abs(s); energy += s.toLong * s
+      i += 1
+    }
+    AudioFeature(id, channels.toLong, rate, (n / channels).toLong,
+      b.length.toLong, amp, energy)
+  }
+
+  /** Batched decode, same Iterator-in/Iterator-out shape as [[decode]]. */
+  def decodeWav(ds: Dataset[AudioIn]): Dataset[AudioFeature] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { batch => batch.map(decodeWavOne) }
+    }
+  }
+
+  /** Driver-contract query: documents → real WAV containers → batched
+    * decode → per-configuration rollup. Map-side only; all-integer, so
+    * the DuckDB oracle reproduces it bit-for-bit. */
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val media = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => encodeWav(id, text) }
+    decodeWav(media)
+      .groupBy($"channels", $"sample_rate")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum($"n_frames").as("total_frames"),
+        sum($"n_bytes").as("total_bytes"),
+        sum($"amp_sum").as("amp_sum_total"),
+        sum($"energy").as("energy_total"))
+      .orderBy($"channels")
+  }
 }

@@ -2797,6 +2797,38 @@ object PipelineOps {
     FROM w CROSS JOIN common c
     ORDER BY doc_id"""
 
+  // ---- p41: audio decode (real RIFF/WAV PCM codec) -------------------------
+  // The audio leg of the multimodal quartet — see MediaOps scaladoc for
+  // the codec contract (chunk walk, PCM validation, LE sample parse, loud
+  // failure). The oracle recomputes every feature arithmetically from the
+  // sample rule ((d·31 + i·7) mod 4096 − 2048) and the container-size
+  // arithmetic (mono carries the 18-byte LIST chunk the decoder must
+  // skip: 62 + 2·frames; stereo 44 + 4·frames).
+
+  private val p41Duck = s"""
+    WITH d AS (
+      SELECT doc_id, 64 + octet_length(encode(text)) % 129 AS n_frames,
+        CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS channels,
+        CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 11025 END AS sample_rate
+      FROM documents),
+    f AS (
+      SELECT doc_id, channels, sample_rate, n_frames,
+        CASE WHEN channels = 1 THEN 62 + n_frames * 2
+             ELSE 44 + n_frames * 4 END AS n_bytes,
+        list_sum([abs(((doc_id*31 + i*7) % 4096) - 2048)
+                  for i in generate_series(0, n_frames*channels - 1)]) AS amp,
+        list_sum([(((doc_id*31 + i*7) % 4096) - 2048) * (((doc_id*31 + i*7) % 4096) - 2048)
+                  for i in generate_series(0, n_frames*channels - 1)]) AS energy
+      FROM d)
+    SELECT CAST(channels AS BIGINT) AS channels,
+      CAST(sample_rate AS BIGINT) AS sample_rate,
+      CAST(count(*) AS BIGINT) AS n_media,
+      CAST(sum(n_frames) AS BIGINT) AS total_frames,
+      CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+      CAST(sum(amp) AS BIGINT) AS amp_sum_total,
+      CAST(sum(energy) AS BIGINT) AS energy_total
+    FROM f GROUP BY channels, sample_rate ORDER BY channels"""
+
   private def onEvents(sql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => {
       graft.Graft.normalizeEventTime(spark.read.parquet(s"$dir/events.parquet"))
@@ -2878,6 +2910,7 @@ object PipelineOps {
     "p38_pii_redact" -> onDocsHf(p38Spark),
     "p39_incremental_dedup" -> ((spark, dir) => p39Run(spark, dir)),
     "p40_rare_token_score" -> ((spark, dir) => p40Run(spark, dir)),
+    "p41_audio_decode" -> ((spark, dir) => MediaOps.audioFeatures(spark, dir)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2928,5 +2961,6 @@ object PipelineOps {
     "p38_pii_redact" -> p38Duck,
     "p39_incremental_dedup" -> p39Duck,
     "p40_rare_token_score" -> p40Duck,
+    "p41_audio_decode" -> p41Duck,
   )
 }

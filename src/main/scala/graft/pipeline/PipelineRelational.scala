@@ -851,5 +851,7 @@ object PipelineRelational {
       "native TypedImperativeAggregate sketch (GraftKmv) requiring session-level registration with a bound k — the aggregate is the operator",
     "p30_frame_sample" ->
       "typed mapPartitions codec (multi-frame PPM-stream walk in MediaOps) — imperative per-partition frame parsing, not relational",
+    "p41_audio_decode" ->
+      "typed mapPartitions codec (RIFF/WAV chunk walk + PCM sample parse in MediaOps) — imperative per-partition decode, not relational",
   )
 }

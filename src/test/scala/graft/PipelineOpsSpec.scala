@@ -1125,6 +1125,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.commonCfMin")
   }
 
+  test("p41 WAV codec: real chunk walk — junk chunks skipped, corruption fails loudly") {
+    import graft.pipeline.MediaOps
+    // round-trip on a mono doc (carries the LIST junk chunk) and a stereo doc
+    for (id <- Seq(0L, 1L)) {
+      val in = MediaOps.encodeWav(id, "some document text")
+      val f = MediaOps.decodeWavOne(in)
+      assert(f.channels == (if (id % 2 == 0) 1 else 2))
+      assert(f.sample_rate == (if (id % 2 == 0) 8000 else 11025))
+      assert(f.n_frames == MediaOps.audioFrames("some document text".getBytes("UTF-8").length))
+      assert(f.n_bytes == in.content.length)
+      assert(f.amp_sum > 0 && f.energy >= f.amp_sum, "nonzero integer features")
+    }
+    // truncation: chop the data chunk -> loud, located failure
+    val whole = MediaOps.encodeWav(2L, "x")
+    val cut = MediaOps.AudioIn(2L, whole.content.take(whole.content.length - 5))
+    val e1 = intercept[IllegalArgumentException](MediaOps.decodeWavOne(cut))
+    assert(e1.getMessage.contains("doc 2"))
+    // non-PCM format tag -> named refusal
+    val bad = whole.content.clone()
+    // mono layout: RIFF(12) + LIST(18) + "fmt " tag+size(8) -> format tag at 38
+    bad(38) = 3 // IEEE float
+    // fix the RIFF size we did NOT change; only the tag differs
+    val e2 = intercept[IllegalArgumentException](
+      MediaOps.decodeWavOne(MediaOps.AudioIn(2L, bad)))
+    assert(e2.getMessage.contains("not PCM"))
+    // bad magic
+    val e3 = intercept[IllegalArgumentException](
+      MediaOps.decodeWavOne(MediaOps.AudioIn(2L, "JUNK".getBytes ++ whole.content.drop(4))))
+    assert(e3.getMessage.contains("RIFF"))
+  }
+
   test("driver contract: every oracle key has a query, entry() returns rows") {
     assert(PipelineOps.oracleSql.keySet.subsetOf(PipelineOps.queries.keySet))
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

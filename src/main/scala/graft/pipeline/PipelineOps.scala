@@ -2829,6 +2829,67 @@ object PipelineOps {
       CAST(sum(energy) AS BIGINT) AS energy_total
     FROM f GROUP BY channels, sample_rate ORDER BY channels"""
 
+  // ---- p42: leakage-free train/val/test split assignment -------------------
+  // The split-leakage guard: assigning SPLITS to documents lets near-dup
+  // pairs straddle train and test (the classic eval-contamination bug);
+  // the unit of assignment must be the near-dup CLUSTER. p42 composes
+  // p16's component labels with the p15 deterministic-hash rule applied
+  // to the cluster REPRESENTATIVE: bucket = hash(lbl) mod 10 → 0-7 train,
+  // 8 val, 9 test (~80/10/10 in expectation, rerun-stable). Every member
+  // of a component shares lbl, so no cluster can span splits BY
+  // CONSTRUCTION — the spec still asserts it on the per-doc frame so a
+  // future refactor cannot silently break the property. Cost over p16:
+  // one doc_id equi-join to reattach lang + one rollup; at 100 TB the
+  // join shuffles on doc_id (or broadcasts the label side, which is
+  // bounded by the dup-graph node count plus singletons).
+
+  private val P42LabelsView = "graft_split_labels"
+
+  private[graft] def p42SplitSql(hf: String) = s"""
+    WITH j AS (
+      SELECT d.doc_id, d.lang, l.lbl
+      FROM documents d JOIN $P42LabelsView l ON d.doc_id = l.doc_id),
+    b AS (
+      SELECT doc_id, lang,
+        pmod(${hSpark("CAST(lbl AS STRING)", hf)}, 10) AS bkt
+      FROM j)
+    SELECT doc_id, lang,
+      CASE WHEN bkt < 8 THEN 'train' WHEN bkt = 8 THEN 'val' ELSE 'test' END AS split
+    FROM b"""
+
+  /** Per-document split frame (doc_id, lang, split) — the spec's leakage
+    * probe consumes this directly. */
+  private[graft] def p42Frame(spark: SparkSession, dir: String): DataFrame = {
+    p16Labels(spark, dir).createOrReplaceTempView(P42LabelsView)
+    spark.sql(p42SplitSql(hashFamily(spark)))
+  }
+
+  private def p42Run(spark: SparkSession, dir: String): DataFrame = {
+    p42Frame(spark, dir).createOrReplaceTempView("graft_split_frame")
+    spark.sql("""
+      SELECT split, lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+      FROM graft_split_frame GROUP BY split, lang ORDER BY split, lang""")
+  }
+
+  private val p42Duck = s"""
+    WITH RECURSIVE $lshCtesDuck,
+    $closureCtesDuck,
+    j AS (
+      SELECT d.doc_id, d.lang, l.lbl
+      FROM documents d JOIN lbls l ON d.doc_id = l.doc_id),
+    b AS (
+      SELECT doc_id, lang, ${hDuck("CAST(lbl AS VARCHAR)")} % 10 AS bkt FROM j),
+    s AS (
+      SELECT doc_id, lang,
+        CASE WHEN bkt < 8 THEN 'train' WHEN bkt = 8 THEN 'val' ELSE 'test' END AS split
+      FROM b)
+    SELECT split, lang,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+    FROM s GROUP BY split, lang ORDER BY split, lang"""
+
   private def onEvents(sql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => {
       graft.Graft.normalizeEventTime(spark.read.parquet(s"$dir/events.parquet"))
@@ -2911,6 +2972,7 @@ object PipelineOps {
     "p39_incremental_dedup" -> ((spark, dir) => p39Run(spark, dir)),
     "p40_rare_token_score" -> ((spark, dir) => p40Run(spark, dir)),
     "p41_audio_decode" -> ((spark, dir) => MediaOps.audioFeatures(spark, dir)),
+    "p42_split_assign" -> ((spark, dir) => p42Run(spark, dir)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2962,5 +3024,6 @@ object PipelineOps {
     "p39_incremental_dedup" -> p39Duck,
     "p40_rare_token_score" -> p40Duck,
     "p41_audio_decode" -> p41Duck,
+    "p42_split_assign" -> p42Duck,
   )
 }

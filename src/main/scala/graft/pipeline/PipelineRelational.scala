@@ -853,5 +853,7 @@ object PipelineRelational {
       "typed mapPartitions codec (multi-frame PPM-stream walk in MediaOps) — imperative per-partition frame parsing, not relational",
     "p41_audio_decode" ->
       "typed mapPartitions codec (RIFF/WAV chunk walk + PCM sample parse in MediaOps) — imperative per-partition decode, not relational",
+    "p42_split_assign" ->
+      "composes p16's iterative label-propagation driver loop (the split unit is the converged near-dup cluster)",
   )
 }

@@ -1156,6 +1156,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("RIFF"))
   }
 
+  test("p42 split assignment: no near-dup cluster straddles splits; all splits populated") {
+    val frame = PipelineOps.p42Frame(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(frame.length == total, "every document gets exactly one split")
+    val splits = frame.map(_.getString(2)).toSet
+    assert(splits == Set("train", "val", "test"), s"all splits must populate, got $splits")
+    // the leakage probe: every verified near-dup pair must land in ONE
+    // split — checked against the pair relation itself, not the labels,
+    // so a labeling refactor cannot silently break it
+    val splitByDoc = frame.map(r => r.getLong(0) -> r.getString(2)).toMap
+    val pairs = run("p04_minhash_lsh").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "the probe needs real near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(splitByDoc(a) == splitByDoc(b),
+        s"near-dup pair ($a, $b) straddles splits ${splitByDoc(a)}/${splitByDoc(b)} — leakage")
+    }
+    // rollup consistency
+    val roll = run("p42_split_assign").collect()
+    assert(roll.map(_.getLong(2)).sum == total)
+  }
+
   test("driver contract: every oracle key has a query, entry() returns rows") {
     assert(PipelineOps.oracleSql.keySet.subsetOf(PipelineOps.queries.keySet))
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

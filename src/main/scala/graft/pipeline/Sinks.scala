@@ -47,4 +47,41 @@ object Sinks {
     require(df.columns.contains(shardCol), s"shard column '$shardCol' not in ${df.columns.mkString(",")}")
     df.write.mode(SaveMode.Overwrite).partitionBy(shardCol).parquet(path)
   }
+
+  /** Compact a flat parquet directory's small files into
+    * ceil(total_bytes / targetBytes) outputs — the operational fix for
+    * the small-files problem every incremental pipeline accumulates
+    * (thousands of tiny files → NameNode/listing pressure and
+    * per-file scan overhead dwarfing the data read).
+    *
+    * Uses `repartition(n)`: one shuffle buys evenly-sized outputs
+    * (`coalesce` would be shuffle-free but merges ADJACENT partitions,
+    * inheriting whatever skew the producer left). The rewrite goes to a
+    * sibling temp dir through the normal committer, is row-count-verified
+    * against the source, and only then swapped in — the directory never
+    * holds a partial mix of old and new files. Returns the output file
+    * count. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetBytes: Long): Int = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    require(fs.exists(p), s"compact: no such directory $path")
+    val parts = fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+    require(parts.nonEmpty, s"compact: no parquet files in $path")
+    val totalBytes = parts.map(_.getLen).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val src = spark.read.parquet(path)
+    val srcCount = src.count()
+    val tmp = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".compacting")
+    fs.delete(tmp, true)
+    src.repartition(n).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val outCount = spark.read.parquet(tmp.toString).count()
+    require(outCount == srcCount,
+      s"compact: rewrite row count $outCount != source $srcCount; aborting, source untouched")
+    fs.delete(p, true)
+    require(fs.rename(tmp, p), s"compact: rename $tmp -> $p failed")
+    n
+  }
 }

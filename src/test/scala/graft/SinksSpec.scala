@@ -52,6 +52,32 @@ class SinksSpec extends AnyFunSuite {
     assert(one.count() == expect)
   }
 
+  test("compact merges a splintered directory, preserves rows, sizes to the target") {
+    import org.apache.spark.sql.functions._
+    val out = "/tmp/graft-test-compact"
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "lang", "n_chars")
+    docs.repartition(64).write.mode("overwrite").parquet(out)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    val before = files
+    assert(before.length == 64, "fixture must actually be splintered")
+    val totalBytes = before.map(_.getLen).sum
+    val target = totalBytes / 3 // expect ceil(total/target) ∈ {3, 4}
+    val expectN = math.ceil(totalBytes.toDouble / target).toInt
+    val checksumBefore = docs.agg(sum(col("doc_id") * col("n_chars"))).head.getLong(0)
+    val n = Sinks.compact(spark, out, target)
+    assert(n == expectN, s"expected $expectN outputs for target $target, got $n")
+    assert(files.length == n, "directory must hold exactly the compacted files")
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count(), "compaction must not lose rows")
+    assert(back.agg(sum(col("doc_id") * col("n_chars"))).head.getLong(0) == checksumBefore,
+      "content checksum must survive the rewrite")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(out + ".compacting")),
+      "the temp dir must be swapped away")
+  }
+
   test("sink input validation fails loudly on a missing column") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val e1 = intercept[IllegalArgumentException](

@@ -67,7 +67,10 @@ class HashFamilySpec extends AnyFunSuite {
   test("every hash-bearing operator runs green under xxhash64 with md5-free plans") {
     val hashOps = Seq("p01_dedup_exact", "p05_simhash", "p06_fingerprint",
       "p09_media_meta", "p15_sample_stratified", "p16_dedup_clusters",
-      "p18_text_clean", "p19_ann_ivf", "p20_curation", "p21_decontam")
+      "p18_text_clean", "p19_ann_ivf", "p20_curation", "p21_decontam",
+      "p24_mixture_sample", "p27_shuffle_shard", "p36_chunk_sliding",
+      "p37_domain_quota", "p38_pii_redact", "p39_incremental_dedup",
+      "p42_split_assign")
     withFamily("xxhash64") {
       hashOps.foreach { op =>
         val df = run(op)

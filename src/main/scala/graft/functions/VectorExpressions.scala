@@ -339,6 +339,16 @@ object GraftFunctions {
         exprs => GraftDot(exprs(0), exprs(1)), "built-in")
   }
 
+  private val nfcRegistered = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** `graft_nfc(string)` — parameterless, so a boolean memo suffices. */
+  def registerNfc(spark: SparkSession): Unit = synchronized {
+    if (nfcRegistered.add(spark))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_nfc",
+        exprs => GraftNfc(exprs.head), "built-in")
+  }
+
   private val kmvRegistered = new java.util.WeakHashMap[SparkSession, Int]()
 
   /** `graft_kmv(hash)` aggregate with k bound at registration; re-registers

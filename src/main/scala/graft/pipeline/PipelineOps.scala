@@ -2890,6 +2890,49 @@ object PipelineOps {
       CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
     FROM s GROUP BY split, lang ORDER BY split, lang"""
 
+  // ---- p43: Unicode NFC canonicalization -----------------------------------
+  // Canonical-equivalence collapse before hashing: "café" composed
+  // (U+00E9) and decomposed (e + U+0301) are the SAME text to a reader
+  // but hash differently — a dedup/checksum pipeline must normalize
+  // first (every real multi-source corpus mixes forms; macOS filenames
+  // alone guarantee NFD). Spark has no built-in normalizer, so this
+  // rides the native [[graft.functions.GraftNfc]] codegen expression
+  // (not a UDF) against DuckDB's nfc_normalize. The gate corpus is
+  // ASCII (NFC-invariant), so each doc is augmented with a
+  // deterministic composed-or-decomposed suffix by parity — both
+  // parities must converge to the SAME normalized suffix, which the
+  // checksum proves. Pure map-side.
+
+  private def p43Spark = s"""
+    WITH aug AS (
+      SELECT doc_id,
+        concat(text, CASE WHEN doc_id % 2 = 0
+          THEN ' caf\\u0065\\u0301' ELSE ' caf\\u00e9' END) AS t
+      FROM documents)
+    SELECT doc_id,
+      CAST(length(t) AS BIGINT) AS len_raw,
+      CAST(length(graft_nfc(t)) AS BIGINT) AS len_nfc,
+      md5(graft_nfc(t)) AS nfc_checksum
+    FROM aug ORDER BY doc_id"""
+
+  private def p43Run(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerNfc(spark)
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    spark.sql(p43Spark)
+  }
+
+  private val p43Duck = s"""
+    WITH aug AS (
+      SELECT doc_id,
+        text || CASE WHEN doc_id % 2 = 0
+          THEN ' caf' || chr(101) || chr(769) ELSE ' caf' || chr(233) END AS t
+      FROM documents)
+    SELECT doc_id,
+      CAST(length(t) AS BIGINT) AS len_raw,
+      CAST(length(nfc_normalize(t)) AS BIGINT) AS len_nfc,
+      md5(nfc_normalize(t)) AS nfc_checksum
+    FROM aug ORDER BY doc_id"""
+
   private def onEvents(sql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => {
       graft.Graft.normalizeEventTime(spark.read.parquet(s"$dir/events.parquet"))
@@ -2973,6 +3016,7 @@ object PipelineOps {
     "p40_rare_token_score" -> ((spark, dir) => p40Run(spark, dir)),
     "p41_audio_decode" -> ((spark, dir) => MediaOps.audioFeatures(spark, dir)),
     "p42_split_assign" -> ((spark, dir) => p42Run(spark, dir)),
+    "p43_unicode_nfc" -> ((spark, dir) => p43Run(spark, dir)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3025,5 +3069,6 @@ object PipelineOps {
     "p40_rare_token_score" -> p40Duck,
     "p41_audio_decode" -> p41Duck,
     "p42_split_assign" -> p42Duck,
+    "p43_unicode_nfc" -> p43Duck,
   )
 }

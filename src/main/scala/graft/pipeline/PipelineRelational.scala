@@ -811,6 +811,23 @@ object PipelineRelational {
          |  flagged = s"(size(filter(words, x -> NOT array_contains(carr, x))) > 0)",
          |]
          |sort doc_id""".stripMargin,
+
+    // p43's graft_nfc kernel comes from registerKernels, like graft_dot
+    // and graft_top_terms for the entries above.
+    "p43_unicode_nfc" ->
+      s"""table aug = (
+         |  from documents
+         |  select [doc_id, t = s"concat(text, CASE WHEN doc_id % 2 = 0 THEN ' caf\\u0065\\u0301' ELSE ' caf\\u00e9' END)"]
+         |)
+         |
+         |from aug
+         |select [
+         |  doc_id,
+         |  len_raw = s"CAST(length(t) AS BIGINT)",
+         |  len_nfc = s"CAST(length(graft_nfc(t)) AS BIGINT)",
+         |  nfc_checksum = s"md5(graft_nfc(t))",
+         |]
+         |sort doc_id""".stripMargin,
   )
 
   /** Session-level kernel registrations the covered texts rely on (the
@@ -819,6 +836,7 @@ object PipelineRelational {
   def registerKernels(spark: org.apache.spark.sql.SparkSession): Unit = {
     graft.functions.GraftFunctions.registerDot(spark)
     graft.functions.GraftFunctions.registerTopTerms(spark, PipelineOps.TopTerms)
+    graft.functions.GraftFunctions.registerNfc(spark)
   }
 
   /** Operator → why its execution shape is not one relational query. Each

@@ -196,6 +196,31 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(r.getLong(2) >= 0L, "signature values must stay in [0, p)")
   }
 
+  test("graft_nfc: canonical equivalence collapses, NFC input passes through, codegen == interpreted") {
+    GraftFunctions.registerNfc(spark)
+    // decomposed (e + combining acute) and composed (U+00E9) converge
+    val r = spark.sql(
+      """SELECT graft_nfc('café') AS d, graft_nfc('café') AS c,
+        |  length('café') AS lr, length(graft_nfc('café')) AS ln,
+        |  graft_nfc(CAST(NULL AS STRING)) AS nn""".stripMargin).head
+    assert(r.getString(0) == r.getString(1), "NFD and NFC forms must normalize identically")
+    assert(r.getInt(2) == 5 && r.getInt(3) == 4, "combining mark must compose away")
+    assert(r.isNullAt(4), "null propagates")
+    // already-normalized ASCII is unchanged
+    val id = spark.sql("SELECT graft_nfc('plain ascii') = 'plain ascii' AS ok").head.getBoolean(0)
+    assert(id)
+    // interpreted path (codegen off) agrees with the codegen'd path
+    val saved = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val r2 = spark.sql("SELECT graft_nfc('caf\\u0065\\u0301') AS d").head.getString(0)
+      assert(r2 == r.getString(0), "interpreted eval must match codegen")
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", saved)
+    // type check is a named failure
+    val e = intercept[Exception](spark.sql("SELECT graft_nfc(42)").head)
+    assert(e.getMessage.contains("graft_nfc") || e.getMessage.toLowerCase.contains("type"))
+  }
+
   test("kernel registration re-binds when the bound parameters change (ADVICE r5)") {
     // registerTopTerms: a later k must take effect, not be silently ignored
     GraftFunctions.registerTopTerms(spark, 2)

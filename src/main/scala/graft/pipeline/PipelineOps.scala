@@ -2890,6 +2890,71 @@ object PipelineOps {
       CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
     FROM s GROUP BY split, lang ORDER BY split, lang"""
 
+  // ---- p44: token-budget-filling sample ------------------------------------
+  // Corpus assembly against a TOKEN budget, not a document count (what a
+  // training run actually buys): per language, walk documents in the
+  // deterministic hash order (p15/p37's rerun-stable rule) and keep while
+  // the running token sum stays within [[TokenBudget]] — an exact
+  // greedy prefix, so a re-executed job assembles the SAME corpus. One
+  // shuffle: the running-sum window partitions by lang and the funnel
+  // rollup groups by the SAME key (the p37 plan shape). The budget is
+  // the per-group knob a mixture schedule would drive per language
+  // (p24's rates express proportions; this expresses absolute token
+  // targets).
+
+  private val TokenBudget = 3000L
+
+  /** Live budget knob (`spark.graft.tokenBudget`, default = the oracle
+    * operating point; every gate language overflows it, so kept < total
+    * on all groups). */
+  private[graft] def tokenBudget(spark: SparkSession): Long = {
+    val b = spark.conf.getOption("spark.graft.tokenBudget")
+      .map(_.toLong).getOrElse(TokenBudget)
+    require(b >= 1, s"spark.graft.tokenBudget must be >= 1, got $b")
+    b
+  }
+
+  private def p44Spark(hf: String, b: Long) = s"""
+    WITH t AS (
+      SELECT doc_id, lang, size($wordsSpark) AS n,
+        ${hSpark("CAST(doc_id AS STRING)", hf)} AS hk
+      FROM documents),
+    r AS (
+      SELECT doc_id, lang, n,
+        sum(n) OVER (PARTITION BY lang ORDER BY hk, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t)
+    SELECT lang,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(n) AS BIGINT) AS tok_total,
+      CAST(sum(CASE WHEN cum <= $b THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(sum(CASE WHEN cum <= $b THEN n ELSE 0 END) AS BIGINT) AS tok_kept,
+      CAST(sum(CASE WHEN cum <= $b THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+    FROM r GROUP BY lang ORDER BY lang"""
+
+  private def p44Run(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    spark.sql(p44Spark(hashFamily(spark), tokenBudget(spark)))
+  }
+
+  private val p44Duck = s"""
+    WITH t AS (
+      SELECT doc_id, lang, len($wordsDuck) AS n,
+        ${hDuck("CAST(doc_id AS VARCHAR)")} AS hk
+      FROM documents),
+    r AS (
+      SELECT doc_id, lang, n,
+        sum(n) OVER (PARTITION BY lang ORDER BY hk, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t)
+    SELECT lang,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(n) AS BIGINT) AS tok_total,
+      CAST(sum(CASE WHEN cum <= $TokenBudget THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(sum(CASE WHEN cum <= $TokenBudget THEN n ELSE 0 END) AS BIGINT) AS tok_kept,
+      CAST(sum(CASE WHEN cum <= $TokenBudget THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+    FROM r GROUP BY lang ORDER BY lang"""
+
   // ---- p43: Unicode NFC canonicalization -----------------------------------
   // Canonical-equivalence collapse before hashing: "café" composed
   // (U+00E9) and decomposed (e + U+0301) are the SAME text to a reader
@@ -3017,6 +3082,7 @@ object PipelineOps {
     "p41_audio_decode" -> ((spark, dir) => MediaOps.audioFeatures(spark, dir)),
     "p42_split_assign" -> ((spark, dir) => p42Run(spark, dir)),
     "p43_unicode_nfc" -> ((spark, dir) => p43Run(spark, dir)),
+    "p44_token_budget" -> ((spark, dir) => p44Run(spark, dir)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3070,5 +3136,6 @@ object PipelineOps {
     "p41_audio_decode" -> p41Duck,
     "p42_split_assign" -> p42Duck,
     "p43_unicode_nfc" -> p43Duck,
+    "p44_token_budget" -> p44Duck,
   )
 }

@@ -812,6 +812,33 @@ object PipelineRelational {
          |]
          |sort doc_id""".stripMargin,
 
+    // p44 pins the default budget (3000) and the md5 family.
+    "p44_token_budget" ->
+      s"""table t = (
+         |  from documents
+         |  select [doc_id, lang, n = s"size($W)", hk = s"${H("CAST(doc_id AS STRING)")}"]
+         |)
+         |
+         |table r = (
+         |  from t
+         |  group [lang] (
+         |    sort [hk, doc_id]
+         |    window expanding:true (derive [cum = sum n])
+         |  )
+         |)
+         |
+         |from r
+         |group [lang] (
+         |  aggregate [
+         |    n_docs = s"CAST(count(*) AS BIGINT)",
+         |    tok_total = s"CAST(sum(n) AS BIGINT)",
+         |    n_kept = s"CAST(sum(CASE WHEN cum <= 3000 THEN 1 ELSE 0 END) AS BIGINT)",
+         |    tok_kept = s"CAST(sum(CASE WHEN cum <= 3000 THEN n ELSE 0 END) AS BIGINT)",
+         |    kept_id_sum = s"CAST(sum(CASE WHEN cum <= 3000 THEN doc_id ELSE 0 END) AS BIGINT)",
+         |  ]
+         |)
+         |sort lang""".stripMargin,
+
     // p43's graft_nfc kernel comes from registerKernels, like graft_dot
     // and graft_top_terms for the entries above.
     "p43_unicode_nfc" ->

@@ -1177,6 +1177,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(roll.map(_.getLong(2)).sum == total)
   }
 
+  test("p44 token budget: kept tokens within budget, greedy prefix is rerun-stable") {
+    val out = run("p44_token_budget").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nDocs, tokTotal, nKept, tokKept) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(tokKept <= 3000L, s"${r.getString(0)}: kept $tokKept tokens over the budget")
+      assert(nKept > 0 && nKept < nDocs,
+        s"${r.getString(0)}: the gate budget must bind ($nKept of $nDocs kept)")
+      assert(tokKept <= tokTotal)
+    }
+    // prefix stability: re-running with budget = the kept token count must
+    // select the IDENTICAL prefix (same kept_id_sum per lang) — the
+    // property that makes the assembled corpus reproducible under budget
+    // tightening down to what was actually used
+    val byLang = out.map(r => r.getString(0) -> (r.getLong(4), r.getLong(5))).toMap
+    byLang.foreach { case (lang, (tokKept, keptIdSum)) =>
+      spark.conf.set("spark.graft.tokenBudget", tokKept.toString)
+      try {
+        val again = run("p44_token_budget").collect()
+          .find(_.getString(0) == lang).get
+        assert(again.getLong(5) == keptIdSum,
+          s"$lang: prefix changed when the budget tightened to its own usage")
+      } finally spark.conf.unset("spark.graft.tokenBudget")
+    }
+  }
+
   test("driver contract: every oracle key has a query, entry() returns rows") {
     assert(PipelineOps.oracleSql.keySet.subsetOf(PipelineOps.queries.keySet))
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

@@ -465,6 +465,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the term rollup is the only hash shuffle:\n$p")
   }
 
+  test("p44 running-sum window and funnel rollup share one lang-key shuffle") {
+    val p = pipeline.PipelineOps.queries("p44_token_budget")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(lang".r.findAllIn(p).length == 1,
+      s"expected the one lang-key exchange:\n$p")
+    assert("hashpartitioning".r.findAllIn(p).length == 1,
+      s"window and rollup must share a single shuffle:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no global stage belongs in the budget path:\n$p")
+  }
+
   test("session carries the scale configs the 100 TB contract depends on") {
     // Graft.localSession is the one place these are set; losing any of them
     // silently degrades cluster behavior (AQE re-planning incl. skew-join

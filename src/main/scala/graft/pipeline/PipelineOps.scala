@@ -2890,6 +2890,66 @@ object PipelineOps {
       CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
     FROM s GROUP BY split, lang ORDER BY split, lang"""
 
+  // ---- p45: URL canonicalization -------------------------------------------
+  // The web-corpus URL-dedup key (CC/C4 pipelines dedupe fetches by
+  // canonical URL before touching content): lowercase, fragment strip,
+  // default-port strip, www-prefix strip, and query-parameter SORT (the
+  // param-order collapse is what actually merges crawl duplicates —
+  // ?a=1&b=2 and ?b=2&a=1 are one resource). Every step is built from
+  // engine-common primitives (lower / replace / regexp fragment-strip /
+  // split_part / sorted-array rejoin) — no backreference replacements,
+  // whose $1-vs-\\1 syntax diverges across engines. The testdata has no
+  // URL column, so each doc plants a deterministic raw URL exercising
+  // every rule (upper case, www, :80, unsorted params, fragment); at
+  // deployment the planted CTE is replaced by the real column and
+  // everything downstream (normalize → host extraction → checksum, all
+  // map-side, zero shuffle) is unchanged. p01-style exact dedup composes
+  // on url_checksum directly.
+
+  private val p45Spark = s"""
+    WITH u AS (
+      SELECT doc_id, concat('HTTP://WWW.Site', CAST(doc_id % 7 AS STRING),
+        '.COM:80/a/', CAST(doc_id AS STRING), '?z=1&y=', CAST(doc_id % 3 AS STRING),
+        '&a=9#s') AS raw
+      FROM documents),
+    s1 AS (
+      SELECT doc_id,
+        replace(replace(regexp_replace(lower(raw), '#.*$$', ''), '://www.', '://'), ':80/', '/') AS u
+      FROM u),
+    s2 AS (
+      SELECT doc_id,
+        split_part(u, '?', 1) AS base,
+        CASE WHEN contains(u, '?')
+          THEN concat('?', array_join(array_sort(split(split_part(u, '?', 2), '&')), '&'))
+          ELSE '' END AS qs
+      FROM s1)
+    SELECT doc_id,
+      split_part(split_part(base, '://', 2), '/', 1) AS host,
+      md5(concat(base, qs)) AS url_checksum
+    FROM s2 ORDER BY doc_id"""
+
+  private val p45Duck = s"""
+    WITH u AS (
+      SELECT doc_id, 'HTTP://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) ||
+        '.COM:80/a/' || CAST(doc_id AS VARCHAR) || '?z=1&y=' || CAST(doc_id % 3 AS VARCHAR)
+        || '&a=9#s' AS raw
+      FROM documents),
+    s1 AS (
+      SELECT doc_id,
+        replace(replace(regexp_replace(lower(raw), '#.*$$', ''), '://www.', '://'), ':80/', '/') AS u
+      FROM u),
+    s2 AS (
+      SELECT doc_id,
+        split_part(u, '?', 1) AS base,
+        CASE WHEN contains(u, '?')
+          THEN '?' || array_to_string(list_sort(string_split(split_part(u, '?', 2), '&')), '&')
+          ELSE '' END AS qs
+      FROM s1)
+    SELECT doc_id,
+      split_part(split_part(base, '://', 2), '/', 1) AS host,
+      md5(base || qs) AS url_checksum
+    FROM s2 ORDER BY doc_id"""
+
   // ---- p44: token-budget-filling sample ------------------------------------
   // Corpus assembly against a TOKEN budget, not a document count (what a
   // training run actually buys): per language, walk documents in the
@@ -3083,6 +3143,7 @@ object PipelineOps {
     "p42_split_assign" -> ((spark, dir) => p42Run(spark, dir)),
     "p43_unicode_nfc" -> ((spark, dir) => p43Run(spark, dir)),
     "p44_token_budget" -> ((spark, dir) => p44Run(spark, dir)),
+    "p45_url_normalize" -> onDocs(p45Spark),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3137,5 +3198,6 @@ object PipelineOps {
     "p42_split_assign" -> p42Duck,
     "p43_unicode_nfc" -> p43Duck,
     "p44_token_budget" -> p44Duck,
+    "p45_url_normalize" -> p45Duck,
   )
 }

@@ -839,6 +839,34 @@ object PipelineRelational {
          |)
          |sort lang""".stripMargin,
 
+    "p45_url_normalize" ->
+      s"""table u = (
+         |  from documents
+         |  select [doc_id, raw = s"concat('HTTP://WWW.Site', CAST(doc_id % 7 AS STRING), '.COM:80/a/', CAST(doc_id AS STRING), '?z=1&y=', CAST(doc_id % 3 AS STRING), '&a=9#s')"]
+         |)
+         |
+         |table s1 = (
+         |  from u
+         |  derive nu = s"replace(replace(regexp_replace(lower(raw), '#.*$$', ''), '://www.', '://'), ':80/', '/')"
+         |)
+         |
+         |table s2 = (
+         |  from s1
+         |  select [
+         |    doc_id,
+         |    base = s"split_part(nu, '?', 1)",
+         |    qs = s"CASE WHEN contains(nu, '?') THEN concat('?', array_join(array_sort(split(split_part(nu, '?', 2), '&')), '&')) ELSE '' END",
+         |  ]
+         |)
+         |
+         |from s2
+         |select [
+         |  doc_id,
+         |  host = s"split_part(split_part(base, '://', 2), '/', 1)",
+         |  url_checksum = s"md5(concat(base, qs))",
+         |]
+         |sort doc_id""".stripMargin,
+
     // p43's graft_nfc kernel comes from registerKernels, like graft_dot
     // and graft_top_terms for the entries above.
     "p43_unicode_nfc" ->

@@ -1204,6 +1204,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("p45 URL canonicalization matches an independent Scala reference") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = run("p45_url_normalize").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(out.size == total)
+    out.keys.foreach { id =>
+      // the reference canonical form, built rule-by-rule in plain Scala:
+      // lowercase, no fragment, no :80, no www., params sorted
+      val host = s"site${id % 7}.com"
+      val params = Seq("z=1", s"y=${id % 3}", "a=9").sorted.mkString("&")
+      val norm = s"http://$host/a/$id?$params"
+      assert(out(id) == (host, md5hex(norm)),
+        s"doc $id: got ${out(id)}, expected ($host, ${md5hex(norm)}) for $norm")
+    }
+  }
+
   test("driver contract: every oracle key has a query, entry() returns rows") {
     assert(PipelineOps.oracleSql.keySet.subsetOf(PipelineOps.queries.keySet))
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

@@ -1,0 +1,70 @@
+package graft
+
+import graft.pipeline.{PipelineOps, Sinks}
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The capstone composition: a user assembling a training set runs the
+  * operators in sequence, not one at a time. This spec drives the real
+  * chain on real testdata — leakage-free split (p42) → quality gate
+  * (p17) → sliding-window chunking (p36) → deterministic shard + layout
+  * write (p27-rule + Sinks) — and asserts the conservation invariants
+  * that make the composition trustworthy: monotone funnel, chunk
+  * coverage of exactly the surviving documents, shard partition of
+  * exactly the produced chunks, and pruned read-back. Each stage's
+  * VALUES are already DuckDB-gated individually; this proves they
+  * compose. */
+class EndToEndPipelineSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.spark
+
+  test("split -> quality gate -> chunk -> shard composes with conservation invariants") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val total = docs.count()
+
+    // stage 1: leakage-free split, keep the training partition
+    val frame = PipelineOps.p42Frame(spark, dir) // (doc_id, lang, split)
+    val train = frame.where($"split" === "train").select("doc_id")
+    val nTrain = train.count()
+    assert(nTrain > 0 && nTrain < total, "the split must carve a strict subset")
+
+    // stage 2: quality gate on the training docs
+    val quality = PipelineOps.queries("p17_quality_filter")(spark, dir)
+      .where($"keep").select("doc_id")
+    val kept = train.join(quality, "doc_id")
+    val nKept = kept.count()
+    assert(nKept > 0 && nKept <= nTrain, "funnel must be monotone")
+
+    // stage 3: chunk ONLY the surviving documents — rebind the documents
+    // view to the filtered set, exactly what a composing user writes
+    docs.join(kept, "doc_id").createOrReplaceTempView("documents")
+    val chunks = spark.sql(PipelineOps.p36Spark("md5", 32, 16))
+    val nChunks = chunks.count()
+    val chunkDocs = chunks.select("doc_id").distinct().count()
+    assert(chunkDocs == nKept, "every surviving doc must chunk, none resurrected")
+    assert(nChunks >= nKept, "at least one chunk per doc")
+
+    // stage 4: deterministic shard assignment + partitioned layout write
+    val out = "/tmp/graft-e2e-train"
+    val sharded = chunks.withColumn("shard",
+      F.pmod(F.conv(F.substring(F.md5(F.concat_ws(":",
+        $"doc_id", $"chunk_idx")), 1, 8), 16, 10).cast("long"), F.lit(4)))
+    Sinks.writeSharded(sharded, out, "shard")
+    val back = spark.read.parquet(out)
+    assert(back.count() == nChunks, "shards must partition exactly the chunk set")
+    assert(back.select("shard").distinct().count() == 4, "all shards populated")
+    val one = back.where($"shard" === 2)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("shard"),
+      s"a single-shard dataloader read must prune:\n$plan")
+    // chunk hashes survive the write bit-for-bit (content integrity of
+    // the laid-out training set)
+    val sumBefore = chunks.selectExpr(
+      "sum(CAST(conv(substr(chunk_hash, 1, 8), 16, 10) AS BIGINT)) AS s").head.getLong(0)
+    val sumAfter = back.selectExpr(
+      "sum(CAST(conv(substr(chunk_hash, 1, 8), 16, 10) AS BIGINT)) AS s").head.getLong(0)
+    assert(sumBefore == sumAfter, "chunk content checksums must survive the layout write")
+  }
+}

@@ -2906,7 +2906,7 @@ object PipelineOps {
   // map-side, zero shuffle) is unchanged. p01-style exact dedup composes
   // on url_checksum directly.
 
-  private val p45Spark = s"""
+  private def p45Spark(hf: String) = s"""
     WITH u AS (
       SELECT doc_id, concat('HTTP://WWW.Site', CAST(doc_id % 7 AS STRING),
         '.COM:80/a/', CAST(doc_id AS STRING), '?z=1&y=', CAST(doc_id % 3 AS STRING),
@@ -2925,7 +2925,7 @@ object PipelineOps {
       FROM s1)
     SELECT doc_id,
       split_part(split_part(base, '://', 2), '/', 1) AS host,
-      md5(concat(base, qs)) AS url_checksum
+      ${hStrSpark("concat(base, qs)", hf)} AS url_checksum
     FROM s2 ORDER BY doc_id"""
 
   private val p45Duck = s"""
@@ -3143,7 +3143,7 @@ object PipelineOps {
     "p42_split_assign" -> ((spark, dir) => p42Run(spark, dir)),
     "p43_unicode_nfc" -> ((spark, dir) => p43Run(spark, dir)),
     "p44_token_budget" -> ((spark, dir) => p44Run(spark, dir)),
-    "p45_url_normalize" -> onDocs(p45Spark),
+    "p45_url_normalize" -> onDocsHf(p45Spark),
   )
 
   def oracleSql: Map[String, String] = Map(

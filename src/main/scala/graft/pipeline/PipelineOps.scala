@@ -2974,7 +2974,7 @@ object PipelineOps {
     b
   }
 
-  private def p44Spark(hf: String, b: Long) = s"""
+  private[graft] def p44Spark(hf: String, b: Long) = s"""
     WITH t AS (
       SELECT doc_id, lang, size($wordsSpark) AS n,
         ${hSpark("CAST(doc_id AS STRING)", hf)} AS hk

@@ -3058,6 +3058,89 @@ object PipelineOps {
       md5(nfc_normalize(t)) AS nfc_checksum
     FROM aug ORDER BY doc_id"""
 
+  // ---- p46: weighted sampling without replacement (A-ES) -------------------
+  // Weight-proportional selection per stratum — the importance-sampling
+  // primitive quality-weighted corpus assembly needs (sample k docs per
+  // language with inclusion odds driven by a quality weight, here
+  // n_chars): p15/p24 select uniformly within a stratum and p44 fills a
+  // budget in hash order; none can OVERsample high-quality documents.
+  // Algorithm: Efraimidis–Spirakis A-ES (Inf. Process. Lett. 97(5), 2006)
+  // — draw u ~ U(0,1] per doc, keep the k smallest exponential race keys
+  // -ln(u)/w. u is the deterministic hash uniform (p15's rerun-stability
+  // contract: a re-executed job draws the SAME sample), routed through the
+  // hash-family switch.
+  //
+  // Scale shape: a single per-lang rank window is the textbook answer and
+  // the 100 TB skew trap — one language can be 90% of a web corpus, and
+  // PARTITION BY lang would sort that entire language in one task (AQE
+  // cannot split a window partition). So selection is a SALTED TWO-STAGE
+  // top-k: stage 1 ranks within (lang, salt-bucket) — bounded partitions,
+  // any one ≤ corpus/S — and keeps k per bucket; stage 2 ranks the ≤ k·S
+  // survivors per lang. top-k(∪ bucket-wise top-k) = top-k(all), so the
+  // result is IDENTICAL to the direct window — which is exactly what the
+  // DuckDB oracle computes (single un-salted window): the gate proves the
+  // two-stage path's result identity, not just its plausibility. The
+  // emitted aes_key is floor-rounded at 1e-6 (the engines' independent
+  // ln() roundings differ below that).
+  private val WeightedK = 8
+  private val WeightedSaltBuckets = 8
+
+  /** Live knobs: `spark.graft.weightedK` (docs kept per stratum) and
+    * `spark.graft.weightedSaltBuckets` (stage-1 fanout S; any S ≥ 1 yields
+    * the identical sample — size it so corpus/S rows sort comfortably in
+    * one task, e.g. S ≈ largest-stratum-rows / 10M). */
+  private[graft] def weightedK(spark: SparkSession): Int = {
+    val k = spark.conf.getOption("spark.graft.weightedK")
+      .map(_.toInt).getOrElse(WeightedK)
+    require(k >= 1, s"spark.graft.weightedK must be >= 1, got $k")
+    k
+  }
+  private[graft] def weightedSaltBuckets(spark: SparkSession): Int = {
+    val s = spark.conf.getOption("spark.graft.weightedSaltBuckets")
+      .map(_.toInt).getOrElse(WeightedSaltBuckets)
+    require(s >= 1, s"spark.graft.weightedSaltBuckets must be >= 1, got $s")
+    s
+  }
+
+  private[graft] def p46Spark(hf: String, kSel: Int, nSalt: Int) = s"""
+    WITH h AS (
+      SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS weight,
+        -ln((${hSpark("CAST(doc_id AS STRING)", hf)} + 1) / 4294967296.0)
+          / CAST(n_chars AS DOUBLE) AS aes_key,
+        pmod(${hSpark("concat('s46_', CAST(doc_id AS STRING))", hf)}, $nSalt) AS b
+      FROM documents),
+    loc AS (
+      SELECT lang, doc_id, weight, aes_key FROM (
+        SELECT *, row_number() OVER (PARTITION BY lang, b
+          ORDER BY aes_key, doc_id) AS lrk
+        FROM h) WHERE lrk <= $kSel),
+    g AS (
+      SELECT lang, doc_id, weight, aes_key,
+        row_number() OVER (PARTITION BY lang ORDER BY aes_key, doc_id) AS rk
+      FROM loc)
+    SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, weight,
+      CAST(floor(aes_key * 1e6 + 0.5) AS BIGINT) AS key_u
+    FROM g WHERE rk <= $kSel ORDER BY lang, rk"""
+
+  private def p46Run(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    spark.sql(p46Spark(hashFamily(spark), weightedK(spark), weightedSaltBuckets(spark)))
+  }
+
+  private val p46Duck = s"""
+    WITH h AS (
+      SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS weight,
+        -ln((${hDuck("CAST(doc_id AS VARCHAR)")} + 1) / 4294967296.0)
+          / CAST(n_chars AS DOUBLE) AS aes_key
+      FROM documents),
+    g AS (
+      SELECT lang, doc_id, weight, aes_key,
+        row_number() OVER (PARTITION BY lang ORDER BY aes_key, doc_id) AS rk
+      FROM h)
+    SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, weight,
+      CAST(floor(aes_key * 1e6 + 0.5) AS BIGINT) AS key_u
+    FROM g WHERE rk <= $WeightedK ORDER BY lang, rk"""
+
   private def onEvents(sql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => {
       graft.Graft.normalizeEventTime(spark.read.parquet(s"$dir/events.parquet"))
@@ -3144,6 +3227,7 @@ object PipelineOps {
     "p43_unicode_nfc" -> ((spark, dir) => p43Run(spark, dir)),
     "p44_token_budget" -> ((spark, dir) => p44Run(spark, dir)),
     "p45_url_normalize" -> onDocsHf(p45Spark),
+    "p46_weighted_sample" -> ((spark, dir) => p46Run(spark, dir)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3199,5 +3283,6 @@ object PipelineOps {
     "p43_unicode_nfc" -> p43Duck,
     "p44_token_budget" -> p44Duck,
     "p45_url_normalize" -> p45Duck,
+    "p46_weighted_sample" -> p46Duck,
   )
 }

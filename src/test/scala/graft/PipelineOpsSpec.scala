@@ -1014,6 +1014,41 @@ class PipelineOpsSpec extends AnyFunSuite {
       "kept_id_sum must be identical across reruns")
   }
 
+  test("p46 weighted sample: salt-invariant two-stage top-k, weight-biased, rerun-stable") {
+    def runWith(salt: Int): Seq[(String, Long, Long, Long, Long)] = {
+      spark.conf.set("spark.graft.weightedSaltBuckets", salt.toString)
+      try run("p46_weighted_sample").collect().toSeq.map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      finally spark.conf.unset("spark.graft.weightedSaltBuckets")
+    }
+    val out = runWith(8)
+    assert(out.nonEmpty)
+    // per-stratum cardinality: exactly min(k, stratum size), ranks dense from 1
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val perLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.length == math.min(8L, perLang(lang)),
+        s"$lang: expected min(8, ${perLang(lang)}) picks, got ${rows.length}")
+      assert(rows.map(_._2).sorted == (1L to rows.length).toSeq,
+        s"$lang: ranks must be dense from 1")
+    }
+    // the salted two-stage selection is IDENTICAL to the direct window for
+    // any fanout S — top-k(∪ bucket top-k) = top-k(all); S=1 degenerates to
+    // the direct single-window plan, so this is also the result-identity
+    // proof against the oracle's shape
+    assert(runWith(1) == out, "S=1 (direct) must select the same sample")
+    assert(runWith(16) == out, "S=16 must select the same sample")
+    // rerun-stability: the hash uniform, not rand()
+    assert(runWith(8) == out)
+    // A-ES must oversample heavy documents: selected mean weight above the
+    // corpus mean (inclusion odds scale with w)
+    val corpusMean = docs.selectExpr("avg(CAST(n_chars AS DOUBLE))").head.getDouble(0)
+    val pickMean = out.map(_._4).sum.toDouble / out.length
+    assert(pickMean > corpusMean,
+      f"selected mean weight $pickMean%.1f must exceed corpus mean $corpusMean%.1f")
+  }
+
   test("p38 PII redaction: no pattern survives redaction; every stage fires on every row") {
     val out = run("p38_pii_redact").collect()
     assert(out.nonEmpty)

@@ -476,6 +476,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no global stage belongs in the budget path:\n$p")
   }
 
+  test("p46 weighted sample: salted two-stage windows, no whole-stratum sort") {
+    // stage 1 must partition by (lang, salt-bucket) — the skew escape — and
+    // stage 2 by lang over only the k·S survivors; neither window may
+    // collapse to a global partition
+    val p = pipeline.PipelineOps.queries("p46_weighted_sample")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(lang[^,]*, b".r.findAllIn(p).nonEmpty,
+      s"stage-1 exchange must key on (lang, b):\n$p")
+    assert("hashpartitioning\\(lang#\\d+, \\d+\\)".r.findAllIn(p).nonEmpty,
+      s"stage-2 exchange must key on lang alone:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no global stage belongs in the sample path:\n$p")
+    assert(!p.contains("No Partition Defined"),
+      s"no unpartitioned window belongs in the sample path:\n$p")
+  }
+
   test("session carries the scale configs the 100 TB contract depends on") {
     // Graft.localSession is the one place these are set; losing any of them
     // silently degrades cluster behavior (AQE re-planning incl. skew-join

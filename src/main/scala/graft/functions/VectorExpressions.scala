@@ -383,6 +383,43 @@ object GraftFunctions {
     }
   }
 
+  private val aesTopKRegistered = new java.util.WeakHashMap[SparkSession, Int]()
+
+  /** `graft_aes_topk(aes_key, doc_id, weight)` aggregate with k bound at
+    * registration; re-registers when k changes. */
+  def registerAesTopK(spark: SparkSession, k: Int): Unit = synchronized {
+    if (!aesTopKRegistered.containsKey(spark) || aesTopKRegistered.get(spark) != k) {
+      aesTopKRegistered.put(spark, k)
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_aes_topk",
+        exprs => GraftAesTopK(exprs(0), exprs(1), exprs(2), k), "built-in")
+    }
+  }
+
+  private val bloomRegistered = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** `graft_bloom_agg(longCol, estItems, numBits)` and
+    * `graft_bloom_contains(bloomBytes, longCol)` — Spark's OWN runtime
+    * bloom-filter expressions (`BloomFilterAggregate` /
+    * `BloomFilterMightContain`, the machinery behind
+    * InjectRuntimeFilter's join pruning), surfaced as SQL functions so a
+    * pipeline can build an EXPLICIT membership prefilter over a corpus.
+    * Spark keeps them out of the public registry because the optimizer
+    * normally injects them itself; here the pipeline IS the optimizer.
+    * `graft_bloom_contains`'s first argument must be a scalar subquery or
+    * literal (the expression's own foldability contract — the sketch is
+    * built once and shipped to every task, never joined row-wise). */
+  def registerBloom(spark: SparkSession): Unit = synchronized {
+    if (bloomRegistered.add(spark)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_bloom_agg",
+        exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1), exprs(2)), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_bloom_contains",
+        exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1)), "built-in")
+    }
+  }
+
   /** `graft_srp_keys(embedding)` with the plane matrix and band geometry
     * bound at registration (they derive from the corpus count — p08Run). */
   def registerSrpKeys(spark: SparkSession, srpPlanes: Array[Array[Int]],

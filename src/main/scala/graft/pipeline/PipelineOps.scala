@@ -3141,6 +3141,179 @@ object PipelineOps {
       CAST(floor(aes_key * 1e6 + 0.5) AS BIGINT) AS key_u
     FROM g WHERE rk <= $WeightedK ORDER BY lang, rk"""
 
+  // ---- p47: line-level boilerplate removal ---------------------------------
+  // The C4/RefinedWeb frequent-lines step: a line that recurs across MANY
+  // documents (nav bars, cookie banners, copyright footers) is template
+  // markup, not content — strip it from every document while keeping the
+  // document itself. Distinct from p01 (whole-doc dedup), p26 (intra-doc
+  // repetition) and p33 (term-level stats): the unit here is the LINE and
+  // the evidence is cross-document frequency. The gate corpus has no
+  // newlines, so each document is recast as four planted lines (the
+  // p38/p43/p45 planted-fixture pattern): its own leading words (unique
+  // up to exact-dup docs → kept), a universal footer (df = N → removed),
+  // a 1-in-7 promo line (df ≈ N/7 → removed: the common-but-not-universal
+  // case), and a per-doc ref line (df = 1 → kept).
+  //
+  // Scale shape: one line explosion (the only Generate), a per-(line,doc)
+  // distinct + per-line doc-frequency rollup (the two line-key shuffles),
+  // then the frequent set — bounded by total_lines / DfMin BY CONSTRUCTION,
+  // the p40 broadcast-safety argument — collapses to a one-row hash array
+  // that BROADCASTS back; the rewrite (filter + rejoin + checksum) is pure
+  // map-side. No doc ever joins per-line rows.
+  private val BoilerplateDfMin = 50
+
+  /** Live threshold (`spark.graft.boilerplateDf`): minimum distinct-doc
+    * frequency for a line to count as boilerplate. C4 strips spans seen
+    * even twice — lower it toward 2 as real corpus redundancy allows; the
+    * broadcast stays bounded at total_line_occurrences / threshold. */
+  private[graft] def boilerplateDf(spark: SparkSession): Int = {
+    val t = spark.conf.getOption("spark.graft.boilerplateDf")
+      .map(_.toInt).getOrElse(BoilerplateDfMin)
+    require(t >= 2, s"spark.graft.boilerplateDf must be >= 2, got $t")
+    t
+  }
+
+  private[graft] def p47Spark(hf: String, dfMin: Int) = s"""
+    WITH aug AS (
+      SELECT doc_id, array(
+        array_join(slice(${wordsSpark}, 1, 6), ' '),
+        'copyright acme corp all rights reserved',
+        concat('promo code ', CAST(doc_id % 7 AS STRING)),
+        concat('ref ', CAST(doc_id AS STRING))) AS lines
+      FROM documents),
+    occ AS (
+      SELECT DISTINCT ${hStrSpark("line", hf)} AS lh, doc_id
+      FROM aug LATERAL VIEW explode(lines) x AS line),
+    freq AS (
+      SELECT lh FROM occ GROUP BY lh HAVING count(*) >= $dfMin),
+    farr AS (SELECT array_agg(lh) AS arr FROM freq),
+    out AS (
+      SELECT doc_id, lines,
+        filter(lines, l -> NOT array_contains(coalesce(farr.arr,
+          CAST(array() AS ARRAY<STRING>)), ${hStrSpark("l", hf)})) AS kept
+      FROM aug CROSS JOIN farr)
+    SELECT doc_id,
+      CAST(size(lines) AS BIGINT) AS n_lines,
+      CAST(size(lines) - size(kept) AS BIGINT) AS n_removed,
+      ${hStrSpark("array_join(kept, CHR(10))", hf)} AS clean_checksum
+    FROM out ORDER BY doc_id"""
+
+  private def p47Run(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    spark.sql(p47Spark(hashFamily(spark), boilerplateDf(spark)))
+  }
+
+  private val p47Duck = s"""
+    WITH aug AS (
+      SELECT doc_id, [
+        array_to_string(list_slice(${wordsDuck}, 1, 6), ' '),
+        'copyright acme corp all rights reserved',
+        'promo code ' || CAST(doc_id % 7 AS VARCHAR),
+        'ref ' || CAST(doc_id AS VARCHAR)] AS lines
+      FROM documents),
+    occ AS (
+      SELECT DISTINCT md5(line) AS lh, doc_id
+      FROM (SELECT doc_id, unnest(lines) AS line FROM aug)),
+    freq AS (
+      SELECT lh FROM occ GROUP BY lh HAVING count(*) >= $BoilerplateDfMin),
+    farr AS (SELECT coalesce(list(lh), []) AS arr FROM freq),
+    out AS (
+      SELECT doc_id, lines,
+        list_filter(lines, l -> NOT list_contains(farr.arr, md5(l))) AS kept
+      FROM aug CROSS JOIN farr)
+    SELECT doc_id,
+      CAST(len(lines) AS BIGINT) AS n_lines,
+      CAST(len(lines) - len(kept) AS BIGINT) AS n_removed,
+      md5(array_to_string(kept, chr(10))) AS clean_checksum
+    FROM out ORDER BY doc_id"""
+
+  // ---- p48: bloom-prefiltered incremental dedup ----------------------------
+  // p39's classify-against-the-corpus, restructured around the standard
+  // 100 TB prefilter: build a Bloom filter over the admitted corpus's
+  // content hashes ONCE (one binary sketch, broadcast to every task via a
+  // scalar subquery), gate the incoming batch on membership — a map-side
+  // filter that eliminates the definitely-new documents WITHOUT any join —
+  // and run the exact verify join only on the bloom-positive candidates.
+  // Bloom filters have no false negatives, so the final classification is
+  // IDENTICAL to the plain exact join; the oracle computes exactly that,
+  // proving the sketch transparent. False positives only cost verify-join
+  // input (fpp-bounded), never correctness.
+  //
+  // The sketch rides Spark's own BloomFilterAggregate /
+  // BloomFilterMightContain (the InjectRuntimeFilter machinery, surfaced
+  // as graft_bloom_agg / graft_bloom_contains — functions/
+  // VectorExpressions.scala registerBloom). Geometry is DERIVED: numBits =
+  // ceil(-n·ln(fpp)/ln²2) from a cheap count of the base partition and the
+  // live `spark.graft.bloomFpp` knob (p21's derive-don't-hardcode rule).
+  // At real scale the base side of the verify join should be a
+  // Sinks.bucketed table on the content hash (exchange-free verify);
+  // Spark's sketch caps live in spark.sql.optimizer.runtime.bloomFilter.*
+  // (maxNumItems/maxNumBits) and must be raised for 1e10-item corpora.
+  private val BloomFpp = 0.01
+
+  /** Live false-positive-rate knob (`spark.graft.bloomFpp`). */
+  private[graft] def bloomFpp(spark: SparkSession): Double = {
+    val p = spark.conf.getOption("spark.graft.bloomFpp")
+      .map(_.toDouble).getOrElse(BloomFpp)
+    require(p > 0.0 && p < 0.5, s"spark.graft.bloomFpp must be in (0, 0.5), got $p")
+    p
+  }
+
+  private[graft] def bloomBits(nItems: Long, fpp: Double): Long = {
+    val ln2sq = math.log(2) * math.log(2)
+    val bits = math.ceil(-nItems.toDouble * math.log(fpp) / ln2sq).toLong
+    math.min(math.max(bits, 64L), 1L << 26)
+  }
+
+  // The gate corpus has no exact duplicates, so content is planted (the
+  // p38/p45/p47 fixture pattern): every 7th document shares one content
+  // block — batch docs with doc_id ≡ 14 (mod 35) are true duplicates of
+  // base docs, exercising the bloom-positive → verified path; everything
+  // else exercises the bloom-negative fast path.
+  private val p48Key =
+    "CASE WHEN doc_id % 7 = 0 THEN 'planted shared content block' ELSE lower(trim(text)) END"
+
+  private def p48Spark(hf: String, estItems: Long, numBits: Long) = s"""
+    WITH base AS (
+      SELECT ${hStrSpark(p48Key, hf)} AS h
+      FROM documents WHERE pmod(doc_id, 5) < 4),
+    batch AS (
+      SELECT doc_id, ${hStrSpark(p48Key, hf)} AS h
+      FROM documents WHERE pmod(doc_id, 5) = 4),
+    bf AS (
+      SELECT graft_bloom_agg(xxhash64(h), CAST($estItems AS BIGINT),
+        CAST($numBits AS BIGINT)) AS b
+      FROM base),
+    cand AS (
+      SELECT doc_id, h FROM batch
+      WHERE graft_bloom_contains((SELECT b FROM bf), xxhash64(h))),
+    verified AS (
+      SELECT DISTINCT c.doc_id FROM cand c JOIN base bs ON c.h = bs.h)
+    SELECT b.doc_id,
+      CASE WHEN v.doc_id IS NOT NULL THEN 'dup_of_base' ELSE 'new_unique' END AS status
+    FROM batch b LEFT JOIN verified v ON b.doc_id = v.doc_id
+    ORDER BY b.doc_id"""
+
+  private def p48Run(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerBloom(spark)
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    val n = math.max(1L,
+      spark.sql("SELECT count(*) FROM documents WHERE pmod(doc_id, 5) < 4").head.getLong(0))
+    spark.sql(p48Spark(hashFamily(spark), n, bloomBits(n, bloomFpp(spark))))
+  }
+
+  private val p48Duck = s"""
+    WITH base AS (
+      SELECT md5($p48Key) AS h FROM documents WHERE doc_id % 5 < 4),
+    batch AS (
+      SELECT doc_id, md5($p48Key) AS h FROM documents WHERE doc_id % 5 = 4),
+    verified AS (
+      SELECT DISTINCT c.doc_id FROM batch c JOIN base bs ON c.h = bs.h)
+    SELECT b.doc_id,
+      CASE WHEN v.doc_id IS NOT NULL THEN 'dup_of_base' ELSE 'new_unique' END AS status
+    FROM batch b LEFT JOIN verified v ON b.doc_id = v.doc_id
+    ORDER BY b.doc_id"""
+
   private def onEvents(sql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => {
       graft.Graft.normalizeEventTime(spark.read.parquet(s"$dir/events.parquet"))
@@ -3228,6 +3401,8 @@ object PipelineOps {
     "p44_token_budget" -> ((spark, dir) => p44Run(spark, dir)),
     "p45_url_normalize" -> onDocsHf(p45Spark),
     "p46_weighted_sample" -> ((spark, dir) => p46Run(spark, dir)),
+    "p47_boilerplate_lines" -> ((spark, dir) => p47Run(spark, dir)),
+    "p48_bloom_dedup" -> ((spark, dir) => p48Run(spark, dir)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3284,5 +3459,7 @@ object PipelineOps {
     "p44_token_budget" -> p44Duck,
     "p45_url_normalize" -> p45Duck,
     "p46_weighted_sample" -> p46Duck,
+    "p47_boilerplate_lines" -> p47Duck,
+    "p48_bloom_dedup" -> p48Duck,
   )
 }

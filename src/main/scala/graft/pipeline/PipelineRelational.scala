@@ -867,6 +867,88 @@ object PipelineRelational {
          |]
          |sort doc_id""".stripMargin,
 
+    "p46_weighted_sample" ->
+      s"""table h = (
+         |  from documents
+         |  derive [
+         |    weight = s"CAST(n_chars AS BIGINT)",
+         |    aes_key = s"-ln((${H("CAST(doc_id AS STRING)")} + 1) / 4294967296.0) / CAST(n_chars AS DOUBLE)",
+         |    b = s"pmod(${H("concat('s46_', CAST(doc_id AS STRING))")}, 8)",
+         |  ]
+         |)
+         |
+         |table loc = (
+         |  from h
+         |  group [lang, b] (
+         |    sort [aes_key, doc_id]
+         |    take 8
+         |  )
+         |)
+         |
+         |table g = (
+         |  from loc
+         |  group [lang] (
+         |    sort [aes_key, doc_id]
+         |    derive [rk = (row_number | as bigint)]
+         |  )
+         |)
+         |
+         |from g
+         |filter rk <= 8
+         |select [lang, rk, doc_id, weight,
+         |  key_u = s"CAST(floor(aes_key * 1e6 + 0.5) AS BIGINT)"]
+         |sort [lang, rk]""".stripMargin,
+
+    "p47_boilerplate_lines" ->
+      s"""table aug = (
+         |  from documents
+         |  derive lines = s"array(array_join(slice($W, 1, 6), ' '), 'copyright acme corp all rights reserved', concat('promo code ', CAST(doc_id % 7 AS STRING)), concat('ref ', CAST(doc_id AS STRING)))"
+         |)
+         |
+         |table xp = (
+         |  from aug
+         |  select [doc_id, line = s"explode(lines)"]
+         |)
+         |
+         |table occ = (
+         |  from xp
+         |  derive lh = s"md5(line)"
+         |  select [lh, doc_id]
+         |  group [lh, doc_id] (take 1)
+         |)
+         |
+         |table freq = (
+         |  from occ
+         |  group [lh] (aggregate [df = s"CAST(count(*) AS BIGINT)"])
+         |  filter df >= 50
+         |)
+         |
+         |table farr = (
+         |  from freq
+         |  aggregate [arr = s"array_agg(lh)"]
+         |  derive k = s"1"
+         |)
+         |
+         |table dk = (
+         |  from aug
+         |  derive k = s"1"
+         |)
+         |
+         |table out = (
+         |  from dk
+         |  join farr [k]
+         |  derive kept = s"filter(lines, l -> NOT array_contains(coalesce(arr, CAST(array() AS ARRAY<STRING>)), md5(l)))"
+         |)
+         |
+         |from out
+         |select [
+         |  doc_id,
+         |  n_lines = s"CAST(size(lines) AS BIGINT)",
+         |  n_removed = s"CAST(size(lines) - size(kept) AS BIGINT)",
+         |  clean_checksum = s"md5(array_join(kept, CHR(10)))",
+         |]
+         |sort doc_id""".stripMargin,
+
     // p43's graft_nfc kernel comes from registerKernels, like graft_dot
     // and graft_top_terms for the entries above.
     "p43_unicode_nfc" ->
@@ -928,5 +1010,7 @@ object PipelineRelational {
       "typed mapPartitions codec (RIFF/WAV chunk walk + PCM sample parse in MediaOps) — imperative per-partition decode, not relational",
     "p42_split_assign" ->
       "composes p16's iterative label-propagation driver loop (the split unit is the converged near-dup cluster)",
+    "p48_bloom_dedup" ->
+      "sketch geometry (estItems/numBits) derives from a prior count action and graft_bloom_* register per-session; the membership gate ships as a scalar-subquery literal, not a relational join — the p08 multi-action exclusion class",
   )
 }

@@ -70,7 +70,8 @@ class HashFamilySpec extends AnyFunSuite {
       "p18_text_clean", "p19_ann_ivf", "p20_curation", "p21_decontam",
       "p24_mixture_sample", "p27_shuffle_shard", "p36_chunk_sliding",
       "p37_domain_quota", "p38_pii_redact", "p39_incremental_dedup",
-      "p42_split_assign", "p45_url_normalize", "p46_weighted_sample")
+      "p42_split_assign", "p45_url_normalize", "p46_weighted_sample",
+      "p47_boilerplate_lines", "p48_bloom_dedup")
     withFamily("xxhash64") {
       hashOps.foreach { op =>
         val df = run(op)

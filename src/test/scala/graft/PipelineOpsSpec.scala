@@ -1049,6 +1049,60 @@ class PipelineOpsSpec extends AnyFunSuite {
       f"selected mean weight $pickMean%.1f must exceed corpus mean $corpusMean%.1f")
   }
 
+  test("p47 boilerplate lines: frequent lines stripped, rare kept, threshold is live") {
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val out = run("p47_boilerplate_lines").collect()
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(out.length == n, "every document survives (lines are stripped, docs are not)")
+    // default threshold (50): the universal footer (df = N) and the 1-in-7
+    // promo line (df ~ N/7) go; the leading-words and ref lines stay
+    out.foreach { r =>
+      assert(r.getLong(1) == 4L)
+      assert(r.getLong(2) == 2L,
+        s"doc ${r.getLong(0)}: expected footer+promo removed, got ${r.getLong(2)}")
+    }
+    // ground-truth checksum for doc 0: kept = leading-6-words line + ref line
+    val lead0 = spark.sql(
+      s"SELECT array_join(slice(split(trim(text), '\\\\s+'), 1, 6), ' ') FROM parquet.`$dir/documents.parquet` WHERE doc_id = 0")
+      .head.getString(0)
+    val expect0 = md5hex(lead0 + "\n" + "ref 0")
+    assert(out.find(_.getLong(0) == 0L).get.getString(3) == expect0,
+      "doc 0 checksum must equal md5 of the two surviving lines")
+    // threshold above the corpus size: nothing is frequent, nothing removed
+    spark.conf.set("spark.graft.boilerplateDf", (n + 1).toString)
+    try {
+      val none = run("p47_boilerplate_lines").collect()
+      assert(none.forall(_.getLong(2) == 0L), "df threshold > N must strip nothing")
+    } finally spark.conf.unset("spark.graft.boilerplateDf")
+  }
+
+  test("p48 bloom dedup: classification matches ground truth; sketch is transparent at any fpp") {
+    val out = run("p48_bloom_dedup").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(out.length == (0L until n).count(_ % 5 == 4),
+      "every batch document is classified exactly once")
+    // ground truth from the planted-content rule: batch docs with
+    // doc_id % 7 == 0 share the planted block with base docs; nothing else
+    // duplicates (the gate corpus has no natural exact dups — p01 proves it)
+    out.foreach { case (id, status) =>
+      val expect = if (id % 7 == 0) "dup_of_base" else "new_unique"
+      assert(status == expect, s"doc $id: expected $expect, got $status")
+    }
+    assert(out.count(_._2 == "dup_of_base") > 0, "the dup path must be exercised")
+    // transparency: a near-degenerate sketch (fpp 0.49 → floods of false
+    // positives) must yield the IDENTICAL classification — false positives
+    // only widen the verify-join input, never the result
+    spark.conf.set("spark.graft.bloomFpp", "0.49")
+    try assert(run("p48_bloom_dedup").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == out,
+      "classification must be fpp-invariant")
+    finally spark.conf.unset("spark.graft.bloomFpp")
+  }
+
   test("p38 PII redaction: no pattern survives redaction; every stage fires on every row") {
     val out = run("p38_pii_redact").collect()
     assert(out.nonEmpty)

@@ -492,6 +492,45 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no unpartitioned window belongs in the sample path:\n$p")
   }
 
+  test("p47 boilerplate: frequent-line set broadcasts back; the explosion is the only Generate") {
+    // the line-df rollup owns the line-key shuffles; the one-row frequent
+    // array is the sanctioned single-partition aggregate (p40's idiom) and
+    // must return as a broadcast; the rewrite is map-side after it
+    val p = pipeline.PipelineOps.queries("p47_boilerplate_lines")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Generate".r.findAllIn(p).length == 1,
+      s"exactly one line explosion is sanctioned:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"the one-row frequent set must broadcast:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"no cartesian in the rewrite path:\n$p")
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 1,
+      s"only the one-row frequent aggregate may single-partition:\n$p")
+    assert("hashpartitioning".r.findAllIn(p).length <= 2,
+      s"the (line,doc) distinct and line-df rollup are the only hash shuffles:\n$p")
+  }
+
+  test("p48 bloom dedup: membership gate is a map-side subquery filter before the verify join") {
+    // the sketch builds once (scalar subquery over the base), ships as a
+    // literal into a might_contain FILTER on the batch side — pruning
+    // definitely-new docs before any join — and the exact verify join
+    // stays an equi-join on the content hash
+    val p = pipeline.PipelineOps.queries("p48_bloom_dedup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"),
+      s"the bloom membership gate must appear as a filter:\n$p")
+    assert(p.contains("bloom_filter_agg") || p.contains("Subquery"),
+      s"the sketch must build via the scalar-subquery aggregate:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"verify must stay an equi-join:\n$p")
+    // the sketch subquery is ONE physical exchange but prints at every
+    // consumer site — count distinct plan ids, not textual occurrences
+    val singleIds = "Exchange SinglePartition.*?plan_id=(\\d+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(singleIds.size <= 1,
+      s"only the one-row sketch aggregate may single-partition:\n$p")
+  }
+
   test("session carries the scale configs the 100 TB contract depends on") {
     // Graft.localSession is the one place these are set; losing any of them
     // silently degrades cluster behavior (AQE re-planning incl. skew-join

@@ -3314,6 +3314,94 @@ object PipelineOps {
     FROM batch b LEFT JOIN verified v ON b.doc_id = v.doc_id
     ORDER BY b.doc_id"""
 
+  // ---- p49: embedding outlier score (distance to cluster centroid) ---------
+  // The SemDeDup-adjacent curation step: within each embedding cluster
+  // (the `label` column — in production, p19's IVF assignment or an
+  // upstream clustering), a point far from its cluster's centroid is a
+  // mislabeled/noise candidate — score it and flag the top decile. The
+  // numeric trap is the centroid itself: a float mean is an
+  // order-dependent double sum (non-deterministic across engines AND
+  // across Spark's own partitionings), so everything runs in EXACT
+  // integer arithmetic over a FIXED-scale int8 quantization (p25's
+  // carrier trick, but with one corpus-independent scale — cross-vector
+  // sums need a common unit, and a data-derived global max would cost a
+  // corpus scan per consumer of the quantized relation): q = clamp(round
+  // (x·127), ±127), exact for the unit-normalized embedding ranges real
+  // encoders emit, clipping (not breaking) anything larger. Per-(label,
+  // dim) integer sums s and counts n are exact, and the centroid distance
+  // is scale-free: dist2q = Σ_d (v_d·n − s_d)² — comparing v against the
+  // EXACT rational mean s/n without ever forming it. |v|≤127 ⇒ terms <
+  // (254·n)²·64, int64-safe to n ≈ 7·10⁷ per cluster; beyond that, round
+  // the per-dim mean to an int (one ulp-free division) and score against
+  // it — same plan, documented trade.
+  //
+  // Scale shape: everything before the rollups is PURE MAP-SIDE (fixed
+  // scale ⇒ no one-row aggregate, no single-partition stage anywhere —
+  // audited): a posting explosion (p33's class; the quantized relation's
+  // two consumers each re-run the cheap map stage rather than share a
+  // barrier), a (label, dim) rollup whose |labels|·dim-row result
+  // BROADCASTS back onto the exploded relation — never a shuffle of the
+  // big side — a map-side-partial per-vector rollup, and the per-label
+  // rank window.
+  private def p49Spark = s"""
+    WITH q AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS label,
+        transform(embedding,
+          x -> greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+            CAST(floor(CAST(x AS DOUBLE) * 127.0D + 0.5D) AS BIGINT)))) AS qv
+      FROM embeddings),
+    x AS (
+      SELECT vec_id, label, dim, v
+      FROM q LATERAL VIEW posexplode(qv) t AS dim, v),
+    c AS (
+      SELECT label, dim, CAST(sum(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+      FROM x GROUP BY label, dim),
+    sc AS (
+      SELECT x.vec_id, x.label,
+        CAST(sum((x.v * c.n - c.s) * (x.v * c.n - c.s)) AS BIGINT) AS dist2q,
+        max(c.n) AS n_label
+      FROM x JOIN c ON x.label = c.label AND x.dim = c.dim
+      GROUP BY x.vec_id, x.label),
+    r AS (
+      SELECT vec_id, label, dist2q, n_label,
+        row_number() OVER (PARTITION BY label ORDER BY dist2q DESC, vec_id) AS rk
+      FROM sc)
+    SELECT vec_id, label, dist2q, CAST(rk AS BIGINT) AS rk,
+      CAST(CASE WHEN rk <= (n_label + 9) DIV 10 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+    FROM r ORDER BY vec_id"""
+
+  private def p49Run(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("embeddings")
+    spark.sql(p49Spark)
+  }
+
+  private val p49Duck = s"""
+    WITH q AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS label,
+        list_transform(embedding,
+          x -> greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+            CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS BIGINT)))) AS qv
+      FROM embeddings),
+    x AS (
+      SELECT vec_id, label, u.i AS dim, qv[u.i] AS v
+      FROM q CROSS JOIN (SELECT unnest(generate_series(1, $EmbDim)) AS i) u),
+    c AS (
+      SELECT label, dim, CAST(sum(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+      FROM x GROUP BY label, dim),
+    sc AS (
+      SELECT x.vec_id, x.label,
+        CAST(sum((x.v * c.n - c.s) * (x.v * c.n - c.s)) AS BIGINT) AS dist2q,
+        max(c.n) AS n_label
+      FROM x JOIN c ON x.label = c.label AND x.dim = c.dim
+      GROUP BY x.vec_id, x.label),
+    r AS (
+      SELECT vec_id, label, dist2q, n_label,
+        row_number() OVER (PARTITION BY label ORDER BY dist2q DESC, vec_id) AS rk
+      FROM sc)
+    SELECT vec_id, label, dist2q, CAST(rk AS BIGINT) AS rk,
+      CAST(CASE WHEN rk <= (n_label + 9) // 10 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+    FROM r ORDER BY vec_id"""
+
   private def onEvents(sql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => {
       graft.Graft.normalizeEventTime(spark.read.parquet(s"$dir/events.parquet"))
@@ -3403,6 +3491,7 @@ object PipelineOps {
     "p46_weighted_sample" -> ((spark, dir) => p46Run(spark, dir)),
     "p47_boilerplate_lines" -> ((spark, dir) => p47Run(spark, dir)),
     "p48_bloom_dedup" -> ((spark, dir) => p48Run(spark, dir)),
+    "p49_embed_outlier" -> ((spark, dir) => p49Run(spark, dir)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3461,5 +3550,6 @@ object PipelineOps {
     "p46_weighted_sample" -> p46Duck,
     "p47_boilerplate_lines" -> p47Duck,
     "p48_bloom_dedup" -> p48Duck,
+    "p49_embed_outlier" -> p49Duck,
   )
 }

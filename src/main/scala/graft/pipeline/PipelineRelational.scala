@@ -949,6 +949,66 @@ object PipelineRelational {
          |]
          |sort doc_id""".stripMargin,
 
+    // posexplode's two-column generator has no single-alias form, so the
+    // position rides an arrays_zip struct through a one-alias explode
+    "p49_embed_outlier" ->
+      s"""table q = (
+         |  from embeddings
+         |  derive [
+         |    label_b = s"CAST(label AS BIGINT)",
+         |    qv = s"transform(embedding, x -> greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT), CAST(floor(CAST(x AS DOUBLE) * 127.0D + 0.5D) AS BIGINT))))",
+         |  ]
+         |)
+         |
+         |table x0 = (
+         |  from q
+         |  select [vec_id, label_b, z = s"explode(arrays_zip(sequence(1, size(qv)), qv))"]
+         |)
+         |
+         |table x = (
+         |  from x0
+         |  select [vec_id, label_b, dim = s"z.`0`", v = s"z.qv"]
+         |)
+         |
+         |table c = (
+         |  from x
+         |  group [label_b, dim] (
+         |    aggregate [
+         |      s = s"CAST(sum(v) AS BIGINT)",
+         |      n = s"CAST(count(*) AS BIGINT)",
+         |    ]
+         |  )
+         |)
+         |
+         |table sc = (
+         |  from x
+         |  join c [label_b, dim]
+         |  group [vec_id, label_b] (
+         |    aggregate [
+         |      dist2q = s"CAST(sum((v * n - s) * (v * n - s)) AS BIGINT)",
+         |      n_label = s"max(n)",
+         |    ]
+         |  )
+         |)
+         |
+         |table r = (
+         |  from sc
+         |  group [label_b] (
+         |    sort [-dist2q, vec_id]
+         |    derive [rk = (row_number | as bigint)]
+         |  )
+         |)
+         |
+         |from r
+         |select [
+         |  vec_id,
+         |  label = label_b,
+         |  dist2q,
+         |  rk,
+         |  is_outlier = s"CAST(CASE WHEN rk <= (n_label + 9) DIV 10 THEN 1 ELSE 0 END AS BIGINT)",
+         |]
+         |sort vec_id""".stripMargin,
+
     // p43's graft_nfc kernel comes from registerKernels, like graft_dot
     // and graft_top_terms for the entries above.
     "p43_unicode_nfc" ->

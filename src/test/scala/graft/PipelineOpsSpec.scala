@@ -1103,6 +1103,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     finally spark.conf.unset("spark.graft.bloomFpp")
   }
 
+  test("p49 embed outlier: scores partition the corpus, decile flag consistent per cluster") {
+    val out = run("p49_embed_outlier").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(out.length == n, "every vector is scored exactly once")
+    out.groupBy(_._2).foreach { case (label, rows) =>
+      // ranks dense from 1, descending-distance order
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq,
+        s"label $label: ranks must be dense")
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sortBy(-_).toSeq,
+        s"label $label: rank order must follow dist2q descending")
+      // flagged = exactly the top decile (ceil(n/10)), and every flagged
+      // distance dominates every unflagged one
+      val flagged = rows.filter(_._5 == 1L)
+      assert(flagged.length == (rows.length + 9) / 10,
+        s"label $label: decile flag count")
+      if (flagged.nonEmpty && flagged.length < rows.length)
+        assert(flagged.map(_._3).min >= rows.filter(_._5 == 0L).map(_._3).max,
+          s"label $label: flagged distances must dominate unflagged")
+    }
+  }
+
   test("p38 PII redaction: no pattern survives redaction; every stage fires on every row") {
     val out = run("p38_pii_redact").collect()
     assert(out.nonEmpty)

@@ -531,6 +531,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"only the one-row sketch aggregate may single-partition:\n$p")
   }
 
+  test("p49 embed outlier: centroid table broadcasts back; no single-partition stage at all") {
+    // the fixed quantization scale keeps everything before the rollups
+    // map-side (no global-max aggregate); the (label, dim) centroid rollup
+    // is tiny (|labels|·dim rows) and must return to the exploded relation
+    // as a broadcast, never by shuffling the big side
+    val p = pipeline.PipelineOps.queries("p49_embed_outlier")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Generate".r.findAllIn(p).length <= 2,
+      s"only the posting explosion(s) of the twice-consumed relation:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the centroid table must broadcast:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"no cartesian in the scoring path:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no global stage belongs in the outlier path:\n$p")
+  }
+
   test("session carries the scale configs the 100 TB contract depends on") {
     // Graft.localSession is the one place these are set; losing any of them
     // silently degrades cluster behavior (AQE re-planning incl. skew-join

@@ -127,6 +127,10 @@ object Graft {
   def localSession(cpus: String): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
+      // deployment-style kernel registration: every graft_* function that
+      // doesn't need corpus-derived geometry is available in plain SQL on
+      // any session (incl. newSession() isolation) with no register call
+      .withExtensions(new functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Deployment-grade registration of the graft kernels: a standard
+  * `SparkSessionExtensions` injector (`spark.sql.extensions=
+  * graft.functions.GraftExtensions`, or `builder.withExtensions`) that
+  * puts every corpus-independent kernel into the session's built-in
+  * function registry at SESSION BUILD — a cluster user gets `graft_dot`,
+  * `graft_nfc`, the bloom pair, and the sketch aggregates in plain SQL
+  * with no driver-side `GraftFunctions.register*` call, and
+  * `spark.newSession()` isolation keeps them (unlike temp functions).
+  *
+  * Parameterized sketches take their parameter as an OPTIONAL TRAILING
+  * LITERAL instead of a registration-bound constant: `graft_kmv(h)` /
+  * `graft_kmv(h, 256)`, `graft_aes_topk(key, id, w)` /
+  * `graft_aes_topk(key, id, w, 32)`, `graft_top_terms(words, 10)`. The
+  * per-call `GraftFunctions.register*` path stays for the operators (a
+  * temp function shadows the injected one, so a bound-k registration
+  * still wins in its session). The corpus-geometry kernels
+  * (`graft_minhash`, `graft_srp_keys`) are deliberately NOT injectable:
+  * their coefficients derive from a corpus count at run time
+  * (p04Run/p08Run), so registration is part of those operators' action
+  * sequence.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def litInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a foldable literal")
+    e.eval().asInstanceOf[Number].intValue
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def inject(name: String)(builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        (exprs: Seq[Expression]) => builder(exprs)))
+
+    inject("graft_dot")(e => GraftDot(e(0), e(1)))
+    inject("graft_nfc")(e => GraftNfc(e.head))
+    inject("graft_bloom_agg")(e =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        e(0), e(1), e(2)))
+    inject("graft_bloom_contains")(e =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(e(0), e(1)))
+    inject("graft_kmv") { e =>
+      val k = if (e.length >= 2) litInt(e(1), "graft_kmv k") else 64
+      GraftKmv(e.head, k)
+    }
+    inject("graft_aes_topk") { e =>
+      val k = if (e.length >= 4) litInt(e(3), "graft_aes_topk k") else 8
+      GraftAesTopK(e(0), e(1), e(2), k)
+    }
+    inject("graft_top_terms") { e =>
+      val k = if (e.length >= 2) litInt(e(1), "graft_top_terms k") else 5
+      GraftTopTerms(e.head, k)
+    }
+  }
+}

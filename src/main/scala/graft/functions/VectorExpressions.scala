@@ -385,13 +385,22 @@ object GraftFunctions {
 
   private val aesTopKRegistered = new java.util.WeakHashMap[SparkSession, Int]()
 
-  /** `graft_aes_topk(aes_key, doc_id, weight)` aggregate with k bound at
-    * registration; re-registers when k changes. */
+  /** `graft_aes_topk(aes_key, doc_id, weight [, k])` aggregate with the
+    * default k bound at registration; an explicit trailing literal k wins
+    * (matching the [[GraftExtensions]] injected form, so the two
+    * registration paths cannot disagree). Re-registers when the bound
+    * default changes. */
   def registerAesTopK(spark: SparkSession, k: Int): Unit = synchronized {
     if (!aesTopKRegistered.containsKey(spark) || aesTopKRegistered.get(spark) != k) {
       aesTopKRegistered.put(spark, k)
       spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_aes_topk",
-        exprs => GraftAesTopK(exprs(0), exprs(1), exprs(2), k), "built-in")
+        exprs => {
+          val kk = if (exprs.length >= 4) {
+            require(exprs(3).foldable, "graft_aes_topk k must be a foldable literal")
+            exprs(3).eval().asInstanceOf[Number].intValue
+          } else k
+          GraftAesTopK(exprs(0), exprs(1), exprs(2), kk)
+        }, "built-in")
     }
   }
 

@@ -3122,9 +3122,34 @@ object PipelineOps {
       CAST(floor(aes_key * 1e6 + 0.5) AS BIGINT) AS key_u
     FROM g WHERE rk <= $kSel ORDER BY lang, rk"""
 
+  /** Alternative execution (`spark.graft.weightedImpl = agg`): the same
+    * selection through the mergeable [[graft.functions.GraftAesTopK]]
+    * reservoir — map-side partial top-k, ONE lang shuffle, no sort of any
+    * stratum at all (the plan a 1000-executor deployment wants; the window
+    * path stays the default because it is the shape the oracle mirrors).
+    * Result-identity across both impls is spec-proven. */
+  private def p46AggSpark(hf: String, kSel: Int) = s"""
+    WITH a AS (
+      SELECT lang, graft_aes_topk(
+        -ln((${hSpark("CAST(doc_id AS STRING)", hf)} + 1) / 4294967296.0)
+          / CAST(n_chars AS DOUBLE),
+        doc_id, CAST(n_chars AS BIGINT), $kSel) AS picks
+      FROM documents GROUP BY lang)
+    SELECT lang, CAST(p.pos + 1 AS BIGINT) AS rk, p.col.doc_id AS doc_id,
+      p.col.weight AS weight, p.col.key_u AS key_u
+    FROM a LATERAL VIEW posexplode(picks) p AS pos, col
+    ORDER BY lang, rk"""
+
   private def p46Run(spark: SparkSession, dir: String): DataFrame = {
     spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
-    spark.sql(p46Spark(hashFamily(spark), weightedK(spark), weightedSaltBuckets(spark)))
+    val impl = spark.conf.getOption("spark.graft.weightedImpl").getOrElse("window")
+    require(impl == "window" || impl == "agg",
+      s"spark.graft.weightedImpl: window|agg, got $impl")
+    if (impl == "agg") {
+      graft.functions.GraftFunctions.registerAesTopK(spark, weightedK(spark))
+      spark.sql(p46AggSpark(hashFamily(spark), weightedK(spark)))
+    } else
+      spark.sql(p46Spark(hashFamily(spark), weightedK(spark), weightedSaltBuckets(spark)))
   }
 
   private val p46Duck = s"""
@@ -3402,6 +3427,110 @@ object PipelineOps {
       CAST(CASE WHEN rk <= (n_label + 9) // 10 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
     FROM r ORDER BY vec_id"""
 
+  // ---- p50: distributed BPE vocabulary learning ----------------------------
+  // The tokenizer-training step itself: learn the top-M byte-pair merge
+  // rules over the corpus (character-level within words, frequency-
+  // weighted — the Sennrich et al. 2016 formulation). p02's BPE-ish regex
+  // only COUNTS subtokens; this LEARNS the vocabulary a real tokenizer
+  // would ship. Classic BPE is inherently iterative (each merge changes
+  // the pair statistics), so the Spark shape is an M-round driver loop
+  // over the DISTINCT-WORD table (p16's sanctioned class): one pair
+  // rollup + one one-row argmax per round, reprs rewritten map-side,
+  // barrier between rounds. The loop runs over |vocab| rows, not |corpus|
+  // — the initial word rollup is the only corpus-sized stage, exactly how
+  // production BPE trainers scale.
+  //
+  // Determinism: pair counts are exact integer sums over distinct words ×
+  // frequency; argmax ties break (count DESC, pair ASC); the merge apply
+  // is leftmost-non-overlapping literal replace on the space-joined repr
+  // — identical semantics in Spark, DuckDB, and JVM String.replace, so
+  // the M-stage unrolled DuckDB oracle and the pure-Scala reference in
+  // the spec must reproduce the merge table bit-for-bit. (Canonical BPE
+  // implementations differ in overlap handling the same way; the contract
+  // here is the documented greedy-leftmost rule.) A merged symbol
+  // concatenates its parts ("a"+"b" -> "ab", which may collide with an
+  // existing symbol — as in canonical BPE, symbols are strings).
+  private val BpeMerges = 8
+
+  /** Live merge-count knob (`spark.graft.bpeMerges`; the oracle pins the
+    * default — overriding changes the learned vocabulary, not the gate). */
+  private[graft] def bpeMerges(spark: SparkSession): Int = {
+    val m = spark.conf.getOption("spark.graft.bpeMerges")
+      .map(_.toInt).getOrElse(BpeMerges)
+    require(m >= 1 && m <= 64, s"spark.graft.bpeMerges must be in [1, 64], got $m")
+    m
+  }
+
+  private val p50VocabSql = s"""
+    SELECT word, CAST(count(*) AS BIGINT) AS freq,
+      array_join(transform(sequence(1, length(word)), i -> substr(word, i, 1)), ' ') AS repr
+    FROM (SELECT explode($wordsSpark) AS word FROM documents)
+    GROUP BY word"""
+
+  private val p50PairSql = s"""
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS c FROM (
+      SELECT freq,
+        explode(transform(sequence(1, size(t) - 1),
+          i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))) AS pair
+      FROM (SELECT freq, split(repr, ' ') AS t FROM bpe_w)
+      WHERE size(t) >= 2)
+    GROUP BY pair ORDER BY c DESC, pair LIMIT 1"""
+
+  private def p50Run(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    val m = bpeMerges(spark)
+    var w = Barrier.materialize(spark.sql(p50VocabSql))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    for (r <- 1 to m) {
+      w.createOrReplaceTempView("bpe_w")
+      val best = spark.sql(p50PairSql).collect()
+      require(best.nonEmpty,
+        s"p50: pair vocabulary exhausted after ${r - 1} merges — lower spark.graft.bpeMerges")
+      val pair = best(0).getString(0); val c = best(0).getLong(1)
+      merges += ((r.toLong, pair, c))
+      val esc = pair.replace("'", "''")
+      val prev = w
+      w = Barrier.materialize(spark.sql(
+        s"""SELECT word, freq, trim(replace(concat(' ', repr, ' '),
+           | ' $esc ', ' ${esc.replace(" ", "")} ')) AS repr FROM bpe_w""".stripMargin))
+      Barrier.release(prev)
+    }
+    Barrier.release(w)
+    merges.toSeq.toDF("rank", "pair", "weight").orderBy("rank")
+  }
+
+  /** M-stage unrolled oracle at the default merge count: each stage
+    * recomputes pair statistics from the previous repr table and applies
+    * the argmax merge — structurally independent of the Spark loop (a
+    * non-converged or mis-ordered loop cannot be mirrored into it). */
+  private def p50Duck: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH w0 AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq,
+        array_to_string(list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)), ' ') AS repr
+      FROM (SELECT unnest($wordsDuck) AS word FROM documents)
+      GROUP BY word)"""
+    for (r <- 1 to BpeMerges) {
+      sb ++= s""",
+      p$r AS (
+        SELECT pair, CAST(sum(freq) AS BIGINT) AS c FROM (
+          SELECT freq, unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])) AS pair
+          FROM (SELECT freq, string_split(repr, ' ') AS t FROM w${r - 1})
+          WHERE len(t) >= 2)
+        GROUP BY pair),
+      b$r AS (SELECT pair, c FROM p$r ORDER BY c DESC, pair LIMIT 1),
+      w$r AS (
+        SELECT word, freq,
+          trim(replace(' ' || repr || ' ', ' ' || b$r.pair || ' ', ' ' || replace(b$r.pair, ' ', '') || ' ')) AS repr
+        FROM w${r - 1} CROSS JOIN b$r)"""
+    }
+    sb ++= (1 to BpeMerges).map(r =>
+      s"\nSELECT CAST($r AS BIGINT) AS rank, pair, c AS weight FROM b$r")
+      .mkString("", "\nUNION ALL", "\nORDER BY rank")
+    sb.toString
+  }
+
   private def onEvents(sql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => {
       graft.Graft.normalizeEventTime(spark.read.parquet(s"$dir/events.parquet"))
@@ -3492,6 +3621,7 @@ object PipelineOps {
     "p47_boilerplate_lines" -> ((spark, dir) => p47Run(spark, dir)),
     "p48_bloom_dedup" -> ((spark, dir) => p48Run(spark, dir)),
     "p49_embed_outlier" -> ((spark, dir) => p49Run(spark, dir)),
+    "p50_bpe_learn" -> ((spark, dir) => p50Run(spark, dir)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3551,5 +3681,6 @@ object PipelineOps {
     "p47_boilerplate_lines" -> p47Duck,
     "p48_bloom_dedup" -> p48Duck,
     "p49_embed_outlier" -> p49Duck,
+    "p50_bpe_learn" -> p50Duck,
   )
 }

@@ -1072,5 +1072,7 @@ object PipelineRelational {
       "composes p16's iterative label-propagation driver loop (the split unit is the converged near-dup cluster)",
     "p48_bloom_dedup" ->
       "sketch geometry (estItems/numBits) derives from a prior count action and graft_bloom_* register per-session; the membership gate ships as a scalar-subquery literal, not a relational join — the p08 multi-action exclusion class",
+    "p50_bpe_learn" ->
+      "M-round driver loop: each merge's argmax is a one-row action whose RESULT is spliced into the next round's rewrite SQL, with barriers between rounds — p16's iterative exclusion class",
   )
 }

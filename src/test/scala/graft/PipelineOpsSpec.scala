@@ -1041,6 +1041,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(runWith(16) == out, "S=16 must select the same sample")
     // rerun-stability: the hash uniform, not rand()
     assert(runWith(8) == out)
+    // the mergeable-aggregate execution (spark.graft.weightedImpl=agg — the
+    // single-shuffle no-sort deployment plan) selects the identical sample
+    spark.conf.set("spark.graft.weightedImpl", "agg")
+    try {
+      val agg = run("p46_weighted_sample")
+      assert(agg.collect().toSeq.map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))) == out,
+        "agg impl must select the same sample")
+      // plan shape: the reservoir aggregate replaces BOTH windows — no
+      // Window node (no stratum sort), and the only hash exchange keys on
+      // lang (AQE prints final+initial sections, so count distinct ids)
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"agg impl must not sort any stratum through a window:\n$plan")
+      val hashIds = "Exchange hashpartitioning\\(lang[^\\n]*plan_id=(\\d+)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSet
+      val allHashIds = "Exchange hashpartitioning[^\\n]*plan_id=(\\d+)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSet
+      assert(hashIds.nonEmpty && hashIds == allHashIds,
+        s"agg impl must ride one lang-keyed shuffle:\n$plan")
+      assert(plan.contains("graft_aes_topk"),
+        "agg impl must run the native reservoir")
+    } finally spark.conf.unset("spark.graft.weightedImpl")
     // A-ES must oversample heavy documents: selected mean weight above the
     // corpus mean (inclusion odds scale with w)
     val corpusMean = docs.selectExpr("avg(CAST(n_chars AS DOUBLE))").head.getDouble(0)
@@ -1124,6 +1147,38 @@ class PipelineOpsSpec extends AnyFunSuite {
         assert(flagged.map(_._3).min >= rows.filter(_._5 == 0L).map(_._3).max,
           s"label $label: flagged distances must dominate unflagged")
     }
+  }
+
+  test("p50 BPE learn: merge table equals a pure-Scala reference; weights non-increasing") {
+    val got = run("p50_bpe_learn").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got.map(_._1) == (1L to 8L), "ranks dense at the default merge count")
+    // each round's argmax is bounded by the previous round's (every pair
+    // surviving a merge, and every pair the merge creates, has count <=
+    // the merged pair's count)
+    assert(got.map(_._3) == got.map(_._3).sortBy(-_), "merge weights non-increasing")
+    // independent reference: the same greedy-leftmost BPE in pure Scala
+    val words = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").collect().flatMap(_.getString(0).trim.split("\\s+"))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    var repr: Map[String, String] =
+      words.keys.map(w => w -> w.toCharArray.mkString(" ")).toMap
+    val expect = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    for (r <- 1 to 8) {
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      for ((w, f) <- words) {
+        val t = repr(w).split(" ")
+        if (t.length >= 2) t.sliding(2).foreach { p =>
+          val k = p.mkString(" "); counts(k) = counts.getOrElse(k, 0L) + f
+        }
+      }
+      val (pair, c) = counts.toSeq.minBy { case (p, n) => (-n, p) }
+      expect += ((r.toLong, pair, c))
+      val merged = pair.replace(" ", "")
+      repr = repr.view.mapValues(s =>
+        (" " + s + " ").replace(" " + pair + " ", " " + merged + " ").trim).toMap
+    }
+    assert(got == expect.toSeq, "Spark loop must reproduce the reference merge table")
   }
 
   test("p38 PII redaction: no pattern survives redaction; every stage fires on every row") {

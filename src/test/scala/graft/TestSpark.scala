@@ -11,6 +11,8 @@ object TestSpark {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // mirror Graft.localSession: kernels injected at session build
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

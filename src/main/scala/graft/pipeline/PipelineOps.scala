@@ -3476,8 +3476,11 @@ object PipelineOps {
       WHERE size(t) >= 2)
     GROUP BY pair ORDER BY c DESC, pair LIMIT 1"""
 
-  private def p50Run(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** Runs the merge loop; returns the merge table and the FINAL repr
+    * relation (caller must [[Barrier.release]] it — p51 tokenizes with
+    * it, p50 releases immediately). */
+  private def p50Learn(spark: SparkSession, dir: String)
+      : (Seq[(Long, String, Long)], DataFrame) = {
     spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
     val m = bpeMerges(spark)
     var w = Barrier.materialize(spark.sql(p50VocabSql))
@@ -3496,15 +3499,22 @@ object PipelineOps {
            | ' $esc ', ' ${esc.replace(" ", "")} ')) AS repr FROM bpe_w""".stripMargin))
       Barrier.release(prev)
     }
-    Barrier.release(w)
-    merges.toSeq.toDF("rank", "pair", "weight").orderBy("rank")
+    (merges.toSeq, w)
   }
 
-  /** M-stage unrolled oracle at the default merge count: each stage
+  private def p50Run(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (merges, w) = p50Learn(spark, dir)
+    Barrier.release(w)
+    merges.toDF("rank", "pair", "weight").orderBy("rank")
+  }
+
+  /** M-stage unrolled CTE chain at the default merge count: each stage
     * recomputes pair statistics from the previous repr table and applies
     * the argmax merge — structurally independent of the Spark loop (a
-    * non-converged or mis-ordered loop cannot be mirrored into it). */
-  private def p50Duck: String = {
+    * non-converged or mis-ordered loop cannot be mirrored into it).
+    * Shared by the p50 (merge table) and p51 (tokenize) oracles. */
+  private def p50DuckCtes: String = {
     val sb = new StringBuilder
     sb ++= s"""WITH w0 AS (
       SELECT word, CAST(count(*) AS BIGINT) AS freq,
@@ -3525,11 +3535,55 @@ object PipelineOps {
           trim(replace(' ' || repr || ' ', ' ' || b$r.pair || ' ', ' ' || replace(b$r.pair, ' ', '') || ' ')) AS repr
         FROM w${r - 1} CROSS JOIN b$r)"""
     }
-    sb ++= (1 to BpeMerges).map(r =>
-      s"\nSELECT CAST($r AS BIGINT) AS rank, pair, c AS weight FROM b$r")
-      .mkString("", "\nUNION ALL", "\nORDER BY rank")
     sb.toString
   }
+
+  private def p50Duck: String =
+    p50DuckCtes + (1 to BpeMerges).map(r =>
+      s"\nSELECT CAST($r AS BIGINT) AS rank, pair, c AS weight FROM b$r")
+      .mkString("", "\nUNION ALL", "\nORDER BY rank")
+
+  // ---- p51: BPE tokenization apply -----------------------------------------
+  // The companion encode step: segment every document under the p50-learned
+  // vocabulary and report the token economics a tokenizer change is judged
+  // by (chars vs BPE tokens per doc — the compression the merges buy).
+  // Tokenization happens at the VOCABULARY, not the corpus: the final
+  // repr table already carries each distinct word's segmentation, so the
+  // corpus-sized work is one explode + a broadcast join to the vocab-sized
+  // (word → token count) map and a per-doc rollup — how production
+  // tokenizers batch-encode (lookup, not re-merging per occurrence).
+  private val p51TailSpark = s"""
+    WITH toks AS (
+      SELECT word, CAST(size(split(repr, ' ')) AS BIGINT) AS n_tok FROM bpe_final),
+    x AS (SELECT doc_id, explode($wordsSpark) AS word FROM documents),
+    j AS (SELECT x.doc_id, t.n_tok, length(x.word) AS n_char
+          FROM x JOIN toks t ON x.word = t.word)
+    SELECT doc_id,
+      CAST(count(*) AS BIGINT) AS n_words,
+      CAST(sum(n_char) AS BIGINT) AS n_char_tokens,
+      CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens,
+      CAST(floor((CAST(sum(n_char) AS DOUBLE) / sum(n_tok)) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS compression
+    FROM j GROUP BY doc_id ORDER BY doc_id"""
+
+  private def p51Run(spark: SparkSession, dir: String): DataFrame = {
+    val (_, w) = p50Learn(spark, dir)
+    // w stays materialized: the returned plan reads the barriered reprs
+    w.createOrReplaceTempView("bpe_final")
+    spark.sql(p51TailSpark)
+  }
+
+  private def p51Duck: String = p50DuckCtes + s""",
+    toks AS (
+      SELECT word, CAST(len(string_split(repr, ' ')) AS BIGINT) AS n_tok FROM w$BpeMerges),
+    x AS (SELECT doc_id, unnest($wordsDuck) AS word FROM documents),
+    j AS (SELECT x.doc_id, t.n_tok, length(x.word) AS n_char
+          FROM x JOIN toks t ON x.word = t.word)
+    SELECT doc_id,
+      CAST(count(*) AS BIGINT) AS n_words,
+      CAST(sum(n_char) AS BIGINT) AS n_char_tokens,
+      CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens,
+      floor((CAST(sum(n_char) AS DOUBLE) / sum(n_tok)) * 1e6 + 0.5) / 1e6 AS compression
+    FROM j GROUP BY doc_id ORDER BY doc_id"""
 
   private def onEvents(sql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => {
@@ -3622,6 +3676,7 @@ object PipelineOps {
     "p48_bloom_dedup" -> ((spark, dir) => p48Run(spark, dir)),
     "p49_embed_outlier" -> ((spark, dir) => p49Run(spark, dir)),
     "p50_bpe_learn" -> ((spark, dir) => p50Run(spark, dir)),
+    "p51_bpe_tokenize" -> ((spark, dir) => p51Run(spark, dir)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3682,5 +3737,6 @@ object PipelineOps {
     "p48_bloom_dedup" -> p48Duck,
     "p49_embed_outlier" -> p49Duck,
     "p50_bpe_learn" -> p50Duck,
+    "p51_bpe_tokenize" -> p51Duck,
   )
 }

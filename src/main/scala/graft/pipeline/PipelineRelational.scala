@@ -1074,5 +1074,7 @@ object PipelineRelational {
       "sketch geometry (estItems/numBits) derives from a prior count action and graft_bloom_* register per-session; the membership gate ships as a scalar-subquery literal, not a relational join — the p08 multi-action exclusion class",
     "p50_bpe_learn" ->
       "M-round driver loop: each merge's argmax is a one-row action whose RESULT is spliced into the next round's rewrite SQL, with barriers between rounds — p16's iterative exclusion class",
+    "p51_bpe_tokenize" ->
+      "consumes p50's loop-learned barrier-materialized repr table (the vocabulary IS the result of the iterative action sequence)",
   )
 }

@@ -1181,6 +1181,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expect.toSeq, "Spark loop must reproduce the reference merge table")
   }
 
+  test("p51 BPE tokenize: every doc encoded, compression bounded by the learned merges") {
+    val out = run("p51_bpe_tokenize").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(out.length == n, "every document is encoded exactly once")
+    out.foreach { case (id, nWords, nChar, nBpe, comp) =>
+      assert(nBpe <= nChar, s"doc $id: a merge never adds tokens")
+      assert(nBpe >= nWords, s"doc $id: every word is at least one token")
+      assert(comp >= 1.0, s"doc $id: compression >= 1")
+    }
+    // corpus-level consistency with the p50 merge table: each applied merge
+    // occurrence saves exactly one token, and a round's recorded weight is
+    // the PRE-merge pair count (>= the non-overlapping occurrences actually
+    // merged), so total savings are positive and bounded by the weight sum
+    val saved = out.map(t => t._3 - t._4).sum
+    val weightSum = run("p50_bpe_learn").collect().map(_.getLong(2)).sum
+    assert(saved > 0, "the learned merges must compress the corpus")
+    assert(saved <= weightSum,
+      s"saved tokens ($saved) cannot exceed the merge-weight sum ($weightSum)")
+  }
+
   test("p38 PII redaction: no pattern survives redaction; every stage fires on every row") {
     val out = run("p38_pii_redact").collect()
     assert(out.nonEmpty)

@@ -548,6 +548,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no global stage belongs in the outlier path:\n$p")
   }
 
+  test("p51 tokenize: vocab join broadcasts; the word explode is the only Generate") {
+    val df = pipeline.PipelineOps.queries("p51_bpe_tokenize")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert("Generate".r.findAllIn(p).length == 1,
+      s"one word explosion is sanctioned:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the vocab-sized token map must broadcast, not shuffle the corpus:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"no cartesian in the encode path:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no global stage belongs in the encode path:\n$p")
+  }
+
   test("session carries the scale configs the 100 TB contract depends on") {
     // Graft.localSession is the one place these are set; losing any of them
     // silently degrades cluster behavior (AQE re-planning incl. skew-join

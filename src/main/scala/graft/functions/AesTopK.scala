@@ -42,6 +42,19 @@ case class GraftAesTopK(first: Expression, second: Expression, third: Expression
 
   require(k >= 1, s"graft_aes_topk: k must be >= 1, got $k")
 
+  // analysis-time contract (the injected SQL surface makes this user-facing):
+  // a wrong-typed argument fails analysis with a named error, never an
+  // executor ClassCastException inside update() — the sibling kernels' rule
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (DoubleType, LongType, LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_aes_topk expects (double, bigint, bigint), got " +
+            s"(${a.simpleString}, ${b.simpleString}, ${c.simpleString})")
+    }
+
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("weight", LongType, nullable = false),

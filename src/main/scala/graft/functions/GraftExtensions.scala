@@ -29,8 +29,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def litInt(e: Expression, what: String): Int = {
     require(e.foldable, s"$what must be a foldable literal")
-    e.eval().asInstanceOf[Number].intValue
+    val v = e.eval()
+    require(v != null, s"$what must not be NULL")
+    v.asInstanceOf[Number].intValue
   }
+
+  // wrong arity must be a NAMED error with the expected signature, not a
+  // raw IndexOutOfBoundsException — the repo's located-error contract
+  private def arity(e: Seq[Expression], sig: String, ok: Int*): Unit =
+    require(ok.contains(e.length),
+      s"$sig expects ${ok.mkString(" or ")} argument(s), got ${e.length}")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     def inject(name: String)(builder: Seq[Expression] => Expression): Unit =
@@ -38,22 +46,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         (exprs: Seq[Expression]) => builder(exprs)))
 
-    inject("graft_dot")(e => GraftDot(e(0), e(1)))
-    inject("graft_nfc")(e => GraftNfc(e.head))
-    inject("graft_bloom_agg")(e =>
+    inject("graft_dot") { e =>
+      arity(e, "graft_dot(a, b)", 2); GraftDot(e(0), e(1))
+    }
+    inject("graft_nfc") { e =>
+      arity(e, "graft_nfc(s)", 1); GraftNfc(e.head)
+    }
+    inject("graft_bloom_agg") { e =>
+      arity(e, "graft_bloom_agg(longCol, estItems, numBits)", 3)
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-        e(0), e(1), e(2)))
-    inject("graft_bloom_contains")(e =>
-      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(e(0), e(1)))
+        e(0), e(1), e(2))
+    }
+    inject("graft_bloom_contains") { e =>
+      arity(e, "graft_bloom_contains(bloomBytes, longCol)", 2)
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(e(0), e(1))
+    }
     inject("graft_kmv") { e =>
+      arity(e, "graft_kmv(hash[, k])", 1, 2)
       val k = if (e.length >= 2) litInt(e(1), "graft_kmv k") else 64
       GraftKmv(e.head, k)
     }
     inject("graft_aes_topk") { e =>
+      arity(e, "graft_aes_topk(key, id, weight[, k])", 3, 4)
       val k = if (e.length >= 4) litInt(e(3), "graft_aes_topk k") else 8
       GraftAesTopK(e(0), e(1), e(2), k)
     }
     inject("graft_top_terms") { e =>
+      arity(e, "graft_top_terms(words[, k])", 1, 2)
       val k = if (e.length >= 2) litInt(e(1), "graft_top_terms k") else 5
       GraftTopTerms(e.head, k)
     }

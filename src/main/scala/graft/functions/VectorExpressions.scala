@@ -397,7 +397,9 @@ object GraftFunctions {
         exprs => {
           val kk = if (exprs.length >= 4) {
             require(exprs(3).foldable, "graft_aes_topk k must be a foldable literal")
-            exprs(3).eval().asInstanceOf[Number].intValue
+            val v = exprs(3).eval()
+            require(v != null, "graft_aes_topk k must not be NULL")
+            v.asInstanceOf[Number].intValue
           } else k
           GraftAesTopK(exprs(0), exprs(1), exprs(2), kk)
         }, "built-in")

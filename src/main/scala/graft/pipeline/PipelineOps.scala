@@ -3081,7 +3081,10 @@ object PipelineOps {
   // DuckDB oracle computes (single un-salted window): the gate proves the
   // two-stage path's result identity, not just its plausibility. The
   // emitted aes_key is floor-rounded at 1e-6 (the engines' independent
-  // ln() roundings differ below that).
+  // ln() roundings differ below that). Rows with NULL id/weight are
+  // excluded up front: a NULL key would rank NULLS-FIRST in a Spark
+  // window, NULLS-LAST in DuckDB, and be skipped by the aggregate
+  // reservoir — the explicit filter is the only rule all three agree on.
   private val WeightedK = 8
   private val WeightedSaltBuckets = 8
 
@@ -3108,7 +3111,7 @@ object PipelineOps {
         -ln((${hSpark("CAST(doc_id AS STRING)", hf)} + 1) / 4294967296.0)
           / CAST(n_chars AS DOUBLE) AS aes_key,
         pmod(${hSpark("concat('s46_', CAST(doc_id AS STRING))", hf)}, $nSalt) AS b
-      FROM documents),
+      FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
     loc AS (
       SELECT lang, doc_id, weight, aes_key FROM (
         SELECT *, row_number() OVER (PARTITION BY lang, b
@@ -3134,7 +3137,8 @@ object PipelineOps {
         -ln((${hSpark("CAST(doc_id AS STRING)", hf)} + 1) / 4294967296.0)
           / CAST(n_chars AS DOUBLE),
         doc_id, CAST(n_chars AS BIGINT), $kSel) AS picks
-      FROM documents GROUP BY lang)
+      FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+      GROUP BY lang)
     SELECT lang, CAST(p.pos + 1 AS BIGINT) AS rk, p.col.doc_id AS doc_id,
       p.col.weight AS weight, p.col.key_u AS key_u
     FROM a LATERAL VIEW posexplode(picks) p AS pos, col
@@ -3157,7 +3161,7 @@ object PipelineOps {
       SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS weight,
         -ln((${hDuck("CAST(doc_id AS VARCHAR)")} + 1) / 4294967296.0)
           / CAST(n_chars AS DOUBLE) AS aes_key
-      FROM documents),
+      FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
     g AS (
       SELECT lang, doc_id, weight, aes_key,
         row_number() OVER (PARTITION BY lang ORDER BY aes_key, doc_id) AS rk
@@ -3465,6 +3469,7 @@ object PipelineOps {
     SELECT word, CAST(count(*) AS BIGINT) AS freq,
       array_join(transform(sequence(1, length(word)), i -> substr(word, i, 1)), ' ') AS repr
     FROM (SELECT explode($wordsSpark) AS word FROM documents)
+    WHERE length(word) > 0
     GROUP BY word"""
 
   private val p50PairSql = s"""
@@ -3492,7 +3497,10 @@ object PipelineOps {
         s"p50: pair vocabulary exhausted after ${r - 1} merges — lower spark.graft.bpeMerges")
       val pair = best(0).getString(0); val c = best(0).getLong(1)
       merges += ((r.toLong, pair, c))
-      val esc = pair.replace("'", "''")
+      // Spark SQL string literals interpret backslash escapes (DuckDB and
+      // JVM String.replace do not) — escape both so the spliced search
+      // literal means the same bytes on every engine
+      val esc = pair.replace("\\", "\\\\").replace("'", "''")
       val prev = w
       w = Barrier.materialize(spark.sql(
         s"""SELECT word, freq, trim(replace(concat(' ', repr, ' '),
@@ -3520,6 +3528,7 @@ object PipelineOps {
       SELECT word, CAST(count(*) AS BIGINT) AS freq,
         array_to_string(list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)), ' ') AS repr
       FROM (SELECT unnest($wordsDuck) AS word FROM documents)
+      WHERE length(word) > 0
       GROUP BY word)"""
     for (r <- 1 to BpeMerges) {
       sb ++= s""",
@@ -3553,11 +3562,9 @@ object PipelineOps {
   // (word → token count) map and a per-doc rollup — how production
   // tokenizers batch-encode (lookup, not re-merging per occurrence).
   private val p51TailSpark = s"""
-    WITH toks AS (
-      SELECT word, CAST(size(split(repr, ' ')) AS BIGINT) AS n_tok FROM bpe_final),
-    x AS (SELECT doc_id, explode($wordsSpark) AS word FROM documents),
+    WITH x AS (SELECT doc_id, explode($wordsSpark) AS word FROM documents),
     j AS (SELECT x.doc_id, t.n_tok, length(x.word) AS n_char
-          FROM x JOIN toks t ON x.word = t.word)
+          FROM x JOIN bpe_toks t ON x.word = t.word)
     SELECT doc_id,
       CAST(count(*) AS BIGINT) AS n_words,
       CAST(sum(n_char) AS BIGINT) AS n_char_tokens,
@@ -3567,8 +3574,14 @@ object PipelineOps {
 
   private def p51Run(spark: SparkSession, dir: String): DataFrame = {
     val (_, w) = p50Learn(spark, dir)
-    // w stays materialized: the returned plan reads the barriered reprs
-    w.createOrReplaceTempView("bpe_final")
+    // shrink before pinning: only the vocab-sized (word → token count) map
+    // stays materialized for the returned plan; the full repr relation is
+    // released (meaningful under the persistDisk barrier — localCheckpoint
+    // blocks free with the reference)
+    val toks = Barrier.materialize(w.selectExpr("word",
+      "CAST(size(split(repr, ' ')) AS BIGINT) AS n_tok"))
+    Barrier.release(w)
+    toks.createOrReplaceTempView("bpe_toks")
     spark.sql(p51TailSpark)
   }
 
@@ -3584,6 +3597,57 @@ object PipelineOps {
       CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens,
       floor((CAST(sum(n_char) AS DOUBLE) / sum(n_tok)) * 1e6 + 0.5) / 1e6 AS compression
     FROM j GROUP BY doc_id ORDER BY doc_id"""
+
+  // ---- p52: corpus snapshot diff -------------------------------------------
+  // The dataset-versioning primitive (what changed between crawl v1 and
+  // v2 — the audit a dataset card and a reproducibility review both ask
+  // for): classify every doc_id across two snapshots as added / removed /
+  // content_changed / unchanged, plus the funnel rollup. One FULL OUTER
+  // equi-join on doc_id comparing content hashes — at 100 TB both sides
+  // shuffle on the id once (or zero times when snapshots are
+  // Sinks-bucketed by doc_id, the write-once/diff-many layout), and the
+  // hash comparison is map-side after it. Snapshots are planted from the
+  // gate corpus (the p48 fixture pattern): v1 = ids ≢ 9 (mod 10), v2 =
+  // ids ≢ 8 (mod 10) — so ids ≡ 8 are removed, ≡ 9 added — and v2 text
+  // gains a suffix on ids ≡ 3 (mod 7) → content_changed; everything else
+  // unchanged. At deployment the two planted CTEs are the real snapshot
+  // tables and everything downstream is unchanged.
+  private def p52Spark(hf: String) = s"""
+    WITH v1 AS (
+      SELECT doc_id, ${hStrSpark("lower(trim(text))", hf)} AS h
+      FROM documents WHERE pmod(doc_id, 10) != 9),
+    v2 AS (
+      SELECT doc_id, ${hStrSpark(
+        "CASE WHEN doc_id % 7 = 3 THEN lower(trim(text)) || ' v2' ELSE lower(trim(text)) END", hf)} AS h
+      FROM documents WHERE pmod(doc_id, 10) != 8),
+    d AS (
+      SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        CASE WHEN v1.doc_id IS NULL THEN 'added'
+             WHEN v2.doc_id IS NULL THEN 'removed'
+             WHEN v1.h != v2.h THEN 'content_changed'
+             ELSE 'unchanged' END AS status
+      FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id)
+    SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM d GROUP BY status ORDER BY status"""
+
+  private val p52Duck = s"""
+    WITH v1 AS (
+      SELECT doc_id, md5(lower(trim(text))) AS h
+      FROM documents WHERE doc_id % 10 != 9),
+    v2 AS (
+      SELECT doc_id, md5(CASE WHEN doc_id % 7 = 3 THEN lower(trim(text)) || ' v2' ELSE lower(trim(text)) END) AS h
+      FROM documents WHERE doc_id % 10 != 8),
+    d AS (
+      SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        CASE WHEN v1.doc_id IS NULL THEN 'added'
+             WHEN v2.doc_id IS NULL THEN 'removed'
+             WHEN v1.h != v2.h THEN 'content_changed'
+             ELSE 'unchanged' END AS status
+      FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id)
+    SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM d GROUP BY status ORDER BY status"""
 
   private def onEvents(sql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => {
@@ -3677,6 +3741,7 @@ object PipelineOps {
     "p49_embed_outlier" -> ((spark, dir) => p49Run(spark, dir)),
     "p50_bpe_learn" -> ((spark, dir) => p50Run(spark, dir)),
     "p51_bpe_tokenize" -> ((spark, dir) => p51Run(spark, dir)),
+    "p52_snapshot_diff" -> onDocsHf(p52Spark),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3738,5 +3803,6 @@ object PipelineOps {
     "p49_embed_outlier" -> p49Duck,
     "p50_bpe_learn" -> p50Duck,
     "p51_bpe_tokenize" -> p51Duck,
+    "p52_snapshot_diff" -> p52Duck,
   )
 }

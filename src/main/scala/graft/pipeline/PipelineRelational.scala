@@ -870,6 +870,7 @@ object PipelineRelational {
     "p46_weighted_sample" ->
       s"""table h = (
          |  from documents
+         |  filter s"doc_id IS NOT NULL AND n_chars IS NOT NULL"
          |  derive [
          |    weight = s"CAST(n_chars AS BIGINT)",
          |    aes_key = s"-ln((${H("CAST(doc_id AS STRING)")} + 1) / 4294967296.0) / CAST(n_chars AS DOUBLE)",
@@ -948,6 +949,34 @@ object PipelineRelational {
          |  clean_checksum = s"md5(array_join(kept, CHR(10)))",
          |]
          |sort doc_id""".stripMargin,
+
+    "p52_snapshot_diff" ->
+      s"""table v1 = (
+         |  from documents
+         |  filter s"pmod(doc_id, 10) != 9"
+         |  select [doc_id, h1 = s"md5(lower(trim(text)))"]
+         |)
+         |
+         |table v2 = (
+         |  from documents
+         |  filter s"pmod(doc_id, 10) != 8"
+         |  select [doc_id, h2 = s"md5(CASE WHEN doc_id % 7 = 3 THEN concat(lower(trim(text)), ' v2') ELSE lower(trim(text)) END)"]
+         |)
+         |
+         |table d = (
+         |  from v1
+         |  join side:full v2 [doc_id]
+         |  derive status = s"CASE WHEN h1 IS NULL THEN 'added' WHEN h2 IS NULL THEN 'removed' WHEN h1 != h2 THEN 'content_changed' ELSE 'unchanged' END"
+         |)
+         |
+         |from d
+         |group [status] (
+         |  aggregate [
+         |    n_docs = s"CAST(count(*) AS BIGINT)",
+         |    id_sum = s"CAST(sum(doc_id) AS BIGINT)",
+         |  ]
+         |)
+         |sort status""".stripMargin,
 
     // posexplode's two-column generator has no single-alias form, so the
     // position rides an arrays_zip struct through a one-alias explode

@@ -26,8 +26,10 @@ import org.apache.spark.util.sketch.BloomFilter
   * seeds, rows admit in doc_id order within a (bucket, micro-batch), and
   * an admitted hash is inserted IMMEDIATELY, so an in-batch duplicate
   * drops exactly like a cross-batch one. On a static DataFrame the same
-  * function degrades to one pass over each bucket group — exact first-
-  * arrival dedup (empty sketches, same admission rule).
+  * function degrades to one pass over each bucket group under the same
+  * admission rule — first arrival wins, and the result equals exact
+  * dedup whenever no false positive fires (fpp-bounded there too: a
+  * sketch can collide two distinct hashes within one pass).
   *
   * At feed scale: one shuffle on the bucket key per micro-batch; state =
   * `buckets` × (bits/8) bytes total, independent of stream length. Size

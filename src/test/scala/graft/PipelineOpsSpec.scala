@@ -1160,6 +1160,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     // independent reference: the same greedy-leftmost BPE in pure Scala
     val words = spark.read.parquet(s"$dir/documents.parquet")
       .select("text").collect().flatMap(_.getString(0).trim.split("\\s+"))
+      .filter(_.nonEmpty)
       .groupBy(identity).view.mapValues(_.length.toLong).toMap
     var repr: Map[String, String] =
       words.keys.map(w => w -> w.toCharArray.mkString(" ")).toMap
@@ -1200,6 +1201,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(saved > 0, "the learned merges must compress the corpus")
     assert(saved <= weightSum,
       s"saved tokens ($saved) cannot exceed the merge-weight sum ($weightSum)")
+  }
+
+  test("p52 snapshot diff: statuses match the planted membership/content rules exactly") {
+    val out = run("p52_snapshot_diff").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    val ids = 0L until n
+    def bucket(p: Long => Boolean) =
+      (ids.count(p).toLong, ids.filter(p).sum)
+    val expect = Map(
+      "removed" -> bucket(id => id % 10 == 8),
+      "added" -> bucket(id => id % 10 == 9),
+      "content_changed" -> bucket(id => id % 10 != 8 && id % 10 != 9 && id % 7 == 3),
+      "unchanged" -> bucket(id => id % 10 != 8 && id % 10 != 9 && id % 7 != 3))
+    assert(out == expect, s"got $out")
+    // the four classes partition the union of both snapshots
+    assert(out.values.map(_._1).sum == ids.count(id => id % 10 != 9 || id % 10 != 8))
   }
 
   test("p38 PII redaction: no pattern survives redaction; every stage fires on every row") {

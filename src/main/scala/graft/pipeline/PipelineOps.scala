@@ -3649,6 +3649,83 @@ object PipelineOps {
       CAST(sum(doc_id) AS BIGINT) AS id_sum
     FROM d GROUP BY status ORDER BY status"""
 
+  // ---- p53: deterministic negative sampling (contrastive pairs) -----------
+  // The contrastive-training data generator: for every anchor vector,
+  // draw NegK negatives from OTHER clusters (the `label` column),
+  // deterministically — a re-executed job emits the SAME pairs (p15's
+  // rerun-stability contract), which contrastive pipelines need for
+  // reproducible curricula. Two stages:
+  //  1. a per-label NEGATIVE POOL of NegPool members by hash rank (p37's
+  //     quota rule — at scale, build it with the graft_aes_topk reservoir
+  //     at weight 1 instead, which selects the IDENTICAL hash-order
+  //     prefix with one shuffle and no stratum sort);
+  //  2. the pool collapses to ONE sorted integer array (entries encoded
+  //     label·1e6 + vec_id — scalar encoding keeps the array sortable and
+  //     bit-identical on both engines; vec_id < 1e6 by contract) that
+  //     BROADCASTS to every anchor, which then picks slot s's negative by
+  //     modular-indexing the label-filtered candidate list with
+  //     hash(anchor, s) — pure map-side, sampling WITH replacement (the
+  //     standard large-pool contrastive setup; slots may repeat a
+  //     negative, never the anchor's own cluster).
+  // No corpus-sized join anywhere: one tiny pool rollup + a one-row array
+  // + an explode of NegK slots per anchor.
+  private val NegPool = 4
+  private val NegK = 4
+  private val NegEnc = 1000000L
+
+  private def p53Spark(hf: String) = s"""
+    WITH pool AS (
+      SELECT CAST(label AS BIGINT) AS plabel, vec_id FROM (
+        SELECT label, vec_id,
+          row_number() OVER (PARTITION BY label
+            ORDER BY ${hSpark("CAST(vec_id AS STRING)", hf)}, vec_id) AS rk
+        FROM embeddings) WHERE rk <= $NegPool),
+    parr AS (
+      SELECT array_sort(collect_list(plabel * $NegEnc + vec_id)) AS arr FROM pool),
+    cand AS (
+      SELECT a.vec_id, CAST(a.label AS BIGINT) AS label,
+        filter(parr.arr, e -> e DIV $NegEnc != CAST(a.label AS BIGINT)) AS cands
+      FROM embeddings a CROSS JOIN parr),
+    x AS (
+      SELECT vec_id, label, slot, cands
+      FROM cand LATERAL VIEW explode(sequence(1, $NegK)) s AS slot),
+    sel AS (
+      SELECT vec_id, label, slot,
+        element_at(cands, CAST(1 + pmod(${hSpark(
+          "concat(CAST(vec_id AS STRING), '_', CAST(slot AS STRING))", hf)},
+          size(cands)) AS INT)) AS enc
+      FROM x)
+    SELECT vec_id, CAST(slot AS BIGINT) AS slot,
+      CAST(enc % $NegEnc AS BIGINT) AS neg_id,
+      CAST(enc DIV $NegEnc AS BIGINT) AS neg_label
+    FROM sel ORDER BY vec_id, slot"""
+
+  private val p53Duck = s"""
+    WITH pool AS (
+      SELECT CAST(label AS BIGINT) AS plabel, vec_id FROM (
+        SELECT label, vec_id,
+          row_number() OVER (PARTITION BY label
+            ORDER BY ${hDuck("CAST(vec_id AS VARCHAR)")}, vec_id) AS rk
+        FROM embeddings) WHERE rk <= $NegPool),
+    parr AS (
+      SELECT list_sort(list(plabel * $NegEnc + vec_id)) AS arr FROM pool),
+    cand AS (
+      SELECT a.vec_id, CAST(a.label AS BIGINT) AS label,
+        list_filter(parr.arr, e -> e // $NegEnc != CAST(a.label AS BIGINT)) AS cands
+      FROM embeddings a CROSS JOIN parr),
+    x AS (
+      SELECT vec_id, label, s.slot, cands
+      FROM cand CROSS JOIN (SELECT unnest(generate_series(1, $NegK)) AS slot) s),
+    sel AS (
+      SELECT vec_id, label, slot,
+        cands[CAST(1 + (${hDuck(
+          "CAST(vec_id AS VARCHAR) || '_' || CAST(slot AS VARCHAR)")} % len(cands)) AS INT)] AS enc
+      FROM x)
+    SELECT vec_id, CAST(slot AS BIGINT) AS slot,
+      CAST(enc % $NegEnc AS BIGINT) AS neg_id,
+      CAST(enc // $NegEnc AS BIGINT) AS neg_label
+    FROM sel ORDER BY vec_id, slot"""
+
   private def onEvents(sql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => {
       graft.Graft.normalizeEventTime(spark.read.parquet(s"$dir/events.parquet"))
@@ -3742,6 +3819,7 @@ object PipelineOps {
     "p50_bpe_learn" -> ((spark, dir) => p50Run(spark, dir)),
     "p51_bpe_tokenize" -> ((spark, dir) => p51Run(spark, dir)),
     "p52_snapshot_diff" -> onDocsHf(p52Spark),
+    "p53_negative_sample" -> onEmbHf(p53Spark),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3804,5 +3882,6 @@ object PipelineOps {
     "p50_bpe_learn" -> p50Duck,
     "p51_bpe_tokenize" -> p51Duck,
     "p52_snapshot_diff" -> p52Duck,
+    "p53_negative_sample" -> p53Duck,
   )
 }

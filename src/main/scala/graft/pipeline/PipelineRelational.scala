@@ -978,6 +978,52 @@ object PipelineRelational {
          |)
          |sort status""".stripMargin,
 
+    "p53_negative_sample" ->
+      s"""table pool = (
+         |  from embeddings
+         |  derive hk = s"${H("CAST(vec_id AS STRING)")}"
+         |  group [label] (
+         |    sort [hk, vec_id]
+         |    take 4
+         |  )
+         |)
+         |
+         |table parr = (
+         |  from pool
+         |  aggregate [arr = s"array_sort(collect_list(CAST(label AS BIGINT) * 1000000 + vec_id))"]
+         |  derive k = s"1"
+         |)
+         |
+         |table emb_k = (
+         |  from embeddings
+         |  derive k = s"1"
+         |)
+         |
+         |table cand = (
+         |  from emb_k
+         |  join parr [k]
+         |  derive cands = s"filter(arr, e -> e DIV 1000000 != CAST(label AS BIGINT))"
+         |)
+         |
+         |table x = (
+         |  from cand
+         |  select [vec_id, cands, slot = s"explode(sequence(1, 4))"]
+         |)
+         |
+         |table sel = (
+         |  from x
+         |  derive enc = s"element_at(cands, CAST(1 + pmod(${H("concat(CAST(vec_id AS STRING), '_', CAST(slot AS STRING))")}, size(cands)) AS INT))"
+         |)
+         |
+         |from sel
+         |select [
+         |  vec_id,
+         |  slot = s"CAST(slot AS BIGINT)",
+         |  neg_id = s"CAST(enc % 1000000 AS BIGINT)",
+         |  neg_label = s"CAST(enc DIV 1000000 AS BIGINT)",
+         |]
+         |sort [vec_id, slot]""".stripMargin,
+
     // posexplode's two-column generator has no single-alias form, so the
     // position rides an arrays_zip struct through a one-alias explode
     "p49_embed_outlier" ->

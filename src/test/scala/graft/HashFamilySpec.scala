@@ -71,7 +71,8 @@ class HashFamilySpec extends AnyFunSuite {
       "p24_mixture_sample", "p27_shuffle_shard", "p36_chunk_sliding",
       "p37_domain_quota", "p38_pii_redact", "p39_incremental_dedup",
       "p42_split_assign", "p45_url_normalize", "p46_weighted_sample",
-      "p47_boilerplate_lines", "p48_bloom_dedup", "p52_snapshot_diff")
+      "p47_boilerplate_lines", "p48_bloom_dedup", "p52_snapshot_diff",
+      "p53_negative_sample")
     withFamily("xxhash64") {
       hashOps.foreach { op =>
         val df = run(op)

@@ -1220,6 +1220,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.values.map(_._1).sum == ids.count(id => id % 10 != 9 || id % 10 != 8))
   }
 
+  test("p53 negative sampling: k cross-cluster negatives per anchor, pool-bounded, rerun-stable") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val labelOf = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val out = run("p53_negative_sample").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == labelOf.size * 4, "NegK rows per anchor")
+    out.groupBy(_._1).foreach { case (anchor, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to 4L), s"anchor $anchor: dense slots")
+      rows.foreach { case (_, slot, negId, negLabel) =>
+        assert(labelOf(negId) == negLabel, s"anchor $anchor slot $slot: label mismatch")
+        assert(negLabel != labelOf(anchor),
+          s"anchor $anchor slot $slot: negative must come from ANOTHER cluster")
+      }
+    }
+    // negatives are drawn from the per-label hash-rank pools: at most
+    // NegPool distinct negatives per label across the whole output
+    out.groupBy(_._4).foreach { case (lbl, rows) =>
+      assert(rows.map(_._3).distinct.length <= 4,
+        s"label $lbl: more distinct negatives than the pool size")
+    }
+    // determinism: the hash index, not rand()
+    assert(run("p53_negative_sample").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq == out.toSeq)
+  }
+
   test("p38 PII redaction: no pattern survives redaction; every stage fires on every row") {
     val out = run("p38_pii_redact").collect()
     assert(out.nonEmpty)

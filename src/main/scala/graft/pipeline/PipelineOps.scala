@@ -3726,6 +3726,122 @@ object PipelineOps {
       CAST(enc // $NegEnc AS BIGINT) AS neg_label
     FROM sel ORDER BY vec_id, slot"""
 
+  // ---- p54: cross-document exact substring dedup ---------------------------
+  // The ExactSubstr step (Lee et al. 2022, "Deduplicating Training Data
+  // Makes Language Models Better"): a span of K consecutive tokens that
+  // recurs in ANOTHER document is memorized boilerplate/syndication, and
+  // the span — not the document — is the dedup unit. Distinct from p01
+  // (whole-doc), p04/p11 (set-similarity near-dup), p26 (INTRA-doc
+  // repetition) and p47 (line-unit): the unit here is the exact K-token
+  // WINDOW and the evidence is cross-document recurrence at any offset.
+  // Output is the position-level audit a span-removal pass consumes:
+  // per doc, the duplicated window starts and the union coverage of
+  // their positions (overlapping windows counted once).
+  //
+  // The reference algorithm is a single-node suffix array; the
+  // distributed re-expression is gram-key shuffles: one window explosion
+  // (K× corpus tokens — the real algorithm reads the same volume), a
+  // distinct (gram, doc) + df >= 2 rollup, and a back-join of per-doc
+  // windows on the gram key. The duplicated-gram set is UNBOUNDED (unlike
+  // p47's df-threshold set), so it is NOT broadcast — the back-join is a
+  // sort-merge on the gram hash, the honest 100 TB shape (AQE handles
+  // gram skew; at extreme scale the standard mitigation is stride
+  // sampling of window starts, which this operator would take as a
+  // config the same way `substrK` is one). Coverage explode is K× the
+  // DUPLICATED windows only, then one per-doc rollup.
+  //
+  // The gate corpus has no natural cross-doc K-gram repeats at K=8, so a
+  // 12-word syndication block is planted on every 5th document (the
+  // p38/p45/p47/p48 fixture pattern): its 5 fully-in-block windows recur
+  // across ~N/5 docs (cov = 12 positions); block/original boundary
+  // windows stay doc-unique. Unplanted docs prove the zero path.
+  private val SubstrK = 8
+
+  /** Live window length (`spark.graft.substrK`): the K of the exact
+    * K-token duplicate windows. Lee et al. use 50 BPE tokens; the gate
+    * fixture's planted block pins 8 words. */
+  private[graft] def substrK(spark: SparkSession): Int = {
+    val k = spark.conf.getOption("spark.graft.substrK")
+      .map(_.toInt).getOrElse(SubstrK)
+    require(k >= 2, s"spark.graft.substrK must be >= 2, got $k")
+    k
+  }
+
+  private val SyndicatedBlock =
+    "breaking news this content is syndicated across partner sites worldwide today reader"
+
+  private[graft] def p54Spark(hf: String, k: Int): String = {
+    val gramHash = hStrSpark(s"array_join(slice(words, pos, $k), ' ')", hf)
+    s"""
+    WITH aug AS (
+      SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        THEN concat('$SyndicatedBlock ', text) ELSE text END AS text2
+      FROM documents),
+    t AS (SELECT doc_id, split(trim(text2), '\\\\s+') AS words FROM aug),
+    w AS (SELECT doc_id, CAST(size(words) AS BIGINT) AS n, words FROM t),
+    we AS (SELECT doc_id, n, words FROM w WHERE n >= $k),
+    g AS (
+      SELECT doc_id, pos, $gramHash AS gh
+      FROM we LATERAL VIEW explode(sequence(1, n - ${k - 1})) x AS pos),
+    df AS (
+      SELECT gh FROM (SELECT DISTINCT gh, doc_id FROM g) o
+      GROUP BY gh HAVING count(*) >= 2),
+    dupw AS (SELECT g.doc_id, g.pos FROM g JOIN df ON g.gh = df.gh),
+    cov AS (
+      SELECT doc_id,
+        CAST(count(DISTINCT pos) AS BIGINT) AS n_dupw,
+        CAST(count(DISTINCT cp) AS BIGINT) AS n_dup
+      FROM dupw LATERAL VIEW explode(sequence(pos, pos + ${k - 1})) c AS cp
+      GROUP BY doc_id)
+    SELECT w.doc_id, w.n AS n_tokens,
+      CAST(coalesce(cov.n_dupw, 0) AS BIGINT) AS n_dup_windows,
+      CAST(coalesce(cov.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+      CAST(floor((CAST(coalesce(cov.n_dup, 0) AS DOUBLE) / w.n) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS dup_ratio
+    FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id
+    ORDER BY w.doc_id"""
+  }
+
+  private def p54Run(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    spark.sql(p54Spark(hashFamily(spark), substrK(spark)))
+  }
+
+  private val p54Duck = s"""
+    WITH aug AS (
+      SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        THEN '$SyndicatedBlock ' || text ELSE text END AS text2
+      FROM documents),
+    t AS (SELECT doc_id, regexp_split_to_array(trim(text2), '\\s+') AS words FROM aug),
+    w AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n, words FROM t),
+    we AS (SELECT doc_id, n, words FROM w WHERE n >= $SubstrK),
+    e AS (
+      SELECT doc_id, words,
+        unnest(generate_series(1, CAST(n AS INT) - ${SubstrK - 1})) AS pos
+      FROM we),
+    g AS (
+      SELECT doc_id, pos,
+        md5(array_to_string(list_slice(words, pos, pos + ${SubstrK - 1}), ' ')) AS gh
+      FROM e),
+    df AS (
+      SELECT gh FROM (SELECT DISTINCT gh, doc_id FROM g) o
+      GROUP BY gh HAVING count(*) >= 2),
+    dupw AS (SELECT g.doc_id, g.pos FROM g JOIN df ON g.gh = df.gh),
+    ec AS (
+      SELECT doc_id, pos,
+        unnest(generate_series(pos, pos + ${SubstrK - 1})) AS cp
+      FROM dupw),
+    cov AS (
+      SELECT doc_id,
+        CAST(count(DISTINCT pos) AS BIGINT) AS n_dupw,
+        CAST(count(DISTINCT cp) AS BIGINT) AS n_dup
+      FROM ec GROUP BY doc_id)
+    SELECT w.doc_id, w.n AS n_tokens,
+      CAST(coalesce(cov.n_dupw, 0) AS BIGINT) AS n_dup_windows,
+      CAST(coalesce(cov.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+      floor((CAST(coalesce(cov.n_dup, 0) AS DOUBLE) / w.n) * 1e6 + 0.5) / 1e6 AS dup_ratio
+    FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id
+    ORDER BY w.doc_id"""
+
   private def onEvents(sql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => {
       graft.Graft.normalizeEventTime(spark.read.parquet(s"$dir/events.parquet"))
@@ -3820,6 +3936,7 @@ object PipelineOps {
     "p51_bpe_tokenize" -> ((spark, dir) => p51Run(spark, dir)),
     "p52_snapshot_diff" -> onDocsHf(p52Spark),
     "p53_negative_sample" -> onEmbHf(p53Spark),
+    "p54_substring_dedup" -> ((spark, dir) => p54Run(spark, dir)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3883,5 +4000,6 @@ object PipelineOps {
     "p51_bpe_tokenize" -> p51Duck,
     "p52_snapshot_diff" -> p52Duck,
     "p53_negative_sample" -> p53Duck,
+    "p54_substring_dedup" -> p54Duck,
   )
 }

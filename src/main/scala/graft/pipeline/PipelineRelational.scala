@@ -1024,6 +1024,81 @@ object PipelineRelational {
          |]
          |sort [vec_id, slot]""".stripMargin,
 
+    "p54_substring_dedup" ->
+      s"""table aug = (
+         |  from documents
+         |  derive text2 = s"CASE WHEN doc_id % 5 = 0 THEN concat('breaking news this content is syndicated across partner sites worldwide today reader ', text) ELSE text END"
+         |)
+         |
+         |table t = (
+         |  from aug
+         |  derive words = s"split(trim(text2), '\\\\s+')"
+         |)
+         |
+         |table w = (
+         |  from t
+         |  derive n = s"CAST(size(words) AS BIGINT)"
+         |)
+         |
+         |table we = (
+         |  from w
+         |  filter n >= 8
+         |)
+         |
+         |table g0 = (
+         |  from we
+         |  select [doc_id, words, pos = s"explode(sequence(1, n - 7))"]
+         |)
+         |
+         |table g = (
+         |  from g0
+         |  derive gh = s"md5(array_join(slice(words, pos, 8), ' '))"
+         |)
+         |
+         |table occ = (
+         |  from g
+         |  select [gh, doc_id]
+         |  group [gh, doc_id] (take 1)
+         |)
+         |
+         |table df = (
+         |  from occ
+         |  group [gh] (aggregate [ndocs = s"CAST(count(*) AS BIGINT)"])
+         |  filter ndocs >= 2
+         |)
+         |
+         |table dupw = (
+         |  from g
+         |  join df [gh]
+         |  select [doc_id, pos]
+         |)
+         |
+         |table cove = (
+         |  from dupw
+         |  select [doc_id, pos, cp = s"explode(sequence(pos, pos + 7))"]
+         |)
+         |
+         |table cov = (
+         |  from cove
+         |  group [doc_id] (
+         |    aggregate [
+         |      n_dupw = s"CAST(count(DISTINCT pos) AS BIGINT)",
+         |      n_dup = s"CAST(count(DISTINCT cp) AS BIGINT)",
+         |    ]
+         |  )
+         |)
+         |
+         |from w
+         |join side:left cov [doc_id]
+         |select [
+         |  doc_id,
+         |  n_tokens = n,
+         |  n_dup_windows = s"CAST(coalesce(n_dupw, 0) AS BIGINT)",
+         |  n_dup_tokens = s"CAST(coalesce(n_dup, 0) AS BIGINT)",
+         |  dup_ratio = s"CAST(floor((CAST(coalesce(n_dup, 0) AS DOUBLE) / n) * 1e6 + 0.5) AS DOUBLE) / 1e6",
+         |]
+         |sort doc_id""".stripMargin,
+
     // posexplode's two-column generator has no single-alias form, so the
     // position rides an arrays_zip struct through a one-alias explode
     "p49_embed_outlier" ->

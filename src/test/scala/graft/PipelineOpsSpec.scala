@@ -1246,6 +1246,46 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq == out.toSeq)
   }
 
+  test("p54 substring dedup equals a brute-force cross-doc n-gram reference") {
+    val k = 8
+    val block = "breaking news this content is syndicated across partner sites worldwide today reader"
+    val words: Map[Long, Array[String]] = spark.read
+      .parquet(s"$dir/documents.parquet").select("doc_id", "text").collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val t2 = if (id % 5 == 0) block + " " + r.getString(1) else r.getString(1)
+        id -> t2.trim.split("\\s+")
+      }.toMap
+    val gramDocs = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.HashSet[Long]]
+    words.foreach { case (id, ws) =>
+      (0 to ws.length - k).foreach { i =>
+        gramDocs.getOrElseUpdate(ws.slice(i, i + k).mkString(" "),
+          scala.collection.mutable.HashSet.empty[Long]) += id
+      }
+    }
+    val out = run("p54_substring_dedup").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.length == words.size, "one audit row per document")
+    out.foreach { case (id, (n, ndw, nd, ratio)) =>
+      val ws = words(id)
+      val starts = (0 to ws.length - k)
+        .filter(i => gramDocs(ws.slice(i, i + k).mkString(" ")).size >= 2)
+      val cover = starts.flatMap(i => i until i + k).distinct.length
+      assert(n == ws.length.toLong, s"doc $id: token count")
+      assert(ndw == starts.length.toLong, s"doc $id: duplicated window count")
+      assert(nd == cover.toLong, s"doc $id: position coverage union")
+      assert(math.abs(ratio - math.floor(nd.toDouble / n * 1e6 + 0.5) / 1e6) < 1e-12)
+    }
+    // the planted syndication block: 5 fully-in-block windows, 12 covered
+    // positions, on EVERY planted doc (natural repeats can only add)
+    val planted = out.filter(_._1 % 5 == 0)
+    assert(planted.nonEmpty)
+    planted.foreach { case (id, (_, ndw, nd, _)) =>
+      assert(ndw >= 5 && nd >= 12, s"planted doc $id: block not detected ($ndw, $nd)")
+    }
+  }
+
   test("p38 PII redaction: no pattern survives redaction; every stage fires on every row") {
     val out = run("p38_pii_redact").collect()
     assert(out.nonEmpty)

@@ -3842,6 +3842,115 @@ object PipelineOps {
     FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id
     ORDER BY w.doc_id"""
 
+  // ---- p55: hashed-feature Naive Bayes quality classifier ------------------
+  // The LEARNED quality filter (the fastText-classifier step of
+  // CCNet/LLaMA-style pipelines, with the hashing trick): weak labels
+  // from a deterministic heuristic (stopword-density >= 1/12 — the
+  // self-training setup where a rule bootstraps a model), multinomial
+  // Naive Bayes over HASHED unigram features (V=256 buckets — feature
+  // hashing is what bounds a real fastText table too), score every
+  // document with the learned log-odds. Distinct from p17 (pure rules)
+  // and p40 (corpus-statistics rarity): this one LEARNS class-conditional
+  // evidence and applies a model.
+  //
+  // Determinism across engines: every count is an exact BIGINT; the only
+  // float op is ONE ln per bucket over a ratio of exact integers,
+  // immediately fixed-pointed at 1e6 (the p46 aes-key precedent — both
+  // engines' libm ln agree on identical double inputs), so the per-doc
+  // score is an exact INTEGER fold: prior + Σ weight[bucket(token)].
+  //
+  // Scale shape: training = one token explode + a V-bucket rollup whose
+  // map-side partial aggregation reduces every partition to <= V rows
+  // (256 — bounded BY CONSTRUCTION, the hashing trick's whole point);
+  // the model collapses to one V-element BIGINT array in a one-row CTE
+  // that broadcasts; scoring is a pure map-side integer array fold. Two
+  // corpus passes (train, apply), zero corpus-sized joins.
+  private val NbBuckets = 256
+  private val NbEnc = 8589934592L   // 2^33: bucket*NbEnc + (wt + 2^32) stays sortable
+  private val NbOff = 4294967296L   // 2^32: offset keeps encoded weights positive
+
+  private def p55Spark(hf: String): String = {
+    val bkt = s"pmod(${hSpark("w", hf)}, $NbBuckets)"
+    s"""
+    WITH t AS (SELECT doc_id, $wordsSpark AS words FROM documents),
+    lab AS (
+      SELECT doc_id, words,
+        CASE WHEN 12 * size(filter(words, w -> w IN ('the','a','of','and')))
+          >= size(words) THEN 1 ELSE 0 END AS lbl
+      FROM t),
+    tok AS (
+      SELECT lbl, $bkt AS b
+      FROM lab LATERAL VIEW explode(words) x AS w),
+    cnt AS (
+      SELECT b, sum(lbl) AS c_hi, sum(1 - lbl) AS c_lo FROM tok GROUP BY b),
+    tot AS (SELECT sum(c_hi) AS n_hi, sum(c_lo) AS n_lo FROM cnt),
+    dom AS (SELECT explode(sequence(0, ${NbBuckets - 1})) AS b),
+    wts AS (
+      SELECT dom.b,
+        CAST(floor(1e6 * ln(
+          (CAST(coalesce(cnt.c_hi, 0) + 1 AS DOUBLE) / (tot.n_hi + $NbBuckets)) /
+          (CAST(coalesce(cnt.c_lo, 0) + 1 AS DOUBLE) / (tot.n_lo + $NbBuckets))
+        ) + 0.5) AS BIGINT) AS wt
+      FROM dom CROSS JOIN tot LEFT JOIN cnt ON dom.b = cnt.b),
+    warr AS (
+      SELECT transform(array_sort(collect_list(b * $NbEnc + (wt + $NbOff))),
+                       e -> pmod(e, $NbEnc) - $NbOff) AS arr
+      FROM wts),
+    pri AS (
+      SELECT CAST(floor(1e6 * ln(
+        CAST(sum(lbl) AS DOUBLE) / sum(1 - lbl)) + 0.5) AS BIGINT) AS prior
+      FROM lab),
+    sc AS (
+      SELECT doc_id, lbl,
+        pri.prior + aggregate(words, CAST(0 AS BIGINT),
+          (acc, w) -> acc + element_at(arr, CAST($bkt + 1 AS INT))) AS score
+      FROM lab CROSS JOIN warr CROSS JOIN pri)
+    SELECT doc_id, CAST(lbl AS BIGINT) AS weak_label,
+      CAST(score AS BIGINT) AS nb_score,
+      CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred_hi
+    FROM sc ORDER BY doc_id"""
+  }
+
+  private val p55Duck = s"""
+    WITH t AS (SELECT doc_id, $wordsDuck AS words FROM documents),
+    lab AS (
+      SELECT doc_id, words,
+        CASE WHEN 12 * len(list_filter(words, w -> w IN ('the','a','of','and')))
+          >= len(words) THEN 1 ELSE 0 END AS lbl
+      FROM t),
+    tok AS (
+      SELECT lbl, ${hDuck("w")} % $NbBuckets AS b
+      FROM (SELECT lbl, unnest(words) AS w FROM lab)),
+    cnt AS (
+      SELECT b, sum(lbl) AS c_hi, sum(1 - lbl) AS c_lo FROM tok GROUP BY b),
+    tot AS (SELECT sum(c_hi) AS n_hi, sum(c_lo) AS n_lo FROM cnt),
+    dom AS (SELECT unnest(generate_series(0, ${NbBuckets - 1})) AS b),
+    wts AS (
+      SELECT dom.b,
+        CAST(floor(1e6 * ln(
+          (CAST(coalesce(cnt.c_hi, 0) + 1 AS DOUBLE) / (tot.n_hi + $NbBuckets)) /
+          (CAST(coalesce(cnt.c_lo, 0) + 1 AS DOUBLE) / (tot.n_lo + $NbBuckets))
+        ) + 0.5) AS BIGINT) AS wt
+      FROM dom CROSS JOIN tot LEFT JOIN cnt ON dom.b = cnt.b),
+    warr AS (
+      SELECT list_transform(list_sort(list(b * $NbEnc + (wt + $NbOff))),
+                            e -> e % $NbEnc - $NbOff) AS arr
+      FROM wts),
+    pri AS (
+      SELECT CAST(floor(1e6 * ln(
+        CAST(sum(lbl) AS DOUBLE) / sum(1 - lbl)) + 0.5) AS BIGINT) AS prior
+      FROM lab),
+    sc AS (
+      SELECT doc_id, lbl,
+        pri.prior + list_reduce(list_transform(words,
+          w -> arr[CAST(${hDuck("w")} % $NbBuckets + 1 AS INT)]),
+          (x, y) -> x + y) AS score
+      FROM lab CROSS JOIN warr CROSS JOIN pri)
+    SELECT doc_id, CAST(lbl AS BIGINT) AS weak_label,
+      CAST(score AS BIGINT) AS nb_score,
+      CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred_hi
+    FROM sc ORDER BY doc_id"""
+
   private def onEvents(sql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => {
       graft.Graft.normalizeEventTime(spark.read.parquet(s"$dir/events.parquet"))
@@ -3937,6 +4046,7 @@ object PipelineOps {
     "p52_snapshot_diff" -> onDocsHf(p52Spark),
     "p53_negative_sample" -> onEmbHf(p53Spark),
     "p54_substring_dedup" -> ((spark, dir) => p54Run(spark, dir)),
+    "p55_nb_quality" -> onDocsHf(p55Spark),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4001,5 +4111,6 @@ object PipelineOps {
     "p52_snapshot_diff" -> p52Duck,
     "p53_negative_sample" -> p53Duck,
     "p54_substring_dedup" -> p54Duck,
+    "p55_nb_quality" -> p55Duck,
   )
 }

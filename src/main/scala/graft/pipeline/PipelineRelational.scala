@@ -1099,6 +1099,91 @@ object PipelineRelational {
          |]
          |sort doc_id""".stripMargin,
 
+    "p55_nb_quality" ->
+      s"""table t = (
+         |  from documents
+         |  derive words = s"$W"
+         |)
+         |
+         |table lab = (
+         |  from t
+         |  derive lbl = s"CASE WHEN 12 * size(filter(words, w -> w IN ('the','a','of','and'))) >= size(words) THEN 1 ELSE 0 END"
+         |)
+         |
+         |table tok0 = (
+         |  from lab
+         |  select [lbl, w = s"explode(words)"]
+         |)
+         |
+         |table tok = (
+         |  from tok0
+         |  derive b = s"pmod(${H("w")}, 256)"
+         |)
+         |
+         |table cnt = (
+         |  from tok
+         |  group [b] (
+         |    aggregate [c_hi = s"sum(lbl)", c_lo = s"sum(1 - lbl)"]
+         |  )
+         |)
+         |
+         |table tot = (
+         |  from cnt
+         |  aggregate [n_hi = s"sum(c_hi)", n_lo = s"sum(c_lo)"]
+         |  derive k = s"1"
+         |)
+         |
+         |table dom = (
+         |  from documents
+         |  take 1
+         |  select [b = s"explode(sequence(0, 255))"]
+         |  derive k = s"1"
+         |)
+         |
+         |table wts0 = (
+         |  from dom
+         |  join tot [k]
+         |  join side:left cnt [b]
+         |)
+         |
+         |table wts = (
+         |  from wts0
+         |  derive wt = s"CAST(floor(1e6 * ln((CAST(coalesce(c_hi, 0) + 1 AS DOUBLE) / (n_hi + 256)) / (CAST(coalesce(c_lo, 0) + 1 AS DOUBLE) / (n_lo + 256))) + 0.5) AS BIGINT)"
+         |)
+         |
+         |table warr = (
+         |  from wts
+         |  aggregate [arr = s"transform(array_sort(collect_list(b * 8589934592 + (wt + 4294967296))), e -> pmod(e, 8589934592) - 4294967296)"]
+         |  derive k = s"1"
+         |)
+         |
+         |table pri = (
+         |  from lab
+         |  aggregate [prior = s"CAST(floor(1e6 * ln(CAST(sum(lbl) AS DOUBLE) / sum(1 - lbl)) + 0.5) AS BIGINT)"]
+         |  derive k = s"1"
+         |)
+         |
+         |table labk = (
+         |  from lab
+         |  derive k = s"1"
+         |)
+         |
+         |table sc = (
+         |  from labk
+         |  join warr [k]
+         |  join pri [k]
+         |  derive score = s"prior + aggregate(words, CAST(0 AS BIGINT), (acc, w) -> acc + element_at(arr, CAST(pmod(${H("w")}, 256) + 1 AS INT)))"
+         |)
+         |
+         |from sc
+         |select [
+         |  doc_id,
+         |  weak_label = s"CAST(lbl AS BIGINT)",
+         |  nb_score = s"CAST(score AS BIGINT)",
+         |  pred_hi = s"CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS BIGINT)",
+         |]
+         |sort doc_id""".stripMargin,
+
     // posexplode's two-column generator has no single-alias form, so the
     // position rides an arrays_zip struct through a one-alias explode
     "p49_embed_outlier" ->

@@ -1286,6 +1286,47 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("p55 NB quality classifier equals a brute-force reference and separates the classes") {
+    def md5hex(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def bkt(w: String) = (java.lang.Long.parseLong(md5hex(w).take(8), 16) % 256).toInt
+    val stop = Set("the", "a", "of", "and")
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+"))
+    val lbl = docs.map { case (id, ws) =>
+      id -> (if (12 * ws.count(stop) >= ws.length) 1 else 0)
+    }.toMap
+    val cHi = Array.fill(256)(0L); val cLo = Array.fill(256)(0L)
+    docs.foreach { case (id, ws) =>
+      ws.foreach(w => if (lbl(id) == 1) cHi(bkt(w)) += 1 else cLo(bkt(w)) += 1)
+    }
+    val nHi = cHi.sum; val nLo = cLo.sum
+    val wt = Array.tabulate(256) { b =>
+      math.floor(1e6 * math.log(
+        ((cHi(b) + 1).toDouble / (nHi + 256)) /
+        ((cLo(b) + 1).toDouble / (nLo + 256))) + 0.5).toLong
+    }
+    val nHiDocs = lbl.values.count(_ == 1)
+    val prior = math.floor(1e6 * math.log(nHiDocs.toDouble / (lbl.size - nHiDocs)) + 0.5).toLong
+    val expected = docs.map { case (id, ws) =>
+      id -> (prior + ws.map(w => wt(bkt(w))).sum)
+    }.toMap
+    val out = run("p55_nb_quality").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == docs.length)
+    out.foreach { case (id, l, s, p) =>
+      assert(l == lbl(id).toLong, s"doc $id: weak label")
+      assert(s == expected(id), s"doc $id: NB score")
+      assert(p == (if (s > 0) 1L else 0L), s"doc $id: Bayes decision")
+    }
+    val hi = out.filter(_._2 == 1).map(_._3); val lo = out.filter(_._2 == 0).map(_._3)
+    assert(hi.nonEmpty && lo.nonEmpty, "weak labeling must split the corpus")
+    assert(hi.sum.toDouble / hi.length > lo.sum.toDouble / lo.length,
+      "learned scores must separate the weak classes")
+  }
+
   test("p38 PII redaction: no pattern survives redaction; every stage fires on every row") {
     val out = run("p38_pii_redact").collect()
     assert(out.nonEmpty)

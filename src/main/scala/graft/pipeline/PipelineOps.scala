@@ -3951,6 +3951,106 @@ object PipelineOps {
       CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred_hi
     FROM sc ORDER BY doc_id"""
 
+  // ---- p56: BM25 retrieval scoring -----------------------------------------
+  // The lexical retrieval scorer (Robertson–Spärck Jones BM25) — the
+  // text-side counterpart of p07's embedding top-k, and the quality-probe
+  // retrieval step data pipelines use to find documents relevant to a
+  // benchmark query ("is my eval set answerable from the corpus?").
+  // A fixed query set (Q queries × 3 terms, a broadcast literal) is
+  // scored against every document; output is the per-query top-10.
+  //
+  // Determinism: tf/df/dl/N/totlen are exact ints; idf takes ONE ln per
+  // (query, term) over a ratio of exact ints, fixed-pointed at 1e6 (the
+  // p46/p55 libm precedent); each doc-term contribution is fixed-pointed
+  // BEFORE the per-doc sum, so the document score is an exact BIGINT sum
+  // — no cross-row double accumulation anywhere. The saturation
+  // arithmetic inside a contribution is written TEXTUALLY identically on
+  // both engines (same IEEE op order ⇒ same doubles).
+  //
+  // Scale shape: no corpus explode at all — tf comes from a map-side HOF
+  // against the broadcast query struct (Q·|terms| bounded); df is a
+  // Q×3-key rollup with map-side partials; idf is a ≤Q×3-row broadcast;
+  // posting sparsity is real (tf=0 rows drop before the score rollup);
+  // top-k is the SALTED TWO-STAGE rank (p46's pattern — no window ever
+  // sorts a whole query's corpus), and the un-salted DuckDB oracle
+  // proves the two-stage result identical.
+  private val Bm25TopK = 10
+  private val Bm25Salt = 8
+  private val Bm25Values =
+    "(0, 1, 'hash'), (0, 2, 'join'), (0, 3, 'merge'), " +
+    "(1, 1, 'window'), (1, 2, 'sort'), (1, 3, 'order'), " +
+    "(2, 1, 'stream'), (2, 2, 'batch'), (2, 3, 'data')"
+
+  private def p56Spark(hf: String): String = {
+    val salt = s"pmod(${hSpark("CAST(doc_id AS STRING)", hf)}, $Bm25Salt)"
+    s"""
+    WITH q AS (SELECT * FROM VALUES $Bm25Values AS q(qid, tidx, term)),
+    t AS (SELECT doc_id, words, size(words) AS dl
+          FROM (SELECT doc_id, $wordsSpark AS words FROM documents) t0),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_len FROM t),
+    tfq AS (
+      SELECT t.doc_id, t.dl, q.qid, q.tidx,
+        size(filter(t.words, w -> w = term)) AS tf
+      FROM t CROSS JOIN q),
+    df AS (
+      SELECT qid, tidx, sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df
+      FROM tfq GROUP BY qid, tidx),
+    idf AS (
+      SELECT qid, tidx,
+        CAST(floor(1e6 * ln(1 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (df + 0.5)) + 0.5) AS BIGINT) AS idf_u
+      FROM df CROSS JOIN stats),
+    contrib AS (
+      SELECT tfq.doc_id, tfq.qid,
+        CAST(floor(idf.idf_u * (tfq.tf * (1.2 + 1) / (tfq.tf + 1.2 * (1 - 0.75 + 0.75 * (CAST(tfq.dl AS DOUBLE) * stats.n_docs / stats.tot_len)))) + 0.5) AS BIGINT) AS c_u
+      FROM tfq JOIN idf ON tfq.qid = idf.qid AND tfq.tidx = idf.tidx
+      CROSS JOIN stats
+      WHERE tfq.tf > 0),
+    sc AS (SELECT doc_id, qid, sum(c_u) AS score_u FROM contrib GROUP BY doc_id, qid),
+    s1 AS (
+      SELECT doc_id, qid, score_u,
+        row_number() OVER (PARTITION BY qid, $salt
+          ORDER BY score_u DESC, doc_id) AS rk1
+      FROM sc),
+    s2 AS (
+      SELECT doc_id, qid, score_u,
+        row_number() OVER (PARTITION BY qid ORDER BY score_u DESC, doc_id) AS rk
+      FROM s1 WHERE rk1 <= $Bm25TopK)
+    SELECT CAST(qid AS BIGINT) AS query_id, CAST(rk AS BIGINT) AS rnk,
+      doc_id, CAST(score_u AS BIGINT) AS bm25_u
+    FROM s2 WHERE rk <= $Bm25TopK ORDER BY query_id, rnk"""
+  }
+
+  private val p56Duck = s"""
+    WITH q AS (SELECT * FROM (VALUES $Bm25Values) AS q(qid, tidx, term)),
+    t AS (SELECT doc_id, words, len(words) AS dl
+          FROM (SELECT doc_id, $wordsDuck AS words FROM documents) t0),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_len FROM t),
+    tfq AS (
+      SELECT t.doc_id, t.dl, q.qid, q.tidx,
+        len(list_filter(t.words, w -> w = q.term)) AS tf
+      FROM t CROSS JOIN q),
+    df AS (
+      SELECT qid, tidx, sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df
+      FROM tfq GROUP BY qid, tidx),
+    idf AS (
+      SELECT qid, tidx,
+        CAST(floor(1e6 * ln(1 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (df + 0.5)) + 0.5) AS BIGINT) AS idf_u
+      FROM df CROSS JOIN stats),
+    contrib AS (
+      SELECT tfq.doc_id, tfq.qid,
+        CAST(floor(idf.idf_u * (tfq.tf * (1.2 + 1) / (tfq.tf + 1.2 * (1 - 0.75 + 0.75 * (CAST(tfq.dl AS DOUBLE) * stats.n_docs / stats.tot_len)))) + 0.5) AS BIGINT) AS c_u
+      FROM tfq JOIN idf ON tfq.qid = idf.qid AND tfq.tidx = idf.tidx
+      CROSS JOIN stats
+      WHERE tfq.tf > 0),
+    sc AS (SELECT doc_id, qid, sum(c_u) AS score_u FROM contrib GROUP BY doc_id, qid),
+    s2 AS (
+      SELECT doc_id, qid, score_u,
+        row_number() OVER (PARTITION BY qid ORDER BY score_u DESC, doc_id) AS rk
+      FROM sc)
+    SELECT CAST(qid AS BIGINT) AS query_id, CAST(rk AS BIGINT) AS rnk,
+      doc_id, CAST(score_u AS BIGINT) AS bm25_u
+    FROM s2 WHERE rk <= $Bm25TopK ORDER BY query_id, rnk"""
+
   private def onEvents(sql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => {
       graft.Graft.normalizeEventTime(spark.read.parquet(s"$dir/events.parquet"))
@@ -4047,6 +4147,7 @@ object PipelineOps {
     "p53_negative_sample" -> onEmbHf(p53Spark),
     "p54_substring_dedup" -> ((spark, dir) => p54Run(spark, dir)),
     "p55_nb_quality" -> onDocsHf(p55Spark),
+    "p56_bm25" -> onDocsHf(p56Spark),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4112,5 +4213,6 @@ object PipelineOps {
     "p53_negative_sample" -> p53Duck,
     "p54_substring_dedup" -> p54Duck,
     "p55_nb_quality" -> p55Duck,
+    "p56_bm25" -> p56Duck,
   )
 }

@@ -1184,6 +1184,116 @@ object PipelineRelational {
          |]
          |sort doc_id""".stripMargin,
 
+    "p56_bm25" ->
+      s"""table q0 = (
+         |  from documents
+         |  take 1
+         |  select [x = s"explode(array(named_struct('qid', 0, 'tidx', 1, 'term', 'hash'), named_struct('qid', 0, 'tidx', 2, 'term', 'join'), named_struct('qid', 0, 'tidx', 3, 'term', 'merge'), named_struct('qid', 1, 'tidx', 1, 'term', 'window'), named_struct('qid', 1, 'tidx', 2, 'term', 'sort'), named_struct('qid', 1, 'tidx', 3, 'term', 'order'), named_struct('qid', 2, 'tidx', 1, 'term', 'stream'), named_struct('qid', 2, 'tidx', 2, 'term', 'batch'), named_struct('qid', 2, 'tidx', 3, 'term', 'data')))"]
+         |)
+         |
+         |table q = (
+         |  from q0
+         |  select [qid = s"x.qid", tidx = s"x.tidx", term = s"x.term"]
+         |  derive k = s"1"
+         |)
+         |
+         |table t0 = (
+         |  from documents
+         |  derive words = s"$W"
+         |)
+         |
+         |table t = (
+         |  from t0
+         |  derive [dl = s"size(words)", k = s"1"]
+         |)
+         |
+         |table stats = (
+         |  from t
+         |  aggregate [n_docs = s"count(*)", tot_len = s"sum(dl)"]
+         |  derive k = s"1"
+         |)
+         |
+         |table tfq0 = (
+         |  from t
+         |  join q [k]
+         |)
+         |
+         |table tfq = (
+         |  from tfq0
+         |  derive tf = s"size(filter(words, w -> w = term))"
+         |)
+         |
+         |table df0 = (
+         |  from tfq
+         |  group [qid, tidx] (
+         |    aggregate [df = s"sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END)"]
+         |  )
+         |)
+         |
+         |table dfk = (
+         |  from df0
+         |  derive k = s"1"
+         |)
+         |
+         |table idf0 = (
+         |  from dfk
+         |  join stats [k]
+         |)
+         |
+         |table idf = (
+         |  from idf0
+         |  derive idf_u = s"CAST(floor(1e6 * ln(1 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (df + 0.5)) + 0.5) AS BIGINT)"
+         |)
+         |
+         |table contrib0 = (
+         |  from tfq
+         |  filter tf > 0
+         |  join idf [qid, tidx]
+         |)
+         |
+         |table contrib = (
+         |  from contrib0
+         |  derive c_u = s"CAST(floor(idf_u * (tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) * n_docs / tot_len)))) + 0.5) AS BIGINT)"
+         |)
+         |
+         |table sc = (
+         |  from contrib
+         |  group [doc_id, qid] (
+         |    aggregate [score_u = s"sum(c_u)"]
+         |  )
+         |)
+         |
+         |table s1 = (
+         |  from sc
+         |  derive salt = s"pmod(${H("CAST(doc_id AS STRING)")}, 8)"
+         |)
+         |
+         |table loc = (
+         |  from s1
+         |  group [qid, salt] (
+         |    sort [-score_u, doc_id]
+         |    take 10
+         |  )
+         |)
+         |
+         |table g = (
+         |  from loc
+         |  group [qid] (
+         |    sort [-score_u, doc_id]
+         |    derive [rk = (row_number | as bigint)]
+         |  )
+         |)
+         |
+         |from g
+         |filter rk <= 10
+         |select [
+         |  query_id = s"CAST(qid AS BIGINT)",
+         |  rnk = rk,
+         |  doc_id,
+         |  bm25_u = s"CAST(score_u AS BIGINT)",
+         |]
+         |sort [query_id, rnk]""".stripMargin,
+
     // posexplode's two-column generator has no single-alias form, so the
     // position rides an arrays_zip struct through a one-alias explode
     "p49_embed_outlier" ->

@@ -1327,6 +1327,40 @@ class PipelineOpsSpec extends AnyFunSuite {
       "learned scores must separate the weak classes")
   }
 
+  test("p56 BM25 equals a brute-force reference; per-query top-10 dense and sorted") {
+    val queries = Map(
+      0 -> Seq("hash", "join", "merge"),
+      1 -> Seq("window", "sort", "order"),
+      2 -> Seq("stream", "batch", "data"))
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+"))
+    val n = docs.length
+    val totLen = docs.map(_._2.length.toLong).sum
+    val expected = queries.toSeq.flatMap { case (qid, terms) =>
+      val idfs = terms.map { t =>
+        val df = docs.count(_._2.contains(t))
+        t -> math.floor(1e6 * math.log(1 + (n - df + 0.5) / (df + 0.5)) + 0.5).toLong
+      }.toMap
+      val scored = docs.flatMap { case (id, ws) =>
+        val dl = ws.length
+        if (!terms.exists(ws.contains)) None
+        else Some(id -> terms.map { t =>
+          val tf = ws.count(_ == t)
+          if (tf == 0) 0L
+          else math.floor(idfs(t) * (tf * (1.2 + 1) /
+            (tf + 1.2 * (1 - 0.75 + 0.75 * (dl.toDouble * n / totLen)))) + 0.5).toLong
+        }.sum)
+      }
+      scored.sortBy { case (id, s) => (-s, id) }.take(10).zipWithIndex.map {
+        case ((id, s), i) => (qid.toLong, (i + 1).toLong, id, s)
+      }
+    }.toSet
+    assert(expected.size == 30, "every query must fill its top-10 on this corpus")
+    val out = run("p56_bm25").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == expected, s"salted two-stage top-k must equal the exact ranking")
+  }
+
   test("p38 PII redaction: no pattern survives redaction; every stage fires on every row") {
     val out = run("p38_pii_redact").collect()
     assert(out.nonEmpty)

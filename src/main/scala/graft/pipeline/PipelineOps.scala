@@ -3883,7 +3883,9 @@ object PipelineOps {
       FROM lab LATERAL VIEW explode(words) x AS w),
     cnt AS (
       SELECT b, sum(lbl) AS c_hi, sum(1 - lbl) AS c_lo FROM tok GROUP BY b),
-    tot AS (SELECT sum(c_hi) AS n_hi, sum(c_lo) AS n_lo FROM cnt),
+    tot AS (
+      SELECT sum(lbl * size(words)) AS n_hi, sum((1 - lbl) * size(words)) AS n_lo
+      FROM lab),
     dom AS (SELECT explode(sequence(0, ${NbBuckets - 1})) AS b),
     wts AS (
       SELECT dom.b,
@@ -3923,7 +3925,9 @@ object PipelineOps {
       FROM (SELECT lbl, unnest(words) AS w FROM lab)),
     cnt AS (
       SELECT b, sum(lbl) AS c_hi, sum(1 - lbl) AS c_lo FROM tok GROUP BY b),
-    tot AS (SELECT sum(c_hi) AS n_hi, sum(c_lo) AS n_lo FROM cnt),
+    tot AS (
+      SELECT sum(lbl * len(words)) AS n_hi, sum((1 - lbl) * len(words)) AS n_lo
+      FROM lab),
     dom AS (SELECT unnest(generate_series(0, ${NbBuckets - 1})) AS b),
     wts AS (
       SELECT dom.b,
@@ -3996,14 +4000,13 @@ object PipelineOps {
       SELECT qid, tidx, sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df
       FROM tfq GROUP BY qid, tidx),
     idf AS (
-      SELECT qid, tidx,
+      SELECT qid, tidx, n_docs, tot_len,
         CAST(floor(1e6 * ln(1 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (df + 0.5)) + 0.5) AS BIGINT) AS idf_u
       FROM df CROSS JOIN stats),
     contrib AS (
       SELECT tfq.doc_id, tfq.qid,
-        CAST(floor(idf.idf_u * (tfq.tf * (1.2 + 1) / (tfq.tf + 1.2 * (1 - 0.75 + 0.75 * (CAST(tfq.dl AS DOUBLE) * stats.n_docs / stats.tot_len)))) + 0.5) AS BIGINT) AS c_u
+        CAST(floor(idf.idf_u * (tfq.tf * (1.2 + 1) / (tfq.tf + 1.2 * (1 - 0.75 + 0.75 * (CAST(tfq.dl AS DOUBLE) * idf.n_docs / idf.tot_len)))) + 0.5) AS BIGINT) AS c_u
       FROM tfq JOIN idf ON tfq.qid = idf.qid AND tfq.tidx = idf.tidx
-      CROSS JOIN stats
       WHERE tfq.tf > 0),
     sc AS (SELECT doc_id, qid, sum(c_u) AS score_u FROM contrib GROUP BY doc_id, qid),
     s1 AS (
@@ -4033,14 +4036,13 @@ object PipelineOps {
       SELECT qid, tidx, sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df
       FROM tfq GROUP BY qid, tidx),
     idf AS (
-      SELECT qid, tidx,
+      SELECT qid, tidx, n_docs, tot_len,
         CAST(floor(1e6 * ln(1 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (df + 0.5)) + 0.5) AS BIGINT) AS idf_u
       FROM df CROSS JOIN stats),
     contrib AS (
       SELECT tfq.doc_id, tfq.qid,
-        CAST(floor(idf.idf_u * (tfq.tf * (1.2 + 1) / (tfq.tf + 1.2 * (1 - 0.75 + 0.75 * (CAST(tfq.dl AS DOUBLE) * stats.n_docs / stats.tot_len)))) + 0.5) AS BIGINT) AS c_u
+        CAST(floor(idf.idf_u * (tfq.tf * (1.2 + 1) / (tfq.tf + 1.2 * (1 - 0.75 + 0.75 * (CAST(tfq.dl AS DOUBLE) * idf.n_docs / idf.tot_len)))) + 0.5) AS BIGINT) AS c_u
       FROM tfq JOIN idf ON tfq.qid = idf.qid AND tfq.tidx = idf.tidx
-      CROSS JOIN stats
       WHERE tfq.tf > 0),
     sc AS (SELECT doc_id, qid, sum(c_u) AS score_u FROM contrib GROUP BY doc_id, qid),
     s2 AS (

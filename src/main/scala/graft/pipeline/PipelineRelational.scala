@@ -1128,8 +1128,8 @@ object PipelineRelational {
          |)
          |
          |table tot = (
-         |  from cnt
-         |  aggregate [n_hi = s"sum(c_hi)", n_lo = s"sum(c_lo)"]
+         |  from lab
+         |  aggregate [n_hi = s"sum(lbl * size(words))", n_lo = s"sum((1 - lbl) * size(words))"]
          |  derive k = s"1"
          |)
          |

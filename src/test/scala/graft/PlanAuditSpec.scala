@@ -561,6 +561,60 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no global stage belongs in the encode path:\n$p")
   }
 
+  test("p54 substring dedup: two sanctioned explodes, gram-keyed join, no cartesian") {
+    // the gram stream has two consumers (df rollup, back-join), so CTE
+    // inlining recomputes the narrow window explode — the DELIBERATE
+    // 100 TB trade (re-tokenizing beats materializing a K×-corpus
+    // intermediate); with the coverage explode that is 3 Generates, and
+    // a 4th would mean an unsanctioned row amplification. The
+    // duplicated-gram set is unbounded so the back-join must stay a
+    // gram-key equi-join (shuffle or AQE broadcast), never a cartesian
+    val p = pipeline.PipelineOps.queries("p54_substring_dedup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Generate".r.findAllIn(p).length == 3,
+      s"window explode (×2 consumers) + coverage explode only:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"the gram back-join must stay an equi-join:\n$p")
+    assert("hashpartitioning\\(gh".r.findAllIn(p).nonEmpty || p.contains("BroadcastExchange"),
+      s"expected gram-keyed exchanges (or an AQE broadcast at test scale):\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no global stage belongs in the span-audit path:\n$p")
+  }
+
+  test("p55 NB classifier: V-bounded rollup, one-row model broadcasts, scoring map-side") {
+    // Generates: the token explode + the 256-bucket domain generator; the
+    // bucket rollup is the one corpus hash shuffle; the model/prior/total
+    // one-row aggregates are the sanctioned SinglePartition stages and
+    // must come back as broadcasts (never a shuffled join of the corpus)
+    val p = pipeline.PipelineOps.queries("p55_nb_quality")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Generate".r.findAllIn(p).length == 2,
+      s"only the token explode and the bucket-domain generator are sanctioned:\n$p")
+    assert("hashpartitioning\\(b".r.findAllIn(p).nonEmpty,
+      s"expected the bucket-keyed training rollup:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"the 256-slot model must broadcast back:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"no cartesian in the scoring path:\n$p")
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 3,
+      s"only the model/prior/total one-row aggregates may single-partition:\n$p")
+  }
+
+  test("p56 BM25: zero corpus explodes, salted two-stage rank, query set broadcasts") {
+    val p = pipeline.PipelineOps.queries("p56_bm25")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Generate".r.findAllIn(p).isEmpty,
+      s"tf must come from the map-side HOF, never a corpus explode:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"the query struct and idf table must broadcast:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"no cartesian in the retrieval path:\n$p")
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 1,
+      s"only the corpus-stats one-row aggregate may single-partition:\n$p")
+    assert(!p.contains("No Partition Defined"),
+      s"no unpartitioned window belongs in the ranking path:\n$p")
+  }
+
   test("session carries the scale configs the 100 TB contract depends on") {
     // Graft.localSession is the one place these are set; losing any of them
     // silently degrades cluster behavior (AQE re-planning incl. skew-join

@@ -1286,6 +1286,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("p54 edge fixture: short docs, identical twins, and boundary-window sharing") {
+    // ids avoid the %5 plant so the fixture controls every duplicate:
+    //  doc 1  7 tokens  -> below K=8, no windows, zero row
+    //  doc 2  w1..w10   -> identical to doc 3: all 3 windows dup, cover 10
+    //  doc 3  w1..w10
+    //  doc 4  w1..w8 x y z -> shares ONLY window 1 with the twins, cover 8
+    //  doc 6  9 unique tokens -> windows exist but none recur, zero dups
+    import spark.implicits._
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val rows = Seq(
+      (1L, "a b c d e f g"),
+      (2L, ten),
+      (3L, ten),
+      (4L, (1 to 8).map(i => s"w$i").mkString(" ") + " x y z"),
+      (6L, (1 to 9).map(i => s"u$i").mkString(" ")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_p54").toString
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val out = PipelineOps.queries("p54_substring_dedup")(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(out(1L) == ((7L, 0L, 0L, 0.0)), "sub-K doc must produce a zero audit row")
+    assert(out(2L) == ((10L, 3L, 10L, 1.0)), "identical twin: full coverage")
+    assert(out(3L) == ((10L, 3L, 10L, 1.0)))
+    val r4 = math.floor(8.0 / 11 * 1e6 + 0.5) / 1e6
+    assert(out(4L) == ((11L, 1L, 8L, r4)), "boundary doc: only window 1 recurs")
+    assert(out(6L) == ((9L, 0L, 0L, 0.0)), "windows without recurrence stay clean")
+  }
+
   test("p55 NB quality classifier equals a brute-force reference and separates the classes") {
     def md5hex(s: String) = {
       val d = java.security.MessageDigest.getInstance("MD5")

@@ -4053,6 +4053,54 @@ object PipelineOps {
       doc_id, CAST(score_u AS BIGINT) AS bm25_u
     FROM s2 WHERE rk <= $Bm25TopK ORDER BY query_id, rnk"""
 
+  // ---- p57: JL random-projection embedding compression ---------------------
+  // Johnson–Lindenstrauss dimensionality reduction with a ±1 sign matrix
+  // (Achlioptas 2003: database-friendly random projections) — the
+  // embedding-compression step that makes downstream ANN/storage cheap:
+  // 64-dim float vectors project to $JlDims dims through the SAME
+  // deterministic md5-derived plane matrix the SRP family uses (rows are
+  // public md5 parities; p08 consumes their signs, this consumes their
+  // values). The 1/sqrt(D) JL scale factor is a global constant and is
+  // deliberately omitted — distance RATIOS, which is what JL preserves,
+  // are unchanged.
+  //
+  // Determinism: each projected component is ONE graft_dot left-fold
+  // (the p07/p08 bit-identical kernel contract), fixed-pointed at 1e6.
+  // Scale shape: pure map-side — the 16-row plane table broadcasts, the
+  // corpus is touched once, no shuffle before the output sort; row count
+  // out = N×D (the compressed representation, explicitly long-form so
+  // the oracle hashes it columnar-stably).
+  private val JlDims = 16
+
+  private def p57Run(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerDot(spark)
+    val rows = planes.take(JlDims).zipWithIndex.map { case (p, i) =>
+      (i + 1, p.map(_.toFloat))
+    }
+    import spark.implicits._
+    rows.toDF("idx", "pv").createOrReplaceTempView("jl_planes")
+    spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("embeddings")
+    spark.sql(s"""
+      SELECT e.vec_id, CAST(p.idx AS BIGINT) AS dim,
+        CAST(floor(${dotSpark("e.embedding", "p.pv")} * 1e6 + 0.5) AS BIGINT) AS proj_u
+      FROM embeddings e CROSS JOIN jl_planes p
+      ORDER BY vec_id, dim""")
+  }
+
+  private val p57Duck = s"""
+    WITH pl AS MATERIALIZED (
+      SELECT idx, ${planesDuckLit(JlDims)}[idx] AS v
+      FROM generate_series(1, $JlDims) t(idx)),
+    p AS (
+      SELECT e.vec_id, pl.idx AS dim,
+        list_reduce(list_transform(generate_series(1, $EmbDim),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(pl.v[i] AS DOUBLE)),
+          (x, y) -> x + y) AS d
+      FROM embeddings e CROSS JOIN pl)
+    SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+      CAST(floor(d * 1e6 + 0.5) AS BIGINT) AS proj_u
+    FROM p ORDER BY vec_id, dim"""
+
   private def onEvents(sql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => {
       graft.Graft.normalizeEventTime(spark.read.parquet(s"$dir/events.parquet"))
@@ -4150,6 +4198,7 @@ object PipelineOps {
     "p54_substring_dedup" -> ((spark, dir) => p54Run(spark, dir)),
     "p55_nb_quality" -> onDocsHf(p55Spark),
     "p56_bm25" -> onDocsHf(p56Spark),
+    "p57_jl_project" -> ((spark, dir) => p57Run(spark, dir)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4216,5 +4265,6 @@ object PipelineOps {
     "p54_substring_dedup" -> p54Duck,
     "p55_nb_quality" -> p55Duck,
     "p56_bm25" -> p56Duck,
+    "p57_jl_project" -> p57Duck,
   )
 }

@@ -1421,5 +1421,7 @@ object PipelineRelational {
       "M-round driver loop: each merge's argmax is a one-row action whose RESULT is spliced into the next round's rewrite SQL, with barriers between rounds — p16's iterative exclusion class",
     "p51_bpe_tokenize" ->
       "consumes p50's loop-learned barrier-materialized repr table (the vocabulary IS the result of the iterative action sequence)",
+    "p57_jl_project" ->
+      "native graft_dot kernel + runtime-registered plane temp view (the p08 registration exclusion class)",
   )
 }

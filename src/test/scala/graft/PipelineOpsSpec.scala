@@ -1390,6 +1390,58 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out == expected, s"salted two-stage top-k must equal the exact ranking")
   }
 
+  test("p57 JL projection equals the plane-fold reference and preserves distance structure") {
+    def md5hex(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val planes = (0 until 16).map { p =>
+      (1 to 64).map { d =>
+        val h = java.lang.Long.parseLong(md5hex(s"${p}_$d").take(8), 16)
+        if (h % 2 == 1) 1.0f else -1.0f
+      }
+    }
+    def dot(a: Array[Float], pl: Seq[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * pl(i).toDouble; i += 1 }
+      s
+    }
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val expected = emb.flatMap { case (id, v) =>
+      planes.zipWithIndex.map { case (pl, i) =>
+        (id, (i + 1).toLong, math.floor(dot(v, pl) * 1e6 + 0.5).toLong)
+      }
+    }.toSet
+    val out = run("p57_jl_project").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == emb.length * 16, "D rows per vector")
+    assert(out.toSet == expected, "projection must equal the plane-fold reference")
+    // JL property: projected squared distances track the originals
+    val proj = out.groupBy(_._1).map { case (id, rs) =>
+      id -> rs.sortBy(_._2).map(_._3.toDouble / 1e6)
+    }
+    val origMap = emb.toMap
+    val ids = emb.map(_._1).sorted.take(60)
+    val pairs = for {
+      i <- ids.indices; j <- (i + 1) until ids.length; if (i + j) % 7 == 0
+    } yield (ids(i), ids(j))
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // with ±1 planes E[||proj(a)-proj(b)||^2] = D * ||a-b||^2 (Achlioptas),
+    // with relative std sqrt(2/D) ~ 0.35 per pair — the JL isometry claim
+    val ratios = pairs.map { case (a, b) =>
+      d2(proj(a), proj(b)) /
+        (16.0 * d2(origMap(a).toSeq.map(_.toDouble), origMap(b).toSeq.map(_.toDouble)))
+    }
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.8 && mean < 1.2,
+      s"JL mean distance ratio off isometry: $mean over ${pairs.length} pairs")
+    assert(ratios.min > 0.2 && ratios.max < 3.0,
+      s"JL per-pair distortion outside chi-square tails: [${ratios.min}, ${ratios.max}]")
+  }
+
   test("p38 PII redaction: no pattern survives redaction; every stage fires on every row") {
     val out = run("p38_pii_redact").collect()
     assert(out.nonEmpty)

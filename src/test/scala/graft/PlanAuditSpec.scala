@@ -615,6 +615,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no unpartitioned window belongs in the ranking path:\n$p")
   }
 
+  test("p57 JL projection is pure map-side: broadcast planes, zero shuffles") {
+    val p = pipeline.PipelineOps.queries("p57_jl_project")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Generate".r.findAllIn(p).isEmpty,
+      s"projection must not amplify rows before the long-form output:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"the 16-row plane table must broadcast:\n$p")
+    assert("hashpartitioning".r.findAllIn(p).isEmpty,
+      s"no hash shuffle belongs in a map-side projection:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no global stage belongs in the projection path:\n$p")
+  }
+
   test("session carries the scale configs the 100 TB contract depends on") {
     // Graft.localSession is the one place these are set; losing any of them
     // silently degrades cluster behavior (AQE re-planning incl. skew-join

@@ -1315,6 +1315,60 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(6L) == ((9L, 0L, 0L, 0.0)), "windows without recurrence stay clean")
   }
 
+  test("p54 property: random low-entropy corpora equal brute force; within-doc repeats never count") {
+    val k = 8
+    val block = "breaking news this content is syndicated across partner sites worldwide today reader"
+    def reference(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Long)] = {
+      val words = docs.map { case (id, text) =>
+        id -> (if (id % 5 == 0) block + " " + text else text).trim.split("\\s+")
+      }
+      val gramDocs = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.HashSet[Long]]
+      words.foreach { case (id, ws) =>
+        (0 to ws.length - k).foreach { i =>
+          gramDocs.getOrElseUpdate(ws.slice(i, i + k).mkString(" "),
+            scala.collection.mutable.HashSet.empty[Long]) += id
+        }
+      }
+      words.map { case (id, ws) =>
+        val starts = (0 to ws.length - k)
+          .filter(i => gramDocs(ws.slice(i, i + k).mkString(" ")).size >= 2)
+        id -> (ws.length.toLong, starts.length.toLong,
+               starts.flatMap(i => i until i + k).distinct.length.toLong)
+      }.toMap
+    }
+    val rnd = new scala.util.Random(20260814)
+    (1 to 3).foreach { trial =>
+      // tiny vocabulary forces natural cross-doc 8-gram collisions;
+      // lengths straddle K (3..30); ids hit the %5 plant class too
+      val base = (0 until 40).map { i =>
+        val n = 3 + rnd.nextInt(28)
+        (i.toLong, Seq.fill(n)("t" + rnd.nextInt(6)).mkString(" "))
+      }
+      // a doc whose ONLY repeats are within itself (x-vocab is private to
+      // it): every gram has doc-frequency 1, so nothing may be flagged
+      val selfRep = (101L, ((1 to 8) ++ (1 to 8)).map(d => s"x$d").mkString(" "))
+      val docs = base :+ selfRep
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_p54p$trial").toString
+      import spark.implicits._
+      docs.toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(s"$tmp/documents.parquet")
+      val exp = reference(docs)
+      val out = PipelineOps.queries("p54_substring_dedup")(spark, tmp).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      assert(out.length == docs.length, s"trial $trial: one row per doc")
+      out.foreach { case (id, (n, ndw, nd, ratio)) =>
+        val (en, es, ec) = exp(id)
+        assert((n, ndw, nd) == ((en, es, ec)), s"trial $trial doc $id")
+        assert(math.abs(ratio - math.floor(nd.toDouble / n * 1e6 + 0.5) / 1e6) < 1e-12)
+      }
+      val (_, selfW, selfC, _) = out.toMap.apply(101L)
+      assert(selfW == 0L && selfC == 0L,
+        s"trial $trial: within-doc-only repetition must never count as cross-doc")
+      assert(out.exists(_._2._3 > 0), s"trial $trial: corpus must exercise the dup path")
+    }
+  }
+
   test("p55 NB quality classifier equals a brute-force reference and separates the classes") {
     def md5hex(s: String) = {
       val d = java.security.MessageDigest.getInstance("MD5")

@@ -4101,6 +4101,123 @@ object PipelineOps {
       CAST(floor(d * 1e6 + 0.5) AS BIGINT) AS proj_u
     FROM p ORDER BY vec_id, dim"""
 
+  // ---- p58: HTML text extraction -------------------------------------------
+  // The extraction step itself — the very first stage of a crawl pipeline
+  // (C4's WET cleanup, FineWeb's trafilatura pass): raw HTML → visible
+  // text. The gate corpus is plain text, so each document is wrapped in a
+  // deterministic page template (title, style, script, nav, footer with
+  // entities — the p38/p47 planted-fixture pattern) and the operator must
+  // recover the body: script/style subtrees dropped WHOLE (tag-stripping
+  // alone would leak JS/CSS payloads — the classic extraction bug), tags
+  // → whitespace, the 5 predefined XML/HTML entities decoded, whitespace
+  // collapsed. Title is pulled structurally via a capture group.
+  //
+  // Pure map-side: every stage is a regex/replace over the row, zero
+  // shuffles before the output sort; regexes are shared-syntax between
+  // Java and RE2 (non-greedy, character classes — no backrefs or
+  // lookarounds, which RE2 lacks).
+  private def p58Spark(hf: String) = s"""
+    WITH aug AS (
+      SELECT doc_id, concat(
+        '<html><head><title>Doc ', CAST(doc_id AS STRING),
+        '</title><style>body { color: #333; }</style>',
+        '<script>var tracker = "t" + ', CAST(doc_id % 7 AS STRING),
+        ';</script></head><body><nav>home | about | contact</nav><p>',
+        text,
+        '</p><div class="footer">&quot;Acme &amp; Co&quot; &lt;legal&gt; &#39;2026&#39;</div></body></html>'
+      ) AS html FROM documents),
+    s1 AS (
+      SELECT doc_id, html,
+        regexp_replace(regexp_replace(html,
+          '<script[^>]*>.*?</script>', ' '),
+          '<style[^>]*>.*?</style>', ' ') AS noscript
+      FROM aug),
+    s2 AS (
+      SELECT doc_id, html,
+        regexp_replace(noscript, '<[^>]*>', ' ') AS untagged
+      FROM s1),
+    s3 AS (
+      SELECT doc_id, html,
+        trim(regexp_replace(replace(replace(replace(replace(replace(untagged,
+          '&quot;', '"'), '&lt;', '<'), '&gt;', '>'), '&#39;', CHR(39)),
+          '&amp;', '&'), '\\\\s+', ' ')) AS clean
+      FROM s2)
+    SELECT doc_id,
+      regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+      CAST(length(clean) AS BIGINT) AS n_chars_clean,
+      CAST(CASE WHEN clean RLIKE 'var tracker|color: #333' THEN 1 ELSE 0 END AS BIGINT) AS leaked,
+      ${hStrSpark("clean", hf)} AS clean_checksum
+    FROM s3 ORDER BY doc_id"""
+
+  private val p58Duck = s"""
+    WITH aug AS (
+      SELECT doc_id,
+        '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        '</title><style>body { color: #333; }</style>' ||
+        '<script>var tracker = "t" + ' || CAST(doc_id % 7 AS VARCHAR) ||
+        ';</script></head><body><nav>home | about | contact</nav><p>' ||
+        text ||
+        '</p><div class="footer">&quot;Acme &amp; Co&quot; &lt;legal&gt; &#39;2026&#39;</div></body></html>'
+        AS html FROM documents),
+    s1 AS (
+      SELECT doc_id, html,
+        regexp_replace(regexp_replace(html,
+          '<script[^>]*>.*?</script>', ' ', 'g'),
+          '<style[^>]*>.*?</style>', ' ', 'g') AS noscript
+      FROM aug),
+    s2 AS (
+      SELECT doc_id, html,
+        regexp_replace(noscript, '<[^>]*>', ' ', 'g') AS untagged
+      FROM s1),
+    s3 AS (
+      SELECT doc_id, html,
+        trim(regexp_replace(replace(replace(replace(replace(replace(untagged,
+          '&quot;', '"'), '&lt;', '<'), '&gt;', '>'), '&#39;', chr(39)),
+          '&amp;', '&'), '\\s+', ' ', 'g')) AS clean
+      FROM s2)
+    SELECT doc_id,
+      regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+      CAST(length(clean) AS BIGINT) AS n_chars_clean,
+      CAST(CASE WHEN regexp_matches(clean, 'var tracker|color: #333') THEN 1 ELSE 0 END AS BIGINT) AS leaked,
+      md5(clean) AS clean_checksum
+    FROM s3 ORDER BY doc_id"""
+
+  // ---- p59: blocklist policy filter ----------------------------------------
+  // The wordlist-policy step (C4's "bad words" drop + Gopher's counted
+  // thresholds, composed): a HARD category where any occurrence drops the
+  // document (C4's rule — presence, not count), and a SOFT category where
+  // a per-document occurrence count must stay under a threshold (Gopher's
+  // rule). Both lists are broadcast literals; real deployments swap in
+  // the policy list of record — the SHAPE (two severity tiers, presence
+  // vs count semantics, keep-flag output) is the operator. Terms are
+  // corpus-vocabulary fixtures chosen so every outcome class is
+  // populated ('dup' hits ~5% of docs; slow+big counts straddle the
+  // threshold). Pure map-side: HOFs over the words array, zero shuffles
+  // before the output sort.
+  private val BlockSoftMax = 4
+
+  private val p59Spark = s"""
+    WITH t AS (SELECT doc_id, $wordsSpark AS words FROM documents),
+    h AS (
+      SELECT doc_id,
+        CAST(CASE WHEN arrays_overlap(words, array('dup')) THEN 1 ELSE 0 END AS BIGINT) AS hard_hit,
+        CAST(size(filter(words, w -> w IN ('slow', 'big'))) AS BIGINT) AS soft_hits
+      FROM t)
+    SELECT doc_id, hard_hit, soft_hits,
+      CAST(CASE WHEN hard_hit = 0 AND soft_hits <= $BlockSoftMax THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM h ORDER BY doc_id"""
+
+  private val p59Duck = s"""
+    WITH t AS (SELECT doc_id, $wordsDuck AS words FROM documents),
+    h AS (
+      SELECT doc_id,
+        CAST(CASE WHEN list_has_any(words, ['dup']) THEN 1 ELSE 0 END AS BIGINT) AS hard_hit,
+        CAST(len(list_filter(words, w -> w IN ('slow', 'big'))) AS BIGINT) AS soft_hits
+      FROM t)
+    SELECT doc_id, hard_hit, soft_hits,
+      CAST(CASE WHEN hard_hit = 0 AND soft_hits <= $BlockSoftMax THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM h ORDER BY doc_id"""
+
   private def onEvents(sql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => {
       graft.Graft.normalizeEventTime(spark.read.parquet(s"$dir/events.parquet"))
@@ -4199,6 +4316,8 @@ object PipelineOps {
     "p55_nb_quality" -> onDocsHf(p55Spark),
     "p56_bm25" -> onDocsHf(p56Spark),
     "p57_jl_project" -> ((spark, dir) => p57Run(spark, dir)),
+    "p58_html_extract" -> onDocsHf(p58Spark),
+    "p59_blocklist" -> onDocs(p59Spark),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4266,5 +4385,7 @@ object PipelineOps {
     "p55_nb_quality" -> p55Duck,
     "p56_bm25" -> p56Duck,
     "p57_jl_project" -> p57Duck,
+    "p58_html_extract" -> p58Duck,
+    "p59_blocklist" -> p59Duck,
   )
 }

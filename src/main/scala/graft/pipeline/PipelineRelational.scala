@@ -1294,6 +1294,64 @@ object PipelineRelational {
          |]
          |sort [query_id, rnk]""".stripMargin,
 
+    // the double-quote entity target rides CHR(34) because a literal '"'
+    // would terminate the PRQL s-string, and the CSS braces ride
+    // CHR(123)/CHR(125) because s-strings parse {…} as nested
+    // interpolation — value-identical to the main SQL either way
+    "p58_html_extract" ->
+      s"""table aug = (
+         |  from documents
+         |  derive html = s"concat('<html><head><title>Doc ', CAST(doc_id AS STRING), '</title><style>body ', CHR(123), ' color: #333; ', CHR(125), '</style>', '<script>var tracker = ', CHR(34), 't', CHR(34), ' + ', CAST(doc_id % 7 AS STRING), ';</script></head><body><nav>home | about | contact</nav><p>', text, '</p><div class=', CHR(34), 'footer', CHR(34), '>&quot;Acme &amp; Co&quot; &lt;legal&gt; &#39;2026&#39;</div></body></html>')"
+         |)
+         |
+         |table s1 = (
+         |  from aug
+         |  derive noscript = s"regexp_replace(regexp_replace(html, '<script[^>]*>.*?</script>', ' '), '<style[^>]*>.*?</style>', ' ')"
+         |)
+         |
+         |table s2 = (
+         |  from s1
+         |  derive untagged = s"regexp_replace(noscript, '<[^>]*>', ' ')"
+         |)
+         |
+         |table s3 = (
+         |  from s2
+         |  derive clean = s"trim(regexp_replace(replace(replace(replace(replace(replace(untagged, '&quot;', CHR(34)), '&lt;', '<'), '&gt;', '>'), '&#39;', CHR(39)), '&amp;', '&'), '\\\\s+', ' '))"
+         |)
+         |
+         |from s3
+         |select [
+         |  doc_id,
+         |  title = s"regexp_extract(html, '<title>([^<]*)</title>', 1)",
+         |  n_chars_clean = s"CAST(length(clean) AS BIGINT)",
+         |  leaked = s"CAST(CASE WHEN clean RLIKE 'var tracker|color: #333' THEN 1 ELSE 0 END AS BIGINT)",
+         |  clean_checksum = s"md5(clean)",
+         |]
+         |sort doc_id""".stripMargin,
+
+    "p59_blocklist" ->
+      s"""table t = (
+         |  from documents
+         |  derive words = s"$W"
+         |)
+         |
+         |table h = (
+         |  from t
+         |  derive [
+         |    hard_hit = s"CAST(CASE WHEN arrays_overlap(words, array('dup')) THEN 1 ELSE 0 END AS BIGINT)",
+         |    soft_hits = s"CAST(size(filter(words, w -> w IN ('slow', 'big'))) AS BIGINT)",
+         |  ]
+         |)
+         |
+         |from h
+         |select [
+         |  doc_id,
+         |  hard_hit,
+         |  soft_hits,
+         |  keep = s"CAST(CASE WHEN hard_hit = 0 AND soft_hits <= 4 THEN 1 ELSE 0 END AS BIGINT)",
+         |]
+         |sort doc_id""".stripMargin,
+
     // posexplode's two-column generator has no single-alias form, so the
     // position rides an arrays_zip struct through a one-alias explode
     "p49_embed_outlier" ->

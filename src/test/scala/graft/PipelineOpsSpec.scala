@@ -1496,6 +1496,63 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"JL per-pair distortion outside chi-square tails: [${ratios.min}, ${ratios.max}]")
   }
 
+  test("p58 HTML extraction equals a JVM regex-pipeline reference; no script/style leaks") {
+    def md5hex(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val expected = docs.map { case (id, text) =>
+      val html = "<html><head><title>Doc " + id +
+        "</title><style>body { color: #333; }</style>" +
+        "<script>var tracker = \"t\" + " + (id % 7) +
+        ";</script></head><body><nav>home | about | contact</nav><p>" + text +
+        "</p><div class=\"footer\">&quot;Acme &amp; Co&quot; &lt;legal&gt; &#39;2026&#39;</div></body></html>"
+      val clean = html
+        .replaceAll("<script[^>]*>.*?</script>", " ")
+        .replaceAll("<style[^>]*>.*?</style>", " ")
+        .replaceAll("<[^>]*>", " ")
+        .replace("&quot;", "\"").replace("&lt;", "<").replace("&gt;", ">")
+        .replace("&#39;", "'").replace("&amp;", "&")
+        .replaceAll("\\s+", " ").trim
+      id -> (s"Doc $id", clean.length.toLong, md5hex(clean), clean)
+    }.toMap
+    val out = run("p58_html_extract").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out.length == docs.length)
+    out.foreach { case (id, title, n, leaked, sum) =>
+      val (et, en, esum, clean) = expected(id)
+      assert(title == et, s"doc $id: structural title extraction")
+      assert(n == en, s"doc $id: clean length")
+      assert(leaked == 0L, s"doc $id: script/style payload leaked into visible text")
+      assert(sum == esum, s"doc $id: clean checksum")
+      assert(!clean.contains("tracker") && !clean.contains("#333"),
+        s"doc $id: reference itself must be leak-free")
+      assert(clean.contains("\"Acme & Co\" <legal> '2026'"),
+        s"doc $id: entities must decode")
+    }
+  }
+
+  test("p59 blocklist filter equals brute force; every policy outcome class is populated") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+"))
+    val expected = docs.map { case (id, ws) =>
+      val hard = if (ws.contains("dup")) 1L else 0L
+      val soft = ws.count(w => w == "slow" || w == "big").toLong
+      id -> (hard, soft, if (hard == 0L && soft <= 4L) 1L else 0L)
+    }.toMap
+    val out = run("p59_blocklist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == docs.length)
+    out.foreach { case (id, h, s, k) =>
+      assert((h, s, k) == expected(id), s"doc $id policy row")
+    }
+    assert(out.exists(_._2 == 1L), "hard-block class must be populated")
+    assert(out.exists(r => r._2 == 0L && r._4 == 0L), "soft-threshold drop class must be populated")
+    assert(out.exists(_._4 == 1L), "keep class must be populated")
+  }
+
   test("p38 PII redaction: no pattern survives redaction; every stage fires on every row") {
     val out = run("p38_pii_redact").collect()
     assert(out.nonEmpty)

@@ -628,6 +628,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no global stage belongs in the projection path:\n$p")
   }
 
+  test("p58/p59 extraction and policy filter are pure map-side") {
+    Seq("p58_html_extract", "p59_blocklist").foreach { op =>
+      val p = pipeline.PipelineOps.queries(op)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert("Generate".r.findAllIn(p).isEmpty, s"$op must not amplify rows:\n$p")
+      assert("hashpartitioning".r.findAllIn(p).isEmpty, s"$op must not shuffle:\n$p")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"no global stage belongs in $op:\n$p")
+    }
+  }
+
   test("session carries the scale configs the 100 TB contract depends on") {
     // Graft.localSession is the one place these are set; losing any of them
     // silently degrades cluster behavior (AQE re-planning incl. skew-join

@@ -3660,8 +3660,10 @@ object PipelineOps {
   //     at weight 1 instead, which selects the IDENTICAL hash-order
   //     prefix with one shuffle and no stratum sort);
   //  2. the pool collapses to ONE sorted integer array (entries encoded
-  //     label·1e6 + vec_id — scalar encoding keeps the array sortable and
-  //     bit-identical on both engines; vec_id < 1e6 by contract) that
+  //     label·2^32 + vec_id — scalar encoding keeps the array sortable and
+  //     bit-identical on both engines; vec_id < 2^32 and label < 2^31 by
+  //     contract, which holds at any realistic corpus scale — a 1e6 base
+  //     would silently alias ids on a 100 TB corpus) that
   //     BROADCASTS to every anchor, which then picks slot s's negative by
   //     modular-indexing the label-filtered candidate list with
   //     hash(anchor, s) — pure map-side, sampling WITH replacement (the
@@ -3671,7 +3673,7 @@ object PipelineOps {
   // + an explode of NegK slots per anchor.
   private val NegPool = 4
   private val NegK = 4
-  private val NegEnc = 1000000L
+  private val NegEnc = 4294967296L
 
   private def p53Spark(hf: String) = s"""
     WITH pool AS (

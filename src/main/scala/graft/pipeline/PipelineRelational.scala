@@ -990,7 +990,7 @@ object PipelineRelational {
          |
          |table parr = (
          |  from pool
-         |  aggregate [arr = s"array_sort(collect_list(CAST(label AS BIGINT) * 1000000 + vec_id))"]
+         |  aggregate [arr = s"array_sort(collect_list(CAST(label AS BIGINT) * 4294967296 + vec_id))"]
          |  derive k = s"1"
          |)
          |
@@ -1002,7 +1002,7 @@ object PipelineRelational {
          |table cand = (
          |  from emb_k
          |  join parr [k]
-         |  derive cands = s"filter(arr, e -> e DIV 1000000 != CAST(label AS BIGINT))"
+         |  derive cands = s"filter(arr, e -> e DIV 4294967296 != CAST(label AS BIGINT))"
          |)
          |
          |table x = (
@@ -1019,8 +1019,8 @@ object PipelineRelational {
          |select [
          |  vec_id,
          |  slot = s"CAST(slot AS BIGINT)",
-         |  neg_id = s"CAST(enc % 1000000 AS BIGINT)",
-         |  neg_label = s"CAST(enc DIV 1000000 AS BIGINT)",
+         |  neg_id = s"CAST(enc % 4294967296 AS BIGINT)",
+         |  neg_label = s"CAST(enc DIV 4294967296 AS BIGINT)",
          |]
          |sort [vec_id, slot]""".stripMargin,
 

@@ -106,7 +106,19 @@ object Bench {
     val benchT0 = System.nanoTime()
     def nowS: Double = (System.nanoTime() - benchT0) / 1e9
 
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Optional args = exact query names to bench (local hotspot iteration:
+    // `runMain graft.Bench p26_repetition`). The driver passes none, so the
+    // per-round artifact always covers the full suite.
+    val queries = {
+      val all = SparkEntry.queries.toSeq.sortBy(_._1)
+      if (args.isEmpty) all
+      else {
+        val want = args.toSet
+        val unknown = want -- all.map(_._1).toSet
+        require(unknown.isEmpty, s"unknown bench queries: ${unknown.mkString(",")}")
+        all.filter(kv => want(kv._1))
+      }
+    }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // (t_rel_s at sample start, duration_s) — interleaved drift samples
     val calibSamples = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]

@@ -4220,6 +4220,242 @@ object PipelineOps {
       CAST(CASE WHEN hard_hit = 0 AND soft_hits <= $BlockSoftMax THEN 1 ELSE 0 END AS BIGINT) AS keep
     FROM h ORDER BY doc_id"""
 
+  // ---- p60: SimHash Hamming-ball near-dup pairs ----------------------------
+  // Completes the SimHash modality from fingerprints (p05) to PAIRS — the
+  // Manku/Jain/Das Sarma 2007 web-dedup design (WWW '07, "Detecting
+  // Near-Duplicates for Web Crawling"): two documents are near-dups when
+  // their simhashes differ in <= d bits, and the pigeonhole trick makes
+  // the search an EQUI-JOIN — split the fingerprint into d+1 bands; any
+  // pair within Hamming distance d agrees exactly on at least one band,
+  // so candidates = docs sharing (band_idx, band_value) and the verify is
+  // one popcount(xor) per candidate. Never all-pairs (p04's contract).
+  //
+  // Distinct from p04 (MinHash estimates SET-Jaccard; simhash Hamming
+  // tracks weighted cosine on the feature histogram) and from p22
+  // (embedding-space SRP): this is the bit-fingerprint modality the
+  // crawl-dedup literature actually shipped at engine scale.
+  //
+  // Scale shape: the 32-bit/4-band geometry matches the gate corpus; at
+  // production scale the SAME shape runs with a 64-bit fingerprint and
+  // wider bands — band width must stay >= log2(N)+slack so expected
+  // bucket size is O(1) and the candidate join is linear (Manku's tables
+  // are exactly this). The verify popcount makes precision exact under
+  // ANY band geometry; banding only controls recall/cost.
+  //
+  // The synthetic corpus's organic near-dups sit at Jaccard ~0.5 — far in
+  // Hamming space (E[dist] ~ 8/32 bits) — so they populate the REJECT
+  // class, and the KEEP class is planted (the p38/p54 fixture pattern):
+  // every 7th doc gets a twin (id offset 2^40) with ONE appended token.
+  // Appending one word shifts each bit counter by ±1, so the twin's
+  // fingerprint differs only where a counter sat at zero — Hamming 0-2
+  // in practice, comfortably inside d=3. Both engines compute the same
+  // augmented relation, so the oracle is exact whatever the distances.
+  private val SimPairBands = 4     // 8-bit bands over the 32-bit simhash
+  private val SimPairHamMax = 3    // = bands - 1: the pigeonhole guarantee
+  private val SimPairTwinOff = 1099511627776L // 2^40 — never aliases real ids
+
+  private val SimPairSigsView = "graft_simhash_sigs"
+
+  /** The per-doc (doc_id, simhash) sketch — 16 bytes/doc, the SMALL class
+    * of relation the LshSigsView precedent materializes: the self-join
+    * consumes it on BOTH sides, and inlined, each side re-runs the whole
+    * words→hash→32-counter fold (measured 5.2 s vs 2.7 s at sf0.1). */
+  private def p60SigsSql(hf: String) = s"""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + $SimPairTwinOff AS doc_id, concat(text, ' mirrortoken') AS text
+      FROM documents WHERE doc_id % 7 = 0),
+    t AS (
+      SELECT doc_id, transform($wordsSpark, w -> ${hSpark("w", hf)}) AS hw
+      FROM aug)
+    SELECT doc_id,
+      aggregate(
+        zip_with(
+          aggregate(hw, array_repeat(0, 32),
+            (acc, h) -> zip_with(acc, sequence(0, 31),
+              (a, j) -> a + IF((shiftright(h, j) & 1) = 1, 1, -1))),
+          sequence(0, 31),
+          (cnt, j) -> IF(cnt > 0, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
+        CAST(0 AS BIGINT), (a, x) -> a + x) AS simhash
+    FROM t"""
+
+  private val p60PairsSql = s"""
+    WITH b AS (
+      SELECT doc_id, simhash, band,
+        (shiftright(simhash, band * 8) & 255) AS bv
+      FROM $SimPairSigsView LATERAL VIEW explode(sequence(0, ${SimPairBands - 1})) x AS band),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS ida, r.doc_id AS idb,
+        l.simhash AS sa, r.simhash AS sb
+      FROM b l JOIN b r ON l.band = r.band AND l.bv = r.bv
+        AND l.doc_id < r.doc_id)
+    SELECT ida, idb, CAST(bit_count(sa ^ sb) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(sa ^ sb) <= $SimPairHamMax
+    ORDER BY ida, idb"""
+
+  private def p60Run(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    materialized(spark, SimPairSigsView, p60SigsSql(hashFamily(spark)))
+    spark.sql(p60PairsSql)
+  }
+
+  private val p60Duck = s"""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + $SimPairTwinOff AS doc_id, text || ' mirrortoken' AS text
+      FROM documents WHERE doc_id % 7 = 0),
+    t AS (
+      SELECT doc_id, list_transform($wordsDuck, w -> ${hDuck("w")}) AS hw
+      FROM aug),
+    s AS (
+      SELECT doc_id,
+        CAST(list_sum(list_transform(generate_series(0, 31),
+          j -> CASE WHEN list_sum(list_transform(hw,
+                 h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+               THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+      FROM t),
+    b AS (
+      SELECT doc_id, simhash, band,
+        (simhash >> (band * 8)) & 255 AS bv
+      FROM s CROSS JOIN (SELECT unnest(generate_series(0, ${SimPairBands - 1})) AS band) x),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS ida, r.doc_id AS idb,
+        l.simhash AS sa, r.simhash AS sb
+      FROM b l JOIN b r ON l.band = r.band AND l.bv = r.bv
+        AND l.doc_id < r.doc_id)
+    SELECT ida, idb, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= $SimPairHamMax
+    ORDER BY ida, idb"""
+
+  // ---- p61: hashed bigram-LM perplexity filter -----------------------------
+  // The CCNet perplexity step (Wenzek et al. 2020: score every document
+  // with a language model trained on a clean reference corpus; drop the
+  // high-perplexity tail) — completing the quality-filter trio: p17 is
+  // rules, p55 is a discriminative classifier, THIS is the generative-LM
+  // scorer the production pipelines (CCNet/LLaMA/RedPajama) actually rank
+  // by. The reference corpus is the stopword-dense subset (p55's weak
+  // label — the self-training bootstrap), the LM is an add-one-smoothed
+  // bigram model over HASHED (context, word) buckets (C=64 × V=64 = 4096
+  // slots — the hashing trick bounds the table like a pruned KenLM), and
+  // the score is total negative log-likelihood in micro-nats.
+  //
+  // Determinism across engines: counts are exact BIGINTs; the only float
+  // op is ONE ln per (context, word) slot over a ratio of exact integers,
+  // fixed-pointed at 1e6 (the p46/p55/p56 libm-agreement precedent), so
+  // per-doc scoring is an exact INTEGER fold and per-token NLL is exact
+  // integer division. No exp(): perplexity is monotone in NLL/token, so
+  // the filter thresholds the micro-nat rate directly.
+  //
+  // Scale shape (p55's): train = one bigram explode over the REFERENCE
+  // docs + a 4096-bounded rollup (map-side partials collapse every
+  // partition to <= 4096 rows); the model is one 4096-slot BIGINT array
+  // in a one-row CTE that broadcasts; scoring is a pure map-side integer
+  // fold over every doc. Two corpus passes, zero corpus-sized joins.
+  private val PpxCtx = 64
+  private val PpxVoc = 64
+  private val PpxSlots = PpxCtx * PpxVoc
+  private val PpxEnc = 33554432L  // 2^25 > any micro-nat nll (ln caps ~ln(n_tok))
+  /** Flag threshold on per-token micro-nat NLL. Live deployment knob;
+    * default sits in the gate corpus's upper quintile (measured per-token
+    * NLL spans ~2.97e6-3.73e6 at both gate SFs): flags ~19% of docs,
+    * concentrated on the non-reference class (~24% vs ~1-3% of the
+    * reference docs) — i.e. the learned LM actually separates, it does
+    * not just re-read the weak label. CCNet's production analogue is the
+    * per-language perplexity tercile cut, likewise a corpus-tuned knob. */
+  private val PpxFlagMicroDefault = 3400000L
+  private[graft] def ppxFlagMicro(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.ppxFlagMicro").map(_.toLong)
+      .getOrElse(PpxFlagMicroDefault)
+
+  private[graft] def p61Spark(hf: String, thr: Long): String = {
+    def bkt(e: String) = s"pmod(${hSpark(e, hf)}, $PpxVoc)"
+    val slotAt = s"CAST(${bkt("element_at(words, i - 1)")} * $PpxVoc + ${bkt("element_at(words, i)")} AS INT)"
+    s"""
+    WITH t AS (SELECT doc_id, $wordsSpark AS words FROM documents),
+    lab AS (
+      SELECT doc_id, words,
+        CASE WHEN 12 * size(filter(words, w -> w IN ('the','a','of','and')))
+          >= size(words) THEN 1 ELSE 0 END AS lbl
+      FROM t),
+    big AS (
+      SELECT $slotAt AS slot
+      FROM (SELECT words FROM lab WHERE lbl = 1 AND size(words) >= 2) ref
+      LATERAL VIEW explode(sequence(2, size(words))) x AS i),
+    cnt AS (SELECT slot, count(*) AS c FROM big GROUP BY slot),
+    dom AS (SELECT explode(sequence(0, ${PpxSlots - 1})) AS slot),
+    slots AS (
+      -- zero-fill the full slot domain FIRST, then take the context total
+      -- as a window over the filled table: one consumer of cnt (a separate
+      -- ctxc rollup would re-inline — and re-run — the corpus bigram pass)
+      SELECT dom.slot, coalesce(cnt.c, 0) AS c
+      FROM dom LEFT JOIN cnt ON dom.slot = cnt.slot),
+    wts AS (
+      SELECT slot,
+        CAST(floor(-1e6 * ln(
+          CAST(c + 1 AS DOUBLE) /
+          (sum(c) OVER (PARTITION BY slot DIV $PpxVoc) + $PpxVoc)) + 0.5) AS BIGINT) AS nll
+      FROM slots),
+    warr AS (
+      SELECT transform(array_sort(collect_list(CAST(slot AS BIGINT) * $PpxEnc + nll)),
+                       e -> pmod(e, $PpxEnc)) AS arr
+      FROM wts),
+    sc AS (
+      SELECT doc_id, lbl, size(words) AS n,
+        aggregate(sequence(2, size(words)), CAST(0 AS BIGINT),
+          (acc, i) -> acc + element_at(arr, $slotAt + 1)) AS nll_micro
+      FROM lab CROSS JOIN warr
+      WHERE size(words) >= 2)
+    SELECT doc_id, CAST(lbl AS BIGINT) AS ref_doc,
+      CAST(n - 1 AS BIGINT) AS n_bigrams, nll_micro,
+      CAST(nll_micro DIV (n - 1) AS BIGINT) AS nll_micro_per_tok,
+      CAST(CASE WHEN nll_micro DIV (n - 1) > $thr THEN 1 ELSE 0 END AS BIGINT) AS flagged
+    FROM sc ORDER BY doc_id"""
+  }
+
+  private val p61Duck = {
+    def bkt(e: String) = s"${hDuck(e)} % $PpxVoc"
+    val slotAt = s"CAST(${bkt("words[i - 1]")} * $PpxVoc + ${bkt("words[i]")} AS INT)"
+    s"""
+    WITH t AS (SELECT doc_id, $wordsDuck AS words FROM documents),
+    lab AS (
+      SELECT doc_id, words,
+        CASE WHEN 12 * len(list_filter(words, w -> w IN ('the','a','of','and')))
+          >= len(words) THEN 1 ELSE 0 END AS lbl
+      FROM t),
+    big AS (
+      SELECT $slotAt AS slot
+      FROM (SELECT words, unnest(generate_series(2, len(words))) AS i
+            FROM lab WHERE lbl = 1 AND len(words) >= 2) ref),
+    cnt AS (SELECT slot, count(*) AS c FROM big GROUP BY slot),
+    dom AS (SELECT unnest(generate_series(0, ${PpxSlots - 1})) AS slot),
+    slots AS (
+      SELECT dom.slot, coalesce(cnt.c, 0) AS c
+      FROM dom LEFT JOIN cnt ON dom.slot = cnt.slot),
+    wts AS (
+      SELECT slot,
+        CAST(floor(-1e6 * ln(
+          CAST(c + 1 AS DOUBLE) /
+          (sum(c) OVER (PARTITION BY slot // $PpxVoc) + $PpxVoc)) + 0.5) AS BIGINT) AS nll
+      FROM slots),
+    warr AS (
+      SELECT list_transform(list_sort(list(CAST(slot AS BIGINT) * $PpxEnc + nll)),
+                            e -> e % $PpxEnc) AS arr
+      FROM wts),
+    sc AS (
+      SELECT doc_id, lbl, len(words) AS n,
+        list_reduce(list_transform(generate_series(2, len(words)),
+          i -> arr[$slotAt + 1]), (x, y) -> x + y) AS nll_micro
+      FROM lab CROSS JOIN warr
+      WHERE len(words) >= 2)
+    SELECT doc_id, CAST(lbl AS BIGINT) AS ref_doc,
+      CAST(n - 1 AS BIGINT) AS n_bigrams, CAST(nll_micro AS BIGINT) AS nll_micro,
+      CAST(nll_micro // (n - 1) AS BIGINT) AS nll_micro_per_tok,
+      CAST(CASE WHEN nll_micro // (n - 1) > $PpxFlagMicroDefault THEN 1 ELSE 0 END AS BIGINT) AS flagged
+    FROM sc ORDER BY doc_id"""
+  }
+
   private def onEvents(sql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => {
       graft.Graft.normalizeEventTime(spark.read.parquet(s"$dir/events.parquet"))
@@ -4320,6 +4556,11 @@ object PipelineOps {
     "p57_jl_project" -> ((spark, dir) => p57Run(spark, dir)),
     "p58_html_extract" -> onDocsHf(p58Spark),
     "p59_blocklist" -> onDocs(p59Spark),
+    "p60_simhash_pairs" -> ((spark, dir) => p60Run(spark, dir)),
+    "p61_bigram_ppx" -> ((spark, dir) => {
+      spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+      spark.sql(p61Spark(hashFamily(spark), ppxFlagMicro(spark)))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4389,5 +4630,7 @@ object PipelineOps {
     "p57_jl_project" -> p57Duck,
     "p58_html_extract" -> p58Duck,
     "p59_blocklist" -> p59Duck,
+    "p60_simhash_pairs" -> p60Duck,
+    "p61_bigram_ppx" -> p61Duck,
   )
 }

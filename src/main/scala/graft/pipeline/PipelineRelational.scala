@@ -1352,6 +1352,140 @@ object PipelineRelational {
          |]
          |sort doc_id""".stripMargin,
 
+    // the dialect has no set ops (SURVEY §2.10 absent-by-design), so the
+    // twin-fixture UNION ALL rides the p56 named_struct-explode idiom: one
+    // or two struct copies per doc, exploded back into rows
+    "p60_simhash_pairs" ->
+      s"""table aug0 = (
+         |  from documents
+         |  select [e = s"explode(CASE WHEN doc_id % 7 = 0 THEN array(named_struct('doc_id', doc_id, 'text', text), named_struct('doc_id', doc_id + 1099511627776, 'text', concat(text, ' mirrortoken'))) ELSE array(named_struct('doc_id', doc_id, 'text', text)) END)"]
+         |)
+         |
+         |table aug = (
+         |  from aug0
+         |  select [doc_id = s"e.doc_id", text = s"e.text"]
+         |)
+         |
+         |table sg0 = (
+         |  from aug
+         |  derive hw = s"transform($W, w -> ${H("w")})"
+         |)
+         |
+         |table sg = (
+         |  from sg0
+         |  derive simhash = s"aggregate(zip_with(aggregate(hw, array_repeat(0, 32), (acc, h) -> zip_with(acc, sequence(0, 31), (a, j) -> a + IF((shiftright(h, j) & 1) = 1, 1, -1))), sequence(0, 31), (cnt, j) -> IF(cnt > 0, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)"
+         |  select [doc_id, simhash]
+         |)
+         |
+         |table bl0 = (
+         |  from sg
+         |  select [ida = doc_id, sa = simhash, band_a = s"explode(sequence(0, 3))"]
+         |)
+         |
+         |table bl = (
+         |  from bl0
+         |  derive bva = s"shiftright(sa, band_a * 8) & 255"
+         |)
+         |
+         |table br0 = (
+         |  from sg
+         |  select [idb = doc_id, sb = simhash, band_b = s"explode(sequence(0, 3))"]
+         |)
+         |
+         |table br = (
+         |  from br0
+         |  derive bvb = s"shiftright(sb, band_b * 8) & 255"
+         |)
+         |
+         |table cand = (
+         |  from bl
+         |  join br [band_a == band_b, bva == bvb]
+         |  filter ida < idb
+         |  select [ida, idb, sa, sb]
+         |  group [ida, idb, sa, sb] (take 1)
+         |)
+         |
+         |from cand
+         |filter s"bit_count(sa ^ sb) <= 3"
+         |select [ida, idb, hamming = s"CAST(bit_count(sa ^ sb) AS BIGINT)"]
+         |sort [ida, idb]""".stripMargin,
+
+    "p61_bigram_ppx" ->
+      s"""table t = (
+         |  from documents
+         |  derive words = s"$W"
+         |)
+         |
+         |table lab = (
+         |  from t
+         |  derive lbl = s"CASE WHEN 12 * size(filter(words, w -> w IN ('the','a','of','and'))) >= size(words) THEN 1 ELSE 0 END"
+         |)
+         |
+         |table ref = (
+         |  from lab
+         |  filter s"lbl = 1 AND size(words) >= 2"
+         |)
+         |
+         |table big0 = (
+         |  from ref
+         |  select [words, i = s"explode(sequence(2, size(words)))"]
+         |)
+         |
+         |table big = (
+         |  from big0
+         |  derive slot = s"CAST(pmod(${H("element_at(words, i - 1)")}, 64) * 64 + pmod(${H("element_at(words, i)")}, 64) AS INT)"
+         |  select [slot]
+         |)
+         |
+         |table cnt = (
+         |  from big
+         |  group [slot] (aggregate [c = s"count(*)"])
+         |)
+         |
+         |table dom = (
+         |  from documents
+         |  take 1
+         |  select [slot = s"explode(sequence(0, 4095))"]
+         |)
+         |
+         |table slots = (
+         |  from dom
+         |  join side:left cnt [slot]
+         |  select [slot, c = s"coalesce(c, 0)"]
+         |)
+         |
+         |table wts = (
+         |  from slots
+         |  derive nll = s"CAST(floor(-1e6 * ln(CAST(c + 1 AS DOUBLE) / (sum(c) OVER (PARTITION BY slot DIV 64) + 64)) + 0.5) AS BIGINT)"
+         |  select [slot, nll]
+         |)
+         |
+         |table warr = (
+         |  from wts
+         |  aggregate [arr = s"transform(array_sort(collect_list(CAST(slot AS BIGINT) * 33554432 + nll)), e -> pmod(e, 33554432))"]
+         |  derive k = s"1"
+         |)
+         |
+         |table sc = (
+         |  from lab
+         |  filter s"size(words) >= 2"
+         |  derive k = s"1"
+         |  join warr [k]
+         |  derive n = s"size(words)"
+         |  derive nll_micro_t = s"aggregate(sequence(2, size(words)), CAST(0 AS BIGINT), (acc, i) -> acc + element_at(arr, CAST(pmod(${H("element_at(words, i - 1)")}, 64) * 64 + pmod(${H("element_at(words, i)")}, 64) AS INT) + 1))"
+         |)
+         |
+         |from sc
+         |select [
+         |  doc_id,
+         |  ref_doc = s"CAST(lbl AS BIGINT)",
+         |  n_bigrams = s"CAST(n - 1 AS BIGINT)",
+         |  nll_micro = nll_micro_t,
+         |  nll_micro_per_tok = s"CAST(nll_micro_t DIV (n - 1) AS BIGINT)",
+         |  flagged = s"CAST(CASE WHEN nll_micro_t DIV (n - 1) > 3400000 THEN 1 ELSE 0 END AS BIGINT)",
+         |]
+         |sort doc_id""".stripMargin,
+
     // posexplode's two-column generator has no single-alias form, so the
     // position rides an arrays_zip struct through a one-alias explode
     "p49_embed_outlier" ->

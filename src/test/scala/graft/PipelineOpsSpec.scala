@@ -1762,6 +1762,99 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("p60 simhash pairs equal a brute-force all-pairs Hamming reference") {
+    // The pigeonhole band join is EXACT for d <= bands-1: any pair within
+    // Hamming 3 shares at least one of the 4 bands untouched, so the
+    // operator's banded output must equal brute-force all-pairs filtering
+    // — no recall assumption, full set equality.
+    def md5hex(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def h32(w: String) = java.lang.Long.parseLong(md5hex(w).take(8), 16)
+    def simhash(ws: Array[String]): Long = {
+      val cnt = Array.fill(32)(0L)
+      ws.foreach { w =>
+        val h = h32(w)
+        var j = 0
+        while (j < 32) { cnt(j) += (if (((h >> j) & 1L) == 1L) 1 else -1); j += 1 }
+      }
+      (0 until 32).map(j => if (cnt(j) > 0) 1L << j else 0L).sum
+    }
+    val twinOff = 1099511627776L
+    val base = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val aug = base ++ base.collect {
+      case (id, tx) if id % 7 == 0 => (id + twinOff) -> (tx + " mirrortoken")
+    }
+    val sigs = aug.map { case (id, tx) => id -> simhash(tx.trim.split("\\s+")) }
+    val expected = (for {
+      i <- sigs.indices; j <- sigs.indices
+      if sigs(i)._1 < sigs(j)._1
+      d = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+      if d <= 3
+    } yield (sigs(i)._1, sigs(j)._1, d.toLong)).toSet
+    val out = run("p60_simhash_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == expected,
+      s"banded pairs diverge from brute force: extra=${out.diff(expected).take(5)} " +
+        s"missing=${expected.diff(out).take(5)}")
+    // class population: the planted twins are the KEEP story (most land
+    // within d=3; short homogeneous docs let a few drift past it), and the
+    // corpus's organic vocabulary overlap yields ambient close pairs too
+    val nTwins = aug.length - base.length
+    val twinPairs = out.count { case (a, b, _) => b - a == twinOff }
+    assert(twinPairs * 2 >= nTwins, s"under half the planted twins found: $twinPairs/$nTwins")
+    assert(out.exists { case (a, b, _) => b - a != twinOff }, "no ambient pairs — reject class empty")
+  }
+
+  test("p61 bigram perplexity equals a brute-force LM reference and separates classes") {
+    def md5hex(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def bkt(w: String) = (java.lang.Long.parseLong(md5hex(w).take(8), 16) % 64).toInt
+    val stop = Set("the", "a", "of", "and")
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+"))
+    val lbl = docs.map { case (id, ws) =>
+      id -> (if (12 * ws.count(stop) >= ws.length) 1 else 0)
+    }.toMap
+    // train: add-one-smoothed bigram counts over hashed slots, ref docs only
+    val cnt = Array.fill(4096)(0L)
+    docs.foreach { case (id, ws) =>
+      if (lbl(id) == 1 && ws.length >= 2)
+        ws.sliding(2).foreach(p => cnt(bkt(p(0)) * 64 + bkt(p(1))) += 1)
+    }
+    val ctx = Array.tabulate(64)(c => (0 until 64).map(v => cnt(c * 64 + v)).sum)
+    val nll = Array.tabulate(4096) { s =>
+      math.floor(-1e6 * math.log((cnt(s) + 1).toDouble / (ctx(s / 64) + 64)) + 0.5).toLong
+    }
+    val expected = docs.collect { case (id, ws) if ws.length >= 2 =>
+      id -> ws.sliding(2).map(p => nll(bkt(p(0)) * 64 + bkt(p(1)))).sum
+    }.toMap
+    val out = run("p61_bigram_ppx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.length == expected.size)
+    out.foreach { case (id, ref, nbig, total, perTok, flagged) =>
+      val ws = docs.find(_._1 == id).get._2
+      assert(ref == lbl(id), s"doc $id weak label")
+      assert(nbig == ws.length - 1, s"doc $id bigram count")
+      assert(total == expected(id), s"doc $id nll: got $total, expected ${expected(id)}")
+      assert(perTok == total / (ws.length - 1), s"doc $id per-token nll")
+      assert(flagged == (if (perTok > 3400000L) 1 else 0), s"doc $id flag")
+    }
+    // the LM must actually separate: the flagged tail concentrates on the
+    // non-reference class, and both flag classes are populated
+    val flagRate = (c: Int) => {
+      val grp = out.filter(_._2 == c)
+      grp.count(_._6 == 1).toDouble / grp.length
+    }
+    assert(out.exists(_._6 == 1) && out.exists(_._6 == 0), "one flag class is empty")
+    assert(flagRate(0) > 2 * flagRate(1),
+      s"no class separation: nonref ${flagRate(0)} vs ref ${flagRate(1)}")
+  }
+
   test("driver contract: every oracle key has a query, entry() returns rows") {
     assert(PipelineOps.oracleSql.keySet.subsetOf(PipelineOps.queries.keySet))
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

@@ -657,4 +657,44 @@ class PlanAuditSpec extends AnyFunSuite {
     val (_, d2) = Graft.compileWithDiagnostics("from orders\nsort o_orderkey\ntake 10", spark, cat)
     assert(d2.isEmpty)
   }
+
+  test("p60 simhash pairs: band equi-join, never a cartesian or global stage") {
+    // Generates: the twin-fixture struct explode + the two band explodes.
+    // The candidate stage must be an EQUI-join on (band, band_value) —
+    // shuffle-hash/sort-merge on the band key, or an AQE broadcast at test
+    // scale — the Manku table-lookup shape; a cartesian would mean the
+    // pigeonhole rewrite silently degraded to all-pairs.
+    val p = pipeline.PipelineOps.queries("p60_simhash_pairs")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // (the twin-fixture UNION ALL and the sig fold live in the barrier-
+    // materialized sigs view — the pair plan starts from its leaf)
+    assert("Generate".r.findAllIn(p).length == 2,
+      s"the two band explodes only:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"band candidates must come from an equi-join:\n$p")
+    assert("hashpartitioning\\(band".r.findAllIn(p).nonEmpty || p.contains("BroadcastExchange"),
+      s"expected band-keyed exchanges (or an AQE broadcast at test scale):\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no global stage belongs in the pair path:\n$p")
+  }
+
+  test("p61 bigram LM: slot-bounded rollup, one-row model broadcasts, scoring map-side") {
+    // p55's audit contract, bigram edition: the training explode + the
+    // 4096-slot domain generator are the only Generates; the slot rollup
+    // is the one corpus hash shuffle (map-side partials bound every
+    // partition at 4096 rows); the model collapses to a one-row array
+    // that broadcasts; scoring is a map-side integer fold
+    val p = pipeline.PipelineOps.queries("p61_bigram_ppx")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Generate".r.findAllIn(p).length == 2,
+      s"only the bigram explode and the slot-domain generator are sanctioned:\n$p")
+    assert("hashpartitioning\\(slot".r.findAllIn(p).nonEmpty,
+      s"expected the slot-keyed training rollup:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"the 4096-slot model must broadcast back:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"no cartesian in the scoring path:\n$p")
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 1,
+      s"only the model one-row aggregate may single-partition:\n$p")
+  }
 }

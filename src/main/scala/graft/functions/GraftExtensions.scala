@@ -52,6 +52,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_nfc") { e =>
       arity(e, "graft_nfc(s)", 1); GraftNfc(e.head)
     }
+    inject("graft_md5h32") { e =>
+      arity(e, "graft_md5h32(s)", 1); GraftMd5H32(e.head)
+    }
     inject("graft_bloom_agg") { e =>
       arity(e, "graft_bloom_agg(longCol, estItems, numBits)", 3)
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(

@@ -19,6 +19,49 @@ object GraftNfcUtil {
   }
 }
 
+/** md5-prefix hash helper shared by the interpreted and generated paths.
+  * Value contract: IDENTICAL to `conv(substr(md5(s),1,8),16,10)` — the
+  * first 4 digest bytes read big-endian as an unsigned 32-bit integer —
+  * which is what the DuckDB oracles compute with
+  * `('0x'||substr(md5(s),1,8))::BIGINT`. The built-in chain materializes
+  * a 32-char hex string, substrings it, and radix-parses it PER CALL —
+  * and the pipeline operators call it per TOKEN inside higher-order
+  * lambdas (interpreted, so every tree node costs); this goes digest →
+  * long directly on a thread-local MessageDigest, no allocation beyond
+  * the digest's own buffer. */
+object GraftMd5Util {
+  private val tl = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def h32(s: UTF8String): Long = {
+    val md = tl.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+}
+
+/** `graft_md5h32(string) -> BIGINT` — the md5-family row hash as ONE
+  * native expression (codegen'd like [[GraftNfc]]). Exists purely as the
+  * fast evaluation of the oracle-portable hash; the xxhash64 family
+  * remains the production path (`spark.graft.hashFamily`). */
+case class GraftMd5H32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_md5h32 expects string, got ${child.dataType.simpleString}")
+  override def prettyName: String = "graft_md5h32"
+  override def nullSafeEval(input: Any): Any =
+    GraftMd5Util.h32(input.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftMd5Util.h32($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftMd5H32 =
+    copy(child = newChild)
+}
+
 /** `graft_nfc(string)` — Unicode NFC normalization as a native Catalyst
   * expression. Spark has no built-in normalizer (the usual fallback is a
   * Scala UDF, which breaks whole-stage codegen and adds per-row

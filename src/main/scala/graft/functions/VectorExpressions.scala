@@ -349,6 +349,16 @@ object GraftFunctions {
         exprs => GraftNfc(exprs.head), "built-in")
   }
 
+  private val md5Registered = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** `graft_md5h32(string)` — parameterless, boolean memo. */
+  def registerMd5(spark: SparkSession): Unit = synchronized {
+    if (md5Registered.add(spark))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_md5h32",
+        exprs => GraftMd5H32(exprs.head), "built-in")
+  }
+
   private val kmvRegistered = new java.util.WeakHashMap[SparkSession, Int]()
 
   /** `graft_kmv(hash)` aggregate with k bound at registration; re-registers

@@ -157,16 +157,23 @@ object PipelineOps {
   private[graft] def hashFamily(spark: SparkSession): String = {
     val f = spark.conf.getOption("spark.graft.hashFamily").getOrElse("md5")
     require(f == "md5" || f == "xxhash64", s"spark.graft.hashFamily: md5|xxhash64, got $f")
+    // every md5-family SQL text renders through a caller holding this
+    // result, so this is the one choke point where the native kernel the
+    // texts reference is guaranteed registered before spark.sql sees them
+    if (f == "md5") graft.functions.GraftFunctions.registerMd5(spark)
     f
   }
   private val Md5 = "md5"
 
   /** 64-bit hash of a string, < 2^32 (the folds' overflow-safety contract:
-    * acc*b + h stays < 2^37). md5: hex-prefix parse; xxhash64: pmod to the
+    * acc*b + h stays < 2^37). md5: the native [[graft.functions.GraftMd5H32]]
+    * kernel — value-identical to `conv(substr(md5(e),1,8),16,10)` (what the
+    * DuckDB oracles compute) without the per-call hex-string detour, which
+    * the per-token lambda call sites pay dearly for; xxhash64: pmod to the
     * same 32-bit range. */
   private def hSpark(e: String, hf: String = Md5) =
     if (hf == "xxhash64") s"pmod(xxhash64($e), 4294967296)"
-    else s"CAST(conv(substr(md5($e),1,8),16,10) AS BIGINT)"
+    else s"graft_md5h32($e)"
   private def hDuck(e: String) = s"CAST(('0x'||substr(md5($e),1,8)) AS BIGINT)"
 
   /** Full-width hash as a STRING (grouping keys / checksum columns). */

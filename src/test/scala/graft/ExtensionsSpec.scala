@@ -17,6 +17,31 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(fresh.sql("SELECT graft_nfc('café')").head.getString(0) == "café")
   }
 
+  test("graft_md5h32 is value-identical to the hex-prefix chain it replaces") {
+    // the kernel's whole contract: same BIGINT as conv(substr(md5(s),1,8),16,10)
+    // — which is what every DuckDB oracle computes — for ascii, unicode,
+    // empty, long, and boundary inputs, in both the interpreted path
+    // (inside a HOF lambda) and the codegen'd path (top-level column)
+    val mism = fresh.sql("""
+      WITH t AS (
+        SELECT explode(array('hash', 'the', '', concat('caf', char(233)),
+          repeat('x', 4096), ' lead', 'trail ', '0', '-1',
+          concat('multi', char(10), 'line'))) AS s)
+      SELECT count(*) FROM t
+      WHERE graft_md5h32(s) != CAST(conv(substr(md5(s),1,8),16,10) AS BIGINT)""")
+      .head.getLong(0)
+    assert(mism == 0L, "kernel diverged from the hex-prefix chain")
+    val lambdaMism = fresh.sql("""
+      WITH t AS (SELECT array('a', 'b', 'longer token') AS ws)
+      SELECT count(*) FROM t
+      WHERE transform(ws, w -> graft_md5h32(w))
+         != transform(ws, w -> CAST(conv(substr(md5(w),1,8),16,10) AS BIGINT))""")
+      .head.getLong(0)
+    assert(lambdaMism == 0L, "interpreted-lambda path diverged")
+    assert(fresh.sql("SELECT graft_md5h32(CAST(NULL AS STRING))").head.isNullAt(0),
+      "null in, null out")
+  }
+
   test("sketch aggregates take k as an optional trailing literal") {
     fresh.range(100).selectExpr("CAST(id AS BIGINT) h")
       .createOrReplaceTempView("ext_h")

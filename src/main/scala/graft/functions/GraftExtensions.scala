@@ -55,6 +55,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_md5h32") { e =>
       arity(e, "graft_md5h32(s)", 1); GraftMd5H32(e.head)
     }
+    inject("graft_md5h60") { e =>
+      arity(e, "graft_md5h60(s)", 1); GraftMd5H60(e.head)
+    }
     inject("graft_bloom_agg") { e =>
       arity(e, "graft_bloom_agg(longCol, estItems, numBits)", 3)
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(

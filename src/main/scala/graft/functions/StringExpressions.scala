@@ -40,6 +40,23 @@ object GraftMd5Util {
     val d = md.digest(s.getBytes)
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
+
+  /** 60-bit prefix — IDENTICAL to `conv(substr(md5(s),1,15),16,10)` /
+    * DuckDB's `('0x'||substr(md5(s),1,15))::BIGINT`: the first 16 hex
+    * digits (8 bytes big-endian) shifted right one nibble. Used where the
+    * hash is a JOIN KEY over an unbounded relation (p54's gram join):
+    * 8-byte integer keys halve the shuffle bytes of a 32-char hex key and
+    * compare without string walks; 15 digits (not 16) because the full
+    * 64-bit value can exceed BIGINT's signed range in both engines. */
+  def h60(s: UTF8String): Long = {
+    val md = tl.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
 }
 
 /** `graft_md5h32(string) -> BIGINT` — the md5-family row hash as ONE
@@ -59,6 +76,24 @@ case class GraftMd5H32(child: Expression) extends UnaryExpression {
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.GraftMd5Util.h32($c)")
   override protected def withNewChildInternal(newChild: Expression): GraftMd5H32 =
+    copy(child = newChild)
+}
+
+/** `graft_md5h60(string) -> BIGINT` — the 60-bit md5 prefix as a native
+  * expression (see [[GraftMd5Util.h60]]). */
+case class GraftMd5H60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_md5h60 expects string, got ${child.dataType.simpleString}")
+  override def prettyName: String = "graft_md5h60"
+  override def nullSafeEval(input: Any): Any =
+    GraftMd5Util.h60(input.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftMd5Util.h60($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftMd5H60 =
     copy(child = newChild)
 }
 

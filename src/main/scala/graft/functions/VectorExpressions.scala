@@ -352,11 +352,14 @@ object GraftFunctions {
   private val md5Registered = java.util.Collections.newSetFromMap(
     new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
-  /** `graft_md5h32(string)` — parameterless, boolean memo. */
+  /** `graft_md5h32` / `graft_md5h60` — parameterless, boolean memo. */
   def registerMd5(spark: SparkSession): Unit = synchronized {
-    if (md5Registered.add(spark))
+    if (md5Registered.add(spark)) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_md5h32",
         exprs => GraftMd5H32(exprs.head), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_md5h60",
+        exprs => GraftMd5H60(exprs.head), "built-in")
+    }
   }
 
   private val kmvRegistered = new java.util.WeakHashMap[SparkSession, Int]()

@@ -142,18 +142,19 @@ object PipelineOps {
 
   /** Production hash-family switch (VERDICT r5 #5). The md5 fragments exist
     * ONLY for DuckDB-oracle determinism (both engines agree bit-for-bit on
-    * md5 of UTF-8); at deployment `spark.graft.hashFamily = xxhash64` flips
-    * every operator's row-level hash to Spark's codegen'd xxhash64 — no hex
-    * string materialization, no conv() parse. MEASURED (r6 #6, the bench
-    * artifact's `hash_family_bench` entry: p01+p18 median-of-3 at sf0.1):
-    * 1.04x end-to-end — the per-row hash is real but a small share of
+    * md5 of UTF-8) and run through the native [[graft.functions.GraftMd5H32]]
+    * digest-prefix kernel (no hex-string materialization, no conv() parse —
+    * measured ~2x on the per-token lambda call sites: p55 2.6s -> 1.2s at
+    * sf0.1); at deployment `spark.graft.hashFamily = xxhash64` flips every
+    * operator's row-level hash to Spark's codegen'd xxhash64, which still
+    * beats md5's digest cost itself. MEASURED (r6 #6, the bench artifact's
+    * `hash_family_bench` entry: p01+p18 median-of-3 at sf0.1): 1.04x
+    * end-to-end pre-kernel — the per-row hash is real but a small share of
     * those operators' wall time, which tokenization and the shuffle
-    * dominate; the family switch is justified by removing the hex-string
-    * allocation and md5's non-codegen path from the hot loop, not by a
-    * large wall-clock win at this scale. The correctness gate pins md5
-    * (default); HashFamilySpec proves the xxhash64 path yields identical
-    * p04/p08 results (collision-free hashes preserve set Jaccard) and
-    * identical plan shapes. */
+    * dominate. The correctness gate pins md5 (default); HashFamilySpec
+    * proves the xxhash64 path yields identical p04/p08 results
+    * (collision-free hashes preserve set Jaccard) and identical plan
+    * shapes. */
   private[graft] def hashFamily(spark: SparkSession): String = {
     val f = spark.conf.getOption("spark.graft.hashFamily").getOrElse("md5")
     require(f == "md5" || f == "xxhash64", s"spark.graft.hashFamily: md5|xxhash64, got $f")
@@ -176,9 +177,20 @@ object PipelineOps {
     else s"graft_md5h32($e)"
   private def hDuck(e: String) = s"CAST(('0x'||substr(md5($e),1,8)) AS BIGINT)"
 
-  /** Full-width hash as a STRING (grouping keys / checksum columns). */
+  /** Full-width hash as a STRING (checksum OUTPUT columns, where the full
+    * digest is the value the user keeps). */
   private def hStrSpark(e: String, hf: String) =
     if (hf == "xxhash64") s"CAST(xxhash64($e) AS STRING)" else s"md5($e)"
+
+  /** 60-bit hash as a BIGINT — for hash JOIN/SHUFFLE KEYS over corpus-sized
+    * relations (p54 grams, p39 fingerprints, p47 lines): 8-byte integer
+    * keys instead of 32-char hex strings — half the exchange bytes, no
+    * string compares. A collision only over-groups two unrelated values
+    * (the p21 over-flag rule), at ~n^2/2^61 expected — negligible at the
+    * gate, an accepted rate at corpus scale. */
+  private def hKeySpark(e: String, hf: String) =
+    if (hf == "xxhash64") s"xxhash64($e)" else s"graft_md5h60($e)"
+  private def hKeyDuck(e: String) = s"CAST(('0x'||substr(md5($e),1,15)) AS BIGINT)"
 
   /** Left-fold double dot product of two float arrays (bit-identical on both
     * engines — strict sequential order, no parallel reassociation). The
@@ -2703,7 +2715,7 @@ object PipelineOps {
   }
 
   private def p39Fp(hf: String, n: Int) =
-    hStrSpark(s"concat_ws(' ', slice($wordsSpark, 1, $n))", hf)
+    hKeySpark(s"concat_ws(' ', slice($wordsSpark, 1, $n))", hf)
 
   private def p39Spark(hf: String, n: Int) = s"""
     WITH w AS (
@@ -2727,7 +2739,7 @@ object PipelineOps {
 
   private val p39Duck = s"""
     WITH w AS (
-      SELECT doc_id, md5(array_to_string(($wordsDuck)[1:2], ' ')) AS fp FROM documents),
+      SELECT doc_id, ${hKeyDuck(s"array_to_string(($wordsDuck)[1:2], ' ')")} AS fp FROM documents),
     base AS (SELECT DISTINCT fp FROM w WHERE doc_id % 5 != 4),
     inc AS (
       SELECT doc_id, fp,
@@ -3218,7 +3230,7 @@ object PipelineOps {
         concat('ref ', CAST(doc_id AS STRING))) AS lines
       FROM documents),
     occ AS (
-      SELECT DISTINCT ${hStrSpark("line", hf)} AS lh, doc_id
+      SELECT DISTINCT ${hKeySpark("line", hf)} AS lh, doc_id
       FROM aug LATERAL VIEW explode(lines) x AS line),
     freq AS (
       SELECT lh FROM occ GROUP BY lh HAVING count(*) >= $dfMin),
@@ -3226,7 +3238,7 @@ object PipelineOps {
     out AS (
       SELECT doc_id, lines,
         filter(lines, l -> NOT array_contains(coalesce(farr.arr,
-          CAST(array() AS ARRAY<STRING>)), ${hStrSpark("l", hf)})) AS kept
+          CAST(array() AS ARRAY<BIGINT>)), ${hKeySpark("l", hf)})) AS kept
       FROM aug CROSS JOIN farr)
     SELECT doc_id,
       CAST(size(lines) AS BIGINT) AS n_lines,
@@ -3248,14 +3260,14 @@ object PipelineOps {
         'ref ' || CAST(doc_id AS VARCHAR)] AS lines
       FROM documents),
     occ AS (
-      SELECT DISTINCT md5(line) AS lh, doc_id
+      SELECT DISTINCT ${hKeyDuck("line")} AS lh, doc_id
       FROM (SELECT doc_id, unnest(lines) AS line FROM aug)),
     freq AS (
       SELECT lh FROM occ GROUP BY lh HAVING count(*) >= $BoilerplateDfMin),
     farr AS (SELECT coalesce(list(lh), []) AS arr FROM freq),
     out AS (
       SELECT doc_id, lines,
-        list_filter(lines, l -> NOT list_contains(farr.arr, md5(l))) AS kept
+        list_filter(lines, l -> NOT list_contains(farr.arr, ${hKeyDuck("l")})) AS kept
       FROM aug CROSS JOIN farr)
     SELECT doc_id,
       CAST(len(lines) AS BIGINT) AS n_lines,
@@ -3780,7 +3792,12 @@ object PipelineOps {
     "breaking news this content is syndicated across partner sites worldwide today reader"
 
   private[graft] def p54Spark(hf: String, k: Int): String = {
-    val gramHash = hStrSpark(s"array_join(slice(words, pos, $k), ' ')", hf)
+    // The gram key is an 8-byte BIGINT, not the 32-char hex string: gh is
+    // the join/shuffle key of the one UNBOUNDED relation in this operator,
+    // so key width is shuffle bytes at 100 TB (see hKeySpark). A collision
+    // can only OVER-flag a window as duplicated (the p21 gram-hash
+    // precedent). Measured: 2.5 s -> 1.9 s at sf0.1.
+    val gramHash = hKeySpark(s"array_join(slice(words, pos, $k), ' ')", hf)
     s"""
     WITH aug AS (
       SELECT doc_id, CASE WHEN doc_id % 5 = 0
@@ -3829,7 +3846,7 @@ object PipelineOps {
       FROM we),
     g AS (
       SELECT doc_id, pos,
-        md5(array_to_string(list_slice(words, pos, pos + ${SubstrK - 1}), ' ')) AS gh
+        ${hKeyDuck(s"array_to_string(list_slice(words, pos, pos + ${SubstrK - 1}), ' ')")} AS gh
       FROM e),
     df AS (
       SELECT gh FROM (SELECT DISTINCT gh, doc_id FROM g) o

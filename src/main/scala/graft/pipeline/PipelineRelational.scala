@@ -743,7 +743,7 @@ object PipelineRelational {
     "p39_incremental_dedup" ->
       s"""table w = (
          |  from documents
-         |  derive fp = s"md5(concat_ws(' ', slice($W, 1, 2)))"
+         |  derive fp = s"CAST(conv(substr(md5(concat_ws(' ', slice($W, 1, 2))),1,15),16,10) AS BIGINT)"
          |)
          |
          |table base = (
@@ -913,7 +913,7 @@ object PipelineRelational {
          |
          |table occ = (
          |  from xp
-         |  derive lh = s"md5(line)"
+         |  derive lh = s"CAST(conv(substr(md5(line),1,15),16,10) AS BIGINT)"
          |  select [lh, doc_id]
          |  group [lh, doc_id] (take 1)
          |)
@@ -938,7 +938,7 @@ object PipelineRelational {
          |table out = (
          |  from dk
          |  join farr [k]
-         |  derive kept = s"filter(lines, l -> NOT array_contains(coalesce(arr, CAST(array() AS ARRAY<STRING>)), md5(l)))"
+         |  derive kept = s"filter(lines, l -> NOT array_contains(coalesce(arr, CAST(array() AS ARRAY<BIGINT>)), CAST(conv(substr(md5(l),1,15),16,10) AS BIGINT)))"
          |)
          |
          |from out
@@ -1052,7 +1052,7 @@ object PipelineRelational {
          |
          |table g = (
          |  from g0
-         |  derive gh = s"md5(array_join(slice(words, pos, 8), ' '))"
+         |  derive gh = s"CAST(conv(substr(md5(array_join(slice(words, pos, 8), ' ')),1,15),16,10) AS BIGINT)"
          |)
          |
          |table occ = (

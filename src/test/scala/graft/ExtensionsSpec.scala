@@ -40,6 +40,15 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(lambdaMism == 0L, "interpreted-lambda path diverged")
     assert(fresh.sql("SELECT graft_md5h32(CAST(NULL AS STRING))").head.isNullAt(0),
       "null in, null out")
+    // the 60-bit join-key variant against ITS hex chain (15 digits)
+    val mism60 = fresh.sql("""
+      WITH t AS (
+        SELECT explode(array('hash', 'the', '', concat('caf', char(233)),
+          repeat('x', 4096), 'a b c d e f g h')) AS s)
+      SELECT count(*) FROM t
+      WHERE graft_md5h60(s) != CAST(conv(substr(md5(s),1,15),16,10) AS BIGINT)""")
+      .head.getLong(0)
+    assert(mism60 == 0L, "h60 kernel diverged from the 15-digit hex chain")
   }
 
   test("sketch aggregates take k as an optional trailing literal") {

@@ -4275,8 +4275,25 @@ object PipelineOps {
   // in practice, comfortably inside d=3. Both engines compute the same
   // augmented relation, so the oracle is exact whatever the distances.
   private val SimPairBands = 4     // 8-bit bands over the 32-bit simhash
-  private val SimPairHamMax = 3    // = bands - 1: the pigeonhole guarantee
+  private val SimPairHamMax = 3    // <= bands - 1: the pigeonhole guarantee
   private val SimPairTwinOff = 1099511627776L // 2^40 — never aliases real ids
+
+  /** Live band-count knob (`spark.graft.simhashBands`): the Manku scale
+    * lever — band WIDTH (32/bands here, 64/bands on a production-width
+    * fingerprint) must stay >= log2(N)+slack so expected bucket size is
+    * O(1). Constraints enforce EXACTNESS, not just validity: bands must
+    * exceed HamMax (else a distance-3 pair can differ in every band and
+    * the pigeonhole guarantee — and oracle equality — breaks) and divide
+    * 32. Any legal geometry returns the IDENTICAL pair set (spec-proven
+    * at 4 vs 8): banding moves candidate COST, the popcount verify keeps
+    * the result exact. */
+  private[graft] def simhashBands(spark: SparkSession): Int = {
+    val b = spark.conf.getOption("spark.graft.simhashBands")
+      .map(_.toInt).getOrElse(SimPairBands)
+    require(b > SimPairHamMax && 32 % b == 0,
+      s"spark.graft.simhashBands must divide 32 and exceed $SimPairHamMax (the Hamming radius), got $b")
+    b
+  }
 
   private val SimPairSigsView = "graft_simhash_sigs"
 
@@ -4304,11 +4321,14 @@ object PipelineOps {
         CAST(0 AS BIGINT), (a, x) -> a + x) AS simhash
     FROM t"""
 
-  private val p60PairsSql = s"""
+  private def p60PairsSql(bands: Int): String = {
+    val width = 32 / bands
+    val mask = (1 << width) - 1
+    s"""
     WITH b AS (
       SELECT doc_id, simhash, band,
-        (shiftright(simhash, band * 8) & 255) AS bv
-      FROM $SimPairSigsView LATERAL VIEW explode(sequence(0, ${SimPairBands - 1})) x AS band),
+        (shiftright(simhash, band * $width) & $mask) AS bv
+      FROM $SimPairSigsView LATERAL VIEW explode(sequence(0, ${bands - 1})) x AS band),
     cand AS (
       SELECT DISTINCT l.doc_id AS ida, r.doc_id AS idb,
         l.simhash AS sa, r.simhash AS sb
@@ -4317,11 +4337,12 @@ object PipelineOps {
     SELECT ida, idb, CAST(bit_count(sa ^ sb) AS BIGINT) AS hamming
     FROM cand WHERE bit_count(sa ^ sb) <= $SimPairHamMax
     ORDER BY ida, idb"""
+  }
 
   private def p60Run(spark: SparkSession, dir: String): DataFrame = {
     spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
     materialized(spark, SimPairSigsView, p60SigsSql(hashFamily(spark)))
-    spark.sql(p60PairsSql)
+    spark.sql(p60PairsSql(simhashBands(spark)))
   }
 
   private val p60Duck = s"""

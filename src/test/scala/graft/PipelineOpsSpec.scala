@@ -1808,6 +1808,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.exists { case (a, b, _) => b - a != twinOff }, "no ambient pairs — reject class empty")
   }
 
+  test("p60 band geometry is an exactness-preserving knob: 8 bands == 4 bands") {
+    // banding moves candidate COST only; the popcount verify keeps the
+    // result exact under any legal geometry (bands > HamMax, bands | 32).
+    // Illegal geometries are rejected by name, not silently degraded.
+    def runBands(b: Option[Int]) = {
+      b.foreach(v => spark.conf.set("spark.graft.simhashBands", v.toString))
+      try run("p60_simhash_pairs").collect().map(_.toSeq).toSeq
+      finally spark.conf.unset("spark.graft.simhashBands")
+    }
+    assert(runBands(Some(8)) == runBands(None), "8-band result diverged from 4-band")
+    val tooFew = intercept[IllegalArgumentException](runBands(Some(2)))
+    assert(tooFew.getMessage.contains("simhashBands"))
+    val nonDivisor = intercept[IllegalArgumentException](runBands(Some(5)))
+    assert(nonDivisor.getMessage.contains("simhashBands"))
+  }
+
   test("p61 bigram perplexity equals a brute-force LM reference and separates classes") {
     def md5hex(s: String) = {
       val d = java.security.MessageDigest.getInstance("MD5")

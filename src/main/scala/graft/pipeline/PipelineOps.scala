@@ -41,11 +41,13 @@ object PipelineOps {
   /** MinHash: k=16 signature values, banded into b=8 bands of r=2 rows.
     * h_i(x) = (a_i * x + b_i) mod P over shingle hashes x < P < 2^31
     * (a_i * x < 2^62 — no 64-bit overflow). */
-  private val MinhashP = 2147483647L // 2^31 - 1
-  private val MinhashK = 16
-  private val Bands = 8 // r = 2
-  private val hashA: Seq[Long] = (0 until MinhashK).map(i => (1103515245L * (i + 1)) % MinhashP)
-  private val hashB: Seq[Long] = (0 until MinhashK).map(i => (12345L + 7919L * i) % MinhashP)
+  // private[graft]: streaming.LshPairsStream shares the EXACT sig
+  // arithmetic so streamed candidates agree with p04's batch sigs
+  private[graft] val MinhashP = 2147483647L // 2^31 - 1
+  private[graft] val MinhashK = 16
+  private[graft] val Bands = 8 // r = 2
+  private[graft] val hashA: Seq[Long] = (0 until MinhashK).map(i => (1103515245L * (i + 1)) % MinhashP)
+  private[graft] val hashB: Seq[Long] = (0 until MinhashK).map(i => (12345L + 7919L * i) % MinhashP)
 
   /** SRP-LSH: b=[[SrpBands]] bands × r sign bits, from b*r Rademacher (±1)
     * hyperplanes over the 64-dim embeddings; component sign = parity of

@@ -4503,6 +4503,102 @@ object PipelineOps {
     FROM sc ORDER BY doc_id"""
   }
 
+  // ---- p62: fill-in-the-middle (FIM) transformation ------------------------
+  // The data-AUGMENTATION class (none of p01-p61 rewrites documents for
+  // training objectives): Bavarian et al. 2022, "Efficient Training of
+  // Language Models to Fill in the Middle" — split a document into
+  // (prefix, middle, suffix) at two random cut points and emit the PSM
+  // reorder `<PRE> prefix <SUF> suffix <MID> middle`, so the model learns
+  // infilling from an autoregressive objective. Applied to a RATE of the
+  // corpus (the paper's 50%), pass-through otherwise.
+  //
+  // Determinism contract (p15's): "random" cut points and the apply gate
+  // are the session hash family over (doc_id, salt) — rerun-stable,
+  // engine-independent, and a different `fimSalt` config redraws the
+  // augmentation like a new epoch. Cuts a,b ~ U[0,n] via pmod(h, n+1),
+  // (c1, c2) = (min, max) — the paper's uniform two-point split; empty
+  // spans are legal (c1=0 → empty prefix). Pure map-side: zero shuffles,
+  // zero Generates before the output sort (plan-audited); at 100 TB this
+  // is a free pass over the corpus like p18.
+  private val FimRatePct = 50
+  private val FimSaltDefault = "fim0"
+  /** Live salt (`spark.graft.fimSalt`): redraws gate + cut points —
+    * augmentation epochs without touching the data. */
+  private[graft] def fimSalt(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.fimSalt").getOrElse(FimSaltDefault)
+
+  private def p62Spark(hf: String, salt: String): String = {
+    def h(tag: String) = hSpark(s"concat('$salt|$tag|', CAST(doc_id AS STRING))", hf)
+    s"""
+    WITH t AS (
+      SELECT doc_id, $wordsSpark AS words FROM documents),
+    s AS (
+      SELECT doc_id, words, size(words) AS n,
+        pmod(${h("gate")}, 100) AS gate,
+        pmod(${h("a")}, size(words) + 1) AS ca,
+        pmod(${h("b")}, size(words) + 1) AS cb
+      FROM t),
+    c AS (
+      SELECT doc_id, words, n,
+        CASE WHEN gate < $FimRatePct THEN 1 ELSE 0 END AS fim_applied,
+        least(ca, cb) AS c1, greatest(ca, cb) AS c2
+      FROM s),
+    o AS (
+      SELECT doc_id, fim_applied, n,
+        CASE WHEN fim_applied = 1 THEN c1 ELSE n END AS n_prefix,
+        CASE WHEN fim_applied = 1 THEN c2 - c1 ELSE 0 END AS n_middle,
+        CASE WHEN fim_applied = 1 THEN n - c2 ELSE 0 END AS n_suffix,
+        CASE WHEN fim_applied = 1 THEN
+          concat('<PRE> ', array_join(slice(words, 1, c1), ' '),
+                 ' <SUF> ', array_join(slice(words, c2 + 1, n - c2), ' '),
+                 ' <MID> ', array_join(slice(words, c1 + 1, c2 - c1), ' '))
+        ELSE array_join(words, ' ') END AS out_text
+      FROM c)
+    SELECT doc_id, CAST(fim_applied AS BIGINT) AS fim_applied,
+      CAST(n_prefix AS BIGINT) AS n_prefix,
+      CAST(n_middle AS BIGINT) AS n_middle,
+      CAST(n_suffix AS BIGINT) AS n_suffix,
+      ${hStrSpark("out_text", hf)} AS out_checksum
+    FROM o ORDER BY doc_id"""
+  }
+
+  private val p62Duck = {
+    def h(tag: String) = hDuck(s"'$FimSaltDefault|$tag|' || CAST(doc_id AS VARCHAR)")
+    s"""
+    WITH t AS (
+      SELECT doc_id, $wordsDuck AS words FROM documents),
+    s AS (
+      SELECT doc_id, words, len(words) AS n,
+        ${h("gate")} % 100 AS gate,
+        ${h("a")} % (len(words) + 1) AS ca,
+        ${h("b")} % (len(words) + 1) AS cb
+      FROM t),
+    c AS (
+      SELECT doc_id, words, n,
+        CASE WHEN gate < $FimRatePct THEN 1 ELSE 0 END AS fim_applied,
+        least(ca, cb) AS c1, greatest(ca, cb) AS c2
+      FROM s),
+    o AS (
+      SELECT doc_id, fim_applied, n,
+        CASE WHEN fim_applied = 1 THEN c1 ELSE n END AS n_prefix,
+        CASE WHEN fim_applied = 1 THEN c2 - c1 ELSE 0 END AS n_middle,
+        CASE WHEN fim_applied = 1 THEN n - c2 ELSE 0 END AS n_suffix,
+        -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+        -- array_join([]) is '' — empty spans are legal FIM splits
+        CASE WHEN fim_applied = 1 THEN
+          '<PRE> ' || coalesce(array_to_string(list_slice(words, 1, c1), ' '), '') ||
+          ' <SUF> ' || coalesce(array_to_string(list_slice(words, c2 + 1, n), ' '), '') ||
+          ' <MID> ' || coalesce(array_to_string(list_slice(words, c1 + 1, c2), ' '), '')
+        ELSE array_to_string(words, ' ') END AS out_text
+      FROM c)
+    SELECT doc_id, CAST(fim_applied AS BIGINT) AS fim_applied,
+      CAST(n_prefix AS BIGINT) AS n_prefix,
+      CAST(n_middle AS BIGINT) AS n_middle,
+      CAST(n_suffix AS BIGINT) AS n_suffix,
+      md5(out_text) AS out_checksum
+    FROM o ORDER BY doc_id"""
+  }
+
   private def onEvents(sql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => {
       graft.Graft.normalizeEventTime(spark.read.parquet(s"$dir/events.parquet"))
@@ -4608,6 +4704,10 @@ object PipelineOps {
       spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
       spark.sql(p61Spark(hashFamily(spark), ppxFlagMicro(spark)))
     }),
+    "p62_fim_transform" -> ((spark, dir) => {
+      spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+      spark.sql(p62Spark(hashFamily(spark), fimSalt(spark)))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4679,5 +4779,6 @@ object PipelineOps {
     "p59_blocklist" -> p59Duck,
     "p60_simhash_pairs" -> p60Duck,
     "p61_bigram_ppx" -> p61Duck,
+    "p62_fim_transform" -> p62Duck,
   )
 }

@@ -1486,6 +1486,47 @@ object PipelineRelational {
          |]
          |sort doc_id""".stripMargin,
 
+    "p62_fim_transform" ->
+      s"""table t = (
+         |  from documents
+         |  derive words = s"$W"
+         |)
+         |
+         |table s = (
+         |  from t
+         |  derive [
+         |    n = s"size(words)",
+         |    gate = s"pmod(${H("concat('fim0|gate|', CAST(doc_id AS STRING))")}, 100)",
+         |    ca = s"pmod(${H("concat('fim0|a|', CAST(doc_id AS STRING))")}, size(words) + 1)",
+         |    cb = s"pmod(${H("concat('fim0|b|', CAST(doc_id AS STRING))")}, size(words) + 1)",
+         |  ]
+         |)
+         |
+         |table c = (
+         |  from s
+         |  derive [
+         |    fim_applied = s"CASE WHEN gate < 50 THEN 1 ELSE 0 END",
+         |    c1 = s"least(ca, cb)",
+         |    c2 = s"greatest(ca, cb)",
+         |  ]
+         |)
+         |
+         |table o = (
+         |  from c
+         |  derive out_text = s"CASE WHEN fim_applied = 1 THEN concat('<PRE> ', array_join(slice(words, 1, c1), ' '), ' <SUF> ', array_join(slice(words, c2 + 1, n - c2), ' '), ' <MID> ', array_join(slice(words, c1 + 1, c2 - c1), ' ')) ELSE array_join(words, ' ') END"
+         |)
+         |
+         |from o
+         |select [
+         |  doc_id,
+         |  fim_applied = s"CAST(fim_applied AS BIGINT)",
+         |  n_prefix = s"CAST(CASE WHEN fim_applied = 1 THEN c1 ELSE n END AS BIGINT)",
+         |  n_middle = s"CAST(CASE WHEN fim_applied = 1 THEN c2 - c1 ELSE 0 END AS BIGINT)",
+         |  n_suffix = s"CAST(CASE WHEN fim_applied = 1 THEN n - c2 ELSE 0 END AS BIGINT)",
+         |  out_checksum = s"md5(out_text)",
+         |]
+         |sort doc_id""".stripMargin,
+
     // posexplode's two-column generator has no single-alias form, so the
     // position rides an arrays_zip struct through a one-alias explode
     "p49_embed_outlier" ->

@@ -73,7 +73,8 @@ class HashFamilySpec extends AnyFunSuite {
       "p42_split_assign", "p45_url_normalize", "p46_weighted_sample",
       "p47_boilerplate_lines", "p48_bloom_dedup", "p52_snapshot_diff",
       "p53_negative_sample", "p54_substring_dedup", "p55_nb_quality",
-      "p56_bm25", "p58_html_extract", "p60_simhash_pairs", "p61_bigram_ppx")
+      "p56_bm25", "p58_html_extract", "p60_simhash_pairs", "p61_bigram_ppx",
+      "p62_fim_transform")
     withFamily("xxhash64") {
       hashOps.foreach { op =>
         val df = run(op)

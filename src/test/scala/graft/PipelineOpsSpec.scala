@@ -1871,6 +1871,48 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"no class separation: nonref ${flagRate(0)} vs ref ${flagRate(1)}")
   }
 
+  test("p62 FIM equals a JVM reference; spans conserve tokens; the salt redraws") {
+    def md5hex(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def h32(s: String) = java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+")).toMap
+    def expect(salt: String, id: Long, ws: Array[String]) = {
+      val n = ws.length
+      val gate = h32(s"$salt|gate|$id") % 100
+      val ca = (h32(s"$salt|a|$id") % (n + 1)).toInt
+      val cb = (h32(s"$salt|b|$id") % (n + 1)).toInt
+      val (c1, c2) = (math.min(ca, cb), math.max(ca, cb))
+      if (gate < 50) {
+        val out = s"<PRE> ${ws.slice(0, c1).mkString(" ")} <SUF> ${ws.slice(c2, n).mkString(" ")} <MID> ${ws.slice(c1, c2).mkString(" ")}"
+        (1L, c1.toLong, (c2 - c1).toLong, (n - c2).toLong, md5hex(out))
+      } else (0L, n.toLong, 0L, 0L, md5hex(ws.mkString(" ")))
+    }
+    val out = run("p62_fim_transform").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))).toMap
+    assert(out.size == docs.size)
+    docs.foreach { case (id, ws) =>
+      assert(out(id) == expect("fim0", id, ws), s"doc $id: got ${out(id)}, expected ${expect("fim0", id, ws)}")
+    }
+    // both classes populated; applied spans conserve the token count
+    assert(out.values.exists(_._1 == 1L) && out.values.exists(_._1 == 0L))
+    out.foreach { case (id, (applied, p, m, s, _)) =>
+      if (applied == 1L) assert(p + m + s == docs(id).length, s"doc $id span leak")
+    }
+    // a different salt redraws the gate/cuts but still conserves spans
+    spark.conf.set("spark.graft.fimSalt", "fim1")
+    try {
+      val redrawn = run("p62_fim_transform").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))).toMap
+      assert(redrawn != out, "a new salt must redraw the augmentation")
+      docs.foreach { case (id, ws) =>
+        assert(redrawn(id) == expect("fim1", id, ws), s"doc $id under fim1")
+      }
+    } finally spark.conf.unset("spark.graft.fimSalt")
+  }
+
   test("driver contract: every oracle key has a query, entry() returns rows") {
     assert(PipelineOps.oracleSql.keySet.subsetOf(PipelineOps.queries.keySet))
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

@@ -697,4 +697,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange SinglePartition".r.findAllIn(p).length <= 1,
       s"only the model one-row aggregate may single-partition:\n$p")
   }
+
+  test("p62 FIM transform is pure map-side: zero shuffles, zero row amplification") {
+    val p = pipeline.PipelineOps.queries("p62_fim_transform")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning".r.findAllIn(p).isEmpty,
+      s"the augmentation pass must not shuffle:\n$p")
+    assert("Generate".r.findAllIn(p).isEmpty,
+      s"one output row per document — no amplification:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no global stage belongs in the augmentation path:\n$p")
+  }
 }

@@ -174,7 +174,7 @@ object PipelineOps {
     * DuckDB oracles compute) without the per-call hex-string detour, which
     * the per-token lambda call sites pay dearly for; xxhash64: pmod to the
     * same 32-bit range. */
-  private def hSpark(e: String, hf: String = Md5) =
+  private[graft] def hSpark(e: String, hf: String = Md5) =
     if (hf == "xxhash64") s"pmod(xxhash64($e), 4294967296)"
     else s"graft_md5h32($e)"
   private def hDuck(e: String) = s"CAST(('0x'||substr(md5($e),1,8)) AS BIGINT)"
@@ -4523,23 +4523,29 @@ object PipelineOps {
   private val FimRatePct = 50
   private val FimSaltDefault = "fim0"
   /** Live salt (`spark.graft.fimSalt`): redraws gate + cut points —
-    * augmentation epochs without touching the data. */
-  private[graft] def fimSalt(spark: SparkSession): String =
-    spark.conf.getOption("spark.graft.fimSalt").getOrElse(FimSaltDefault)
+    * augmentation epochs without touching the data. Charset-restricted
+    * because the salt interpolates into a SQL string literal: a quote
+    * would break (or redirect) the generated query. */
+  private[graft] def fimSalt(spark: SparkSession): String = {
+    val s = spark.conf.getOption("spark.graft.fimSalt").getOrElse(FimSaltDefault)
+    require(s.nonEmpty && s.forall(c => c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
+      s"spark.graft.fimSalt must be non-empty [A-Za-z0-9_.-], got '$s'")
+    s
+  }
 
   private def p62Spark(hf: String, salt: String): String = {
     def h(tag: String) = hSpark(s"concat('$salt|$tag|', CAST(doc_id AS STRING))", hf)
     s"""
     WITH t AS (
-      SELECT doc_id, $wordsSpark AS words FROM documents),
+      SELECT doc_id, text, $wordsSpark AS words FROM documents),
     s AS (
-      SELECT doc_id, words, size(words) AS n,
+      SELECT doc_id, text, words, size(words) AS n,
         pmod(${h("gate")}, 100) AS gate,
         pmod(${h("a")}, size(words) + 1) AS ca,
         pmod(${h("b")}, size(words) + 1) AS cb
       FROM t),
     c AS (
-      SELECT doc_id, words, n,
+      SELECT doc_id, text, words, n,
         CASE WHEN gate < $FimRatePct THEN 1 ELSE 0 END AS fim_applied,
         least(ca, cb) AS c1, greatest(ca, cb) AS c2
       FROM s),
@@ -4548,11 +4554,13 @@ object PipelineOps {
         CASE WHEN fim_applied = 1 THEN c1 ELSE n END AS n_prefix,
         CASE WHEN fim_applied = 1 THEN c2 - c1 ELSE 0 END AS n_middle,
         CASE WHEN fim_applied = 1 THEN n - c2 ELSE 0 END AS n_suffix,
+        -- pass-through means PASS THROUGH: the un-applied half keeps its
+        -- original bytes (the FIM branch is token-joined by construction)
         CASE WHEN fim_applied = 1 THEN
           concat('<PRE> ', array_join(slice(words, 1, c1), ' '),
                  ' <SUF> ', array_join(slice(words, c2 + 1, n - c2), ' '),
                  ' <MID> ', array_join(slice(words, c1 + 1, c2 - c1), ' '))
-        ELSE array_join(words, ' ') END AS out_text
+        ELSE text END AS out_text
       FROM c)
     SELECT doc_id, CAST(fim_applied AS BIGINT) AS fim_applied,
       CAST(n_prefix AS BIGINT) AS n_prefix,
@@ -4566,15 +4574,15 @@ object PipelineOps {
     def h(tag: String) = hDuck(s"'$FimSaltDefault|$tag|' || CAST(doc_id AS VARCHAR)")
     s"""
     WITH t AS (
-      SELECT doc_id, $wordsDuck AS words FROM documents),
+      SELECT doc_id, text, $wordsDuck AS words FROM documents),
     s AS (
-      SELECT doc_id, words, len(words) AS n,
+      SELECT doc_id, text, words, len(words) AS n,
         ${h("gate")} % 100 AS gate,
         ${h("a")} % (len(words) + 1) AS ca,
         ${h("b")} % (len(words) + 1) AS cb
       FROM t),
     c AS (
-      SELECT doc_id, words, n,
+      SELECT doc_id, text, words, n,
         CASE WHEN gate < $FimRatePct THEN 1 ELSE 0 END AS fim_applied,
         least(ca, cb) AS c1, greatest(ca, cb) AS c2
       FROM s),
@@ -4589,7 +4597,7 @@ object PipelineOps {
           '<PRE> ' || coalesce(array_to_string(list_slice(words, 1, c1), ' '), '') ||
           ' <SUF> ' || coalesce(array_to_string(list_slice(words, c2 + 1, n), ' '), '') ||
           ' <MID> ' || coalesce(array_to_string(list_slice(words, c1 + 1, c2), ' '), '')
-        ELSE array_to_string(words, ' ') END AS out_text
+        ELSE text END AS out_text
       FROM c)
     SELECT doc_id, CAST(fim_applied AS BIGINT) AS fim_applied,
       CAST(n_prefix AS BIGINT) AS n_prefix,

@@ -1489,6 +1489,7 @@ object PipelineRelational {
     "p62_fim_transform" ->
       s"""table t = (
          |  from documents
+         |  select [doc_id, text]
          |  derive words = s"$W"
          |)
          |
@@ -1513,7 +1514,7 @@ object PipelineRelational {
          |
          |table o = (
          |  from c
-         |  derive out_text = s"CASE WHEN fim_applied = 1 THEN concat('<PRE> ', array_join(slice(words, 1, c1), ' '), ' <SUF> ', array_join(slice(words, c2 + 1, n - c2), ' '), ' <MID> ', array_join(slice(words, c1 + 1, c2 - c1), ' ')) ELSE array_join(words, ' ') END"
+         |  derive out_text = s"CASE WHEN fim_applied = 1 THEN concat('<PRE> ', array_join(slice(words, 1, c1), ' '), ' <SUF> ', array_join(slice(words, c2 + 1, n - c2), ' '), ' <MID> ', array_join(slice(words, c1 + 1, c2 - c1), ' ')) ELSE text END"
          |)
          |
          |from o

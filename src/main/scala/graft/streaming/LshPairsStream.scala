@@ -8,11 +8,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, functions => F}
   * arriving document is checked against the recent corpus WITHOUT
   * reprocessing it.
   *
-  * Signature arithmetic is IDENTICAL to p04's md5 family (same shingles,
-  * same `graft_md5h32` shingle hash, same (a·x+b) mod P permutations via
-  * the `graft_minhash` kernel, same 8×2 banding — the constants are
-  * shared from PipelineOps, not copied), so a streamed document lands in
-  * exactly the band buckets its batch self would. What CHANGES is the
+  * Signature arithmetic is IDENTICAL to batch p04 under the session's
+  * `spark.graft.hashFamily` (same shingles, same family shingle hash,
+  * same (a·x+b) mod P permutations via the `graft_minhash` kernel, same
+  * 8×2 banding — the constants and hash render are shared from
+  * PipelineOps, not copied), so a streamed document lands in exactly the
+  * band buckets its batch self would, in EITHER family. What CHANGES is the
   * verify: batch p04 re-joins the shingle sets and computes TRUE Jaccard
   * on candidates; a stream cannot hold shingle sets for every horizon
   * document, so the verify is the standard bounded-state substitute —
@@ -61,14 +62,6 @@ object LshPairsStream {
     * ~0.5 — p04's verify threshold. */
   val DefaultMinAgree = 8
 
-  /** Parse a watermark-delay string ("10 minutes") to milliseconds for
-    * the state timeout — same parser Spark applies to the watermark. */
-  private def delayMsOf(delay: String): Long = {
-    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
-      org.apache.spark.unsafe.types.UTF8String.fromString(delay))
-    iv.months * 2592000000L + iv.days * 86400000L + iv.microseconds / 1000L
-  }
-
   private def agree(a: Seq[Long], b: Seq[Long]): Int = {
     var n = 0; var i = 0
     while (i < MinhashK) { if (a(i) == b(i)) n += 1; i += 1 }
@@ -89,19 +82,23 @@ object LshPairsStream {
       s"LshPairsStream.pairs: minAgree must be in [1, $MinhashK], got $minAgree")
     val spark = docs.sparkSession
     import spark.implicits._
-    graft.functions.GraftFunctions.registerMd5(spark)
+    // the SESSION's hash family, like every batch operator — a deployment
+    // on xxhash64 gets streamed buckets that agree with its batch p04
+    // (hashFamily registers the md5 kernel when that family is active)
+    val hf = graft.pipeline.PipelineOps.hashFamily(spark)
     graft.functions.GraftFunctions.registerMinhash(spark,
       hashA.toArray, hashB.toArray, MinhashP)
     // p04's sig chain, column-native (no UDF): words -> distinct 3-shingles
-    // -> md5h32 mod P -> graft_minhash kernel. Docs under 3 words have no
-    // shingle set and are filtered exactly like batch p04's WHERE.
+    // -> family hash mod P -> graft_minhash kernel. Docs under 3 words have
+    // no shingle set and are filtered exactly like batch p04's WHERE.
     val sigged = docs
       .withColumn("__words", F.expr(s"split(trim($textCol), '\\\\s+')"))
       .where(F.expr("size(__words) >= 3"))
       .withColumn("__sh", F.expr(
         "array_distinct(transform(sequence(1, size(__words) - 2), " +
           "i -> concat(element_at(__words, i), ' ', element_at(__words, i + 1), ' ', element_at(__words, i + 2))))"))
-      .withColumn("__hs", F.expr(s"transform(__sh, s -> pmod(graft_md5h32(s), $MinhashP))"))
+      .withColumn("__hs", F.expr(
+        s"transform(__sh, s -> pmod(${graft.pipeline.PipelineOps.hSpark("s", hf)}, $MinhashP))"))
       .withColumn("sig", F.expr("graft_minhash(__hs)"))
       .withColumn("doc_id", F.col(idCol).cast("long"))
       .withColumn("ts", F.col(tsCol).cast("timestamp"))
@@ -138,9 +135,14 @@ object LshPairsStream {
                 residents ::= Resident(r.doc_id, tsMs, r.sig)
               }
               state.update(BucketState(residents))
-              // schedule eviction for when the newest resident ages out
+              // schedule eviction for when the newest resident ages out:
+              // residents are unpairable once the watermark passes their
+              // event time (the arrival-path filter above drops them), and
+              // the watermark ALREADY lags max event time by the delay —
+              // adding the delay here would double-count it and hold quiet
+              // buckets a full extra horizon
               val newest = residents.map(_.tsMs).max
-              state.setTimeoutTimestamp(newest + delayMsOf(watermarkDelay) + 1)
+              state.setTimeoutTimestamp(newest + 1)
               out.result().iterator
             }
         }

@@ -1877,8 +1877,9 @@ class PipelineOpsSpec extends AnyFunSuite {
       d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     }
     def h32(s: String) = java.lang.Long.parseLong(md5hex(s).take(8), 16)
-    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
-      .collect().map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+")).toMap
+    val raw = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = raw.map { case (id, tx) => id -> tx.trim.split("\\s+") }
     def expect(salt: String, id: Long, ws: Array[String]) = {
       val n = ws.length
       val gate = h32(s"$salt|gate|$id") % 100
@@ -1888,7 +1889,9 @@ class PipelineOpsSpec extends AnyFunSuite {
       if (gate < 50) {
         val out = s"<PRE> ${ws.slice(0, c1).mkString(" ")} <SUF> ${ws.slice(c2, n).mkString(" ")} <MID> ${ws.slice(c1, c2).mkString(" ")}"
         (1L, c1.toLong, (c2 - c1).toLong, (n - c2).toLong, md5hex(out))
-      } else (0L, n.toLong, 0L, 0L, md5hex(ws.mkString(" ")))
+      } else
+        // pass-through keeps the ORIGINAL bytes, not a token re-join
+        (0L, n.toLong, 0L, 0L, md5hex(raw(id)))
     }
     val out = run("p62_fim_transform").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))).toMap
@@ -1910,6 +1913,12 @@ class PipelineOpsSpec extends AnyFunSuite {
       docs.foreach { case (id, ws) =>
         assert(redrawn(id) == expect("fim1", id, ws), s"doc $id under fim1")
       }
+    } finally spark.conf.unset("spark.graft.fimSalt")
+    // the salt interpolates into a SQL literal, so it is charset-gated
+    spark.conf.set("spark.graft.fimSalt", "epoch'2")
+    try {
+      val e = intercept[IllegalArgumentException](run("p62_fim_transform"))
+      assert(e.getMessage.contains("fimSalt"))
     } finally spark.conf.unset("spark.graft.fimSalt")
   }
 

@@ -1808,6 +1808,50 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.exists { case (a, b, _) => b - a != twinOff }, "no ambient pairs — reject class empty")
   }
 
+  test("p60 property: random corpora equal brute-force all-pairs Hamming") {
+    def md5hex(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def h32(w: String) = java.lang.Long.parseLong(md5hex(w).take(8), 16)
+    def simhash(ws: Array[String]): Long = {
+      val cnt = Array.fill(32)(0L)
+      ws.foreach { w =>
+        val h = h32(w)
+        (0 until 32).foreach(j => cnt(j) += (if (((h >> j) & 1L) == 1L) 1 else -1))
+      }
+      (0 until 32).map(j => if (cnt(j) > 0) 1L << j else 0L).sum
+    }
+    val twinOff = 1099511627776L
+    val rnd = new scala.util.Random(20260814)
+    (1 to 3).foreach { trial =>
+      // tiny vocabulary + short docs concentrate fingerprints, exercising
+      // heavy ambient candidate load; id range hits the %7 twin class
+      val docs = (0 until 35).map { i =>
+        val n = 1 + rnd.nextInt(20)
+        (i.toLong, Seq.fill(n)("v" + rnd.nextInt(5)).mkString(" "))
+      }
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_p60p$trial").toString
+      import spark.implicits._
+      docs.toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(s"$tmp/documents.parquet")
+      val aug = docs ++ docs.collect {
+        case (id, tx) if id % 7 == 0 => (id + twinOff) -> (tx + " mirrortoken")
+      }
+      val sigs = aug.map { case (id, tx) => id -> simhash(tx.trim.split("\\s+")) }
+      val expected = (for {
+        i <- sigs.indices; j <- sigs.indices
+        if sigs(i)._1 < sigs(j)._1
+        d = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+        if d <= 3
+      } yield (sigs(i)._1, sigs(j)._1, d.toLong)).toSet
+      val out = PipelineOps.queries("p60_simhash_pairs")(spark, tmp).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(out == expected, s"trial $trial: extra=${out.diff(expected).take(3)} " +
+        s"missing=${expected.diff(out).take(3)}")
+    }
+  }
+
   test("p60 band geometry is an exactness-preserving knob: 8 bands == 4 bands") {
     // banding moves candidate COST only; the popcount verify keeps the
     // result exact under any legal geometry (bands > HamMax, bands | 32).
@@ -1869,6 +1913,63 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.exists(_._6 == 1) && out.exists(_._6 == 0), "one flag class is empty")
     assert(flagRate(0) > 2 * flagRate(1),
       s"no class separation: nonref ${flagRate(0)} vs ref ${flagRate(1)}")
+  }
+
+  test("p61 property: random corpora equal the JVM LM reference across label mixes") {
+    def md5hex(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def bkt(w: String) = (java.lang.Long.parseLong(md5hex(w).take(8), 16) % 64).toInt
+    val stop = Set("the", "a", "of", "and")
+    def reference(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Long)] = {
+      val words = docs.map { case (id, t) => id -> t.trim.split("\\s+") }
+      val lbl = words.map { case (id, ws) =>
+        id -> (if (12 * ws.count(stop) >= ws.length) 1 else 0)
+      }.toMap
+      val cnt = Array.fill(4096)(0L)
+      words.foreach { case (id, ws) =>
+        if (lbl(id) == 1 && ws.length >= 2)
+          ws.sliding(2).foreach(p => cnt(bkt(p(0)) * 64 + bkt(p(1))) += 1)
+      }
+      val ctx = Array.tabulate(64)(c => (0 until 64).map(v => cnt(c * 64 + v)).sum)
+      val nll = Array.tabulate(4096) { s =>
+        math.floor(-1e6 * math.log((cnt(s) + 1).toDouble / (ctx(s / 64) + 64)) + 0.5).toLong
+      }
+      words.collect { case (id, ws) if ws.length >= 2 =>
+        id -> (lbl(id).toLong, (ws.length - 1).toLong,
+               ws.sliding(2).map(p => nll(bkt(p(0)) * 64 + bkt(p(1)))).sum)
+      }.toMap
+    }
+    val rnd = new scala.util.Random(20260814)
+    // trial mixes: ~half reference; zero reference (untrained model falls
+    // back to the uniform add-one law everywhere); all reference
+    val mixes = Seq(0.5, 0.0, 1.0)
+    mixes.zipWithIndex.foreach { case (refFrac, trial) =>
+      val docs = (0 until 40).map { i =>
+        val n = 1 + rnd.nextInt(30) // includes n=1 docs the operator excludes
+        val dense = rnd.nextDouble() < refFrac
+        val toks = Seq.fill(n)(
+          if (dense && rnd.nextInt(3) == 0) Seq("the", "a", "of", "and")(rnd.nextInt(4))
+          else "w" + rnd.nextInt(12))
+        (i.toLong, toks.mkString(" "))
+      }
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_p61p$trial").toString
+      import spark.implicits._
+      docs.toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(s"$tmp/documents.parquet")
+      val exp = reference(docs)
+      val out = PipelineOps.queries("p61_bigram_ppx")(spark, tmp).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      assert(out.keySet == exp.keySet,
+        s"trial $trial: output rows must be exactly the n>=2 docs")
+      exp.foreach { case (id, (lb, nbig, total)) =>
+        val (gotLbl, gotN, gotTotal, gotPerTok) = out(id)
+        assert((gotLbl, gotN, gotTotal) == ((lb, nbig, total)), s"trial $trial doc $id")
+        assert(gotPerTok == total / nbig, s"trial $trial doc $id per-token division")
+      }
+    }
   }
 
   test("p62 FIM equals a JVM reference; spans conserve tokens; the salt redraws") {

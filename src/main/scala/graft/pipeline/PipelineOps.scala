@@ -571,6 +571,19 @@ object PipelineOps {
     materialized(spark, SrpEView, p08ESql)
   }
 
+  /** Register the SRP kernels at an EXPLICIT (r, b) geometry for callers
+    * outside the batch operators (streaming.SrpPairsStream): a stream has
+    * no corpus count to derive geometry from, so its caller pins one —
+    * matching [[chooseSrpGeometry]] of the expected corpus scale keeps
+    * stream buckets aligned with batch p08/p22 at that scale. */
+  private[graft] def registerSrpAt(spark: SparkSession, srpBits: Int, bands: Int): Unit = {
+    require(srpBits >= 1 && bands >= 1 && srpBits * bands <= planes.length,
+      s"registerSrpAt: r=$srpBits * b=$bands must be in [1, ${planes.length}]")
+    graft.functions.GraftFunctions.registerSrpKeys(spark,
+      planes.take(srpBits * bands).map(_.toArray).toArray, srpBits, bands)
+    graft.functions.GraftFunctions.registerDot(spark)
+  }
+
   /** p08 with an explicit band count (-1 → derive b from the corpus via
     * [[chooseSrpGeometry]] — the default path). */
   private[graft] def p08RunWithBands(spark: SparkSession, dir: String,

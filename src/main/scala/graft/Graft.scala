@@ -80,17 +80,22 @@ object Graft {
   def compileSession(prql: String, spark: SparkSession): DataFrame =
     compile(prql, spark, name => spark.table(name))
 
-  /** `from name` resolution order: `$dir/name.parquet`, then `.csv` (with
-    * header + schema inference), then `.json` (JSON-lines), then the session
-    * catalog (temp views/tables). The reference has no source formats at all
-    * (it emits SQL text — SURVEY §2.9); the parquet-first convention is the
-    * driver's, csv/json are the other two formats a Spark-native engine
-    * reads without extra dependencies. */
+  /** `from name` resolution order: `$dir/name.parquet`, then `.orc`
+    * (typed schema like parquet — ORC ships in Spark's core jars), then
+    * `.csv` (header + schema inference), then `.json` (JSON-lines), then
+    * the session catalog (temp views/tables). The reference has no source
+    * formats at all (it emits SQL text — SURVEY §2.9); the parquet-first
+    * convention is the driver's, the rest are the formats a Spark-native
+    * engine reads without extra dependencies. */
   def parquetCatalog(spark: SparkSession, dir: String): String => DataFrame =
     name => {
       def p(ext: String) = s"$dir/$name.$ext"
       if (new java.io.File(p("parquet")).exists)
         normalizeEventTime(spark.read.parquet(p("parquet")))
+      else if (new java.io.File(p("orc")).exists)
+        // ORC ships in Spark's core jars (no extra dependency) and keeps
+        // the full typed schema like parquet — same event-time treatment
+        normalizeEventTime(spark.read.orc(p("orc")))
       else if (new java.io.File(p("csv")).exists)
         spark.read.option("header", "true").option("inferSchema", "true")
           .csv(p("csv"))

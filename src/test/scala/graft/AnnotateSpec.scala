@@ -55,6 +55,33 @@ class AnnotateSpec extends AnyFunSuite {
     }
   }
 
+  test("catalog reads ORC with the parquet-grade typed schema and ts treatment") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toFile
+    try {
+      // typed columns (long/double/timestamp) survive the round trip —
+      // unlike csv's inferSchema, ORC carries the schema like parquet;
+      // the `ts` column gets the same event-time normalization
+      Seq((1L, 9.5, java.sql.Timestamp.valueOf("2026-01-02 03:04:05")),
+          (2L, 8.25, java.sql.Timestamp.valueOf("2026-01-02 03:04:06")))
+        .toDF("id", "score", "ts")
+        .write.mode("overwrite").orc(new java.io.File(dir, "scores.orc").getAbsolutePath)
+      val df = Graft.parquetCatalog(spark, dir.getAbsolutePath)("scores")
+      assert(df.schema("id").dataType == org.apache.spark.sql.types.LongType)
+      assert(df.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+      val out = Graft.compileDir(
+        """from scores
+          |filter score > 9
+          |select [id, score]""".stripMargin, spark, dir.getAbsolutePath).collect()
+      assert(out.map(_.toString).toSeq == Seq("[1,9.5]"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("refs: idents are classified as table / column / functions") {
     val prql =
       """func double x -> x * 2

@@ -4546,7 +4546,7 @@ object PipelineOps {
     s
   }
 
-  private def p62Spark(hf: String, salt: String): String = {
+  private[graft] def p62Spark(hf: String, salt: String): String = {
     def h(tag: String) = hSpark(s"concat('$salt|$tag|', CAST(doc_id AS STRING))", hf)
     s"""
     WITH t AS (

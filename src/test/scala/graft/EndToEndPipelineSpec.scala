@@ -67,4 +67,53 @@ class EndToEndPipelineSpec extends AnyFunSuite {
       "sum(CAST(conv(substr(chunk_hash, 1, 8), 16, 10) AS BIGINT)) AS s").head.getLong(0)
     assert(sumBefore == sumAfter, "chunk content checksums must survive the layout write")
   }
+
+  test("dedup -> policy filter -> FIM augmentation -> token budget composes") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val total = docs.count()
+
+    // stage 1: exact content dedup, one representative per canonical hash
+    val unique = graft.streaming.DedupStream
+      .dedupByContent(docs.withColumn("ts", F.expr("timestamp_seconds(1700000000)")),
+        "text", "ts", "1 hour")
+      .drop("content_hash", "ts")
+    val nUnique = unique.count()
+    assert(nUnique > 0 && nUnique <= total)
+
+    // stage 2: blocklist policy filter on the survivors
+    val policy = PipelineOps.queries("p59_blocklist")(spark, dir)
+      .where($"keep" === 1).select("doc_id")
+    val kept = unique.join(policy, "doc_id")
+    val nKept = kept.count()
+    assert(nKept > 0 && nKept <= nUnique, "funnel must be monotone")
+
+    // stage 3: FIM augmentation over exactly the surviving documents
+    kept.createOrReplaceTempView("documents")
+    val fim = spark.sql(PipelineOps.p62Spark("md5", "fim0")).cache()
+    assert(fim.count() == nKept, "one augmented row per survivor, none resurrected")
+    val applied = fim.where($"fim_applied" === 1).count()
+    assert(applied > 0 && applied < nKept, "both augmentation classes populated")
+    // pass-through rows carry the ORIGINAL document bytes through the
+    // funnel: checksum equals md5 of the stored text
+    val mismatch = fim.where($"fim_applied" === 0)
+      .join(kept.select($"doc_id", F.md5($"text").as("orig")), "doc_id")
+      .where($"out_checksum" =!= $"orig").count()
+    assert(mismatch == 0, "pass-through must not rewrite surviving documents")
+
+    // stage 4: token-budget assembly on the same surviving view — the
+    // budget must bind (usage <= budget) and count only surviving docs
+    val budget = spark.sql(PipelineOps.p44Spark("md5", 3000L))
+    val rows = budget.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tokKept = r.getLong(r.fieldIndex("tok_kept"))
+      assert(tokKept <= 3000L, s"budget must bind: $tokKept")
+    }
+    val nKeptBudget = budget.agg(F.sum("n_kept")).head.getLong(0)
+    val nDocsBudget = budget.agg(F.sum("n_docs")).head.getLong(0)
+    assert(nDocsBudget == nKept, "the budget pass sees exactly the funnel survivors")
+    assert(nKeptBudget <= nKept)
+    fim.unpersist()
+  }
 }

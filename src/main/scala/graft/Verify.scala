@@ -32,6 +32,9 @@ object Verify {
         System.err.println(s"[verify] relback view $t failed: ${e.getMessage}")
       }
     pipeline.PipelineRelational.registerKernels(spark)
+    // the relational texts hardcode default knobs; pin the session to
+    // defaults so the dump is comparable to the operators' (ADVICE r8)
+    pipeline.PipelineRelational.pinDefaults(spark)
     pipeline.PipelineRelational.prql.foreach { case (name, prql) =>
       try {
         Graft.compileDir(prql, spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -174,7 +174,11 @@ object PipelineOps {
     * DuckDB oracles compute) without the per-call hex-string detour, which
     * the per-token lambda call sites pay dearly for; xxhash64: pmod to the
     * same 32-bit range. */
-  private[graft] def hSpark(e: String, hf: String = Md5) =
+  // no default for hf: every caller must thread hashFamily(spark)'s result,
+  // which is the one choke point that registers the graft_md5h32 kernel —
+  // a defaulted md5 here could render SQL referencing an unregistered
+  // function on sessions without GraftExtensions (ADVICE r8)
+  private[graft] def hSpark(e: String, hf: String) =
     if (hf == "xxhash64") s"pmod(xxhash64($e), 4294967296)"
     else s"graft_md5h32($e)"
   private def hDuck(e: String) = s"CAST(('0x'||substr(md5($e),1,8)) AS BIGINT)"
@@ -187,9 +191,13 @@ object PipelineOps {
   /** 60-bit hash as a BIGINT — for hash JOIN/SHUFFLE KEYS over corpus-sized
     * relations (p54 grams, p39 fingerprints, p47 lines): 8-byte integer
     * keys instead of 32-char hex strings — half the exchange bytes, no
-    * string compares. A collision only over-groups two unrelated values
-    * (the p21 over-flag rule), at ~n^2/2^61 expected — negligible at the
-    * gate, an accepted rate at corpus scale. */
+    * string compares. Collision consequence is call-site specific: for
+    * dedup/decontam keys (p54/p39/p21) a collision only over-groups two
+    * unrelated values (over-flag — conservative); for p47 a collision
+    * between a rare line and a frequent boilerplate line DROPS the rare
+    * line (under-keep — content loss). Both at ~n^2/2^61 expected —
+    * negligible at the gate, an accepted-and-stated rate at corpus
+    * scale. */
   private def hKeySpark(e: String, hf: String) =
     if (hf == "xxhash64") s"xxhash64($e)" else s"graft_md5h60($e)"
   private def hKeyDuck(e: String) = s"CAST(('0x'||substr(md5($e),1,15)) AS BIGINT)"

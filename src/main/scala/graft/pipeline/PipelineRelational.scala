@@ -1615,6 +1615,20 @@ object PipelineRelational {
     graft.functions.GraftFunctions.registerNfc(spark)
   }
 
+  /** The texts above hardcode the operators' DEFAULT knobs (md5 hash
+    * family, fim salt 'fim0', ppx threshold 3_400_000 µnats, 4 simhash
+    * bands), while the live operators read them from session config — so a
+    * gate comparing the two under a non-default config would report false
+    * diffs (ADVICE r8). Every gate consumer (PipelineRelationalSpec,
+    * Verify's relback dump) calls this first: it UNSETS the knob configs,
+    * pinning the comparison to defaults, the same contract
+    * `hashFamily`'s md5 gate pin states. Live deployments tune the knobs
+    * freely — only the cross-backend comparison is default-pinned. */
+  def pinDefaults(spark: org.apache.spark.sql.SparkSession): Unit =
+    Seq("spark.graft.hashFamily", "spark.graft.fimSalt",
+        "spark.graft.ppxFlagMicro", "spark.graft.simhashBands")
+      .foreach(spark.conf.unset)
+
   /** Operator → why its execution shape is not one relational query. Each
     * reason names the non-relational mechanism; removing an entry requires
     * adding the operator to [[prql]]. */

@@ -45,8 +45,15 @@ object SrpPairsStream {
     while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
     acc
   }
-  private def cosine(a: Seq[Float], b: Seq[Float]): Double =
-    dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+  /** Zero-norm vectors have no direction: cosine is 0/0 = NaN, which the
+    * Scala compare (`NaN >= minCos` = false) drops but Spark SQL's NaN
+    * ordering (NaN > everything) would KEEP — so both paths guard norms
+    * explicitly to stay row-identical on degenerate input. */
+  private def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+    val na = dot(a, a); val nb = dot(b, b)
+    if (na <= 0.0 || nb <= 0.0) Double.NaN
+    else dot(a, b) / (math.sqrt(na) * math.sqrt(nb))
+  }
 
   /** Candidate near-dup pairs over `vecs` (idCol, embCol array<float>,
     * event-time tsCol). Streaming: band-bucket state within
@@ -85,7 +92,7 @@ object SrpPairsStream {
                 residents.foreach { s =>
                   if (s.vec_id != r.vec_id) {
                     val c = cosine(s.emb, r.emb)
-                    if (c >= minCos)
+                    if (!c.isNaN && c >= minCos)
                       out += CandPair(r.bkey, math.min(s.vec_id, r.vec_id),
                         math.max(s.vec_id, r.vec_id), c)
                   }
@@ -108,8 +115,9 @@ object SrpPairsStream {
             graft_dot(a.emb, b.emb) /
               (sqrt(graft_dot(a.emb, a.emb)) * sqrt(graft_dot(b.emb, b.emb))) AS cos
           FROM graft_srp_stream_bands a JOIN graft_srp_stream_bands b
-            ON a.bkey = b.bkey AND a.vec_id < b.vec_id)
-        WHERE cos >= $minCos""").as[CandPair]
+            ON a.bkey = b.bkey AND a.vec_id < b.vec_id
+            AND graft_dot(a.emb, a.emb) > 0 AND graft_dot(b.emb, b.emb) > 0)
+        WHERE cos >= $minCos AND NOT isnan(cos)""").as[CandPair]
     }
   }
 }

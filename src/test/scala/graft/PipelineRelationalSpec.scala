@@ -22,6 +22,7 @@ class PipelineRelationalSpec extends AnyFunSuite {
     for (t <- Seq("documents", "events", "embeddings"))
       Graft.parquetCatalog(spark, dir)(t).createOrReplaceTempView(t)
     PipelineRelational.registerKernels(spark)
+    PipelineRelational.pinDefaults(spark)
   }
 
   private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
@@ -48,8 +49,28 @@ class PipelineRelationalSpec extends AnyFunSuite {
       s"uncovered: ${all.diff(covered ++ excluded)}; stale: ${(covered ++ excluded).diff(all)}")
   }
 
+  test("pinDefaults makes the gate immune to live knob configs (ADVICE r8)") {
+    // a non-default fim salt redraws p62's gate + cut points; without the
+    // pin the relational text (hardcoded 'fim0') would false-diff
+    spark.conf.set("spark.graft.fimSalt", "fim1")
+    try {
+      val tampered = canon(PipelineOps.queries("p62_fim_transform")(spark, dir))
+      PipelineRelational.pinDefaults(spark)
+      assert(spark.conf.getOption("spark.graft.fimSalt").isEmpty)
+      val pinned = canon(PipelineOps.queries("p62_fim_transform")(spark, dir))
+      registerTables()
+      val text = canon(Graft.compileDir(
+        PipelineRelational.prql("p62_fim_transform"), spark, dir))
+      assert(tampered != pinned, "fim1 salt should change p62's output")
+      assert(text == pinned, "pinned operator must match the relational text")
+    } finally PipelineRelational.pinDefaults(spark)
+  }
+
   for ((name, prql) <- PipelineRelational.prql.toSeq.sortBy(_._1)) {
     test(s"both backends row-equal the operator: $name") {
+      // the operator side reads knobs from session config; the texts
+      // hardcode the defaults — pin BEFORE the operator runs too
+      PipelineRelational.pinDefaults(spark)
       val op = canon(PipelineOps.queries(name)(spark, dir))
       registerTables()
       val dfPath = canon(Graft.compileDir(prql, spark, dir))

@@ -74,6 +74,39 @@ class StreamingSrpPairsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("zero-norm embeddings pair with nothing on BOTH paths (ADVICE r8)") {
+    // cosine of a zero vector is 0/0 = NaN; Spark SQL's NaN ordering
+    // (NaN > everything) would keep it past `cos >= minCos` while the
+    // streaming Scala compare drops it — both paths must drop it
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val zero = Seq.fill(64)(0.0f)
+    val v = Seq.tabulate(64)(i => if (i % 3 == 0) 1.0f else -0.5f)
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val batchIn = Seq((1L, zero, ts(0)), (2L, v, ts(1)), (3L, v, ts(2)))
+      .toDF("vec_id", "embedding", "ts")
+      .withColumn("embedding", F.col("embedding").cast("array<float>"))
+    val batchPairs = SrpPairsStream.pairs(batchIn, "embedding", "vec_id", "ts",
+      minCos = -1.0).collect().map(p => (p.ida, p.idb)).distinct.toSeq.sorted
+    assert(batchPairs == Seq((2L, 3L)),
+      s"batch path must drop zero-norm pairs even at minCos = -1, got $batchPairs")
+    val in = MemoryStream[(Long, Seq[Float], java.sql.Timestamp)]
+    val vecs = in.toDS().toDF("vec_id", "embedding", "ts")
+      .withColumn("embedding", F.col("embedding").cast("array<float>"))
+    val q = SrpPairsStream.pairs(vecs, "embedding", "vec_id", "ts",
+      watermarkDelay = "365 days", minCos = -1.0)
+      .writeStream.format("memory").queryName("srp_pairs_zero")
+      .outputMode("append").start()
+    try {
+      in.addData(Seq((1L, zero, ts(0)), (2L, v, ts(1)), (3L, v, ts(2))))
+      q.processAllAvailable()
+      val got = spark.table("srp_pairs_zero").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).distinct.toSeq.sorted
+      assert(got == batchPairs,
+        s"stream and batch diverged on zero-norm input: $got vs $batchPairs")
+    } finally q.stop()
+  }
+
   test("the horizon is real: an identical vector beyond eviction does not pair") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

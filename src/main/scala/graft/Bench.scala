@@ -97,6 +97,48 @@ object Bench {
     times.sorted.apply(1)
   }
 
+  /** Measured scaling point for the three shuffle-heaviest operators
+    * (VERDICT r8 #3): every 100 TB argument in the docs is plan-shape
+    * reasoning; this grounds one point per shape family with a REAL
+    * wall-time ratio. A ×K corpus (default 10 — sf0.1 → ≈sf1) is
+    * materialized under target/scaleprobe by replicating documents and
+    * embeddings with remapped ids: texts get a per-replica suffix token
+    * (so replicas are near-dups, not exact dups — the duplicate-cluster
+    * size distribution stays ~flat instead of every cluster growing ×K);
+    * embeddings get a per-replica circular rotation (norm-preserving,
+    * distinct vectors, intra-replica geometry intact). Each probe op runs
+    * once untimed (plan + footer warm) then twice timed; the artifact
+    * reports min alongside the suite's base median and the ratio/K —
+    * ratio_per_x ≈ 1 is linear scaling, the claim the plans make. */
+  private val ScaleProbeOps =
+    Seq("p54_substring_dedup", "p22_embed_dedup", "p16_dedup_clusters")
+
+  private def buildScaledDir(spark: org.apache.spark.sql.SparkSession,
+                             sfDir: String, k: Int): String = {
+    val out = "target/scaleprobe"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docCols = docs.columns.map {
+      case "doc_id" => s"doc_id * ${k}L + r AS doc_id"
+      case "text"   => "concat(text, ' zq', CAST(r AS STRING)) AS text"
+      case c        => s"`$c`"
+    }
+    docs.selectExpr(s"explode(sequence(0, ${k - 1})) AS r" +: docs.columns.map(c => s"`$c`"): _*)
+      .selectExpr(docCols: _*)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val embCols = embs.columns.map {
+      case "vec_id" => s"vec_id * ${k}L + r AS vec_id"
+      case "embedding" =>
+        // circular rotation by r: norm-preserving, distinct per replica
+        "concat(slice(embedding, r + 1, size(embedding) - r), slice(embedding, 1, r)) AS embedding"
+      case c => s"`$c`"
+    }
+    embs.selectExpr(s"explode(sequence(0, ${k - 1})) AS r" +: embs.columns.map(c => s"`$c`"): _*)
+      .selectExpr(embCols: _*)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -191,6 +233,8 @@ object Bench {
     }
     takeCalib("post-suite")
 
+    def f3(d: Double): String = if (d < 0) "-1" else f"$d%.3f"
+
     // Hash-family micro-bench (VERDICT r6 #6): the claim that the xxhash64
     // production family beats the md5 oracle family gets a MEASURED number
     // in the artifact instead of an asserted one. p01 (hash-groupBy dedup)
@@ -218,6 +262,38 @@ object Bench {
       System.err.println(f"[bench:hash-family] md5=$md5S%.3fs xxhash64=$xxS%.3fs speedup=${md5S / xxS}%.2fx")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] hash-family bench failed: ${e.getMessage}")
+    }
+
+    // ---- scale probe (VERDICT r8 #3): measured sf0.1→≈sf1 scaling for the
+    // three shuffle-heaviest operators. Skipped in hotspot mode (explicit
+    // query args) and via SPARK_GRAFT_SCALE_PROBE=0.
+    var scaleProbeJson = "null"
+    if (args.isEmpty && sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE", "1") != "0") {
+      try {
+        val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "10").toInt
+        val tGen0 = System.nanoTime()
+        val scaledDir = buildScaledDir(spark, sfDir, k)
+        val genS = (System.nanoTime() - tGen0) / 1e9
+        val baseMed = results.toMap
+        val entries = ScaleProbeOps.flatMap { name =>
+          SparkEntry.queries.get(name).map { fn =>
+            execute(fn(spark, scaledDir)) // untimed: plan + footer warm
+            val scaled = (1 to 2).map { _ =>
+              val t0 = System.nanoTime()
+              execute(fn(spark, scaledDir))
+              (System.nanoTime() - t0) / 1e9
+            }.min
+            val base = baseMed.get(name).map(_.median).getOrElse(-1.0)
+            val ratio = if (base > 0) scaled / base else -1.0
+            val perX = if (ratio > 0) ratio / k else -1.0
+            System.err.println(f"[bench:scale] $name base=${f3(base)}s x$k=${f3(scaled)}s ratio=${f3(ratio)} per_x=${f3(perX)}")
+            s"""\"$name\":{\"base_med_s\":${f3(base)},\"scaled_min_s\":${f3(scaled)},\"ratio\":${f3(ratio)},\"ratio_per_x\":${f3(perX)}}"""
+          }
+        }
+        scaleProbeJson = s"""{"k":$k,"gen_s":${f3(genS)},"runs":2,"aggregation":"min","ops":${entries.mkString("{", ",", "}")}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] scale probe failed: ${e.getMessage}")
+      }
     }
 
     // Compile latency — see measureCompileLatency. Guarded: a failure here
@@ -270,7 +346,6 @@ object Bench {
       }
     }.toMap
 
-    def f3(d: Double): String = if (d < 0) "-1" else f"$d%.3f"
     val qs = results.map { case (k, v) => s"\"$k\":${v.median}" }.mkString("{", ",", "}")
     val qDetail = results.map { case (k, s) =>
       val retry = retries.get(k).map(d => s",\"retry\":${f3(d)}").getOrElse("")
@@ -286,7 +361,7 @@ object Bench {
     val errJson = errors
       .map { case (k, v) => s"${util.Json.quote(k)}:${util.Json.quote(v.take(200))}" }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_detail":$qDetail,"errors":$errJson,"compile_us_per_query":${compileUs.round},"parse_us_per_query":${parseUs.round},"calib_s":$calibS,"calib_samples":$calibJson,"calib_stats":$calibStats,"host_contended":$hostContended,"unstable_queries":${unstableQueries.map(util.Json.quote).mkString("[", ",", "]")},"hash_family_bench":$hashFamilyJson,"epoch_ms":$benchEpochMs,"runs_per_query":$TimedRuns,"fast_runs":$FastTimedRuns,"fast_threshold_s":$FastQueryThresholdSec,"runs_policy":"median over runs_per_query timed runs; promoted to fast_runs when any timed run < fast_threshold_s; unstable queries re-timed once post-suite (query_detail.retry)","aggregation":"median","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_detail":$qDetail,"errors":$errJson,"compile_us_per_query":${compileUs.round},"parse_us_per_query":${parseUs.round},"calib_s":$calibS,"calib_samples":$calibJson,"calib_stats":$calibStats,"host_contended":$hostContended,"unstable_queries":${unstableQueries.map(util.Json.quote).mkString("[", ",", "]")},"hash_family_bench":$hashFamilyJson,"scale_probe":$scaleProbeJson,"epoch_ms":$benchEpochMs,"runs_per_query":$TimedRuns,"fast_runs":$FastTimedRuns,"fast_threshold_s":$FastQueryThresholdSec,"runs_policy":"median over runs_per_query timed runs; promoted to fast_runs when any timed run < fast_threshold_s; unstable queries re-timed once post-suite (query_detail.retry)","aggregation":"median","sf":"$sfDir"}"""
     println(line)
     // the full per-query record also lands on disk: the r3 driver artifact
     // lost its tail to log truncation, and a file survives that
@@ -295,6 +370,19 @@ object Bench {
       java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
+    }
+    // ...and a DURABLE copy outside target/ (VERDICT r8 #1): target/bench.json
+    // is overwritten by the next run, which limited the r8 cross-round trend
+    // analysis to a clipped tail string. bench_history/ is committed, one
+    // file per run keyed by epoch, so per-query med/min/max/retry for every
+    // round survives. Hotspot-mode runs (explicit query args) skip it — only
+    // full-suite runs are round artifacts worth keeping.
+    if (args.isEmpty) try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("bench_history"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"bench_history/bench_$benchEpochMs.json"), line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_history: ${e.getMessage}")
     }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

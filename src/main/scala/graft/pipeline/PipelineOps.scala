@@ -168,6 +168,35 @@ object PipelineOps {
   }
   private val Md5 = "md5"
 
+  /** Gate-fixture planting switch (`spark.graft.plantFixtures`, VERDICT r8
+    * #2). The oracle gate plants deterministic fixtures INSIDE some
+    * operators' SQL (an `aug`-style CTE mutating the corpus) so every
+    * outcome class is populated at tiny SF — the gate corpus has no
+    * natural PII, URLs, HTML, syndicated blocks, or snapshot pairs.
+    * Default true (the driver gate's contract; every DuckDB oracle
+    * computes the same planted relation). Set false at deployment and
+    * each affected operator reads its REAL input instead — the shipped
+    * SQL is then copy-paste clean:
+    *  - p38/p43/p54: text verbatim (no planted PII / NFC suffix /
+    *    syndicated block);
+    *  - p45: the `url` column of documents (a URL is metadata the text
+    *    can't stand in for — the table must carry one);
+    *  - p47: `split(text, '\n')` (real line structure);
+    *  - p48: views `documents_base` + `documents_batch` (the real
+    *    corpus/ingest pair), content key un-mutated;
+    *  - p52: views `documents_v1` + `documents_v2` (the real snapshots);
+    *  - p58: the text column AS the raw page (crawl pipelines keep raw
+    *    HTML there);
+    *  - p60: no planted twins.
+    * PlantFixturesSpec proves the fixture content vanishes with the
+    * switch off while the operator shape still runs. */
+  private[graft] def plantFixtures(spark: SparkSession): Boolean = {
+    val v = spark.conf.getOption("spark.graft.plantFixtures").getOrElse("true")
+    require(v == "true" || v == "false",
+      s"spark.graft.plantFixtures: true|false, got $v")
+    v.toBoolean
+  }
+
   /** 64-bit hash of a string, < 2^32 (the folds' overflow-safety contract:
     * acc*b + h stays < 2^37). md5: the native [[graft.functions.GraftMd5H32]]
     * kernel — value-identical to `conv(substr(md5(e),1,8),16,10)` (what the
@@ -2668,12 +2697,13 @@ object PipelineOps {
   private val IpPat = "\\\\b\\\\d{1,3}(\\\\.\\\\d{1,3}){3}\\\\b"
   private val PhonePat = "\\\\b\\\\d{7,}\\\\b"
 
-  private def p38Spark(hf: String) = s"""
+  private def p38Spark(hf: String, plant: Boolean = true) = s"""
     WITH aug AS (
-      SELECT doc_id, concat(text, ' contact user', CAST(doc_id AS STRING),
+      ${if (plant) s"""SELECT doc_id, concat(text, ' contact user', CAST(doc_id AS STRING),
         '@example.com from 10.0.', CAST(doc_id % 256 AS STRING), '.7 call 55512',
         CAST(30000 + doc_id AS STRING)) AS t
-      FROM documents),
+      FROM documents"""
+      else "SELECT doc_id, text AS t FROM documents"}),
     e AS (SELECT doc_id, t, regexp_replace(t, '$EmailPat', '<EMAIL>') AS te FROM aug),
     i AS (SELECT doc_id, t, te, regexp_replace(te, '$IpPat', '<IP>') AS ti FROM e),
     ph AS (SELECT doc_id, t, te, ti, regexp_replace(ti, '$PhonePat', '<PHONE>') AS rt FROM i)
@@ -2948,12 +2978,13 @@ object PipelineOps {
   // map-side, zero shuffle) is unchanged. p01-style exact dedup composes
   // on url_checksum directly.
 
-  private def p45Spark(hf: String) = s"""
+  private def p45Spark(hf: String, plant: Boolean = true) = s"""
     WITH u AS (
-      SELECT doc_id, concat('HTTP://WWW.Site', CAST(doc_id % 7 AS STRING),
+      ${if (plant) s"""SELECT doc_id, concat('HTTP://WWW.Site', CAST(doc_id % 7 AS STRING),
         '.COM:80/a/', CAST(doc_id AS STRING), '?z=1&y=', CAST(doc_id % 3 AS STRING),
         '&a=9#s') AS raw
-      FROM documents),
+      FROM documents"""
+      else "SELECT doc_id, url AS raw FROM documents"}),
     s1 AS (
       SELECT doc_id,
         replace(replace(regexp_replace(lower(raw), '#.*$$', ''), '://www.', '://'), ':80/', '/') AS u
@@ -3070,12 +3101,13 @@ object PipelineOps {
   // parities must converge to the SAME normalized suffix, which the
   // checksum proves. Pure map-side.
 
-  private def p43Spark = s"""
+  private def p43Spark(plant: Boolean = true) = s"""
     WITH aug AS (
-      SELECT doc_id,
+      ${if (plant) s"""SELECT doc_id,
         concat(text, CASE WHEN doc_id % 2 = 0
           THEN ' caf\\u0065\\u0301' ELSE ' caf\\u00e9' END) AS t
-      FROM documents)
+      FROM documents"""
+      else "SELECT doc_id, text AS t FROM documents"})
     SELECT doc_id,
       CAST(length(t) AS BIGINT) AS len_raw,
       CAST(length(graft_nfc(t)) AS BIGINT) AS len_nfc,
@@ -3084,8 +3116,10 @@ object PipelineOps {
 
   private def p43Run(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerNfc(spark)
-    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
-    spark.sql(p43Spark)
+    val plant = plantFixtures(spark)
+    if (plant)
+      spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    spark.sql(p43Spark(plant))
   }
 
   private val p43Duck = s"""
@@ -3244,14 +3278,15 @@ object PipelineOps {
     t
   }
 
-  private[graft] def p47Spark(hf: String, dfMin: Int) = s"""
+  private[graft] def p47Spark(hf: String, dfMin: Int, plant: Boolean = true) = s"""
     WITH aug AS (
-      SELECT doc_id, array(
+      ${if (plant) s"""SELECT doc_id, array(
         array_join(slice(${wordsSpark}, 1, 6), ' '),
         'copyright acme corp all rights reserved',
         concat('promo code ', CAST(doc_id % 7 AS STRING)),
         concat('ref ', CAST(doc_id AS STRING))) AS lines
-      FROM documents),
+      FROM documents"""
+      else "SELECT doc_id, split(text, '\\n') AS lines FROM documents"}),
     occ AS (
       SELECT DISTINCT ${hKeySpark("line", hf)} AS lh, doc_id
       FROM aug LATERAL VIEW explode(lines) x AS line),
@@ -3270,8 +3305,10 @@ object PipelineOps {
     FROM out ORDER BY doc_id"""
 
   private def p47Run(spark: SparkSession, dir: String): DataFrame = {
-    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
-    spark.sql(p47Spark(hashFamily(spark), boilerplateDf(spark)))
+    val plant = plantFixtures(spark)
+    if (plant)
+      spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    spark.sql(p47Spark(hashFamily(spark), boilerplateDf(spark), plant))
   }
 
   private val p47Duck = s"""
@@ -3344,13 +3381,16 @@ object PipelineOps {
   private val p48Key =
     "CASE WHEN doc_id % 7 = 0 THEN 'planted shared content block' ELSE lower(trim(text)) END"
 
-  private def p48Spark(hf: String, estItems: Long, numBits: Long) = s"""
+  private def p48Spark(hf: String, estItems: Long, numBits: Long,
+                       plant: Boolean = true) = s"""
     WITH base AS (
-      SELECT ${hStrSpark(p48Key, hf)} AS h
-      FROM documents WHERE pmod(doc_id, 5) < 4),
+      ${if (plant) s"""SELECT ${hStrSpark(p48Key, hf)} AS h
+      FROM documents WHERE pmod(doc_id, 5) < 4"""
+      else s"SELECT ${hStrSpark("lower(trim(text))", hf)} AS h FROM documents_base"}),
     batch AS (
-      SELECT doc_id, ${hStrSpark(p48Key, hf)} AS h
-      FROM documents WHERE pmod(doc_id, 5) = 4),
+      ${if (plant) s"""SELECT doc_id, ${hStrSpark(p48Key, hf)} AS h
+      FROM documents WHERE pmod(doc_id, 5) = 4"""
+      else s"SELECT doc_id, ${hStrSpark("lower(trim(text))", hf)} AS h FROM documents_batch"}),
     bf AS (
       SELECT graft_bloom_agg(xxhash64(h), CAST($estItems AS BIGINT),
         CAST($numBits AS BIGINT)) AS b
@@ -3367,10 +3407,14 @@ object PipelineOps {
 
   private def p48Run(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerBloom(spark)
-    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
-    val n = math.max(1L,
-      spark.sql("SELECT count(*) FROM documents WHERE pmod(doc_id, 5) < 4").head.getLong(0))
-    spark.sql(p48Spark(hashFamily(spark), n, bloomBits(n, bloomFpp(spark))))
+    val plant = plantFixtures(spark)
+    if (plant)
+      spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    val baseCount =
+      if (plant) "SELECT count(*) FROM documents WHERE pmod(doc_id, 5) < 4"
+      else "SELECT count(*) FROM documents_base"
+    val n = math.max(1L, spark.sql(baseCount).head.getLong(0))
+    spark.sql(p48Spark(hashFamily(spark), n, bloomBits(n, bloomFpp(spark)), plant))
   }
 
   private val p48Duck = s"""
@@ -3654,14 +3698,16 @@ object PipelineOps {
   // gains a suffix on ids ≡ 3 (mod 7) → content_changed; everything else
   // unchanged. At deployment the two planted CTEs are the real snapshot
   // tables and everything downstream is unchanged.
-  private def p52Spark(hf: String) = s"""
+  private def p52Spark(hf: String, plant: Boolean = true) = s"""
     WITH v1 AS (
-      SELECT doc_id, ${hStrSpark("lower(trim(text))", hf)} AS h
-      FROM documents WHERE pmod(doc_id, 10) != 9),
+      ${if (plant) s"""SELECT doc_id, ${hStrSpark("lower(trim(text))", hf)} AS h
+      FROM documents WHERE pmod(doc_id, 10) != 9"""
+      else s"SELECT doc_id, ${hStrSpark("lower(trim(text))", hf)} AS h FROM documents_v1"}),
     v2 AS (
-      SELECT doc_id, ${hStrSpark(
+      ${if (plant) s"""SELECT doc_id, ${hStrSpark(
         "CASE WHEN doc_id % 7 = 3 THEN lower(trim(text)) || ' v2' ELSE lower(trim(text)) END", hf)} AS h
-      FROM documents WHERE pmod(doc_id, 10) != 8),
+      FROM documents WHERE pmod(doc_id, 10) != 8"""
+      else s"SELECT doc_id, ${hStrSpark("lower(trim(text))", hf)} AS h FROM documents_v2"}),
     d AS (
       SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
         CASE WHEN v1.doc_id IS NULL THEN 'added'
@@ -3814,7 +3860,7 @@ object PipelineOps {
   private val SyndicatedBlock =
     "breaking news this content is syndicated across partner sites worldwide today reader"
 
-  private[graft] def p54Spark(hf: String, k: Int): String = {
+  private[graft] def p54Spark(hf: String, k: Int, plant: Boolean = true): String = {
     // The gram key is an 8-byte BIGINT, not the 32-char hex string: gh is
     // the join/shuffle key of the one UNBOUNDED relation in this operator,
     // so key width is shuffle bytes at 100 TB (see hKeySpark). A collision
@@ -3823,9 +3869,10 @@ object PipelineOps {
     val gramHash = hKeySpark(s"array_join(slice(words, pos, $k), ' ')", hf)
     s"""
     WITH aug AS (
-      SELECT doc_id, CASE WHEN doc_id % 5 = 0
+      ${if (plant) s"""SELECT doc_id, CASE WHEN doc_id % 5 = 0
         THEN concat('$SyndicatedBlock ', text) ELSE text END AS text2
-      FROM documents),
+      FROM documents"""
+      else "SELECT doc_id, text AS text2 FROM documents"}),
     t AS (SELECT doc_id, split(trim(text2), '\\\\s+') AS words FROM aug),
     w AS (SELECT doc_id, CAST(size(words) AS BIGINT) AS n, words FROM t),
     we AS (SELECT doc_id, n, words FROM w WHERE n >= $k),
@@ -3851,8 +3898,10 @@ object PipelineOps {
   }
 
   private def p54Run(spark: SparkSession, dir: String): DataFrame = {
-    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
-    spark.sql(p54Spark(hashFamily(spark), substrK(spark)))
+    val plant = plantFixtures(spark)
+    if (plant)
+      spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    spark.sql(p54Spark(hashFamily(spark), substrK(spark), plant))
   }
 
   private val p54Duck = s"""
@@ -4165,16 +4214,17 @@ object PipelineOps {
   // shuffles before the output sort; regexes are shared-syntax between
   // Java and RE2 (non-greedy, character classes — no backrefs or
   // lookarounds, which RE2 lacks).
-  private def p58Spark(hf: String) = s"""
+  private def p58Spark(hf: String, plant: Boolean = true) = s"""
     WITH aug AS (
-      SELECT doc_id, concat(
+      ${if (plant) s"""SELECT doc_id, concat(
         '<html><head><title>Doc ', CAST(doc_id AS STRING),
         '</title><style>body { color: #333; }</style>',
         '<script>var tracker = "t" + ', CAST(doc_id % 7 AS STRING),
         ';</script></head><body><nav>home | about | contact</nav><p>',
         text,
         '</p><div class="footer">&quot;Acme &amp; Co&quot; &lt;legal&gt; &#39;2026&#39;</div></body></html>'
-      ) AS html FROM documents),
+      ) AS html FROM documents"""
+      else "SELECT doc_id, text AS html FROM documents"}),
     s1 AS (
       SELECT doc_id, html,
         regexp_replace(regexp_replace(html,
@@ -4324,12 +4374,13 @@ object PipelineOps {
     * of relation the LshSigsView precedent materializes: the self-join
     * consumes it on BOTH sides, and inlined, each side re-runs the whole
     * words→hash→32-counter fold (measured 5.2 s vs 2.7 s at sf0.1). */
-  private def p60SigsSql(hf: String) = s"""
+  private def p60SigsSql(hf: String, plant: Boolean = true) = s"""
     WITH aug AS (
-      SELECT doc_id, text FROM documents
+      ${if (plant) s"""SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + $SimPairTwinOff AS doc_id, concat(text, ' mirrortoken') AS text
-      FROM documents WHERE doc_id % 7 = 0),
+      FROM documents WHERE doc_id % 7 = 0"""
+      else "SELECT doc_id, text FROM documents"}),
     t AS (
       SELECT doc_id, transform($wordsSpark, w -> ${hSpark("w", hf)}) AS hw
       FROM aug)
@@ -4363,8 +4414,10 @@ object PipelineOps {
   }
 
   private def p60Run(spark: SparkSession, dir: String): DataFrame = {
-    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
-    materialized(spark, SimPairSigsView, p60SigsSql(hashFamily(spark)))
+    val plant = plantFixtures(spark)
+    if (plant)
+      spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    materialized(spark, SimPairSigsView, p60SigsSql(hashFamily(spark), plant))
     spark.sql(p60PairsSql(simhashBands(spark)))
   }
 
@@ -4649,6 +4702,21 @@ object PipelineOps {
       spark.sql(f(hashFamily(spark)))
     }
 
+  /** Fixture-planting wiring: like [[onDocsHf]] but also threads the
+    * session's `spark.graft.plantFixtures` switch into the SQL builder.
+    * With planting OFF the parquet view is NOT force-bound: deployment
+    * reads whatever relation the user registered under the operator's
+    * input names (`documents`, or `documents_base`/`_batch`/`_v1`/`_v2`
+    * for the snapshot operators) — the dir argument only drives the gate
+    * fixture. */
+  private def onDocsHfP(f: (String, Boolean) => String): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      val plant = plantFixtures(spark)
+      if (plant)
+        spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+      spark.sql(f(hashFamily(spark), plant))
+    }
+
   private def onEmb(sql: String): (SparkSession, String) => DataFrame =
     onEmbHf(_ => sql)
 
@@ -4706,27 +4774,27 @@ object PipelineOps {
     "p35_kmv_distinct" -> ((spark, dir) => p35Run(spark, dir)),
     "p36_chunk_sliding" -> ((spark, dir) => p36Run(spark, dir)),
     "p37_domain_quota" -> ((spark, dir) => p37Run(spark, dir)),
-    "p38_pii_redact" -> onDocsHf(p38Spark),
+    "p38_pii_redact" -> onDocsHfP(p38Spark),
     "p39_incremental_dedup" -> ((spark, dir) => p39Run(spark, dir)),
     "p40_rare_token_score" -> ((spark, dir) => p40Run(spark, dir)),
     "p41_audio_decode" -> ((spark, dir) => MediaOps.audioFeatures(spark, dir)),
     "p42_split_assign" -> ((spark, dir) => p42Run(spark, dir)),
     "p43_unicode_nfc" -> ((spark, dir) => p43Run(spark, dir)),
     "p44_token_budget" -> ((spark, dir) => p44Run(spark, dir)),
-    "p45_url_normalize" -> onDocsHf(p45Spark),
+    "p45_url_normalize" -> onDocsHfP(p45Spark),
     "p46_weighted_sample" -> ((spark, dir) => p46Run(spark, dir)),
     "p47_boilerplate_lines" -> ((spark, dir) => p47Run(spark, dir)),
     "p48_bloom_dedup" -> ((spark, dir) => p48Run(spark, dir)),
     "p49_embed_outlier" -> ((spark, dir) => p49Run(spark, dir)),
     "p50_bpe_learn" -> ((spark, dir) => p50Run(spark, dir)),
     "p51_bpe_tokenize" -> ((spark, dir) => p51Run(spark, dir)),
-    "p52_snapshot_diff" -> onDocsHf(p52Spark),
+    "p52_snapshot_diff" -> onDocsHfP(p52Spark),
     "p53_negative_sample" -> onEmbHf(p53Spark),
     "p54_substring_dedup" -> ((spark, dir) => p54Run(spark, dir)),
     "p55_nb_quality" -> onDocsHf(p55Spark),
     "p56_bm25" -> onDocsHf(p56Spark),
     "p57_jl_project" -> ((spark, dir) => p57Run(spark, dir)),
-    "p58_html_extract" -> onDocsHf(p58Spark),
+    "p58_html_extract" -> onDocsHfP(p58Spark),
     "p59_blocklist" -> onDocs(p59Spark),
     "p60_simhash_pairs" -> ((spark, dir) => p60Run(spark, dir)),
     "p61_bigram_ppx" -> ((spark, dir) => {

@@ -1546,11 +1546,25 @@ object PipelineOps {
   private def gramPolyDuck(arr: String, b: Int) =
     s"list_reduce(list_prepend(CAST(7 AS BIGINT), $arr), (acc, h) -> (acc * $b + h) % $PolyP)"
 
+  /** Word-hash array expression over a raw text column — the md5-once
+    * front half of the p21 gram scheme, shared with
+    * [[graft.streaming.DecontamStream]] so gram semantics cannot drift
+    * between the batch operator and its streaming counterpart. */
+  private[graft] def decontamWordHashExpr(textCol: String, hf: String): String =
+    s"transform(split(trim($textCol), '\\\\s+'), w -> ${hSpark("w", hf)})"
+
+  /** DISTINCT paired-polynomial gram-key array over a word-hash ARRAY
+    * column (see the scheme note above); the shared back half. */
+  private[graft] def decontamGramExpr(hwCol: String): String =
+    s"""array_distinct(transform(sequence(1, size($hwCol) - ${DecontamN - 1}),
+        i -> ${gramPolySpark(s"slice($hwCol, i, $DecontamN)", 31)} * ${PolyP + 1}
+             + ${gramPolySpark(s"slice($hwCol, i, $DecontamN)", 37)}))"""
+
+  private[graft] def decontamMinWords: Int = DecontamN
+
   /** Per-doc DISTINCT gram-key array (no row explosion — VERDICT r4 #3). */
   private def gramArrSpark(src: String) = s"""
-      SELECT doc_id, array_distinct(transform(sequence(1, size(hw) - ${DecontamN - 1}),
-        i -> ${gramPolySpark(s"slice(hw, i, $DecontamN)", 31)} * ${PolyP + 1}
-             + ${gramPolySpark(s"slice(hw, i, $DecontamN)", 37)})) AS gs
+      SELECT doc_id, ${decontamGramExpr("hw")} AS gs
       FROM $src WHERE size(hw) >= $DecontamN"""
 
   // the per-word md5 hash array is materialized once via [[materialized]]
@@ -1561,7 +1575,7 @@ object PipelineOps {
   // gram combining is pure arithmetic (~2 s)
   private val P21HwView = "graft_p21_hw"
   private def p21HwSql(hf: String) =
-    s"SELECT doc_id, transform($wordsSpark, w -> ${hSpark("w", hf)}) AS hw FROM documents"
+    s"SELECT doc_id, ${decontamWordHashExpr("text", hf)} AS hw FROM documents"
   // The training side never materializes per-gram rows (the r3/r4 form was
   // explode → DISTINCT → broadcast join → groupBy — O(total grams) row
   // churn just to rediscover per-doc counts). Instead the tiny fixed-size

@@ -2549,7 +2549,7 @@ object PipelineOps {
   // estimator branch (every lang has >= k distinct texts) and the spec
   // covers the exact below-k branch on a generated column.
 
-  private val KmvK = 64
+  private[graft] val KmvK = 64
 
   private def p35Spark(hf: String) = s"""
     WITH h AS (
@@ -4184,13 +4184,20 @@ object PipelineOps {
   // the oracle hashes it columnar-stably).
   private val JlDims = 16
 
-  private def p57Run(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.registerDot(spark)
+  /** Bind the deterministic 16-row JL plane table as `jl_planes` —
+    * idempotent; shared with PipelineRelational.registerKernels so the
+    * p57 relational re-expression joins the IDENTICAL plane rows. */
+  private[graft] def registerJlPlanes(spark: SparkSession): Unit = {
     val rows = planes.take(JlDims).zipWithIndex.map { case (p, i) =>
       (i + 1, p.map(_.toFloat))
     }
     import spark.implicits._
     rows.toDF("idx", "pv").createOrReplaceTempView("jl_planes")
+  }
+
+  private def p57Run(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerDot(spark)
+    registerJlPlanes(spark)
     spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("embeddings")
     spark.sql(s"""
       SELECT e.vec_id, CAST(p.idx AS BIGINT) AS dim,

@@ -1588,6 +1588,83 @@ object PipelineRelational {
          |]
          |sort vec_id""".stripMargin,
 
+    // VERDICT r9: three former exclusions folded in. p35's KMV aggregate
+    // and p57's plane table are SESSION REGISTRATIONS (graft_kmv at the
+    // pinned k, the deterministic jl_planes view) — registerKernels binds
+    // both, the same class as graft_dot/graft_nfc, so the "requires
+    // registration" exclusion reason no longer holds.
+    "p35_kmv_distinct" ->
+      s"""table h = (
+         |  from documents
+         |  select [lang, h = s"${H("text")}"]
+         |)
+         |
+         |from h
+         |group [lang] (
+         |  aggregate [
+         |    n_exact = s"CAST(count(DISTINCT h) AS BIGINT)",
+         |    kmv_est = s"graft_kmv(h)",
+         |  ]
+         |)
+         |sort lang""".stripMargin,
+
+    // p57: the 16-row deterministic plane table broadcasts through the
+    // k=1 join (the p61 pattern for a tiny cross product).
+    "p57_jl_project" ->
+      s"""table pl = (
+         |  from jl_planes
+         |  derive k = s"1"
+         |)
+         |
+         |table e = (
+         |  from embeddings
+         |  derive k = s"1"
+         |)
+         |
+         |from e
+         |join pl [k]
+         |select [
+         |  vec_id,
+         |  dim = s"CAST(idx AS BIGINT)",
+         |  proj_u = s"CAST(floor(graft_dot(embedding, pv) * 1e6 + 0.5) AS BIGINT)",
+         |]
+         |sort [vec_id, dim]""".stripMargin,
+
+    // p48: the relational SEMANTICS — classify a batch against a base by
+    // content key. The operator's bloom sketch is a map-side PREFILTER
+    // that cannot change the output (candidates are verified by the same
+    // equi-join rendered here), so the restatement omits it; the
+    // derived-geometry count action belongs to that physical layer only.
+    // The planted key/split mirror the operator's gate default.
+    "p48_bloom_dedup" ->
+      s"""table base = (
+         |  from documents
+         |  filter s"pmod(doc_id, 5) < 4"
+         |  select [h = s"md5(CASE WHEN doc_id % 7 = 0 THEN 'planted shared content block' ELSE lower(trim(text)) END)"]
+         |)
+         |
+         |table batch = (
+         |  from documents
+         |  filter s"pmod(doc_id, 5) = 4"
+         |  select [doc_id, h = s"md5(CASE WHEN doc_id % 7 = 0 THEN 'planted shared content block' ELSE lower(trim(text)) END)"]
+         |)
+         |
+         |table hits = (
+         |  from batch
+         |  join side:inner base [h]
+         |  select [doc_id]
+         |  group [doc_id] (take 1)
+         |  derive hit = s"1"
+         |)
+         |
+         |from batch
+         |join side:left hits [doc_id]
+         |select [
+         |  doc_id,
+         |  status = s"CASE WHEN hit IS NOT NULL THEN 'dup_of_base' ELSE 'new_unique' END",
+         |]
+         |sort doc_id""".stripMargin,
+
     // p43's graft_nfc kernel comes from registerKernels, like graft_dot
     // and graft_top_terms for the entries above.
     "p43_unicode_nfc" ->
@@ -1613,6 +1690,8 @@ object PipelineRelational {
     graft.functions.GraftFunctions.registerDot(spark)
     graft.functions.GraftFunctions.registerTopTerms(spark, PipelineOps.TopTerms)
     graft.functions.GraftFunctions.registerNfc(spark)
+    graft.functions.GraftFunctions.registerKmv(spark, PipelineOps.KmvK)
+    PipelineOps.registerJlPlanes(spark)
   }
 
   /** The texts above hardcode the operators' DEFAULT knobs (md5 hash
@@ -1626,7 +1705,8 @@ object PipelineRelational {
     * freely — only the cross-backend comparison is default-pinned. */
   def pinDefaults(spark: org.apache.spark.sql.SparkSession): Unit =
     Seq("spark.graft.hashFamily", "spark.graft.fimSalt",
-        "spark.graft.ppxFlagMicro", "spark.graft.simhashBands")
+        "spark.graft.ppxFlagMicro", "spark.graft.simhashBands",
+        "spark.graft.plantFixtures")
       .foreach(spark.conf.unset)
 
   /** Operator → why its execution shape is not one relational query. Each
@@ -1655,21 +1735,15 @@ object PipelineRelational {
       "consumes the p04 barrier-materialized sig/shingle relation (same multi-reference hazard as p04 itself) plus the native minhash kernel registration",
     "p29_media_resize" ->
       "typed mapPartitions codec (decode + nearest-neighbor resample in MediaOps) — imperative per-partition pixel work, not relational",
-    "p35_kmv_distinct" ->
-      "native TypedImperativeAggregate sketch (GraftKmv) requiring session-level registration with a bound k — the aggregate is the operator",
     "p30_frame_sample" ->
       "typed mapPartitions codec (multi-frame PPM-stream walk in MediaOps) — imperative per-partition frame parsing, not relational",
     "p41_audio_decode" ->
       "typed mapPartitions codec (RIFF/WAV chunk walk + PCM sample parse in MediaOps) — imperative per-partition decode, not relational",
     "p42_split_assign" ->
       "composes p16's iterative label-propagation driver loop (the split unit is the converged near-dup cluster)",
-    "p48_bloom_dedup" ->
-      "sketch geometry (estItems/numBits) derives from a prior count action and graft_bloom_* register per-session; the membership gate ships as a scalar-subquery literal, not a relational join — the p08 multi-action exclusion class",
     "p50_bpe_learn" ->
       "M-round driver loop: each merge's argmax is a one-row action whose RESULT is spliced into the next round's rewrite SQL, with barriers between rounds — p16's iterative exclusion class",
     "p51_bpe_tokenize" ->
       "consumes p50's loop-learned barrier-materialized repr table (the vocabulary IS the result of the iterative action sequence)",
-    "p57_jl_project" ->
-      "native graft_dot kernel + runtime-registered plane temp view (the p08 registration exclusion class)",
   )
 }

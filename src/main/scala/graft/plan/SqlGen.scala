@@ -255,7 +255,12 @@ final class SqlGen(query: Query) {
           case List(k, bod) => (keyList(k), bodyStages(bod))
           case _ => throw new SqlGenError("group expects keys and a sub-pipeline")
         }
-        val entry = b.copy(sort = Nil, groupKeys = keys, inGroupBody = true,
+        // a pending LIMIT/OFFSET/DISTINCT must be closed BEFORE the ambient
+        // sort is cleared, or the slice loses its ORDER BY in the subquery
+        // and selects engine-order rows (found by SqlBackendPropertySpec
+        // seed 3: sort | take a..b | group)
+        val b0 = if (closed(b)) flush(b) else b
+        val entry = b0.copy(sort = Nil, groupKeys = keys, inGroupBody = true,
           aggregated = false)
         val out = body.foldLeft(entry)(applyStage)
         out.copy(groupKeys = Nil, sort = Nil, inGroupBody = b.inGroupBody,
@@ -400,8 +405,12 @@ final class SqlGen(query: Query) {
     case Ident(List(n)) if b.env.contains(n) => s"(${b.env(n)})"
     case Ident(parts) => parts.map(quoteName).mkString(".")
     case NullLit => "NULL"
-    case IntLit(v) => v.toString
-    case FloatLit(v) => v.toString
+    // typed suffixes: the DataFrame backend's F.lit types int literals
+    // LONG and float literals DOUBLE, while bare SQL tokens parse as INT
+    // and DECIMAL — `7.5` as DECIMAL(2,1) changes arithmetic results, a
+    // real divergence found by SqlBackendPropertySpec
+    case IntLit(v) => s"${v}L"
+    case FloatLit(v) => s"${v}D"
     case BoolLit(v) => if (v) "TRUE" else "FALSE"
     case StrLit(v) => strLit(v)
     case DateLit(s) => s"CAST(${strLit(s)} AS DATE)"

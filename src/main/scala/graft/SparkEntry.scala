@@ -677,15 +677,68 @@ object SparkEntry {
   private[graft] def prqlTexts: Seq[(String, String)] =
     prqlQueries.map { case (name, prql, _) => (name, prql) }
 
+  /** SURPLUS `join_asof` transform (SURVEY §2.10 surplus — the reference
+    * has no as-of join; VERDICT r8 stretch #8): p34's tagged-union shape
+    * behind the language surface. Listed OUTSIDE prqlQueries because the
+    * SQL-text backend refuses it by design (schema-dependent union —
+    * SqlGen's named error), so SqlBackendSpec must not run it. */
+  private[graft] val asofPrql =
+    """table clicks = (
+      |  from events
+      |  filter event_type == "click"
+      |  select [event_id, user_id, ts]
+      |)
+      |
+      |table views = (
+      |  from events
+      |  filter event_type == "view"
+      |  select [event_id, user_id, ts]
+      |)
+      |
+      |from clicks
+      |join_asof views [user_id] on:ts tie:event_id
+      |select [
+      |  click_id = event_id,
+      |  user_id,
+      |  view_id = views_event_id,
+      |  lag_us = s"CAST(unix_micros(ts) - unix_micros(views_ts) AS BIGINT)",
+      |]
+      |sort click_id""".stripMargin
+
+  private val asofOracle =
+    """WITH clicks AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |views AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+      |u AS (
+      |  SELECT user_id, epoch_us(ts) AS ord, event_id AS tie, 1 AS il,
+      |         event_id, epoch_us(ts) AS tus, NULL AS r_event_id, NULL AS r_tus
+      |  FROM clicks
+      |  UNION ALL
+      |  SELECT user_id, epoch_us(ts), event_id, 0, NULL, NULL, event_id, epoch_us(ts)
+      |  FROM views),
+      |m AS (
+      |  SELECT user_id, il, event_id, tus,
+      |    last_value(r_event_id IGNORE NULLS) OVER w AS mv,
+      |    last_value(r_tus IGNORE NULLS) OVER w AS mt
+      |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ord, il, tie
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id AS click_id, user_id, CAST(mv AS BIGINT) AS view_id,
+      |  CAST(tus - mt AS BIGINT) AS lag_us
+      |FROM m WHERE il = 1 ORDER BY click_id""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     prqlQueries.map { case (name, prql, _) =>
       name -> ((s: SparkSession, dir: String) => Graft.compileDir(prql, s, dir))
-    }.toMap ++ pipeline.PipelineOps.queries
+    }.toMap ++ pipeline.PipelineOps.queries +
+      ("q49_asof_transform" -> ((s: SparkSession, dir: String) =>
+        Graft.compileDir(asofPrql, s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     prqlQueries.map { case (name, _, sql) => name -> sql }.toMap ++
-      pipeline.PipelineOps.oracleSql
+      pipeline.PipelineOps.oracleSql +
+      ("q49_asof_transform" -> asofOracle)
 }

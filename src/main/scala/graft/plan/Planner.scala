@@ -345,6 +345,8 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
 
     case "join" => applyJoin(ctx, args, named)
 
+    case "join_asof" => applyJoinAsof(ctx, args, named)
+
     case "group" =>
       val (keys, body) = args match {
         case List(k, b) => (keyList(k), bodyStages(b))
@@ -514,6 +516,102 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
             ctx.frame.exact && rightFrame.exact))
       }
     ctx.copy(plan = joined, frame = frame)
+  }
+
+  // ---- join_asof (SURPLUS transform — the reference has none; SURVEY
+  // §2.10 marks it surplus. p34's tagged-union shape behind the language
+  // surface: `join_asof right [keys] on:ord tie:col`.) ----
+
+  /** As-of join: for each left row, attach the LATEST right row with
+    * right.`ord` <= left.`ord` among equal `keys` (ties on `ord`: the
+    * right row still matches — as-of is <= — and among equal-`ord` right
+    * rows the highest `tie` wins; `tie` is required so the result is
+    * deterministic). Right-side non-key columns come back renamed
+    * `<alias>_<col>`.
+    *
+    * Plan shape (the p34 contract): tagged UNION of both sides, ONE
+    * window per key partition carrying `last(<right payload struct>
+    * IGNORE NULLS)` over the event order, filter back to left rows —
+    * one `keys` shuffle, ZERO row amplification, no range product. The
+    * right payload rides as a single STRUCT so a match is always one
+    * whole right row (per-column last-ignore-nulls would stitch
+    * different rows when right columns contain nulls). Keys are
+    * REQUIRED: a key-less as-of is a global-sort single-partition stage,
+    * the hazard class the compile diagnostics exist for.
+    *
+    * The sub-plans analyze here (Dataset API needs schemas for the
+    * null-typed union); the resolved subtree splices back into the fold
+    * like applyTake's drop path — analysis is idempotent. */
+  private def applyJoinAsof(ctx: Ctx, args: List[Expr],
+                            named: List[(String, Expr)]): Ctx = {
+    var ord: Option[String] = None
+    var tie: Option[String] = None
+    named.foreach {
+      case ("on", Ident(List(c))) => ord = Some(c)
+      case ("tie", Ident(List(c))) => tie = Some(c)
+      case (n, v) => throw new PlanError(s"unknown join_asof named arg $n:$v " +
+        "(expected on:<ord-column> and tie:<tiebreak-column>)")
+    }
+    var tableOpt: Option[(String, String)] = None
+    var keys: List[String] = Nil
+    args.foreach {
+      case Assign(a, Ident(List(t))) if tableOpt.isEmpty => tableOpt = Some((a, t))
+      case Ident(List(t)) if tableOpt.isEmpty => tableOpt = Some((t, t))
+      case EList(items) if keys.isEmpty && items.nonEmpty =>
+        keys = items.map {
+          case Ident(List(c)) => c
+          case other => throw new PlanError(s"join_asof keys must be bare idents, got $other")
+        }
+      case e => throw new PlanError(s"bad join_asof arg: $e")
+    }
+    val (alias, tbl) = tableOpt.getOrElse(throw new PlanError("join_asof needs a table"))
+    val ordCol = ord.getOrElse(throw new PlanError(
+      "join_asof requires on:<ord-column> (the as-of ordering column, present on both sides)"))
+    val tieCol = tie.getOrElse(throw new PlanError(
+      "join_asof requires tie:<tiebreak-column> — without it, equal-ord matches are nondeterministic"))
+    if (keys.isEmpty) throw new PlanError(
+      "join_asof requires at least one equi key: a key-less as-of join is a " +
+        "single-partition global sort at scale — partition the match by a key")
+    val (rightBase, _) = resolveTable(tbl)
+    val leftDf = toDf(ctx.plan)
+    val rightDf = toDf(SubqueryAlias(alias, rightBase))
+    def requireCols(df: DataFrame, side: String): Unit =
+      (keys :+ ordCol :+ tieCol).foreach { c =>
+        if (!df.columns.contains(c)) throw new PlanError(
+          s"join_asof column '$c' is missing from the $side side (has: ${df.columns.mkString(", ")})")
+      }
+    requireCols(leftDf, "left"); requireCols(rightDf, s"right ('$tbl')")
+    val leftCols = leftDf.columns.toSeq
+    val carried = rightDf.columns.toSeq.filterNot(keys.contains)
+    val outNames = carried.map(c => s"${alias}_$c")
+    outNames.find(leftCols.contains).foreach { n =>
+      throw new PlanError(s"join_asof output column '$n' collides with a left column — " +
+        "alias the right table or rename the left column")
+    }
+    val o = "__graft_asof_ord"; val t = "__graft_asof_tie"
+    val il = "__graft_asof_il"; val r = "__graft_asof_r"
+    val rStruct = F.struct(carried.map(c => rightDf(c).as(c)): _*)
+    val rType = rightDf.select(rStruct.as(r)).schema(r).dataType
+    val lTag = leftDf.select(
+      keys.map(leftDf(_)) ++ Seq(leftDf(ordCol).as(o), leftDf(tieCol).as(t),
+        F.lit(1).as(il), F.lit(null).cast(rType).as(r)) ++
+        leftCols.filterNot(keys.contains).map(leftDf(_)): _*)
+    val rTag = rightDf.select(
+      keys.map(rightDf(_)) ++ Seq(rightDf(ordCol).as(o), rightDf(tieCol).as(t),
+        F.lit(0).as(il), rStruct.as(r)) ++
+        leftCols.filterNot(keys.contains).map(c =>
+          F.lit(null).cast(leftDf.schema(c).dataType).as(c)): _*)
+    val w = Window.partitionBy(keys.map(F.col): _*)
+      .orderBy(F.col(o).asc, F.col(il).asc, F.col(t).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = lTag.unionByName(rTag)
+      .withColumn(r, F.last(F.col(r), ignoreNulls = true).over(w))
+    val out = matched.filter(F.col(il) === 1).select(
+      leftCols.map(F.col) ++
+        carried.zip(outNames).map { case (c, n) => F.col(s"$r.$c").as(n) }: _*)
+    ctx.copy(plan = GraftPlanBridge.analyzed(out),
+      frame = Frame((leftCols ++ outNames).toVector,
+        ctx.frame.tables + (alias -> outNames.toVector), exact = true))
   }
 
   /** Lower a join condition with explicit side scoping

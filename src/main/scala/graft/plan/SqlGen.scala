@@ -276,6 +276,14 @@ final class SqlGen(query: Query) {
         val out = body.foldLeft(entry)(applyStage)
         out.copy(frameSpec = b.frameSpec, inWindowBody = b.inWindowBody)
 
+      case "join_asof" =>
+        // documented divergence (the jinja precedent, inverted): the
+        // tagged-union rewrite needs both sides' SCHEMAS to type the
+        // null-padded union, which the schema-less text backend lacks
+        throw new SqlGenError(
+          "join_asof is not SQL-text-expressible (schema-dependent tagged union); " +
+            "use the DataFrame backend")
+
       case other =>
         throw new SqlGenError(s"'$other' is not a transform (stage-position call)")
     }

@@ -26,6 +26,20 @@ object LatProbe {
       new graft.plan.Planner(spark, cat, q, spans).planMainUnresolved()
     }
     bench("full compile") { Graft.compile(src, spark, cat) }
+    // the reference's ACTUAL artifact is SQL text (translator.rs:32-49);
+    // this is the apples-to-apples axis against its ~300 us compile
+    bench("toSparkSql (reference's artifact shape)") { Graft.toSparkSql(src) }
+    // analyzer floor: ONE trivial Dataset op (a 1-column select on an
+    // already-analyzed base) pays the same per-run analyzer machinery with
+    // a 2-node plan — the irreducible cost any Catalyst-plan-emitting
+    // compile pays, however small the fold's plan
+    bench("analyzer floor (trivial select)") { employees.select("salary") }
+    val key = "spark.sql.analyzer.singlePassResolver.enabledTentatively"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try bench("full compile (fixed-point analyzer)") { Graft.compile(src, spark, cat) }
+    finally prior match { case Some(v) => spark.conf.set(key, v)
+                          case None => spark.conf.unset(key) }
     spark.stop()
   }
 }

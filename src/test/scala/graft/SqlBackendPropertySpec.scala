@@ -31,13 +31,21 @@ class SqlBackendPropertySpec extends AnyFunSuite {
             concat('s', CAST(id % 5 AS STRING)) AS s
           FROM (SELECT explode(sequence(1, 48)) AS id)""")
       .createOrReplaceTempView(View)
+    // join dimension: unique per grp (joins never fan out, so the unique
+    // key survives) and deliberately MISSING 'd' — left joins carry nulls,
+    // inner joins drop rows
+    spark.sql(
+      """SELECT * FROM VALUES ('a', 10L, 'alpha'), ('b', 20L, 'beta'),
+           ('c', CAST(NULL AS BIGINT), 'gamma') AS t(grp, w, label)""")
+      .createOrReplaceTempView("fuzz_dim")
   }
 
   /** Column-typed generator state: name -> type ('n bigint, 'd double,
     * 's string). `uniqueKey` is a column that totally orders the current
-    * relation (for take-determinism); None when lost by select. */
+    * relation (for take-determinism); None when lost by select. `joined`
+    * caps the pipeline at one dim join (a second would collide w/label). */
   private case class St(cols: Vector[(String, Char)], uniqueKey: Option[String],
-                        grouped: Boolean)
+                        grouped: Boolean, joined: Boolean = false)
 
   private def colsOf(st: St, t: Char): Vector[String] =
     st.cols.collect { case (n, `t`) => n }
@@ -47,11 +55,12 @@ class SqlBackendPropertySpec extends AnyFunSuite {
     if (depth <= 0 || numCols.isEmpty || r.nextInt(3) == 0)
       if (numCols.nonEmpty && r.nextBoolean()) numCols(r.nextInt(numCols.size))
       else (r.nextInt(199) - 99).toString
-    else r.nextInt(4) match {
+    else r.nextInt(5) match {
       case 0 => s"(${numExpr(r, st, depth - 1)} + ${numExpr(r, st, depth - 1)})"
       case 1 => s"(${numExpr(r, st, depth - 1)} - ${numExpr(r, st, depth - 1)})"
       case 2 => s"(${numExpr(r, st, depth - 1)} * ${(r.nextInt(5) + 1).toString})"
       case 3 => s"(coalesce ${numCols(r.nextInt(numCols.size))} ${r.nextInt(50).toString})"
+      case 4 => s"(${numCols(r.nextInt(numCols.size))} ?? ${(r.nextInt(40) - 20).toString})"
     }
   }
 
@@ -99,8 +108,16 @@ class SqlBackendPropertySpec extends AnyFunSuite {
   }
 
   /** One row-phase stage; returns (stage text, next state). */
-  private def rowStage(r: Random, st: St, fresh: () => String): (String, St) =
-    r.nextInt(5) match {
+  private def rowStage(r: Random, st: St, fresh: () => String): (String, St) = {
+    val canJoin = !st.joined && st.cols.exists(_._1 == "grp") &&
+      !st.cols.exists(c => c._1 == "w" || c._1 == "label")
+    val n = r.nextInt(if (canJoin) 6 else 5)
+    if (n == 5)
+      // USING join on grp against the unique-per-grp dim: no fanout (the
+      // unique key survives), 'd' rows exercise left-null vs inner-drop
+      (s"join side:${if (r.nextBoolean()) "left" else "inner"} fuzz_dim [grp]",
+        st.copy(cols = st.cols ++ Vector("w" -> 'n', "label" -> 's'), joined = true))
+    else n match {
       case 0 => (s"filter ${boolExpr(r, st, r.nextInt(2))}", st)
       case 1 =>
         // derive 1-2 columns; occasionally shadow an earlier derived col
@@ -141,6 +158,7 @@ class SqlBackendPropertySpec extends AnyFunSuite {
           else { val a = r.nextInt(10) + 1; s"take $a..${a + r.nextInt(20) + 1}" }
         (s"sort [${if (r.nextBoolean()) s"-$key" else key}]\n$take", st)
     }
+  }
 
   private def genPipeline(seed: Int): String = {
     val r = new Random(seed)
@@ -191,10 +209,10 @@ class SqlBackendPropertySpec extends AnyFunSuite {
       .toSeq
   }
 
-  test("sql backend row-equals the DataFrame path on 150 random pipelines") {
+  test("sql backend row-equals the DataFrame path on 250 random pipelines") {
     fixture
     var nonEmpty = 0
-    (1 to 150).foreach { seed =>
+    (1 to 250).foreach { seed =>
       val prql = genPipeline(seed)
       val dfPath =
         try Graft.compileSession(prql, spark)
@@ -214,6 +232,6 @@ class SqlBackendPropertySpec extends AnyFunSuite {
       if (a.nonEmpty) nonEmpty += 1
     }
     // the property is vacuous if filters empty everything out
-    assert(nonEmpty >= 75, s"only $nonEmpty/150 pipelines returned rows — generator too restrictive")
+    assert(nonEmpty >= 125, s"only $nonEmpty/250 pipelines returned rows — generator too restrictive")
   }
 }

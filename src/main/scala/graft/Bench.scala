@@ -105,8 +105,22 @@ object Bench {
     * embeddings with remapped ids: texts get a per-replica suffix token
     * (so replicas are near-dups, not exact dups — the duplicate-cluster
     * size distribution stays ~flat instead of every cluster growing ×K);
-    * embeddings get a per-replica circular rotation (norm-preserving,
-    * distinct vectors, intra-replica geometry intact). Each probe op runs
+    * embeddings get a per-replica Walsh ±1 sign pattern (a diagonal
+    * orthogonal transform: intra-replica geometry is preserved EXACTLY,
+    * while cross-replica dot products — including a vector against its
+    * own other replicas — decorrelate, because the relative pattern
+    * between replicas r1≠r2 is the balanced Walsh function of r1⊕r2; a
+    * circular rotation fails this — smooth vectors autocorrelate under
+    * shift, so every vector's K copies formed a near-dup CLIQUE and true
+    * pair count grew ×K², which read as super-linear operator scaling
+    * when it was a data artifact). Reading the ratios: p54/p16 hold
+    * ratio_per_x ≈ 1 (linear); p22's ≈ 2.5 is the RECALL-HOLDING LSH
+    * cost, not a defect — chooseSrpGeometry derives (r, b) = (10, 15)
+    * at 10× the corpus vs (6, 8) at base, so per-vector plane work is
+    * 150/48 ≈ 3.1×, and the measured ×10 ratio ≈ 25 matches the
+    * O(n · r(n) · b(n)) model exactly. Holding banding recall at finer
+    * buckets costs b ≈ linear in r ≈ log n: the true shape is
+    * O(n log n), the standard LSH trade. Each probe op runs
     * once untimed (plan + footer warm) then twice timed; the artifact
     * reports min alongside the suite's base median and the ratio/K —
     * ratio_per_x ≈ 1 is linear scaling, the claim the plans make. */
@@ -129,8 +143,9 @@ object Bench {
     val embCols = embs.columns.map {
       case "vec_id" => s"vec_id * ${k}L + r AS vec_id"
       case "embedding" =>
-        // circular rotation by r: norm-preserving, distinct per replica
-        "concat(slice(embedding, r + 1, size(embedding) - r), slice(embedding, 1, r)) AS embedding"
+        // Walsh ±1 sign flip per replica: s_i(r) = (-1)^popcount(i & r);
+        // r=0 is the identity, so replica 0 IS the original corpus
+        "transform(embedding, (x, i) -> CASE WHEN pmod(bit_count(i & r), 2) = 0 THEN x ELSE -x END) AS embedding"
       case c => s"`$c`"
     }
     embs.selectExpr(s"explode(sequence(0, ${k - 1})) AS r" +: embs.columns.map(c => s"`$c`"): _*)

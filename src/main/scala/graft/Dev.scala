@@ -33,6 +33,22 @@ object Dev {
           |  ]
           |)
           |sort [l_returnflag, l_linestatus]""".stripMargin,
+      "join-asof" ->
+        """table clicks = (
+          |  from events
+          |  filter event_type == "click"
+          |  select [event_id, user_id, ts]
+          |)
+          |table views = (
+          |  from events
+          |  filter event_type == "view"
+          |  select [event_id, user_id, ts]
+          |)
+          |from clicks
+          |join_asof views [user_id] on:ts tie:event_id
+          |select [click_id = event_id, user_id, view_id = views_event_id]
+          |sort click_id
+          |take 5""".stripMargin,
       "join-using-group" ->
         """from customer
           |join nation [n_nationkey == c_nationkey]

@@ -73,7 +73,13 @@ final class SqlGen(query: Query) {
       frameSpec: Option[FrameSpec] = None,
       inGroupBody: Boolean = false,
       inWindowBody: Boolean = false,
-      aggregated: Boolean = false)
+      aggregated: Boolean = false,
+      // lowercase names the base relation is KNOWN to emit (aliases that
+      // survived a flush) — a later `derive` shadowing one of these must
+      // render as * EXCEPT + replacement, not a bare appended alias
+      // (SELECT *, e AS x over a subquery already emitting x is an
+      // ambiguous reference; found by SqlBackendPropertySpec seed 145)
+      baseNames: Set[String] = Set.empty)
 
   private def renderBlock(b: Block, isTop: Boolean): String = {
     val items: Vector[String] = b.select match {
@@ -113,7 +119,14 @@ final class SqlGen(query: Query) {
       sort = b.sort, sortForOutput = b.sortForOutput,
       groupKeys = b.groupKeys, frameSpec = b.frameSpec,
       inGroupBody = b.inGroupBody, inWindowBody = b.inWindowBody,
-      aggregated = b.aggregated)
+      aggregated = b.aggregated,
+      // names the closed subquery certainly emits (a known SUBSET — the
+      // base star's own columns stay unknowable without a schema)
+      baseNames = b.select match {
+        case Some(items) => items.flatMap(_._1).map(_.toLowerCase).toSet
+        case None => (b.baseNames -- b.excepts.map(_.toLowerCase)) ++
+          b.extras.map(_._1.toLowerCase)
+      })
 
   /** Positional state that makes the block's OUTPUT differ from its input
     * relation for a new consumer. */
@@ -197,11 +210,12 @@ final class SqlGen(query: Query) {
                 extras = withEnv.extras :+ (n -> sql))
             case None =>
               // may shadow a base column we cannot see (no schema): emit
-              // EXCEPT defensively only when the name is NOT a fresh alias.
-              // Without schemas, treat every unnamed target as fresh unless
-              // the expression references itself (derive x = x + 1).
+              // EXCEPT when the name is KNOWN to come out of the base (an
+              // alias that survived a flush) or when the expression
+              // references itself (derive x = x + 1); otherwise treat the
+              // unnamed target as fresh.
               val selfRef = referencesName(e, n)
-              if (selfRef)
+              if (selfRef || withEnv.baseNames.contains(n.toLowerCase))
                 withEnv.copy(excepts = (withEnv.excepts :+ n).distinct,
                   extras = withEnv.extras :+ (n -> sql))
               else withEnv.copy(extras = withEnv.extras :+ (n -> sql))

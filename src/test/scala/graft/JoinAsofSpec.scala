@@ -73,4 +73,15 @@ class JoinAsofSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"as-of must be the tagged-union window, not a join:\n$plan")
     assert(plan.contains("Window"), s"expected the as-of window:\n$plan")
   }
+
+  test("physical shape: exactly one key-hash exchange (plus the output sort)") {
+    val df = SparkEntry.queries("q49_asof_transform")(spark, dir)
+    val phys = df.queryExecution.executedPlan.toString
+    val hashEx = "hashpartitioning\\(user_id".r.findAllIn(phys).size
+    assert(hashEx == 1,
+      s"the as-of match must shuffle on the key exactly once, found $hashEx:\n$phys")
+    // the only other exchange is the trailing ORDER BY's range partitioner
+    val allEx = "Exchange ".r.findAllIn(phys).size
+    assert(allEx <= 2, s"unexpected extra exchanges ($allEx):\n$phys")
+  }
 }

@@ -120,24 +120,29 @@ class SqlBackendPropertySpec extends AnyFunSuite {
     else n match {
       case 0 => (s"filter ${boolExpr(r, st, r.nextInt(2))}", st)
       case 1 =>
-        // derive 1-2 columns; occasionally shadow an earlier derived col
-        val derived = st.cols.map(_._1).filter(_.startsWith("x"))
-        val n = r.nextInt(2) + 1
-        val assigns = (1 to n).map { _ =>
+        // derive 1-2 columns; occasionally shadow an earlier derived col.
+        // State FOLDS through the assigns: the planner lets a later item
+        // see an earlier item's value, so a type-changing shadow in
+        // assign 1 must be visible when assign 2's expression is
+        // generated (found by a seed shadowing x1 to a string and then
+        // building x1 + 5 — valid analysis via implicit cast, runtime
+        // malformed-cast error on both backends)
+        val nA = r.nextInt(2) + 1
+        var cur = st
+        val texts = (1 to nA).map { _ =>
+          val derived = cur.cols.map(_._1).filter(_.startsWith("x"))
           val name =
             if (derived.nonEmpty && r.nextInt(4) == 0) derived(r.nextInt(derived.size))
             else fresh()
           val (body, t) = r.nextInt(3) match {
-            case 0 => (numExpr(r, st, 2), 'n')
-            case 1 => (dblExpr(r, st, 1), 'd')
-            case 2 => (strExpr(r, st), 's')
+            case 0 => (numExpr(r, cur, 2), 'n')
+            case 1 => (dblExpr(r, cur, 1), 'd')
+            case 2 => (strExpr(r, cur), 's')
           }
-          (name, body, t)
+          cur = cur.copy(cols = cur.cols.filterNot(_._1 == name) :+ (name -> t))
+          s"$name = $body"
         }
-        val next = assigns.foldLeft(st) { case (acc, (nm, _, t)) =>
-          acc.copy(cols = acc.cols.filterNot(_._1 == nm) :+ (nm -> t))
-        }
-        (s"derive [${assigns.map(a => s"${a._1} = ${a._2}").mkString(", ")}]", next)
+        (s"derive [${texts.mkString(", ")}]", cur)
       case 2 =>
         // select a subset that always keeps the unique key (take-safety)
         val keep = st.uniqueKey.toSeq ++
@@ -225,7 +230,11 @@ class SqlBackendPropertySpec extends AnyFunSuite {
         catch { case e: Throwable =>
           fail(s"seed=$seed generated SQL failed:\n$sql\n${e.getMessage.take(300)}\n--- prql:\n$prql")
         }
-      val (a, b) = (canon(dfPath), canon(sqlPath))
+      val (a, b) =
+        try (canon(dfPath), canon(sqlPath))
+        catch { case e: Throwable =>
+          fail(s"seed=$seed runtime failure: ${e.getMessage.take(300)}\n--- prql:\n$prql\n--- sql:\n$sql")
+        }
       assert(a == b,
         s"seed=$seed row mismatch (${a.length} vs ${b.length} rows)\n--- prql:\n$prql\n--- sql:\n$sql\n" +
           s"first diff: ${a.zip(b).find(p => p._1 != p._2).orElse(Some(("<len>", "<len>")))}")

@@ -241,13 +241,27 @@ final class SqlGen(query: Query) {
       case "aggregate" =>
         val items = aggItems(args)
         if (items.isEmpty) throw new SqlGenError("aggregate expects at least one expression")
-        val b1 = if (closed(b)) flush(b) else b
-        val keyItems = b1.groupKeys.map { k =>
-          val n = k match { case Ident(parts) => parts.last; case other => prettyName(other) }
-          (n, renderExpr(b1, k, inAgg = false))
-        }
-        val aggItemsR = items.map { case (nameOpt, e) =>
-          (nameOpt.getOrElse(prettyName(e)), renderExpr(b1, e, inAgg = true))
+        val b0 = if (closed(b)) flush(b) else b
+        def render(bb: Block) = (
+          bb.groupKeys.map { k =>
+            val n = k match { case Ident(parts) => parts.last; case other => prettyName(other) }
+            (n, renderExpr(bb, k, inAgg = false))
+          },
+          items.map { case (nameOpt, e) =>
+            (nameOpt.getOrElse(prettyName(e)), renderExpr(bb, e, inAgg = true))
+          })
+        // a window-DERIVED column referenced in the aggregate inlines its
+        // OVER expression through the env; close the block so the window
+        // value becomes a real column first (the filter-over-window
+        // precedent). Only a window expression written directly inside the
+        // aggregate body is genuinely inexpressible.
+        val (b1, keyItems, aggItemsR) = {
+          val (k0, a0) = render(b0)
+          if ((k0 ++ a0).exists(_._2.contains(" OVER ("))) {
+            val bf = flush(b0)
+            val (k1, a1) = render(bf)
+            (bf, k1, a1)
+          } else (b0, k0, a0)
         }
         if ((keyItems ++ aggItemsR).exists(_._2.contains(" OVER (")))
           throw new SqlGenError("window expressions inside aggregate are not SQL-expressible")

@@ -176,6 +176,33 @@ class SqlBackendPropertySpec extends AnyFunSuite {
       val (stage, next) = rowStage(r, st, fresh)
       sb.append(stage).append('\n'); st = next
     }
+    // optional window block: running aggregates / ranking / offsets under
+    // the ambient-sort frame rules, per key partition. The sort inside the
+    // group ends in the unique key, so lag/row_number are deterministic;
+    // outputs are per-row values keyed by that key, so the multiset canon
+    // stays sound.
+    if (r.nextInt(3) == 0 && st.cols.exists(_._1 == "grp") && st.uniqueKey.isDefined) {
+      val key = st.uniqueKey.get
+      val numCols = colsOf(st, 'n')
+      val picks = scala.collection.mutable.ArrayBuffer.empty[(String, String, Char)]
+      picks += (("row_number", "(row_number | as bigint)", 'n'))
+      if (numCols.nonEmpty) {
+        val c = numCols(r.nextInt(numCols.size))
+        val opts = Vector(
+          (s"sum $c", 'n'), (s"min $c", 'n'), (s"max $c", 'n'),
+          (s"lag 1 $c", 'n'), (s"lead 1 $c", 'n'),
+          (s"first $c", 'n'), (s"last 1 $c", 'n'), ("rank", 'n'))
+        r.shuffle(opts).take(r.nextInt(2) + 1).foreach { case (e, t) =>
+          picks += ((e, s"($e)", t))
+        }
+      }
+      val assigns = picks.toVector.map { case (_, body, t) =>
+        val nm = fresh(); (s"$nm = $body", nm, t)
+      }
+      val sortDir = if (r.nextBoolean()) s"-$key" else key
+      sb.append(s"group [grp] (\n  sort [$sortDir]\n  derive [${assigns.map(_._1).mkString(", ")}]\n)\n")
+      st = st.copy(cols = st.cols ++ assigns.map(a => a._2 -> a._3))
+    }
     if (r.nextBoolean() && st.cols.exists(_._1 == "grp")) {
       val numCols = colsOf(st, 'n')
       val aggs = Vector("n = count") ++

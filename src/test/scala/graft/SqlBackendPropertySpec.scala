@@ -28,7 +28,8 @@ class SqlBackendPropertySpec extends AnyFunSuite {
       s"""SELECT id, CAST(element_at(array('a','b','c','d'), CAST(pmod(id, 4) AS INT) + 1) AS STRING) AS grp,
             CASE WHEN id % 7 = 0 THEN CAST(NULL AS BIGINT) ELSE (id * 13) % 29 END AS v,
             CAST(id AS DOUBLE) / 4.0 - 3.5 AS f,
-            concat('s', CAST(id % 5 AS STRING)) AS s
+            concat('s', CAST(id % 5 AS STRING)) AS s,
+            date_add(DATE'2022-01-01', CAST((id * 11) % 90 AS INT)) AS d
           FROM (SELECT explode(sequence(1, 48)) AS id)""")
       .createOrReplaceTempView(View)
     // join dimension: unique per grp (joins never fan out, so the unique
@@ -55,14 +56,23 @@ class SqlBackendPropertySpec extends AnyFunSuite {
     if (depth <= 0 || numCols.isEmpty || r.nextInt(3) == 0)
       if (numCols.nonEmpty && r.nextBoolean()) numCols(r.nextInt(numCols.size))
       else (r.nextInt(199) - 99).toString
-    else r.nextInt(5) match {
+    else r.nextInt(7) match {
       case 0 => s"(${numExpr(r, st, depth - 1)} + ${numExpr(r, st, depth - 1)})"
       case 1 => s"(${numExpr(r, st, depth - 1)} - ${numExpr(r, st, depth - 1)})"
       case 2 => s"(${numExpr(r, st, depth - 1)} * ${(r.nextInt(5) + 1).toString})"
       case 3 => s"(coalesce ${numCols(r.nextInt(numCols.size))} ${r.nextInt(50).toString})"
       case 4 => s"(${numCols(r.nextInt(numCols.size))} ?? ${(r.nextInt(40) - 20).toString})"
+      // user-function calls through pipe currying (the prelude defines
+      // fz1/fz2; fz2 exercises the named-default path)
+      case 5 => s"(${numExpr(r, st, depth - 1)} | fz1)"
+      case 6 =>
+        if (r.nextBoolean()) s"(${numCols(r.nextInt(numCols.size))} | fz2)"
+        else s"(${numCols(r.nextInt(numCols.size))} | fz2 k:${r.nextInt(9)})"
     }
   }
+
+  private def dateLit(r: Random): String =
+    f"@2022-0${1 + r.nextInt(3)}%d-${10 + r.nextInt(18)}%d"
 
   private def dblExpr(r: Random, st: St, depth: Int): String = {
     val dblCols = colsOf(st, 'd')
@@ -93,11 +103,20 @@ class SqlBackendPropertySpec extends AnyFunSuite {
     val cmp = Seq("==", "!=", ">", "<", ">=", "<=")
     if (depth <= 0) {
       val numCols = colsOf(st, 'n')
-      r.nextInt(3) match {
+      val dateCols = colsOf(st, 't')
+      r.nextInt(4) match {
         case 0 if numCols.nonEmpty && r.nextBoolean() =>
           val c = numCols(r.nextInt(numCols.size))
           s"($c ${if (r.nextBoolean()) "==" else "!="} null)"
         case 1 => s"(${strExpr(r, st)} ${cmp(r.nextInt(2))} ${strExpr(r, st)})"
+        case 3 if dateCols.nonEmpty =>
+          val c = dateCols(r.nextInt(dateCols.size))
+          if (r.nextBoolean()) s"($c ${cmp(2 + r.nextInt(4))} ${dateLit(r)})"
+          else {
+            val (a, b) = (dateLit(r), dateLit(r))
+            val (lo, hi) = if (a <= b) (a, b) else (b, a)
+            s"($c | in $lo..$hi)"
+          }
         case _ => s"(${numExpr(r, st, 1)} ${cmp(r.nextInt(cmp.size))} ${numExpr(r, st, 1)})"
       }
     } else r.nextInt(3) match {
@@ -169,9 +188,11 @@ class SqlBackendPropertySpec extends AnyFunSuite {
     val r = new Random(seed)
     var counter = 0
     val fresh = () => { counter += 1; s"x$counter" }
-    var st = St(Vector("id" -> 'n', "grp" -> 's', "v" -> 'n', "f" -> 'd', "s" -> 's'),
-      Some("id"), grouped = false)
-    val sb = new StringBuilder(s"from $View\n")
+    var st = St(Vector("id" -> 'n', "grp" -> 's', "v" -> 'n', "f" -> 'd',
+      "s" -> 's', "d" -> 't'), Some("id"), grouped = false)
+    val sb = new StringBuilder(
+      "func fz1 x -> (x * 2 + 1)\nfunc fz2 k:3 x -> (x + k)\n\n" +
+        s"from $View\n")
     (1 to r.nextInt(4) + 1).foreach { _ =>
       val (stage, next) = rowStage(r, st, fresh)
       sb.append(stage).append('\n'); st = next

@@ -129,6 +129,11 @@ object Bench {
 
   private def buildScaledDir(spark: org.apache.spark.sql.SparkSession,
                              sfDir: String, k: Int): String = {
+    // k <= 64: the Walsh patterns live on the 6 index bits of a 64-dim
+    // embedding, so replicas r and r+64 would get IDENTICAL signs — exact
+    // duplicate vectors, the clique artifact all over again
+    require(k >= 2 && k <= 64,
+      s"SPARK_GRAFT_SCALE_K must be in [2, 64] (64-dim Walsh sign space), got $k")
     val out = "target/scaleprobe"
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val docCols = docs.columns.map {

@@ -709,7 +709,8 @@ object SparkEntry {
     """WITH clicks AS (
       |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
       |views AS (
-      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+      |  SELECT event_id, user_id, ts FROM events
+      |  WHERE event_type = 'view' AND user_id IS NOT NULL AND ts IS NOT NULL),
       |u AS (
       |  SELECT user_id, epoch_us(ts) AS ord, event_id AS tie, 1 AS il,
       |         event_id, epoch_us(ts) AS tus, NULL AS r_event_id, NULL AS r_tus

@@ -1694,19 +1694,21 @@ object PipelineRelational {
     PipelineOps.registerJlPlanes(spark)
   }
 
-  /** The texts above hardcode the operators' DEFAULT knobs (md5 hash
-    * family, fim salt 'fim0', ppx threshold 3_400_000 µnats, 4 simhash
-    * bands), while the live operators read them from session config — so a
-    * gate comparing the two under a non-default config would report false
-    * diffs (ADVICE r8). Every gate consumer (PipelineRelationalSpec,
-    * Verify's relback dump) calls this first: it UNSETS the knob configs,
-    * pinning the comparison to defaults, the same contract
-    * `hashFamily`'s md5 gate pin states. Live deployments tune the knobs
-    * freely — only the cross-backend comparison is default-pinned. */
+  /** The texts above hardcode the operators' DEFAULT knobs (hash family,
+    * fim salt, ppx threshold, simhash bands, substrK, chunk geometry,
+    * quotas, budgets, …), while the live operators read them from session
+    * config — so a gate comparing the two under a non-default config
+    * would report false diffs (ADVICE r8). Every gate consumer
+    * (PipelineRelationalSpec, Verify's relback dump) calls this first:
+    * it UNSETS every `spark.graft.*` config present in the session —
+    * sweeping the whole namespace rather than an enumerated list, so a
+    * future knob cannot silently re-open the gap — pinning the
+    * comparison to defaults, the same contract `hashFamily`'s md5 gate
+    * pin states. Live deployments tune the knobs freely — only the
+    * cross-backend comparison is default-pinned. */
   def pinDefaults(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq("spark.graft.hashFamily", "spark.graft.fimSalt",
-        "spark.graft.ppxFlagMicro", "spark.graft.simhashBands",
-        "spark.graft.plantFixtures")
+    spark.conf.getAll.keys
+      .filter(_.startsWith("spark.graft."))
       .foreach(spark.conf.unset)
 
   /** Operator → why its execution shape is not one relational query. Each

@@ -581,6 +581,15 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
           s"join_asof column '$c' is missing from the $side side (has: ${df.columns.mkString(", ")})")
       }
     requireCols(leftDf, "left"); requireCols(rightDf, s"right ('$tbl')")
+    // NULL semantics (the equi-join contract): a right row with a NULL
+    // key or NULL ord can never be anyone's match — without this filter,
+    // ascending NULLS-FIRST ordering would hand a null-ord right row to
+    // every left row lacking a real predecessor, and null keys would
+    // match each other. Left rows keep their left-preserving behavior: a
+    // null-key or null-ord left row simply matches nothing (its partition
+    // holds no right rows / its frame starts before every right row).
+    val rightClean = rightDf.filter(
+      (keys :+ ordCol).map(c => rightDf(c).isNotNull).reduce(_ && _))
     val leftCols = leftDf.columns.toSeq
     val carried = rightDf.columns.toSeq.filterNot(keys.contains)
     val outNames = carried.map(c => s"${alias}_$c")
@@ -590,14 +599,14 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
     }
     val o = "__graft_asof_ord"; val t = "__graft_asof_tie"
     val il = "__graft_asof_il"; val r = "__graft_asof_r"
-    val rStruct = F.struct(carried.map(c => rightDf(c).as(c)): _*)
-    val rType = rightDf.select(rStruct.as(r)).schema(r).dataType
+    val rStruct = F.struct(carried.map(c => rightClean(c).as(c)): _*)
+    val rType = rightClean.select(rStruct.as(r)).schema(r).dataType
     val lTag = leftDf.select(
       keys.map(leftDf(_)) ++ Seq(leftDf(ordCol).as(o), leftDf(tieCol).as(t),
         F.lit(1).as(il), F.lit(null).cast(rType).as(r)) ++
         leftCols.filterNot(keys.contains).map(leftDf(_)): _*)
-    val rTag = rightDf.select(
-      keys.map(rightDf(_)) ++ Seq(rightDf(ordCol).as(o), rightDf(tieCol).as(t),
+    val rTag = rightClean.select(
+      keys.map(rightClean(_)) ++ Seq(rightClean(ordCol).as(o), rightClean(tieCol).as(t),
         F.lit(0).as(il), rStruct.as(r)) ++
         leftCols.filterNot(keys.contains).map(c =>
           F.lit(null).cast(leftDf.schema(c).dataType).as(c)): _*)
@@ -936,8 +945,12 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
 
   private def exprSql(e: Expr): String = e match {
     case Ident(parts) => parts.map(quoteName).mkString(".")
-    case IntLit(v) => v.toString
-    case FloatLit(v) => v.toString
+    // typed suffixes, mirroring SqlGen.renderExpr: a bare `7.5` parses as
+    // DECIMAL(2,1) and `5` as INT in Spark SQL, while every other literal
+    // path in both backends types them DOUBLE/LONG — an interpolated
+    // literal inside an s-string must not be the one divergent case
+    case IntLit(v) => s"${v}L"
+    case FloatLit(v) => s"${v}D"
     case StrLit(v) => "'" + v.replace("'", "''") + "'"
     case BoolLit(v) => v.toString
     case NullLit => "NULL"

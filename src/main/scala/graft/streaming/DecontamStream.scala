@@ -56,6 +56,14 @@ object DecontamStream {
       .select(F.explode(F.expr(PipelineOps.decontamGramExpr("hw"))).as("g"))
       .distinct()
       .collect().map(_.getLong(0)).sorted
+    // enforce the boundary the scaladoc draws instead of letting a
+    // blocklist-sized eval set OOM the driver / bloat every task binding:
+    // 2^22 grams = 32 MB of plan literal, well past any benchmark suite
+    require(earr.length <= (1 << 22),
+      s"DecontamStream.flag: ${earr.length} distinct eval grams exceeds the " +
+        "plan-literal boundary (2^22). This is a blocklist, not a benchmark " +
+        "suite - use batch p21's chunked path (spark.graft.decontamBuckets) " +
+        "or a stream-static bucket join instead")
     docs
       .withColumn("hw", F.expr(PipelineOps.decontamWordHashExpr(textCol, hf)))
       .where(s"size(hw) >= $minW")

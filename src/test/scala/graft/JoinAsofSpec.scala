@@ -61,6 +61,37 @@ class JoinAsofSpec extends AnyFunSuite {
     assert(collide.contains("collides"))
   }
 
+  test("null semantics: null-ord/null-key right rows never match; null left rows match nothing") {
+    // NULLS-FIRST ordering would otherwise hand the null-ts right row to
+    // click 100 (which has no real predecessor), and null keys would
+    // match each other (code-review r9 finding)
+    spark.sql(
+      """SELECT * FROM VALUES
+           (100L, 1L, TIMESTAMP'2024-01-01 10:00:00'),
+           (101L, 1L, TIMESTAMP'2024-01-01 12:00:00'),
+           (102L, CAST(NULL AS BIGINT), TIMESTAMP'2024-01-01 10:00:00'),
+           (103L, 2L, CAST(NULL AS TIMESTAMP))
+         AS t(event_id, user_id, ts)""").createOrReplaceTempView("asof_l")
+    spark.sql(
+      """SELECT * FROM VALUES
+           (200L, 1L, CAST(NULL AS TIMESTAMP)),
+           (201L, CAST(NULL AS BIGINT), TIMESTAMP'2024-01-01 09:00:00'),
+           (202L, 1L, TIMESTAMP'2024-01-01 11:00:00')
+         AS t(event_id, user_id, ts)""").createOrReplaceTempView("asof_r")
+    val got = Graft.compileSession(
+      """from asof_l
+        |join_asof asof_r [user_id] on:ts tie:event_id
+        |select [event_id, matched = asof_r_event_id]
+        |sort event_id""".stripMargin, spark)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+    assert(got == Seq(
+      100L -> None,        // no prior view; null-ts right row 200 must NOT match
+      101L -> Some(202L),  // the real 11:00 view matches
+      102L -> None,        // null-key left row matches nothing (not row 201)
+      103L -> None),       // null-ord left row matches nothing
+      s"null semantics violated: $got")
+  }
+
   test("the SQL-text backend refuses join_asof with the documented error") {
     val e = intercept[graft.plan.SqlGenError](
       Graft.toSparkSql(SparkEntry.asofPrql))

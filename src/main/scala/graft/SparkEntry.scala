@@ -722,7 +722,10 @@ object SparkEntry {
       |  SELECT user_id, il, event_id, tus,
       |    last_value(r_event_id IGNORE NULLS) OVER w AS mv,
       |    last_value(r_tus IGNORE NULLS) OVER w AS mt
-      |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ord, il, tie
+      |  FROM u WINDOW w AS (
+      |    -- NULLS FIRST pins DuckDB to Spark's ASC default: a null-ord
+      |    -- left row must sort before every view and match nothing
+      |    PARTITION BY user_id ORDER BY ord NULLS FIRST, il, tie
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
       |SELECT event_id AS click_id, user_id, CAST(mv AS BIGINT) AS view_id,
       |  CAST(tus - mt AS BIGINT) AS lag_us

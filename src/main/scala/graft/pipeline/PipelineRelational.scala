@@ -1706,9 +1706,16 @@ object PipelineRelational {
     * comparison to defaults, the same contract `hashFamily`'s md5 gate
     * pin states. Live deployments tune the knobs freely — only the
     * cross-backend comparison is default-pinned. */
+  /** Execution-infrastructure configs that cannot change gate OUTPUTS —
+    * unsetting them would silently revert a cluster's reliable-barrier
+    * setup (localCheckpoint on a lost executor is unrecoverable, the
+    * exact hazard Barrier's doc warns about), so the sweep spares them. */
+  private val infraConfigs = Set(
+    "spark.graft.barrier", "spark.graft.checkpointDir")
+
   def pinDefaults(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.conf.getAll.keys
-      .filter(_.startsWith("spark.graft."))
+      .filter(k => k.startsWith("spark.graft.") && !infraConfigs(k))
       .foreach(spark.conf.unset)
 
   /** Operator → why its execution shape is not one relational query. Each

@@ -945,11 +945,13 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
 
   private def exprSql(e: Expr): String = e match {
     case Ident(parts) => parts.map(quoteName).mkString(".")
-    // typed suffixes, mirroring SqlGen.renderExpr: a bare `7.5` parses as
-    // DECIMAL(2,1) and `5` as INT in Spark SQL, while every other literal
-    // path in both backends types them DOUBLE/LONG — an interpolated
-    // literal inside an s-string must not be the one divergent case
-    case IntLit(v) => s"${v}L"
+    // float literals carry a D suffix, mirroring SqlGen.renderExpr: a
+    // bare `7.5` parses as DECIMAL(2,1) whose arithmetic silently
+    // diverges from the DOUBLE every other literal path produces. Int
+    // literals stay bare — an L suffix would fail INT-slot function
+    // inputs (element_at, substring) under ANSI coercion, and INT
+    // widens to LONG value-identically.
+    case IntLit(v) => v.toString
     case FloatLit(v) => s"${v}D"
     case StrLit(v) => "'" + v.replace("'", "''") + "'"
     case BoolLit(v) => v.toString

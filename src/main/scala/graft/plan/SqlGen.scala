@@ -441,11 +441,14 @@ final class SqlGen(query: Query) {
     case Ident(List(n)) if b.env.contains(n) => s"(${b.env(n)})"
     case Ident(parts) => parts.map(quoteName).mkString(".")
     case NullLit => "NULL"
-    // typed suffixes: the DataFrame backend's F.lit types int literals
-    // LONG and float literals DOUBLE, while bare SQL tokens parse as INT
-    // and DECIMAL — `7.5` as DECIMAL(2,1) changes arithmetic results, a
-    // real divergence found by SqlBackendPropertySpec
-    case IntLit(v) => s"${v}L"
+    // FLOAT literals carry a D suffix: a bare `7.5` parses as
+    // DECIMAL(2,1) in Spark SQL while the DataFrame backend's F.lit
+    // types it DOUBLE — decimal arithmetic silently changes VALUES (a
+    // real divergence found by SqlBackendPropertySpec). INT literals
+    // stay bare deliberately: an L suffix would fail INT-slot function
+    // inputs (element_at, substring) under ANSI coercion (BIGINT does
+    // not narrow), while INT-vs-LONG is value-identical under widening.
+    case IntLit(v) => v.toString
     case FloatLit(v) => s"${v}D"
     case BoolLit(v) => if (v) "TRUE" else "FALSE"
     case StrLit(v) => strLit(v)

@@ -50,18 +50,22 @@ object DecontamStream {
     // one bounded driver-side action over the SMALL side only (the
     // sanctioned class: eval suites are fixed-size; the corpus never
     // collects) — sorted for a deterministic plan literal
+    // the boundary the scaladoc draws (2^22 grams = 32 MB of plan
+    // literal, well past any benchmark suite) is enforced ON THE ACTION:
+    // the LIMIT bounds what the driver ever materializes, so a
+    // blocklist-sized eval set fails fast instead of OOMing the driver
+    // during an unbounded collect
+    val GramCap = 1 << 22
     val earr: Array[Long] = evalDocs
       .select(F.expr(PipelineOps.decontamWordHashExpr(textCol, hf)).as("hw"))
       .where(s"size(hw) >= $minW")
       .select(F.explode(F.expr(PipelineOps.decontamGramExpr("hw"))).as("g"))
       .distinct()
+      .limit(GramCap + 1)
       .collect().map(_.getLong(0)).sorted
-    // enforce the boundary the scaladoc draws instead of letting a
-    // blocklist-sized eval set OOM the driver / bloat every task binding:
-    // 2^22 grams = 32 MB of plan literal, well past any benchmark suite
-    require(earr.length <= (1 << 22),
-      s"DecontamStream.flag: ${earr.length} distinct eval grams exceeds the " +
-        "plan-literal boundary (2^22). This is a blocklist, not a benchmark " +
+    require(earr.length <= GramCap,
+      s"DecontamStream.flag: the eval set exceeds $GramCap distinct grams " +
+        "(the plan-literal boundary). This is a blocklist, not a benchmark " +
         "suite - use batch p21's chunked path (spark.graft.decontamBuckets) " +
         "or a stream-static bucket join instead")
     docs

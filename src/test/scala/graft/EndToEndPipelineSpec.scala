@@ -116,4 +116,38 @@ class EndToEndPipelineSpec extends AnyFunSuite {
     assert(nKeptBudget <= nKept)
     fim.unpersist()
   }
+
+  test("deployment mode: plantFixtures=false composes on a user-bound catalog") {
+    // the r9 deployment contract end-to-end: with planting off the
+    // operators read whatever the session bound — raw corpus text, real
+    // snapshot views — and the fixture machinery is simply absent
+    import spark.implicits._
+    spark.conf.set("spark.graft.plantFixtures", "false")
+    try {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      docs.createOrReplaceTempView("documents")
+      val total = docs.count()
+
+      // PII scrub over the raw corpus: left intact (no natural PII), and
+      // the audit trail says so instead of counting planted hits
+      val pii = PipelineOps.queries("p38_pii_redact")(spark, dir).cache()
+      assert(pii.count() == total)
+      assert(pii.agg(F.sum($"n_emails" + $"n_ips" + $"n_phones")).head.getLong(0) == 0L)
+
+      // NFC canonicalization: ASCII corpus is already canonical
+      val nfc = PipelineOps.queries("p43_unicode_nfc")(spark, dir)
+      assert(nfc.where($"len_raw" =!= $"len_nfc").count() == 0L)
+
+      // snapshot diff against REAL versioned views derived from the
+      // corpus: v2 adds the odd ids, nothing changes or is removed
+      docs.where("doc_id % 2 = 0").createOrReplaceTempView("documents_v1")
+      docs.createOrReplaceTempView("documents_v2")
+      val diff = PipelineOps.queries("p52_snapshot_diff")(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val even = docs.where("doc_id % 2 = 0").count()
+      assert(diff == Map("added" -> (total - even), "unchanged" -> even),
+        s"real-snapshot diff must reflect the bound views exactly, got $diff")
+      pii.unpersist()
+    } finally spark.conf.unset("spark.graft.plantFixtures")
+  }
 }

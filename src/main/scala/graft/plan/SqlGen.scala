@@ -35,14 +35,32 @@ final class SqlGen(query: Query) {
 
   private val funcs: Map[String, FuncDef] = query.funcs.map(f => f.name -> f).toMap
 
+  /** CTE name (lowercased) → output names its rendered SELECT certainly
+    * emits. `from`/`join` of a CTE seeds the new block's baseNames from
+    * this, so a later derive shadowing a CTE column renders as * EXCEPT —
+    * the same contract flush() keeps within one pipeline (the seed-55
+    * fuzzer find: `from cte | derive x` where the CTE emitted x). */
+  private val cteKnown = scala.collection.mutable.Map.empty[String, Set[String]]
+
   def render(): String = {
     val main = query.main.getOrElse(throw new SqlGenError("query has no main pipeline"))
     val ctes = query.tables.map { t =>
-      s"${quoteName(t.name)} AS (\n${pipelineSql(t.pipeline)}\n)"
+      val out = pipelineOutBlock(t.pipeline)
+      cteKnown(t.name.toLowerCase) = emittedNames(out)
+      s"${quoteName(t.name)} AS (\n${renderBlock(out, isTop = true)}\n)"
     }
     val body = pipelineSql(main)
     if (ctes.isEmpty) body
     else s"WITH ${ctes.mkString(",\n")}\n$body"
+  }
+
+  /** Names a block's rendered SELECT certainly emits (a known SUBSET —
+    * an unexpanded base `*` stays unknowable); flush() and the CTE
+    * registry share this rule. */
+  private def emittedNames(b: Block): Set[String] = b.select match {
+    case Some(items) => items.flatMap(_._1).map(_.toLowerCase).toSet
+    case None => (b.baseNames -- b.excepts.map(_.toLowerCase)) ++
+      b.extras.map(_._1.toLowerCase)
   }
 
   // ---------------- the SELECT-block state machine ----------------
@@ -120,23 +138,18 @@ final class SqlGen(query: Query) {
       groupKeys = b.groupKeys, frameSpec = b.frameSpec,
       inGroupBody = b.inGroupBody, inWindowBody = b.inWindowBody,
       aggregated = b.aggregated,
-      // names the closed subquery certainly emits (a known SUBSET — the
-      // base star's own columns stay unknowable without a schema)
-      baseNames = b.select match {
-        case Some(items) => items.flatMap(_._1).map(_.toLowerCase).toSet
-        case None => (b.baseNames -- b.excepts.map(_.toLowerCase)) ++
-          b.extras.map(_._1.toLowerCase)
-      })
+      baseNames = emittedNames(b))
 
   /** Positional state that makes the block's OUTPUT differ from its input
     * relation for a new consumer. */
   private def closed(b: Block): Boolean =
     b.groupBy.isDefined || b.distinct || b.limit.isDefined || b.offset.isDefined
 
-  private def pipelineSql(p: Pipeline): String = {
-    val out = p.stages.foldLeft(Block(from = ""))(applyStage)
-    renderBlock(out, isTop = true)
-  }
+  private def pipelineOutBlock(p: Pipeline): Block =
+    p.stages.foldLeft(Block(from = ""))(applyStage)
+
+  private def pipelineSql(p: Pipeline): String =
+    renderBlock(pipelineOutBlock(p), isTop = true)
 
   private val legalInGroup = Set("select", "derive", "sort", "window", "aggregate", "take")
   private val legalInWindow = Set("select", "derive")
@@ -157,9 +170,11 @@ final class SqlGen(query: Query) {
       case "from" =>
         args match {
           case List(Assign(a, Ident(List(t)))) =>
-            Block(from = relSql(t, a), fromAlias = Some(a))
+            Block(from = relSql(t, a), fromAlias = Some(a),
+              baseNames = cteKnown.getOrElse(t.toLowerCase, Set.empty))
           case List(Ident(List(t))) =>
-            Block(from = relSql(t, t), fromAlias = Some(t))
+            Block(from = relSql(t, t), fromAlias = Some(t),
+              baseNames = cteKnown.getOrElse(t.toLowerCase, Set.empty))
           case List(JinjaLit(src)) =>
             // `from {{ source(...) }}` → verbatim template table reference
             Block(from = src, fromAlias = None)
@@ -351,7 +366,7 @@ final class SqlGen(query: Query) {
         val inner = renderBlock(b, isTop = false)
         val fb = flush(b) // for partition/sort rendering with an empty env
         val part = fb.groupKeys.map(k => renderExpr(fb, k, inAgg = false)).mkString(", ")
-        val ord = fb.sort.map(sortSql(fb, _)).mkString(", ")
+        val ord = fb.sort.map(sortSql(fb, _, inOver = true)).mkString(", ")
         val rn = "_rn_graft"
         val cond = (lo, hi) match {
           case (None, Some(n)) => s"$rn <= $n"
@@ -417,7 +432,10 @@ final class SqlGen(query: Query) {
         s"ON $on"
       }
     b1.copy(from = s"${b1.from}\n$joinKw ${relSql(tbl, alias)} $clause",
-      fromAlias = None)
+      fromAlias = None,
+      // a joined CTE's known output names enter scope too (USING-deduped
+      // keys are still present, so a plain union is correct)
+      baseNames = b1.baseNames ++ cteKnown.getOrElse(tbl.toLowerCase, Set.empty))
   }
 
   private def relSql(tbl: String, alias: String): String =
@@ -605,7 +623,7 @@ final class SqlGen(query: Query) {
     if (b.groupKeys.nonEmpty)
       parts += s"PARTITION BY ${b.groupKeys.map(k => renderExpr(b, k, inAgg = false)).mkString(", ")}"
     if (b.sort.nonEmpty)
-      parts += s"ORDER BY ${b.sort.map(sortSql(b, _)).mkString(", ")}"
+      parts += s"ORDER BY ${b.sort.map(sortSql(b, _, inOver = true)).mkString(", ")}"
     if (withFrame) {
       val frame = b.frameSpec.getOrElse(FrameSpec("rows", None, None))
       val isSqlDefault =
@@ -631,12 +649,15 @@ final class SqlGen(query: Query) {
     s"OVER (${parts.result().mkString(" ")})"
   }
 
-  private def sortSql(b: Block, s: SortItem): String = {
+  private def sortSql(b: Block, s: SortItem, inOver: Boolean = false): String = {
     val base = s.e match {
-      case Ident(List(n)) if b.env.contains(n) =>
+      case Ident(List(n)) if inOver && b.env.contains(n) =>
         val sql = b.env(n)
-        // OVER(ORDER BY) cannot use select aliases; plain ORDER BY can.
-        // env-inline unless the derived expr is itself windowed.
+        // OVER(ORDER BY) cannot use select aliases, so the env expression
+        // must inline there (unless itself windowed); plain ORDER BY uses
+        // the ALIAS — inlining is not merely unnecessary, an inlined
+        // integer literal would be read as an ordinal position
+        // (`ORDER BY (42)` = column 42; fuzzer seed 123)
         if (sql.contains(" OVER (")) quoteName(n) else s"($sql)"
       case Ident(parts) => parts.map(quoteName).mkString(".")
       case other => throw new SqlGenError(s"sort expects identifiers, got $other")

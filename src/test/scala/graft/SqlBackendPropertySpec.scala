@@ -191,8 +191,17 @@ class SqlBackendPropertySpec extends AnyFunSuite {
     var st = St(Vector("id" -> 'n', "grp" -> 's', "v" -> 'n', "f" -> 'd',
       "s" -> 's', "d" -> 't'), Some("id"), grouped = false)
     val sb = new StringBuilder(
-      "func fz1 x -> (x * 2 + 1)\nfunc fz2 k:3 x -> (x + k)\n\n" +
-        s"from $View\n")
+      "func fz1 x -> (x * 2 + 1)\nfunc fz2 k:3 x -> (x + k)\n\n")
+    // half the pipelines route through a `table` CTE carrying 1-2 random
+    // stages — exercises WITH rendering and CTE reference on both backends
+    if (r.nextBoolean()) {
+      sb.append(s"table tsrc = (\n  from $View\n")
+      (1 to r.nextInt(2) + 1).foreach { _ =>
+        val (stage, next) = rowStage(r, st, fresh)
+        sb.append("  ").append(stage.replace("\n", "\n  ")).append('\n'); st = next
+      }
+      sb.append(")\n\nfrom tsrc\n")
+    } else sb.append(s"from $View\n")
     (1 to r.nextInt(4) + 1).foreach { _ =>
       val (stage, next) = rowStage(r, st, fresh)
       sb.append(stage).append('\n'); st = next

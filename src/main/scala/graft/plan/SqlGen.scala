@@ -182,7 +182,22 @@ final class SqlGen(query: Query) {
         }
 
       case "select" =>
-        val b1 = if (closed(b)) flush(b) else b
+        // A pending sort may reference a derived (env) name this select is
+        // about to drop from the projection. Plain ORDER BY must use the
+        // alias (see sortSql), so the name has to exist as a COLUMN: flush
+        // first — the derive becomes a real column of the subquery, and
+        // Spark lets the outer ORDER BY reference a FROM column that is
+        // not in the select list (fuzzer seed 131)
+        val outNames: Set[String] = assignItems(args).flatMap {
+          case (Some(n), _) => Some(n)
+          case (None, Ident(parts)) => Some(parts.last) // "*" never matches a sort ident
+          case (None, e) => Some(prettyName(e))
+        }.toSet
+        val sortDropsEnvName = b.sort.exists(_.e match {
+          case Ident(List(n)) => b.env.contains(n) && !outNames.contains(n)
+          case _ => false
+        })
+        val b1 = if (closed(b) || sortDropsEnvName) flush(b) else b
         val items: List[(Option[String], String)] = assignItems(args).map {
           case (Some(n), e) => (Some(n), renderExpr(b1, e, inAgg = false))
           case (None, Ident(parts)) if parts.last == "*" =>

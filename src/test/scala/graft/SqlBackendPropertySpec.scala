@@ -56,7 +56,7 @@ class SqlBackendPropertySpec extends AnyFunSuite {
     if (depth <= 0 || numCols.isEmpty || r.nextInt(3) == 0)
       if (numCols.nonEmpty && r.nextBoolean()) numCols(r.nextInt(numCols.size))
       else (r.nextInt(199) - 99).toString
-    else r.nextInt(7) match {
+    else r.nextInt(9) match {
       case 0 => s"(${numExpr(r, st, depth - 1)} + ${numExpr(r, st, depth - 1)})"
       case 1 => s"(${numExpr(r, st, depth - 1)} - ${numExpr(r, st, depth - 1)})"
       case 2 => s"(${numExpr(r, st, depth - 1)} * ${(r.nextInt(5) + 1).toString})"
@@ -68,6 +68,13 @@ class SqlBackendPropertySpec extends AnyFunSuite {
       case 6 =>
         if (r.nextBoolean()) s"(${numCols(r.nextInt(numCols.size))} | fz2)"
         else s"(${numCols(r.nextInt(numCols.size))} | fz2 k:${r.nextInt(9)})"
+      // fuzzer round 6: s-string pass-through (both backends hand the
+      // interpolated text to Spark SQL) and double->bigint truncating cast
+      case 7 =>
+        val c = numCols(r.nextInt(numCols.size))
+        if (r.nextBoolean()) s"""s"abs({$c})""""
+        else s"""s"greatest({$c}, {${numExpr(r, st, 0)}})""""
+      case 8 => s"(${dblExpr(r, st, 0)} | as bigint)"
     }
   }
 
@@ -79,10 +86,14 @@ class SqlBackendPropertySpec extends AnyFunSuite {
     if (depth <= 0 || dblCols.isEmpty)
       if (dblCols.nonEmpty) dblCols(r.nextInt(dblCols.size))
       else s"${r.nextInt(20)}.${r.nextInt(9)}"
-    else r.nextInt(3) match {
+    else r.nextInt(5) match {
       case 0 => s"(${dblExpr(r, st, depth - 1)} + ${dblExpr(r, st, depth - 1)})"
       case 1 => s"(${dblExpr(r, st, depth - 1)} * 2)"
-      case 2 => dblCols(r.nextInt(dblCols.size))
+      // round-to-digits and bigint->double cast (fuzzer round 6): both are
+      // exact on this fixture (f is a multiple of 0.25), so canon-safe
+      case 2 => s"(round ${dblExpr(r, st, depth - 1)} ${r.nextInt(3) + 1})"
+      case 3 => s"(${numExpr(r, st, 0)} | as double)"
+      case 4 => dblCols(r.nextInt(dblCols.size))
     }
   }
 
@@ -130,13 +141,26 @@ class SqlBackendPropertySpec extends AnyFunSuite {
   private def rowStage(r: Random, st: St, fresh: () => String): (String, St) = {
     val canJoin = !st.joined && st.cols.exists(_._1 == "grp") &&
       !st.cols.exists(c => c._1 == "w" || c._1 == "label")
-    val n = r.nextInt(if (canJoin) 6 else 5)
-    if (n == 5)
+    // sort/take stages need the total-order key; a right/full join loses it
+    // (an earlier filter can empty a grp, so an unmatched dim row carries a
+    // NULL key — ≤1 per grp, but cross-grp they tie globally), so after one
+    // the choice set shrinks to filter/derive/select
+    val choices = Vector(0, 1, 2) ++
+      (if (st.uniqueKey.isDefined) Vector(3, 4) else Vector.empty) ++
+      (if (canJoin) Vector(5) else Vector.empty)
+    val n = choices(r.nextInt(choices.size))
+    if (n == 5) {
       // USING join on grp against the unique-per-grp dim: no fanout (the
-      // unique key survives), 'd' rows exercise left-null vs inner-drop
-      (s"join side:${if (r.nextBoolean()) "left" else "inner"} fuzz_dim [grp]",
-        st.copy(cols = st.cols ++ Vector("w" -> 'n', "label" -> 's'), joined = true))
-    else n match {
+      // unique key survives), 'd' rows exercise left-null vs inner-drop.
+      // right/full (fuzzer round 6): every dim grp exists in the base, so
+      // they only diverge from inner/left when a filter emptied a grp, but
+      // they exercise the USING provenance-coalesce rendering either way
+      val side = Seq("left", "inner", "right", "full")(r.nextInt(4))
+      val key = if (side == "right" || side == "full") None else st.uniqueKey
+      (s"join side:$side fuzz_dim [grp]",
+        st.copy(cols = st.cols ++ Vector("w" -> 'n', "label" -> 's'),
+          uniqueKey = key, joined = true))
+    } else n match {
       case 0 => (s"filter ${boolExpr(r, st, r.nextInt(2))}", st)
       case 1 =>
         // derive 1-2 columns; occasionally shadow an earlier derived col.
@@ -206,53 +230,109 @@ class SqlBackendPropertySpec extends AnyFunSuite {
       val (stage, next) = rowStage(r, st, fresh)
       sb.append(stage).append('\n'); st = next
     }
+    // optional group top-k stage (fuzzer round 6): `group ks (sort | take)`
+    // exercises the row_number rewrite; the inner sort ends in the unique
+    // key, so the kept rows are a deterministic set
+    if (r.nextInt(4) == 0 && st.cols.exists(_._1 == "grp") && st.uniqueKey.isDefined) {
+      val key = st.uniqueKey.get
+      val numCols = colsOf(st, 'n').filterNot(_ == key)
+      val lead = if (numCols.nonEmpty && r.nextBoolean())
+        Seq(s"${if (r.nextBoolean()) "-" else ""}${numCols(r.nextInt(numCols.size))}")
+      else Seq.empty
+      val keys = (lead :+ (if (r.nextBoolean()) s"-$key" else key)).mkString(", ")
+      sb.append(s"group [grp] (\n  sort [$keys]\n  take ${r.nextInt(4) + 1}\n)\n")
+    }
     // optional window block: running aggregates / ranking / offsets under
     // the ambient-sort frame rules, per key partition. The sort inside the
     // group ends in the unique key, so lag/row_number are deterministic;
     // outputs are per-row values keyed by that key, so the multiset canon
-    // stays sound.
+    // stays sound. Half the blocks (fuzzer round 6) carry an explicit frame
+    // (rows:a..b / rows:.. / rolling:n / expanding:true / range:a..0) with
+    // frame-sensitive functions only — every frame over the total inner
+    // sort selects a deterministic row set, so sum/min/max/count/first/last
+    // stay canon-safe (empty frames yield NULL on both backends).
     if (r.nextInt(3) == 0 && st.cols.exists(_._1 == "grp") && st.uniqueKey.isDefined) {
       val key = st.uniqueKey.get
       val numCols = colsOf(st, 'n')
-      val picks = scala.collection.mutable.ArrayBuffer.empty[(String, String, Char)]
-      picks += (("row_number", "(row_number | as bigint)", 'n'))
-      if (numCols.nonEmpty) {
-        val c = numCols(r.nextInt(numCols.size))
-        val opts = Vector(
-          (s"sum $c", 'n'), (s"min $c", 'n'), (s"max $c", 'n'),
-          (s"lag 1 $c", 'n'), (s"lead 1 $c", 'n'),
-          (s"first $c", 'n'), (s"last 1 $c", 'n'), ("rank", 'n'))
-        r.shuffle(opts).take(r.nextInt(2) + 1).foreach { case (e, t) =>
-          picks += ((e, s"($e)", t))
-        }
-      }
-      val assigns = picks.toVector.map { case (_, body, t) =>
-        val nm = fresh(); (s"$nm = $body", nm, t)
-      }
       val sortDir = if (r.nextBoolean()) s"-$key" else key
-      sb.append(s"group [grp] (\n  sort [$sortDir]\n  derive [${assigns.map(_._1).mkString(", ")}]\n)\n")
-      st = st.copy(cols = st.cols ++ assigns.map(a => a._2 -> a._3))
+      if (r.nextBoolean() && numCols.nonEmpty) {
+        val frame = r.nextInt(5) match {
+          case 0 =>
+            val lo = -r.nextInt(4); val hi = lo + r.nextInt(3)
+            s"rows:$lo..$hi"
+          case 1 => "rows:.."
+          case 2 => s"rolling:${r.nextInt(5) + 1}"
+          case 3 => "expanding:true"
+          case 4 => s"range:${-(r.nextInt(30) + 1)}..0"
+        }
+        val c = numCols(r.nextInt(numCols.size))
+        val opts = Vector(s"sum $c", s"min $c", s"max $c", "count",
+          s"first $c", s"last 1 $c")
+        val assigns = r.shuffle(opts).take(r.nextInt(2) + 1).map { e =>
+          val nm = fresh(); (s"$nm = ($e)", nm)
+        }
+        sb.append(s"group [grp] (\n  sort [$sortDir]\n  window $frame (\n    derive [${assigns.map(_._1).mkString(", ")}]\n  )\n)\n")
+        st = st.copy(cols = st.cols ++ assigns.map(a => a._2 -> 'n'))
+      } else {
+        val picks = scala.collection.mutable.ArrayBuffer.empty[(String, String, Char)]
+        picks += (("row_number", "(row_number | as bigint)", 'n'))
+        if (numCols.nonEmpty) {
+          val c = numCols(r.nextInt(numCols.size))
+          val opts = Vector(
+            (s"sum $c", 'n'), (s"min $c", 'n'), (s"max $c", 'n'),
+            (s"lag 1 $c", 'n'), (s"lead 1 $c", 'n'),
+            (s"first $c", 'n'), (s"last 1 $c", 'n'), ("rank", 'n'))
+          r.shuffle(opts).take(r.nextInt(2) + 1).foreach { case (e, t) =>
+            picks += ((e, s"($e)", t))
+          }
+        }
+        val assigns = picks.toVector.map { case (_, body, t) =>
+          val nm = fresh(); (s"$nm = $body", nm, t)
+        }
+        sb.append(s"group [grp] (\n  sort [$sortDir]\n  derive [${assigns.map(_._1).mkString(", ")}]\n)\n")
+        st = st.copy(cols = st.cols ++ assigns.map(a => a._2 -> a._3))
+      }
     }
-    if (r.nextBoolean() && st.cols.exists(_._1 == "grp")) {
+    val terminal = r.nextInt(8)
+    if (terminal < 4 && st.cols.exists(_._1 == "grp")) {
       val numCols = colsOf(st, 'n')
       val aggs = Vector("n = count") ++
         (if (numCols.nonEmpty) {
           val c = numCols(r.nextInt(numCols.size))
+          // stddev/count_distinct/round-average (fuzzer round 6); both
+          // backends aggregate through the same hash-shuffled Spark plan,
+          // so stddev's merge order — hence its double — is stable
           r.shuffle(Vector(s"sv = (sum $c)", s"mn = (min $c)", s"mx = (max $c)",
-            s"av = (average $c)")).take(r.nextInt(3) + 1)
+            s"av = (average $c)", s"cd = (count_distinct $c)",
+            s"sd = (round (stddev $c) 6)",
+            s"ra = (round (average $c) 2)")).take(r.nextInt(3) + 1)
         } else Vector.empty)
       sb.append(s"group [grp] (aggregate [${aggs.mkString(", ")}])\n")
       st = St(Vector("grp" -> 's', "n" -> 'n') ++
         aggs.collect {
           case a if a.startsWith("sv") || a.startsWith("mn") || a.startsWith("mx") =>
             a.take(2) -> 'n'
+          case a if a.startsWith("cd") => "cd" -> 'n'
           case a if a.startsWith("av") => "av" -> 'd'
+          case a if a.startsWith("sd") => "sd" -> 'd'
+          case a if a.startsWith("ra") => "ra" -> 'd'
         }, Some("grp"), grouped = true)
       // optional HAVING + deterministic post-group sort/take
       if (r.nextBoolean()) sb.append(s"filter ${boolExpr(r, st, 0)}\n")
       if (r.nextBoolean()) {
         sb.append(s"sort [${if (r.nextBoolean()) "-n, grp" else "grp"}]\n")
         if (r.nextBoolean()) sb.append(s"take ${r.nextInt(3) + 1}\n")
+      }
+    } else if (terminal < 6) {
+      // DISTINCT terminal (fuzzer round 6): select down to the key set,
+      // `group ks (take 1)`; sorting by ALL remaining columns totally
+      // orders a distinct relation, so a trailing take is deterministic
+      val dcols = r.shuffle(st.cols.map(_._1)).take(r.nextInt(2) + 1).sorted
+      sb.append(s"select [${dcols.mkString(", ")}]\n")
+      sb.append(s"group [${dcols.mkString(", ")}] (take 1)\n")
+      if (r.nextBoolean()) {
+        sb.append(s"sort [${dcols.mkString(", ")}]\n")
+        if (r.nextBoolean()) sb.append(s"take ${r.nextInt(8) + 1}\n")
       }
     }
     sb.result()

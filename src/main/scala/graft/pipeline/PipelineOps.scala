@@ -4702,6 +4702,219 @@ object PipelineOps {
     FROM o ORDER BY doc_id"""
   }
 
+  // ---- p63: paragraph-level exact dedup -------------------------------------
+  // The MassiveText/Dolma paragraph-dedup step (Rae et al. 2021 §A.2.3;
+  // Soldaini et al. 2024): a paragraph that occurs ANYWHERE earlier in the
+  // corpus is removed, keeping only its FIRST occurrence (by (doc_id, pos)
+  // order), and every document is reassembled from its surviving
+  // paragraphs. Distinct from p01 (whole-doc unit), p47 (removes frequent
+  // lines from EVERY doc — a df-threshold broadcast set) and p54
+  // (window-gram statistics, no rewrite): here the unit is the paragraph,
+  // the rule is keep-first/drop-rest, and the output is the rewritten
+  // corpus. The gate corpus has no paragraph breaks, so each document is
+  // recast as planted paragraphs (the p38/p45/p47 fixture pattern): its
+  // own leading words (shared only by exact-dup docs → dropped from the
+  // later copy), a syndicated wire block on every 5th doc (kept once,
+  // dropped from ~N/5 docs), and a per-doc ref paragraph (always kept).
+  //
+  // Scale shape: two posexplode passes over the corpus (p54's inherent
+  // two-pass class — the occurrence relation feeds both the rollup and
+  // the rewrite, and the rollup side is column-pruned to hashes; a
+  // materialization barrier would write the corpus TEXT to disk instead).
+  // The keep-first rule is a per-paragraph-hash min over a PACKED
+  // (doc_id, pos) BIGINT — one hash shuffle with map-side partial min
+  // (hot paragraphs collapse to one row per partition, so frequency skew
+  // never skews the rollup); the rewrite joins occurrences back to the
+  // min map on the paragraph hash — an honest shuffle equi-join, NOT a
+  // broadcast, because the duplicated-paragraph set is corpus-sized and
+  // unbounded (p54's argument); reassembly is one doc_id shuffle whose
+  // width is the document's own paragraphs. Packing contract:
+  // doc_id < 2^31 and < 2^32 paragraphs per document (doc_id*2^32+pos
+  // stays in int64).
+  private[graft] def p63Spark(hf: String, plant: Boolean = true): String = s"""
+    WITH aug AS (
+      ${if (plant) s"""SELECT doc_id, CASE WHEN doc_id % 5 = 2 THEN array(
+        array_join(slice($wordsSpark, 1, 6), ' '),
+        'syndicated wire block shared across partner outlets',
+        concat('ref ', CAST(doc_id AS STRING)))
+      ELSE array(
+        array_join(slice($wordsSpark, 1, 6), ' '),
+        concat('ref ', CAST(doc_id AS STRING))) END AS paras
+      FROM documents"""
+      else "SELECT doc_id, split(text, '\\n\\n') AS paras FROM documents"}),
+    occ AS (
+      SELECT doc_id, pos, para, ${hKeySpark("para", hf)} AS ph
+      FROM aug LATERAL VIEW posexplode(paras) x AS pos, para),
+    firsts AS (
+      SELECT ph, min(doc_id * 4294967296 + pos) AS first_pk
+      FROM occ GROUP BY ph),
+    mark AS (
+      SELECT o.doc_id, o.pos, o.para,
+        CASE WHEN o.doc_id * 4294967296 + o.pos = f.first_pk THEN 1 ELSE 0 END AS keep
+      FROM occ o JOIN firsts f ON o.ph = f.ph)
+    SELECT doc_id,
+      CAST(count(*) AS BIGINT) AS n_paras,
+      CAST(count(*) - sum(keep) AS BIGINT) AS n_removed,
+      ${hStrSpark("array_join(transform(sort_array(collect_list(CASE WHEN keep = 1 THEN struct(pos, para) END)), s -> s.para), CHR(10))", hf)} AS clean_checksum
+    FROM mark GROUP BY doc_id ORDER BY doc_id"""
+
+  private val p63Duck = s"""
+    WITH aug AS (
+      SELECT doc_id, CASE WHEN doc_id % 5 = 2 THEN [
+        array_to_string(list_slice($wordsDuck, 1, 6), ' '),
+        'syndicated wire block shared across partner outlets',
+        'ref ' || CAST(doc_id AS VARCHAR)]
+      ELSE [
+        array_to_string(list_slice($wordsDuck, 1, 6), ' '),
+        'ref ' || CAST(doc_id AS VARCHAR)] END AS paras
+      FROM documents),
+    occ AS (
+      SELECT doc_id, i - 1 AS pos, paras[i] AS para, ${hKeyDuck("paras[i]")} AS ph
+      FROM (SELECT doc_id, paras, unnest(generate_series(1, len(paras))) AS i FROM aug)),
+    firsts AS (
+      SELECT ph, min(doc_id * 4294967296 + pos) AS first_pk
+      FROM occ GROUP BY ph),
+    mark AS (
+      SELECT o.doc_id, o.pos, o.para,
+        CASE WHEN o.doc_id * 4294967296 + o.pos = f.first_pk THEN 1 ELSE 0 END AS keep
+      FROM occ o JOIN firsts f ON o.ph = f.ph)
+    SELECT doc_id,
+      CAST(count(*) AS BIGINT) AS n_paras,
+      CAST(count(*) - sum(keep) AS BIGINT) AS n_removed,
+      md5(coalesce(array_to_string(list(para ORDER BY pos) FILTER (WHERE keep = 1), chr(10)), '')) AS clean_checksum
+    FROM mark GROUP BY doc_id ORDER BY doc_id"""
+
+  // ---- p64: DSIR importance selection ---------------------------------------
+  // Data Selection via Importance Resampling (Xie et al. 2023): score every
+  // document with the log importance ratio ln p_target(x) − ln p_source(x)
+  // over HASHED n-gram features, where the target model is trained on the
+  // reference subset and the source model on the whole corpus, then select
+  // the documents whose per-token ratio clears a threshold. Completes the
+  // selection family: p17 ranks by rules, p55 by a discriminative
+  // classifier, p61 by target-LM perplexity alone — DSIR is the
+  // RATIO scorer (target-likeness relative to the source distribution,
+  // the form the paper shows matches target-only selection with far less
+  // bias toward generic high-likelihood text). Feature space is p61's
+  // hashed bigram slots (64×64 = 4096); both models are add-one-smoothed
+  // slot multinomials. The reference subset is the stopword-dense weak
+  // label (p55/p61's bootstrap).
+  //
+  // Determinism: counts are exact BIGINTs from ONE corpus bigram pass
+  // (target counts are a conditional sum over the same rows — no second
+  // explode); the only float op is the two-ln difference per slot over
+  // ratios of exact integers, rounded ONCE to micro-nats (the p61
+  // fixed-point precedent); per-doc scoring is an exact signed-integer
+  // fold, and the per-token rate uses integer division — Spark's DIV and
+  // DuckDB's // BOTH truncate toward zero (verified: -7//2 = -3 on both),
+  // so negative scores divide identically.
+  //
+  // Scale shape (p61's exactly): one training explode + a 4096-bounded
+  // rollup with map-side partials; the signed weight table packs into a
+  // one-row array CTE (slot*2^28 + (w + 2^26): |w| ≤ ~30 nats·1e6 < 2^26)
+  // that BROADCASTS; scoring is map-side. Two corpus passes total, zero
+  // corpus-sized joins.
+  private val DsirOff = 67108864L  // 2^26 > any |micro-nat| log-ratio
+  private val DsirEnc = 268435456L // 2^28 > 2*DsirOff
+  /** Selection threshold on per-token micro-nat log-ratio
+    * (`spark.graft.dsirSelectMicro`). Live deployment knob (DSIR's paper
+    * form resamples to a token budget; the streaming-friendly stateless
+    * form thresholds the rate). The default sits between the two classes'
+    * measured per-token means at the gate SFs (ref ≈ −224k, non-ref
+    * ≈ −371k micro-nats at sf0.01 — smoothing keeps absolute ratios
+    * negative at tiny counts), so both outcome classes are populated:
+    * ~5% of non-ref and ~92% of ref docs clear it at sf0.01. */
+  private val DsirSelectMicroDefault = -290000L
+  private[graft] def dsirSelectMicro(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.dsirSelectMicro").map(_.toLong)
+      .getOrElse(DsirSelectMicroDefault)
+
+  private[graft] def p64Spark(hf: String, thr: Long): String = {
+    def bkt(e: String) = s"pmod(${hSpark(e, hf)}, $PpxVoc)"
+    val slotAt = s"CAST(${bkt("element_at(words, i - 1)")} * $PpxVoc + ${bkt("element_at(words, i)")} AS INT)"
+    s"""
+    WITH t AS (SELECT doc_id, $wordsSpark AS words FROM documents),
+    lab AS (
+      SELECT doc_id, words,
+        CASE WHEN 12 * size(filter(words, w -> w IN ('the','a','of','and')))
+          >= size(words) THEN 1 ELSE 0 END AS lbl
+      FROM t),
+    big AS (
+      SELECT lbl, $slotAt AS slot
+      FROM (SELECT lbl, words FROM lab WHERE size(words) >= 2) src
+      LATERAL VIEW explode(sequence(2, size(words))) x AS i),
+    cnt AS (SELECT slot, count(*) AS cs, sum(lbl) AS ct FROM big GROUP BY slot),
+    dom AS (SELECT explode(sequence(0, ${PpxSlots - 1})) AS slot),
+    slots AS (
+      SELECT dom.slot, coalesce(cnt.cs, 0) AS cs, coalesce(cnt.ct, 0) AS ct
+      FROM dom LEFT JOIN cnt ON dom.slot = cnt.slot),
+    wts AS (
+      -- model totals as global windows over the zero-filled 4096-row slot
+      -- table, NOT a separate rollup CTE: cnt must stay single-consumer or
+      -- the corpus bigram explode re-inlines — and re-runs — on every
+      -- reference (p61's ctxc lesson); the single window partition holds
+      -- 4096 rows by construction
+      SELECT slot,
+        CAST(floor(1e6 * (ln(CAST(ct + 1 AS DOUBLE) / (sum(ct) OVER () + $PpxSlots))
+                        - ln(CAST(cs + 1 AS DOUBLE) / (sum(cs) OVER () + $PpxSlots))) + 0.5) AS BIGINT) AS w
+      FROM slots),
+    warr AS (
+      SELECT transform(array_sort(collect_list(CAST(slot AS BIGINT) * $DsirEnc + (w + $DsirOff))),
+                       e -> pmod(e, $DsirEnc) - $DsirOff) AS arr
+      FROM wts),
+    sc AS (
+      SELECT doc_id, lbl, size(words) AS n,
+        aggregate(sequence(2, size(words)), CAST(0 AS BIGINT),
+          (acc, i) -> acc + element_at(arr, $slotAt + 1)) AS lr_micro
+      FROM lab CROSS JOIN warr
+      WHERE size(words) >= 2)
+    SELECT doc_id, CAST(lbl AS BIGINT) AS ref_doc,
+      CAST(n - 1 AS BIGINT) AS n_bigrams, lr_micro AS dsir_micro,
+      CAST(lr_micro DIV (n - 1) AS BIGINT) AS dsir_micro_per_tok,
+      CAST(CASE WHEN lr_micro DIV (n - 1) > $thr THEN 1 ELSE 0 END AS BIGINT) AS selected
+    FROM sc ORDER BY doc_id"""
+  }
+
+  private val p64Duck = {
+    def bkt(e: String) = s"${hDuck(e)} % $PpxVoc"
+    val slotAt = s"CAST(${bkt("words[i - 1]")} * $PpxVoc + ${bkt("words[i]")} AS INT)"
+    s"""
+    WITH t AS (SELECT doc_id, $wordsDuck AS words FROM documents),
+    lab AS (
+      SELECT doc_id, words,
+        CASE WHEN 12 * len(list_filter(words, w -> w IN ('the','a','of','and')))
+          >= len(words) THEN 1 ELSE 0 END AS lbl
+      FROM t),
+    big AS (
+      SELECT lbl, $slotAt AS slot
+      FROM (SELECT lbl, words, unnest(generate_series(2, len(words))) AS i
+            FROM lab WHERE len(words) >= 2) src),
+    cnt AS (SELECT slot, count(*) AS cs, sum(lbl) AS ct FROM big GROUP BY slot),
+    dom AS (SELECT unnest(generate_series(0, ${PpxSlots - 1})) AS slot),
+    slots AS (
+      SELECT dom.slot, coalesce(cnt.cs, 0) AS cs, coalesce(cnt.ct, 0) AS ct
+      FROM dom LEFT JOIN cnt ON dom.slot = cnt.slot),
+    wts AS (
+      SELECT slot,
+        CAST(floor(1e6 * (ln(CAST(ct + 1 AS DOUBLE) / (sum(ct) OVER () + $PpxSlots))
+                        - ln(CAST(cs + 1 AS DOUBLE) / (sum(cs) OVER () + $PpxSlots))) + 0.5) AS BIGINT) AS w
+      FROM slots),
+    warr AS (
+      SELECT list_transform(list_sort(list(CAST(slot AS BIGINT) * $DsirEnc + (w + $DsirOff))),
+                            e -> e % $DsirEnc - $DsirOff) AS arr
+      FROM wts),
+    sc AS (
+      SELECT doc_id, lbl, len(words) AS n,
+        list_reduce(list_transform(generate_series(2, len(words)),
+          i -> arr[$slotAt + 1]), (x, y) -> x + y) AS lr_micro
+      FROM lab CROSS JOIN warr
+      WHERE len(words) >= 2)
+    SELECT doc_id, CAST(lbl AS BIGINT) AS ref_doc,
+      CAST(n - 1 AS BIGINT) AS n_bigrams, CAST(lr_micro AS BIGINT) AS dsir_micro,
+      CAST(lr_micro // (n - 1) AS BIGINT) AS dsir_micro_per_tok,
+      CAST(CASE WHEN lr_micro // (n - 1) > $DsirSelectMicroDefault THEN 1 ELSE 0 END AS BIGINT) AS selected
+    FROM sc ORDER BY doc_id"""
+  }
+
   private def onEvents(sql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => {
       graft.Graft.normalizeEventTime(spark.read.parquet(s"$dir/events.parquet"))
@@ -4826,6 +5039,11 @@ object PipelineOps {
       spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
       spark.sql(p62Spark(hashFamily(spark), fimSalt(spark)))
     }),
+    "p63_paragraph_dedup" -> onDocsHfP(p63Spark),
+    "p64_dsir_select" -> ((spark, dir) => {
+      spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+      spark.sql(p64Spark(hashFamily(spark), dsirSelectMicro(spark)))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4898,5 +5116,7 @@ object PipelineOps {
     "p60_simhash_pairs" -> p60Duck,
     "p61_bigram_ppx" -> p61Duck,
     "p62_fim_transform" -> p62Duck,
+    "p63_paragraph_dedup" -> p63Duck,
+    "p64_dsir_select" -> p64Duck,
   )
 }

@@ -1681,6 +1681,124 @@ object PipelineRelational {
          |  nfc_checksum = s"md5(graft_nfc(t))",
          |]
          |sort doc_id""".stripMargin,
+
+    // p63: posexplode rides the p49 arrays_zip one-alias idiom; the
+    // keep-first rule is the packed (doc_id, pos) min.
+    "p63_paragraph_dedup" ->
+      s"""table aug = (
+         |  from documents
+         |  derive paras = s"CASE WHEN doc_id % 5 = 2 THEN array(array_join(slice($W, 1, 6), ' '), 'syndicated wire block shared across partner outlets', concat('ref ', CAST(doc_id AS STRING))) ELSE array(array_join(slice($W, 1, 6), ' '), concat('ref ', CAST(doc_id AS STRING))) END"
+         |)
+         |
+         |table x0 = (
+         |  from aug
+         |  select [doc_id, z = s"explode(arrays_zip(sequence(0, size(paras) - 1), paras))"]
+         |)
+         |
+         |table occ = (
+         |  from x0
+         |  select [doc_id, pos = s"z.`0`", para = s"z.paras"]
+         |  derive ph = s"CAST(conv(substr(md5(para),1,15),16,10) AS BIGINT)"
+         |)
+         |
+         |table firsts = (
+         |  from occ
+         |  group [ph] (aggregate [first_pk = s"min(doc_id * 4294967296 + pos)"])
+         |)
+         |
+         |table mark = (
+         |  from occ
+         |  join firsts [ph]
+         |  derive keep = s"CASE WHEN doc_id * 4294967296 + pos = first_pk THEN 1 ELSE 0 END"
+         |)
+         |
+         |from mark
+         |group [doc_id] (
+         |  aggregate [
+         |    n_paras = s"CAST(count(*) AS BIGINT)",
+         |    n_removed = s"CAST(count(*) - sum(keep) AS BIGINT)",
+         |    clean_checksum = s"md5(array_join(transform(sort_array(collect_list(CASE WHEN keep = 1 THEN struct(pos, para) END)), s -> s.para), CHR(10)))",
+         |  ]
+         |)
+         |sort doc_id""".stripMargin,
+
+    // p64: p61's slot-model skeleton with the two-model log-ratio weight
+    // (signed, so the pack offsets by 2^26 before the 2^28 encode).
+    "p64_dsir_select" ->
+      s"""table t = (
+         |  from documents
+         |  derive words = s"$W"
+         |)
+         |
+         |table lab = (
+         |  from t
+         |  derive lbl = s"CASE WHEN 12 * size(filter(words, w -> w IN ('the','a','of','and'))) >= size(words) THEN 1 ELSE 0 END"
+         |)
+         |
+         |table src = (
+         |  from lab
+         |  filter s"size(words) >= 2"
+         |)
+         |
+         |table big0 = (
+         |  from src
+         |  select [lbl, words, i = s"explode(sequence(2, size(words)))"]
+         |)
+         |
+         |table big = (
+         |  from big0
+         |  derive slot = s"CAST(pmod(${H("element_at(words, i - 1)")}, 64) * 64 + pmod(${H("element_at(words, i)")}, 64) AS INT)"
+         |  select [lbl, slot]
+         |)
+         |
+         |table cnt = (
+         |  from big
+         |  group [slot] (aggregate [cs = s"count(*)", ct = s"sum(lbl)"])
+         |)
+         |
+         |table dom = (
+         |  from documents
+         |  take 1
+         |  select [slot = s"explode(sequence(0, 4095))"]
+         |)
+         |
+         |table slots = (
+         |  from dom
+         |  join side:left cnt [slot]
+         |  select [slot, cs = s"coalesce(cs, 0)", ct = s"coalesce(ct, 0)"]
+         |)
+         |
+         |table wts = (
+         |  from slots
+         |  derive w = s"CAST(floor(1e6 * (ln(CAST(ct + 1 AS DOUBLE) / (sum(ct) OVER () + 4096)) - ln(CAST(cs + 1 AS DOUBLE) / (sum(cs) OVER () + 4096))) + 0.5) AS BIGINT)"
+         |  select [slot, w]
+         |)
+         |
+         |table warr = (
+         |  from wts
+         |  aggregate [arr = s"transform(array_sort(collect_list(CAST(slot AS BIGINT) * 268435456 + (w + 67108864))), e -> pmod(e, 268435456) - 67108864)"]
+         |  derive k = s"1"
+         |)
+         |
+         |table sc = (
+         |  from lab
+         |  filter s"size(words) >= 2"
+         |  derive k = s"1"
+         |  join warr [k]
+         |  derive n = s"size(words)"
+         |  derive lr = s"aggregate(sequence(2, size(words)), CAST(0 AS BIGINT), (acc, i) -> acc + element_at(arr, CAST(pmod(${H("element_at(words, i - 1)")}, 64) * 64 + pmod(${H("element_at(words, i)")}, 64) AS INT) + 1))"
+         |)
+         |
+         |from sc
+         |select [
+         |  doc_id,
+         |  ref_doc = s"CAST(lbl AS BIGINT)",
+         |  n_bigrams = s"CAST(n - 1 AS BIGINT)",
+         |  dsir_micro = lr,
+         |  dsir_micro_per_tok = s"CAST(lr DIV (n - 1) AS BIGINT)",
+         |  selected = s"CAST(CASE WHEN lr DIV (n - 1) > -290000 THEN 1 ELSE 0 END AS BIGINT)",
+         |]
+         |sort doc_id""".stripMargin,
   )
 
   /** Session-level kernel registrations the covered texts rely on (the

@@ -2023,6 +2023,97 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.fimSalt")
   }
 
+  test("p63 paragraph dedup equals a keep-first JVM reference; duplicates survive exactly once") {
+    def md5hex(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    def paras(id: Long, t: String): Seq[String] = {
+      val lead = t.trim.split("\\s+").take(6).mkString(" ")
+      if (id % 5 == 2)
+        Seq(lead, "syndicated wire block shared across partner outlets", s"ref $id")
+      else Seq(lead, s"ref $id")
+    }
+    val occ = docs.toSeq.flatMap { case (id, t) =>
+      paras(id, t).zipWithIndex.map { case (p, i) => (id, i, p) }
+    }
+    def pk(o: (Long, Int, String)) = o._1 * 4294967296L + o._2
+    val firstPk = occ.groupBy(_._3).map { case (p, os) => p -> os.map(pk).min }
+    val expected = occ.groupBy(_._1).map { case (id, os) =>
+      val kept = os.sortBy(_._2).filter(o => pk(o) == firstPk(o._3)).map(_._3)
+      id -> ((os.length.toLong, (os.length - kept.length).toLong,
+              md5hex(kept.mkString("\n"))))
+    }
+    val out = run("p63_paragraph_dedup").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out.keySet == expected.keySet, "every document survives the rewrite")
+    expected.foreach { case (id, e) => assert(out(id) == e, s"doc $id") }
+    // keep-first law: every distinct paragraph survives exactly once
+    // corpus-wide, and nothing vanishes entirely
+    val survivors = occ.filter(o => pk(o) == firstPk(o._3))
+    assert(survivors.map(_._3).distinct.length == survivors.length)
+    assert(survivors.map(_._3).toSet == occ.map(_._3).toSet)
+    // the fixture populates the removal class (syndicated block + dup leads)
+    assert(expected.values.map(_._2).sum > 0)
+  }
+
+  test("p64 DSIR equals a two-model JVM reference and separates the target class") {
+    def md5hex(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def bkt(w: String) = (java.lang.Long.parseLong(md5hex(w).take(8), 16) % 64).toInt
+    val stop = Set("the", "a", "of", "and")
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+"))
+    val lbl = docs.map { case (id, ws) =>
+      id -> (if (12 * ws.count(stop) >= ws.length) 1 else 0)
+    }.toMap
+    // ONE pass: source counts over all docs, target counts a conditional sum
+    val cs = Array.fill(4096)(0L)
+    val ct = Array.fill(4096)(0L)
+    docs.foreach { case (id, ws) =>
+      if (ws.length >= 2) ws.sliding(2).foreach { p =>
+        val s = bkt(p(0)) * 64 + bkt(p(1))
+        cs(s) += 1
+        if (lbl(id) == 1) ct(s) += 1
+      }
+    }
+    val ns = cs.sum
+    val nt = ct.sum
+    val w = Array.tabulate(4096) { s =>
+      math.floor(1e6 * (math.log((ct(s) + 1).toDouble / (nt + 4096))
+                      - math.log((cs(s) + 1).toDouble / (ns + 4096))) + 0.5).toLong
+    }
+    val expected = docs.collect { case (id, ws) if ws.length >= 2 =>
+      id -> ws.sliding(2).map(p => w(bkt(p(0)) * 64 + bkt(p(1)))).sum
+    }.toMap
+    val out = run("p64_dsir_select").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.length == expected.size)
+    out.foreach { case (id, ref, nbig, total, perTok, sel) =>
+      val ws = docs.find(_._1 == id).get._2
+      assert(ref == lbl(id), s"doc $id weak label")
+      assert(nbig == ws.length - 1, s"doc $id bigram count")
+      assert(total == expected(id), s"doc $id ratio: got $total, expected ${expected(id)}")
+      // Scala Long division truncates toward zero — the DIV/`//` contract
+      assert(perTok == total / (ws.length - 1), s"doc $id per-token division")
+      assert(sel == (if (perTok > -290000L) 1 else 0), s"doc $id selection")
+    }
+    // the ratio must actually separate: target-class mean per-token ratio
+    // clearly exceeds the non-target mean, and both outcome classes are
+    // populated at the default threshold
+    val mean = (c: Long) => {
+      val g = out.filter(_._2 == c)
+      g.map(_._5).sum.toDouble / g.length
+    }
+    assert(out.exists(_._6 == 1) && out.exists(_._6 == 0), "one outcome class is empty")
+    assert(mean(1) > mean(0) + 50000,
+      s"no class separation: ref ${mean(1)} vs nonref ${mean(0)}")
+  }
+
   test("driver contract: every oracle key has a query, entry() returns rows") {
     assert(PipelineOps.oracleSql.keySet.subsetOf(PipelineOps.queries.keySet))
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

@@ -708,4 +708,50 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"),
       s"no global stage belongs in the augmentation path:\n$p")
   }
+
+  test("p63 paragraph dedup: one explosion; keep-first rollup, rewrite join and reassembly are the only shuffles") {
+    // the duplicated-paragraph relation is corpus-sized and unbounded, so
+    // the rewrite join is an honest shuffle equi-join (at gate SF AQE may
+    // elect broadcast — the audit pins what must NOT appear, not the
+    // strategy): no cartesian, no global stage, and at most the three
+    // sanctioned hash shuffles (ph min rollup, ph rewrite join, doc_id
+    // reassembly)
+    val p = pipeline.PipelineOps.queries("p63_paragraph_dedup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // two explosions, NOT one: the occurrence relation feeds both the
+    // keep-first rollup (column-pruned to hashes) and the rewrite side
+    // (which must carry the paragraph text anyway) — p54's inherent
+    // two-pass class; a materialization barrier would write the corpus
+    // text to disk instead
+    assert("Generate".r.findAllIn(p).length == 2,
+      s"the rollup-side and rewrite-side paragraph explosions are the only Generates:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"no cartesian in the rewrite path:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no global stage belongs in the dedup path:\n$p")
+    assert("hashpartitioning".r.findAllIn(p).length <= 3,
+      s"ph rollup, ph rewrite join and doc_id reassembly are the only hash shuffles:\n$p")
+  }
+
+  test("p64 DSIR: slot-bounded rollup from one training explode, signed model broadcasts, scoring map-side") {
+    // p61's audit contract with the ratio model: the single corpus bigram
+    // explode + the 4096-slot domain generator are the only Generates
+    // (target counts are a conditional sum over the SAME exploded rows —
+    // a second corpus pass here would double training I/O); the model
+    // collapses through the slot rollup to one-row aggregates (tot and
+    // the packed array — both over the 4096-row slot table, never the
+    // corpus) and broadcasts back; scoring is a map-side integer fold
+    val p = pipeline.PipelineOps.queries("p64_dsir_select")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Generate".r.findAllIn(p).length == 2,
+      s"only the bigram explode and the slot-domain generator are sanctioned:\n$p")
+    assert("hashpartitioning\\(slot".r.findAllIn(p).nonEmpty,
+      s"expected the slot-keyed training rollup:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"the 4096-slot ratio model must broadcast back:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"no cartesian in the scoring path:\n$p")
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 2,
+      s"only the slot-table totals and the packed-model aggregate may single-partition:\n$p")
+  }
 }

@@ -84,6 +84,20 @@ class PlantFixturesSpec extends AnyFunSuite {
     assert(rows.getLong(1) == 0L)
   }
 
+  test("p63 off: paragraphs are the text's real blank-line structure") {
+    bindDocs()
+    val rows = withPlantOff(PipelineOps.queries("p63_paragraph_dedup")(spark, dir))
+      .selectExpr("max(n_paras) AS mx", "sum(n_removed) AS rm", "count(*) AS n").head()
+    // gate texts have no blank lines: split(text, '\n\n') is one paragraph
+    // per doc, so keep-first dedup reduces to whole-text exact dedup —
+    // removals = docs minus distinct texts, not the planted fixture's count
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val expect = docs.count() - docs.selectExpr("count(DISTINCT text)").head().getLong(0)
+    assert(rows.getLong(0) == 1L)
+    assert(rows.getLong(1) == expect)
+    assert(rows.getLong(2) == docs.count())
+  }
+
   test("p48 off: classifies a real base/batch view pair") {
     withPlantOff {
       spark.sql("SELECT * FROM VALUES (1L, 'shared doc'), (2L, 'base only') AS t(doc_id, text)")

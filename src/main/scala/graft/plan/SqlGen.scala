@@ -433,8 +433,13 @@ final class SqlGen(query: Query) {
     val (alias, tbl) = tableOpt.getOrElse(throw new SqlGenError("join needs a table"))
     val usingCols = conds.collect { case Ident(List(c)) => c }
     val condRefsEnv = conds.exists(c => b.env.keys.exists(k => referencesName(c, k)))
+    // right/full joins null the left side's columns on unmatched rows, so
+    // anything PENDING that was computed before the join must materialize
+    // first: WHERE timing, and (fuzzer seed 115) pending derives — a
+    // deferred `coalesce(v, 36)` inlined after the join evaluates over the
+    // join's NULLs and yields 36 where the derived column itself is NULL
     val mustFlush = closed(b) || b.select.isDefined || condRefsEnv ||
-      (b.wheres.nonEmpty && (side == "right" || side == "full"))
+      ((b.wheres.nonEmpty || b.env.nonEmpty) && (side == "right" || side == "full"))
     val b1 = if (mustFlush) flush(b) else b
     val clause =
       if (conds.nonEmpty && usingCols.length == conds.length)

@@ -115,7 +115,7 @@ class SqlBackendPropertySpec extends AnyFunSuite {
     if (depth <= 0) {
       val numCols = colsOf(st, 'n')
       val dateCols = colsOf(st, 't')
-      r.nextInt(4) match {
+      r.nextInt(5) match {
         case 0 if numCols.nonEmpty && r.nextBoolean() =>
           val c = numCols(r.nextInt(numCols.size))
           s"($c ${if (r.nextBoolean()) "==" else "!="} null)"
@@ -128,6 +128,11 @@ class SqlBackendPropertySpec extends AnyFunSuite {
             val (lo, hi) = if (a <= b) (a, b) else (b, a)
             s"($c | in $lo..$hi)"
           }
+        // numeric in-range (fuzzer round 7): BETWEEN over ints
+        case 4 if numCols.nonEmpty =>
+          val c = numCols(r.nextInt(numCols.size))
+          val lo = r.nextInt(20); val hi = lo + r.nextInt(25)
+          s"($c | in $lo..$hi)"
         case _ => s"(${numExpr(r, st, 1)} ${cmp(r.nextInt(cmp.size))} ${numExpr(r, st, 1)})"
       }
     } else r.nextInt(3) match {
@@ -201,9 +206,13 @@ class SqlBackendPropertySpec extends AnyFunSuite {
       case 4 =>
         // sort-ending-in-unique-key + take: deterministic row selection
         val key = st.uniqueKey.get
-        val take =
-          if (r.nextBoolean()) s"take ${r.nextInt(30) + 5}"
-          else { val a = r.nextInt(10) + 1; s"take $a..${a + r.nextInt(20) + 1}" }
+        // closed take n, closed range a..b, or (fuzzer round 7) the open
+        // range a.. — drop the first a-1 rows, keep the rest
+        val take = r.nextInt(3) match {
+          case 0 => s"take ${r.nextInt(30) + 5}"
+          case 1 => val a = r.nextInt(10) + 1; s"take $a..${a + r.nextInt(20) + 1}"
+          case 2 => s"take ${r.nextInt(12) + 1}.."
+        }
         (s"sort [${if (r.nextBoolean()) s"-$key" else key}]\n$take", st)
     }
   }
@@ -217,18 +226,48 @@ class SqlBackendPropertySpec extends AnyFunSuite {
     val sb = new StringBuilder(
       "func fz1 x -> (x * 2 + 1)\nfunc fz2 k:3 x -> (x + k)\n\n")
     // half the pipelines route through a `table` CTE carrying 1-2 random
-    // stages — exercises WITH rendering and CTE reference on both backends
+    // stages — exercises WITH rendering and CTE reference on both backends;
+    // a third of those chain a SECOND CTE referencing the first (fuzzer
+    // round 7: topological WITH ordering + known-output-name propagation
+    // across CTE hops)
     if (r.nextBoolean()) {
       sb.append(s"table tsrc = (\n  from $View\n")
       (1 to r.nextInt(2) + 1).foreach { _ =>
         val (stage, next) = rowStage(r, st, fresh)
         sb.append("  ").append(stage.replace("\n", "\n  ")).append('\n'); st = next
       }
-      sb.append(")\n\nfrom tsrc\n")
+      sb.append(")\n\n")
+      if (r.nextInt(3) == 0) {
+        sb.append("table tmid = (\n  from tsrc\n")
+        val (stage, next) = rowStage(r, st, fresh)
+        sb.append("  ").append(stage.replace("\n", "\n  ")).append('\n'); st = next
+        sb.append(")\n\nfrom tmid\n")
+      } else sb.append("from tsrc\n")
     } else sb.append(s"from $View\n")
     (1 to r.nextInt(4) + 1).foreach { _ =>
       val (stage, next) = rowStage(r, st, fresh)
       sb.append(stage).append('\n'); st = next
+    }
+    // optional TOP-LEVEL window derive (fuzzer round 7): an aggregate or
+    // ranking function in a plain derive under an ambient sort — no group
+    // block, so the partition is the whole relation and the ambient-sort
+    // full-frame rule decides the frame (the q46/q47 shape). The ambient
+    // sort ends in the unique key, so offsets/ranks are deterministic.
+    if (r.nextInt(5) == 0 && st.uniqueKey.isDefined) {
+      val key = st.uniqueKey.get
+      sb.append(s"sort [${if (r.nextBoolean()) s"-$key" else key}]\n")
+      val numCols = colsOf(st, 'n')
+      val opts = Vector(("(row_number | as bigint)", 'n')) ++
+        (if (numCols.nonEmpty) {
+          val c = numCols(r.nextInt(numCols.size))
+          Vector((s"(sum $c)", 'n'), (s"(min $c)", 'n'),
+            (s"(lag 1 $c)", 'n'), (s"(first $c)", 'n'))
+        } else Vector.empty)
+      val assigns = r.shuffle(opts).take(r.nextInt(2) + 1).map { case (body, t) =>
+        val nm = fresh(); (s"$nm = $body", nm, t)
+      }
+      sb.append(s"derive [${assigns.map(_._1).mkString(", ")}]\n")
+      st = st.copy(cols = st.cols ++ assigns.map(a => a._2 -> a._3))
     }
     // optional group top-k stage (fuzzer round 6): `group ks (sort | take)`
     // exercises the row_number rewrite; the inner sort ends in the unique
@@ -302,10 +341,13 @@ class SqlBackendPropertySpec extends AnyFunSuite {
           // stddev/count_distinct/round-average (fuzzer round 6); both
           // backends aggregate through the same hash-shuffled Spark plan,
           // so stddev's merge order — hence its double — is stable
+          // count-with-arg and aggregate-over-expression (fuzzer round 7)
           r.shuffle(Vector(s"sv = (sum $c)", s"mn = (min $c)", s"mx = (max $c)",
             s"av = (average $c)", s"cd = (count_distinct $c)",
             s"sd = (round (stddev $c) 6)",
-            s"ra = (round (average $c) 2)")).take(r.nextInt(3) + 1)
+            s"ra = (round (average $c) 2)",
+            s"ct = (count $c)",
+            s"se = (sum ($c + ${r.nextInt(9) + 1}))")).take(r.nextInt(3) + 1)
         } else Vector.empty)
       sb.append(s"group [grp] (aggregate [${aggs.mkString(", ")}])\n")
       st = St(Vector("grp" -> 's', "n" -> 'n') ++
@@ -313,6 +355,8 @@ class SqlBackendPropertySpec extends AnyFunSuite {
           case a if a.startsWith("sv") || a.startsWith("mn") || a.startsWith("mx") =>
             a.take(2) -> 'n'
           case a if a.startsWith("cd") => "cd" -> 'n'
+          case a if a.startsWith("ct") => "ct" -> 'n'
+          case a if a.startsWith("se") => "se" -> 'n'
           case a if a.startsWith("av") => "av" -> 'd'
           case a if a.startsWith("sd") => "sd" -> 'd'
           case a if a.startsWith("ra") => "ra" -> 'd'

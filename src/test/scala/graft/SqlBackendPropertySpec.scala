@@ -312,6 +312,11 @@ class SqlBackendPropertySpec extends AnyFunSuite {
         }
         sb.append(s"group [grp] (\n  sort [$sortDir]\n  window $frame (\n    derive [${assigns.map(_._1).mkString(", ")}]\n  )\n)\n")
         st = st.copy(cols = st.cols ++ assigns.map(a => a._2 -> 'n'))
+        // filter over a window output (fuzzer round 8): SQL can't put a
+        // window alias in the same SELECT's WHERE, so the backend must
+        // flush the window block into a subquery first
+        if (r.nextBoolean())
+          sb.append(s"filter (${assigns.head._2} ${if (r.nextBoolean()) "!=" else "=="} null)\n")
       } else {
         val picks = scala.collection.mutable.ArrayBuffer.empty[(String, String, Char)]
         picks += (("row_number", "(row_number | as bigint)", 'n'))
@@ -332,8 +337,12 @@ class SqlBackendPropertySpec extends AnyFunSuite {
         st = st.copy(cols = st.cols ++ assigns.map(a => a._2 -> a._3))
       }
     }
-    val terminal = r.nextInt(8)
+    val terminal = r.nextInt(9)
     if (terminal < 4 && st.cols.exists(_._1 == "grp")) {
+      // multi-key grouping (fuzzer round 8): (grp, s) pairs are non-unique
+      // rows but a total-order key set for the aggregated relation
+      val gkeys = if (st.cols.exists(_._1 == "s") && r.nextInt(3) == 0)
+        Seq("grp", "s") else Seq("grp")
       val numCols = colsOf(st, 'n')
       val aggs = Vector("n = count") ++
         (if (numCols.nonEmpty) {
@@ -349,8 +358,8 @@ class SqlBackendPropertySpec extends AnyFunSuite {
             s"ct = (count $c)",
             s"se = (sum ($c + ${r.nextInt(9) + 1}))")).take(r.nextInt(3) + 1)
         } else Vector.empty)
-      sb.append(s"group [grp] (aggregate [${aggs.mkString(", ")}])\n")
-      st = St(Vector("grp" -> 's', "n" -> 'n') ++
+      sb.append(s"group [${gkeys.mkString(", ")}] (aggregate [${aggs.mkString(", ")}])\n")
+      st = St(gkeys.map(_ -> 's').toVector ++ Vector("n" -> 'n') ++
         aggs.collect {
           case a if a.startsWith("sv") || a.startsWith("mn") || a.startsWith("mx") =>
             a.take(2) -> 'n'
@@ -360,13 +369,30 @@ class SqlBackendPropertySpec extends AnyFunSuite {
           case a if a.startsWith("av") => "av" -> 'd'
           case a if a.startsWith("sd") => "sd" -> 'd'
           case a if a.startsWith("ra") => "ra" -> 'd'
-        }, Some("grp"), grouped = true)
-      // optional HAVING + deterministic post-group sort/take
+        }, if (gkeys.size == 1) Some("grp") else None, grouped = true)
+      // post-aggregate derive over the agg outputs (fuzzer round 8)
+      if (r.nextInt(3) == 0) {
+        sb.append(s"derive [xg = (n * ${r.nextInt(5) + 1} + ${r.nextInt(20)})]\n")
+        st = st.copy(cols = st.cols :+ ("xg" -> 'n'))
+      }
+      // optional HAVING + deterministic post-group sort/take (the key set
+      // totally orders the aggregated relation, composite or not)
       if (r.nextBoolean()) sb.append(s"filter ${boolExpr(r, st, 0)}\n")
       if (r.nextBoolean()) {
-        sb.append(s"sort [${if (r.nextBoolean()) "-n, grp" else "grp"}]\n")
+        val ks = if (r.nextBoolean()) "-n" +: gkeys else gkeys
+        sb.append(s"sort [${ks.mkString(", ")}]\n")
         if (r.nextBoolean()) sb.append(s"take ${r.nextInt(3) + 1}\n")
       }
+    } else if (terminal == 8) {
+      // global aggregate terminal (fuzzer round 8): no group — one row
+      val numCols = colsOf(st, 'n')
+      val aggs = Vector("n = count") ++
+        (if (numCols.nonEmpty) {
+          val c = numCols(r.nextInt(numCols.size))
+          r.shuffle(Vector(s"sv = (sum $c)", s"mn = (min $c)",
+            s"cd = (count_distinct $c)")).take(r.nextInt(2) + 1)
+        } else Vector.empty)
+      sb.append(s"aggregate [${aggs.mkString(", ")}]\n")
     } else if (terminal < 6) {
       // DISTINCT terminal (fuzzer round 6): select down to the key set,
       // `group ks (take 1)`; sorting by ALL remaining columns totally

@@ -129,16 +129,54 @@ final class SqlGen(query: Query) {
   }
 
   /** Close the block into a subquery; ambient language state carries over
-    * (derived names became real columns, so the env empties). */
-  private def flush(b: Block): Block =
-    Block(from = s"(\n${renderBlock(b, isTop = false)}\n)" +
+    * (derived names became real columns, so the env empties).
+    *
+    * A pending-sort name the block's EXPLICIT select no longer exposes
+    * must ride through the subquery under a mangled carry column, or the
+    * outer ORDER BY cannot resolve it once another flush interposes
+    * (fuzzer seed 222: `sort [-x1] | select [..no x1..] | join` put the
+    * ORDER BY two scopes above x1's last one). The carry is EXCEPT'd in
+    * the outer block so a star render keeps the output schema; ORDER BY
+    * may still reference it as a FROM column. Skipped when any select
+    * item is unaliased (wildcards — emitted names unknowable without a
+    * schema) and when select is None (`*` keeps every name). */
+  private def flush(b: Block): Block = {
+    val canCarry = b.select.exists(_.forall(_._1.isDefined))
+    val missing: List[String] =
+      if (!canCarry) Nil
+      else {
+        val emitted = emittedNames(b)
+        b.sort.toList.flatMap(_.e match {
+          case Ident(List(n)) if !emitted.contains(n.toLowerCase) => Some(n)
+          case _ => None
+        }).distinct
+      }
+    val mangled = missing.map(n => n -> s"__gsort_$n")
+    val bi =
+      if (mangled.isEmpty) b
+      else b.copy(select = b.select.map(_ ++ mangled.map { case (n, m) =>
+        (Some(m): Option[String]) -> renderExpr(b, Ident(List(n)), inAgg = false)
+      }))
+    val mmap = mangled.toMap
+    val sortR =
+      if (mangled.isEmpty) b.sort
+      else b.sort.map { si =>
+        si.e match {
+          case Ident(List(n)) if mmap.contains(n) => si.copy(e = Ident(List(mmap(n))))
+          case _ => si
+        }
+      }
+    Block(from = s"(\n${renderBlock(bi, isTop = false)}\n)" +
         b.fromAlias.map(a => s" AS ${quoteName(a)}").getOrElse(""),
       fromAlias = b.fromAlias,
-      sort = b.sort, sortForOutput = b.sortForOutput,
+      select = None,
+      excepts = mangled.map(_._2).toVector,
+      sort = sortR, sortForOutput = b.sortForOutput,
       groupKeys = b.groupKeys, frameSpec = b.frameSpec,
       inGroupBody = b.inGroupBody, inWindowBody = b.inWindowBody,
       aggregated = b.aggregated,
-      baseNames = emittedNames(b))
+      baseNames = emittedNames(bi))
+  }
 
   /** Positional state that makes the block's OUTPUT differ from its input
     * relation for a new consumer. */
@@ -182,23 +220,56 @@ final class SqlGen(query: Query) {
         }
 
       case "select" =>
-        // A pending sort may reference a derived (env) name this select is
-        // about to drop from the projection. Plain ORDER BY must use the
-        // alias (see sortSql), so the name has to exist as a COLUMN: flush
-        // first — the derive becomes a real column of the subquery, and
-        // Spark lets the outer ORDER BY reference a FROM column that is
-        // not in the select list (fuzzer seed 131)
-        val outNames: Set[String] = assignItems(args).flatMap {
+        // A pending sort may reference a name this select is about to drop
+        // from the projection, or REBIND to a different expression. Plain
+        // ORDER BY must use the alias (see sortSql), so:
+        //  - dropped env name (fuzzer seed 131): flush — the derive becomes
+        //    a real column of the subquery, and Spark lets the outer ORDER
+        //    BY reference a FROM column that is not in the select list;
+        //  - rebound name (r9 review): the sort happened at its pipeline
+        //    position over the OLD value, but an outer `ORDER BY x` binds
+        //    to the new alias — carry the old value through the flush under
+        //    a mangled column and point the pending sort at it (the mangled
+        //    FROM column is not in the outer select list, so it is
+        //    unambiguous and does not change the output schema)
+        val items0 = assignItems(args)
+        val outNames: Set[String] = items0.flatMap {
           case (Some(n), _) => Some(n)
           case (None, Ident(parts)) => Some(parts.last) // "*" never matches a sort ident
           case (None, e) => Some(prettyName(e))
         }.toSet
+        val rebound: Set[String] = items0.collect {
+          case (Some(n), e) if e != Ident(List(n)) => n
+        }.toSet
+        val reboundSorted: Vector[String] = b.sort.flatMap(_.e match {
+          case Ident(List(n)) if rebound.contains(n) => Some(n)
+          case _ => None
+        }).distinct.toVector
         val sortDropsEnvName = b.sort.exists(_.e match {
           case Ident(List(n)) => b.env.contains(n) && !outNames.contains(n)
           case _ => false
         })
-        val b1 = if (closed(b) || sortDropsEnvName) flush(b) else b
-        val items: List[(Option[String], String)] = assignItems(args).map {
+        val bPre =
+          if (reboundSorted.isEmpty) b
+          else {
+            val mangled = reboundSorted.map(n => n -> s"__gsort_$n")
+            val withCols = mangled.foldLeft(b) { case (bb, (n, m)) =>
+              val sql = renderExpr(bb, Ident(List(n)), inAgg = false)
+              bb.select match {
+                case Some(its) => bb.copy(select = Some(its :+ (Some(m) -> sql)))
+                case None => bb.copy(extras = bb.extras :+ (m -> sql))
+              }
+            }
+            val mmap = mangled.toMap
+            withCols.copy(sort = withCols.sort.map { si =>
+              si.e match {
+                case Ident(List(n)) if mmap.contains(n) => si.copy(e = Ident(List(mmap(n))))
+                case _ => si
+              }
+            })
+          }
+        val b1 = if (closed(b) || sortDropsEnvName || reboundSorted.nonEmpty) flush(bPre) else bPre
+        val items: List[(Option[String], String)] = items0.map {
           case (Some(n), e) => (Some(n), renderExpr(b1, e, inAgg = false))
           case (None, Ident(parts)) if parts.last == "*" =>
             // wildcard select items pass through verbatim, unaliased

@@ -196,7 +196,22 @@ class SqlBackendPropertySpec extends AnyFunSuite {
         val keep = st.uniqueKey.toSeq ++
           r.shuffle(st.cols.map(_._1).filterNot(st.uniqueKey.contains)).take(r.nextInt(3) + 1)
         val kept = st.cols.filter(c => keep.contains(c._1))
-        (s"select [${kept.map(_._1).mkString(", ")}]", st.copy(cols = kept))
+        // occasionally REBIND one kept column to a fresh expression
+        // (fuzzer round 8, review finding): a pending sort on the rebound
+        // name must keep ordering by the OLD value — the timing class the
+        // __gsort_ mangling in SqlGen exists for. grp/key stay stable
+        // (join/group/take determinism rides on them).
+        val rebindable = kept.map(_._1)
+          .filterNot(n => st.uniqueKey.contains(n) || n == "grp" || n == "d")
+        if (r.nextInt(3) == 0 && rebindable.nonEmpty) {
+          val target = rebindable(r.nextInt(rebindable.size))
+          val (body, t) =
+            if (r.nextBoolean()) (numExpr(r, st, 1), 'n') else (strExpr(r, st), 's')
+          val itemsTxt = kept.map { case (n, _) => if (n == target) s"$n = $body" else n }
+          (s"select [${itemsTxt.mkString(", ")}]",
+            st.copy(cols = kept.map { case (n, tp) => if (n == target) (n, t) else (n, tp) }))
+        } else
+          (s"select [${kept.map(_._1).mkString(", ")}]", st.copy(cols = kept))
       case 3 =>
         val key = st.uniqueKey.get
         val extra = r.shuffle(st.cols.map(_._1).filterNot(_ == key)).take(r.nextInt(2))
@@ -419,6 +434,22 @@ class SqlBackendPropertySpec extends AnyFunSuite {
       }.mkString("|"))
       .sorted
       .toSeq
+  }
+
+  test("pending sort on a name the select REBINDS keeps ordering by the old value") {
+    // review finding (r9): `sort x | select [x = <other>] | take k` — the
+    // sort happened at its pipeline position over the OLD derived x; a
+    // plain outer ORDER BY x would bind to the rebound alias instead
+    fixture
+    val prql =
+      s"""from $View
+         |derive x = (v ?? 0) + 1
+         |sort [-x, id]
+         |select [x = f, id]
+         |take 3""".stripMargin
+    val a = canon(Graft.compileSession(prql, spark))
+    val b = canon(spark.sql(Graft.toSparkSql(prql)))
+    assert(a == b, s"rebound-sort divergence:\n${Graft.toSparkSql(prql)}\n$a\nvs\n$b")
   }
 
   test("sql backend row-equals the DataFrame path on 250 random pipelines") {

@@ -4915,6 +4915,142 @@ object PipelineOps {
     FROM sc ORDER BY doc_id"""
   }
 
+  // ---- p65: T5 span corruption --------------------------------------------
+  // The second data-AUGMENTATION objective transform (p62 is FIM): Raffel
+  // et al. 2020 §3.1.4 — mask contiguous token spans with sentinel tokens
+  // and emit (input, target) where the target replays the sentinels
+  // followed by the masked spans. T5's production recipe samples ~15%
+  // corruption at mean span length 3; the deterministic re-expression
+  // (p62's contract) corrupts ONE hash-derived span per fixed window of
+  // [[SpanWin]] tokens with hash-derived length 1..[[SpanLenMax]]
+  // (expected rate = mean(L)/W = 3/20 = 15%), so rate and spans are
+  // rerun-stable, engine-independent, and redrawn by the p62 `fimSalt`
+  // knob (one salt governs the augmentation epoch for both transforms).
+  //
+  // Scale shape: pure map-side like p62 — per-doc array HOF chain (the
+  // span table is built by three nested transforms because SQL lambdas
+  // have no let-binding), zero shuffles, zero Generates before the output
+  // sort. Sentinels are window-indexed (<extra_id_w>), spans are
+  // window-local by construction so reconstruction never crosses windows.
+  private val SpanWin = 20
+  private val SpanLenMax = 5
+
+  private[graft] def p65Spark(hf: String, salt: String): String = {
+    def h(tag: String) = hSpark(s"concat('$salt|$tag|', CAST(doc_id AS STRING), '|', CAST(x.w AS STRING))", hf)
+    s"""
+    WITH t AS (
+      SELECT doc_id, $wordsSpark AS words FROM documents),
+    z AS (
+      SELECT doc_id, words, size(words) AS n,
+        CAST((size(words) + ${SpanWin - 1}) DIV $SpanWin AS INT) AS nwin
+      FROM t WHERE size(words) >= 1),
+    w0 AS (
+      SELECT doc_id, words, n, nwin,
+        transform(sequence(0, nwin - 1),
+          w -> named_struct('w', w, 'c', least($SpanWin, n - w * $SpanWin))) AS a
+      FROM z),
+    w1 AS (
+      SELECT doc_id, words, n, nwin,
+        transform(a, x -> named_struct('w', x.w, 'c', x.c,
+          'l', CAST(1 + pmod(${h("l")}, least($SpanLenMax, x.c)) AS INT))) AS a
+      FROM w0),
+    sp AS (
+      SELECT doc_id, words, n, nwin,
+        transform(a, x -> named_struct('w', x.w, 'off', x.w * $SpanWin,
+          'c', x.c, 'l', x.l,
+          's', CAST(pmod(${h("s")}, x.c - x.l + 1) AS INT))) AS a
+      FROM w1),
+    o AS (
+      SELECT doc_id, n, nwin,
+        aggregate(a, 0, (acc, x) -> acc + x.l) AS n_corrupted,
+        array_join(flatten(transform(a, x -> concat(
+          slice(words, x.off + 1, x.s),
+          array(concat('<extra_id_', CAST(x.w AS STRING), '>')),
+          slice(words, x.off + x.s + x.l + 1, x.c - x.s - x.l)))), ' ') AS input_text,
+        array_join(flatten(transform(a, x -> concat(
+          array(concat('<extra_id_', CAST(x.w AS STRING), '>')),
+          slice(words, x.off + x.s + 1, x.l)))), ' ') AS target_text
+      FROM sp)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+      CAST(nwin AS BIGINT) AS n_spans,
+      CAST(n_corrupted AS BIGINT) AS n_corrupted,
+      CAST(CAST(n_corrupted AS BIGINT) * 1000000 DIV n AS BIGINT) AS corrupt_ratio_micro,
+      ${hStrSpark("input_text", hf)} AS input_checksum,
+      ${hStrSpark("target_text", hf)} AS target_checksum
+    FROM o ORDER BY doc_id"""
+  }
+
+  private val p65Duck = {
+    def h(tag: String) = hDuck(s"'$FimSaltDefault|$tag|' || CAST(doc_id AS VARCHAR) || '|' || CAST(x.w AS VARCHAR)")
+    s"""
+    WITH t AS (
+      SELECT doc_id, $wordsDuck AS words FROM documents),
+    z AS (
+      SELECT doc_id, words, len(words) AS n,
+        CAST((len(words) + ${SpanWin - 1}) // $SpanWin AS INT) AS nwin
+      FROM t WHERE len(words) >= 1),
+    w0 AS (
+      SELECT doc_id, words, n, nwin,
+        list_transform(generate_series(0, nwin - 1),
+          w -> struct_pack(w := w, c := least($SpanWin, n - w * $SpanWin))) AS a
+      FROM z),
+    w1 AS (
+      SELECT doc_id, words, n, nwin,
+        list_transform(a, x -> struct_pack(w := x.w, c := x.c,
+          l := CAST(1 + ${h("l")} % least($SpanLenMax, x.c) AS INT))) AS a
+      FROM w0),
+    sp AS (
+      SELECT doc_id, words, n, nwin,
+        list_transform(a, x -> struct_pack(w := x.w, off := x.w * $SpanWin,
+          c := x.c, l := x.l,
+          s := CAST(${h("s")} % (x.c - x.l + 1) AS INT))) AS a
+      FROM w1),
+    o AS (
+      SELECT doc_id, n, nwin,
+        list_reduce(list_transform(a, x -> x.l), (p, q) -> p + q) AS n_corrupted,
+        array_to_string(flatten(list_transform(a, x ->
+          list_slice(words, x.off + 1, x.off + x.s) ||
+          ['<extra_id_' || CAST(x.w AS VARCHAR) || '>'] ||
+          list_slice(words, x.off + x.s + x.l + 1, x.off + x.c))), ' ') AS input_text,
+        array_to_string(flatten(list_transform(a, x ->
+          ['<extra_id_' || CAST(x.w AS VARCHAR) || '>'] ||
+          list_slice(words, x.off + x.s + 1, x.off + x.s + x.l))), ' ') AS target_text
+      FROM sp)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+      CAST(nwin AS BIGINT) AS n_spans,
+      CAST(n_corrupted AS BIGINT) AS n_corrupted,
+      CAST(CAST(n_corrupted AS BIGINT) * 1000000 // n AS BIGINT) AS corrupt_ratio_micro,
+      md5(input_text) AS input_checksum,
+      md5(target_text) AS target_checksum
+    FROM o ORDER BY doc_id"""
+  }
+
+  // ---- p66: soft deduplication (reweight, don't remove) --------------------
+  // The reweighting alternative to hard dedup (He et al. 2024,
+  // "SoftDedup"): instead of dropping duplicate documents (p01 keeps one
+  // representative), every copy survives with sampling weight 1/m, where
+  // m is its content's exact-copy multiplicity — the corpus-level token
+  // distribution matches the hard-deduped one in expectation while
+  // keeping natural-duplication signal available to the sampler. Weight
+  // is fixed-pointed at 1e6 (exact integer division; all copies of a
+  // content agree bit-for-bit).
+  //
+  // Scale shape: m via one window count over the canonical content hash —
+  // a single hash shuffle, no join, no one-row stage; skew is bounded by
+  // the true duplicate multiplicity (the partition holds one content's
+  // copies). p01's hStrSpark key keeps the two operators' groupings
+  // identical by construction.
+  private def p66Spark(hf: String) = s"""
+    SELECT doc_id,
+      CAST(count(*) OVER (PARTITION BY ${hStrSpark("lower(trim(text))", hf)}) AS BIGINT) AS n_copies,
+      CAST(1000000 DIV count(*) OVER (PARTITION BY ${hStrSpark("lower(trim(text))", hf)}) AS BIGINT) AS weight_micro
+    FROM documents ORDER BY doc_id"""
+  private val p66Duck = """
+    SELECT doc_id,
+      CAST(count(*) OVER (PARTITION BY md5(lower(trim(text)))) AS BIGINT) AS n_copies,
+      CAST(1000000 // count(*) OVER (PARTITION BY md5(lower(trim(text)))) AS BIGINT) AS weight_micro
+    FROM documents ORDER BY doc_id"""
+
   private def onEvents(sql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => {
       graft.Graft.normalizeEventTime(spark.read.parquet(s"$dir/events.parquet"))
@@ -5044,6 +5180,11 @@ object PipelineOps {
       spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
       spark.sql(p64Spark(hashFamily(spark), dsirSelectMicro(spark)))
     }),
+    "p65_span_corrupt" -> ((spark, dir) => {
+      spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+      spark.sql(p65Spark(hashFamily(spark), fimSalt(spark)))
+    }),
+    "p66_softdedup_weights" -> onDocsHf(p66Spark),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5118,5 +5259,7 @@ object PipelineOps {
     "p62_fim_transform" -> p62Duck,
     "p63_paragraph_dedup" -> p63Duck,
     "p64_dsir_select" -> p64Duck,
+    "p65_span_corrupt" -> p65Duck,
+    "p66_softdedup_weights" -> p66Duck,
   )
 }

@@ -1799,6 +1799,80 @@ object PipelineRelational {
          |  selected = s"CAST(CASE WHEN lr DIV (n - 1) > -290000 THEN 1 ELSE 0 END AS BIGINT)",
          |]
          |sort doc_id""".stripMargin,
+
+    // p65: the span table builds through three derive hops (SQL lambdas
+    // have no let-binding); the 'fim0' salt is the pinned default.
+    "p65_span_corrupt" -> {
+      def h(tag: String) =
+        H(s"concat('fim0|$tag|', CAST(doc_id AS STRING), '|', CAST(x.w AS STRING))")
+      s"""table t = (
+         |  from documents
+         |  derive words = s"$W"
+         |)
+         |
+         |table z = (
+         |  from t
+         |  filter s"size(words) >= 1"
+         |  derive [n = s"size(words)", nwin = s"CAST((size(words) + 19) DIV 20 AS INT)"]
+         |)
+         |
+         |table w0 = (
+         |  from z
+         |  derive a0 = s"transform(sequence(0, nwin - 1), w -> named_struct('w', w, 'c', least(20, n - w * 20)))"
+         |)
+         |
+         |table w1 = (
+         |  from w0
+         |  derive a1 = s"transform(a0, x -> named_struct('w', x.w, 'c', x.c, 'l', CAST(1 + pmod(${h("l")}, least(5, x.c)) AS INT)))"
+         |)
+         |
+         |table sp = (
+         |  from w1
+         |  derive a2 = s"transform(a1, x -> named_struct('w', x.w, 'off', x.w * 20, 'c', x.c, 'l', x.l, 's', CAST(pmod(${h("s")}, x.c - x.l + 1) AS INT)))"
+         |)
+         |
+         |table o = (
+         |  from sp
+         |  derive [
+         |    n_corrupted_i = s"aggregate(a2, 0, (acc, x) -> acc + x.l)",
+         |    input_text = s"array_join(flatten(transform(a2, x -> concat(slice(words, x.off + 1, x.s), array(concat('<extra_id_', CAST(x.w AS STRING), '>')), slice(words, x.off + x.s + x.l + 1, x.c - x.s - x.l)))), ' ')",
+         |    target_text = s"array_join(flatten(transform(a2, x -> concat(array(concat('<extra_id_', CAST(x.w AS STRING), '>')), slice(words, x.off + x.s + 1, x.l)))), ' ')",
+         |  ]
+         |)
+         |
+         |from o
+         |select [
+         |  doc_id,
+         |  n_tokens = s"CAST(n AS BIGINT)",
+         |  n_spans = s"CAST(nwin AS BIGINT)",
+         |  n_corrupted = s"CAST(n_corrupted_i AS BIGINT)",
+         |  corrupt_ratio_micro = s"CAST(CAST(n_corrupted_i AS BIGINT) * 1000000 DIV n AS BIGINT)",
+         |  input_checksum = s"md5(input_text)",
+         |  target_checksum = s"md5(target_text)",
+         |]
+         |sort doc_id""".stripMargin
+    },
+
+    "p66_softdedup_weights" ->
+      s"""table h = (
+         |  from documents
+         |  derive hh = s"md5(lower(trim(text)))"
+         |)
+         |
+         |table m = (
+         |  from h
+         |  group [hh] (
+         |    derive [mc = (count)]
+         |  )
+         |)
+         |
+         |from m
+         |select [
+         |  doc_id,
+         |  n_copies = s"CAST(mc AS BIGINT)",
+         |  weight_micro = s"CAST(1000000 DIV mc AS BIGINT)",
+         |]
+         |sort doc_id""".stripMargin,
   )
 
   /** Session-level kernel registrations the covered texts rely on (the

@@ -2114,6 +2114,94 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"no class separation: ref ${mean(1)} vs nonref ${mean(0)}")
   }
 
+  test("p65 span corruption equals a JVM reference; spans conserve tokens; salt redraws") {
+    def md5hex(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def hv(salt: String, tag: String, id: Long, w: Int): Long =
+      java.lang.Long.parseLong(md5hex(s"$salt|$tag|$id|$w").take(8), 16)
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+"))
+    def expect(salt: String, id: Long, ws: Array[String]) = {
+      val n = ws.length
+      val nwin = (n + 19) / 20
+      val spans = (0 until nwin).map { w =>
+        val c = math.min(20, n - w * 20)
+        val l = 1 + (hv(salt, "l", id, w) % math.min(5, c)).toInt
+        val s0 = (hv(salt, "s", id, w) % (c - l + 1)).toInt
+        (w, w * 20, c, l, s0)
+      }
+      val input = spans.flatMap { case (w, off, c, l, s0) =>
+        ws.slice(off, off + s0) ++ Seq(s"<extra_id_$w>") ++ ws.slice(off + s0 + l, off + c)
+      }.mkString(" ")
+      val target = spans.flatMap { case (w, off, _, l, s0) =>
+        Seq(s"<extra_id_$w>") ++ ws.slice(off + s0, off + s0 + l)
+      }.mkString(" ")
+      val corrupted = spans.map(_._4).sum
+      (nwin.toLong, corrupted.toLong, corrupted.toLong * 1000000 / n,
+        md5hex(input), md5hex(target), input, target)
+    }
+    val out = run("p65_span_corrupt").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getString(6)))).toMap
+    assert(out.size == docs.length)
+    docs.foreach { case (id, ws) =>
+      val (nwin, corrupted, ratio, inSum, tgtSum, input, target) = expect("fim0", id, ws)
+      val (gn, gs, gc, gr, gin, gtgt) = out(id)
+      assert(gn == ws.length, s"doc $id token count")
+      assert(gs == nwin && gc == corrupted && gr == ratio, s"doc $id span stats")
+      assert(gin == inSum && gtgt == tgtSum, s"doc $id checksums")
+      // conservation: input tokens = n - corrupted + nwin sentinels;
+      // target tokens = corrupted + nwin sentinels; spans within [1, 5]
+      assert(input.split(" ").length == ws.length - corrupted + nwin, s"doc $id input size")
+      assert(target.split(" ").length == corrupted + nwin, s"doc $id target size")
+      assert(corrupted >= nwin && corrupted <= 5L * nwin, s"doc $id span bounds")
+    }
+    // corpus-level corruption rate lands near the T5 operating point
+    // (mean span 3 over windows of 20 = 15%)
+    val rates = out.map { case (_, o) => o._4.toDouble / 1e6 }
+    val mean = rates.sum / rates.size
+    assert(mean > 0.10 && mean < 0.22, s"corruption rate drifted: $mean")
+    // a different salt redraws
+    spark.conf.set("spark.graft.fimSalt", "fim1")
+    try {
+      val redrawn = run("p65_span_corrupt").collect()
+        .map(r => r.getLong(0) -> r.getString(5)).toMap
+      assert(redrawn != out.map { case (k, v) => k -> v._5 },
+        "a new salt must redraw the spans")
+      docs.take(20).foreach { case (id, ws) =>
+        assert(redrawn(id) == expect("fim1", id, ws)._4, s"doc $id under fim1")
+      }
+    } finally spark.conf.unset("spark.graft.fimSalt")
+  }
+
+  test("p66 soft-dedup weights equal a JVM reference and partition the corpus with p01") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase)
+    val mult = docs.groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+    val out = run("p66_softdedup_weights").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == docs.length, "every copy survives — nothing is removed")
+    out.foreach { case (id, m, w) =>
+      val em = mult(docs.find(_._1 == id).get._2)
+      assert(m == em, s"doc $id multiplicity")
+      assert(w == 1000000L / em, s"doc $id weight")
+    }
+    // expectation law: summed weights = 1e6 per distinct content, minus
+    // the integer-division floor slack (m * floor(1e6/m) > 1e6 - m)
+    val wsum = out.map(_._3).sum
+    val exact = mult.keys.size * 1000000L
+    assert(wsum <= exact && wsum > exact - docs.length,
+      s"weight mass: $wsum vs $exact")
+    // agreement with p01: one representative per content, same multiplicities
+    val p01 = run("p01_dedup_exact").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(p01.length == mult.size)
+    p01.foreach { case (rep, copies) =>
+      assert(out.find(_._1 == rep).get._2 == copies, s"rep $rep multiplicity")
+    }
+  }
+
   test("driver contract: every oracle key has a query, entry() returns rows") {
     assert(PipelineOps.oracleSql.keySet.subsetOf(PipelineOps.queries.keySet))
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

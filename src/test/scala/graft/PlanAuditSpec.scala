@@ -754,4 +754,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange SinglePartition".r.findAllIn(p).length <= 2,
       s"only the slot-table totals and the packed-model aggregate may single-partition:\n$p")
   }
+
+  test("p65 span corruption is pure map-side: zero shuffles, zero row amplification") {
+    // p62's audit contract: the span table is a per-doc array HOF chain
+    val p = pipeline.PipelineOps.queries("p65_span_corrupt")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning".r.findAllIn(p).isEmpty,
+      s"the augmentation pass must not shuffle:\n$p")
+    assert("Generate".r.findAllIn(p).isEmpty,
+      s"one output row per document — no amplification:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no global stage belongs in the augmentation path:\n$p")
+  }
+
+  test("p66 soft-dedup weights: one content-hash window shuffle, no join, no global stage") {
+    val p = pipeline.PipelineOps.queries("p66_softdedup_weights")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning".r.findAllIn(p).length == 1,
+      s"the multiplicity window owns the single hash shuffle:\n$p")
+    assert(!p.toLowerCase.contains("join"),
+      s"multiplicity comes from a window, never a self-join:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no global stage belongs in the reweighting path:\n$p")
+  }
 }

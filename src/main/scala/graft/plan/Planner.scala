@@ -88,7 +88,12 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
       inGroupBody: Boolean = false,
       inWindowBody: Boolean = false,   // legality gate, independent of frame
       aggregated: Boolean = false,     // a group body ran `aggregate` (1 row/group)
-      checkColumns: Boolean = true)    // off where the frame is one join side
+      checkColumns: Boolean = true,    // off where the frame is one join side
+      // hidden sort-carry columns (__gsort_*) a select appended so the
+      // ambient sort keeps ordering by the PRE-select value of a name the
+      // select dropped or rebound; excluded from the frame, dropped at the
+      // pipeline edge (planMain / resolveTable)
+      carryCols: Set[String] = Set.empty)
 
   // ---- Column/expression bridge (Column stays the expression-builder
   //      surface; plans are assembled from the underlying Expressions) ----
@@ -111,7 +116,11 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
 
   def planMain(): DataFrame = {
     val main = query.main.getOrElse(throw new PlanError("query has no main pipeline"))
-    toDf(planPipelineCtx(main).plan)
+    val c = planPipelineCtx(main)
+    val df = toDf(c.plan)
+    // hidden sort-carry columns leave at the pipeline edge (drop is
+    // name-based and a no-op for columns the plan no longer exposes)
+    if (c.carryCols.isEmpty) df else df.drop(c.carryCols.toSeq: _*)
   }
 
   /** Unresolved plan only, no analysis — the latency probe uses this to
@@ -155,7 +164,11 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
       GraftPlanBridge.ofRowsWithConf(spark, plan,
         Map(Planner.TentativeKey -> "false"))
 
-  def planPipeline(p: Pipeline): DataFrame = toDf(planPipelineCtx(p).plan)
+  def planPipeline(p: Pipeline): DataFrame = {
+    val c = planPipelineCtx(p)
+    val df = toDf(c.plan)
+    if (c.carryCols.isEmpty) df else df.drop(c.carryCols.toSeq: _*)
+  }
 
   private def planPipelineCtx(p: Pipeline): Ctx =
     // Column builders capture a call-site stack trace per node for DataFrame
@@ -184,7 +197,13 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
           case Some(t) if !planningDefs(name) =>
             planningDefs += name
             val c = try planPipelineCtx(t.pipeline) finally planningDefs -= name
-            (c.plan, c.frame)
+            // a def whose pipeline carried hidden sort columns must not
+            // expose them to consumers' wildcards: re-project the exact
+            // frame (inexact frames can't — the corner stays documented)
+            val plan =
+              if (c.carryCols.isEmpty || !c.frame.exact) c.plan
+              else Project(c.frame.cols.map(attr), c.plan)
+            (plan, c.frame)
           case _ =>
             // catalog relations arrive as DataFrames, already analyzed when
             // the catalog built them — reuse that plan and schema, no new
@@ -279,8 +298,41 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
         case (None, Ident(parts)) => Vector(parts.last)
         case (None, e) => exact = false; Vector(prettyName(e))
       }.toVector
-      ctx.copy(plan = Project(cols, ctx.plan),
-        frame = Frame(names, ctx.frame.tables, exact))
+      // The ambient sort happened at ITS pipeline position over the
+      // PRE-select values (SQL ORDER BY semantics). A name this select
+      // DROPS or REBINDS to a different expression — or a qualified ident
+      // whose alias path a projection kills — must keep its old value
+      // available for a later take's re-sort or an OVER(ORDER BY):
+      // carry it through the projection under a hidden mangled column and
+      // repoint the ambient sort at it (the SqlGen carry, DataFrame side;
+      // r9 review). Carries stay out of the frame and drop at the
+      // pipeline edge.
+      val rebound: Set[String] = items.collect {
+        case (Some(n), e) if e != Ident(List(n)) => n
+      }.toSet
+      val needCarry: List[List[String]] = ctx.sort.flatMap(_.e match {
+        case Ident(parts @ List(n)) if rebound.contains(n) ||
+            !names.exists(_.equalsIgnoreCase(n)) => Some(parts)
+        case Ident(parts) if parts.length > 1 => Some(parts)
+        case _ => None
+      }).distinct
+      val carryCols = needCarry.map { p =>
+        val m = s"__gsort_${p.mkString("_")}"
+        // a re-carry references the previous hidden column, which the
+        // frame deliberately does not list — skip the symbolic check
+        m -> nmd(lower(ctx.copy(checkColumns = false), Ident(p)).as(m))
+      }
+      val mmap = needCarry.map(p => p -> s"__gsort_${p.mkString("_")}").toMap
+      val sortR = ctx.sort.map { si =>
+        si.e match {
+          case Ident(p) if mmap.contains(p) => si.copy(e = Ident(List(mmap(p))))
+          case _ => si
+        }
+      }
+      ctx.copy(plan = Project(cols ++ carryCols.map(_._2), ctx.plan),
+        frame = Frame(names, ctx.frame.tables, exact),
+        sort = sortR,
+        carryCols = ctx.carryCols ++ carryCols.map(_._1))
 
     case "derive" =>
       // each item may reference earlier items (shadowing) → one Project per
@@ -390,10 +442,20 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
           "through a single partition (inherent to global positional " +
           "slicing). For deep pagination at scale prefer keyset filtering " +
           "(filter key > last_seen | take n).")
+      // the slice selects rows UNDER THE AMBIENT SORT (the reference's
+      // final ORDER BY … LIMIT): re-establish it here — an interposing
+      // order-destroying operator (a sort-merge join re-clusters by its
+      // key) otherwise leaves Limit taking engine-order rows (r9 review;
+      // Catalyst's EliminateSorts removes the re-sort when the child
+      // ordering already satisfies it, so the plain sort|take plan is
+      // unchanged)
+      val base =
+        if (ctx.sort.isEmpty) ctx.plan
+        else Sort(ctx.sort.map(s => sortOrder(sortCol(ctx, s))), global = true, ctx.plan)
       val plan = rng match {
-        case (None, Some(n)) => limit(ctx.plan, n)
-        case (Some(a), Some(b)) => limit(offset(ctx.plan, a - 1), b - a + 1)
-        case (Some(a), None) => offset(ctx.plan, a - 1)
+        case (None, Some(n)) => limit(base, n)
+        case (Some(a), Some(b)) => limit(offset(base, a - 1), b - a + 1)
+        case (Some(a), None) => offset(base, a - 1)
         case (None, None) => ctx.plan
       }
       ctx.copy(plan = plan)
@@ -411,8 +473,17 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
           // unsorted `group ks (take 1)` / `take 1..1` → SELECT DISTINCT over
           // the whole frame, unconditionally (distinct.rs:33-40,
           // take_only_first: start.unwrap_or(1)==1 && end==Some(1)) — never
-          // an arbitrary row per group
-          ctx.copy(plan = Distinct(ctx.plan))
+          // an arbitrary row per group. Hidden sort carries must NOT join
+          // the distinct key set (they would change the multiset): project
+          // the visible frame first.
+          val base =
+            if (ctx.carryCols.isEmpty) ctx.plan
+            else if (ctx.frame.exact)
+              Project(ctx.frame.cols.map(attr), ctx.plan)
+            else throw new PlanError(
+              "grouped take 1 after a select that dropped a sorted name from an " +
+                "inexact frame is ambiguous — name the select's computed items")
+          ctx.copy(plan = Distinct(base), carryCols = Set.empty)
         case (lo, hi) =>
           if (ctx.sort.isEmpty)
             throw new PlanError(

@@ -140,38 +140,56 @@ final class SqlGen(query: Query) {
     * may still reference it as a FROM column. Skipped when any select
     * item is unaliased (wildcards — emitted names unknowable without a
     * schema) and when select is None (`*` keeps every name). */
+  /** Mangled carry name for a (possibly qualified) sort ident. */
+  private def gsortName(parts: List[String]): String =
+    s"__gsort_${parts.mkString("_")}"
+
+  /** Append carry columns for the given sort idents and rewrite the
+    * block's pending sort to reference them — the shared mechanism behind
+    * flush()'s dropped-name carry and select's rebound-name carry.
+    * Multi-part idents mangle through their full path (t.x → __gsort_t_x). */
+  private def carrySort(b: Block, idents: List[List[String]]): Block =
+    if (idents.isEmpty) b
+    else {
+      val mangled: List[(List[String], String)] = idents.map(p => p -> gsortName(p))
+      val withCols = mangled.foldLeft(b) { case (bb, (p, m)) =>
+        val sql = renderExpr(bb, Ident(p), inAgg = false)
+        bb.select match {
+          case Some(its) => bb.copy(select = Some(its :+ (Some(m) -> sql)))
+          case None => bb.copy(extras = bb.extras :+ (m -> sql))
+        }
+      }
+      val mmap = mangled.toMap
+      withCols.copy(sort = withCols.sort.map { si =>
+        si.e match {
+          case Ident(p) if mmap.contains(p) => si.copy(e = Ident(List(mmap(p))))
+          case _ => si
+        }
+      })
+    }
+
   private def flush(b: Block): Block = {
     val canCarry = b.select.exists(_.forall(_._1.isDefined))
-    val missing: List[String] =
+    val missing: List[List[String]] =
       if (!canCarry) Nil
       else {
         val emitted = emittedNames(b)
-        b.sort.toList.flatMap(_.e match {
-          case Ident(List(n)) if !emitted.contains(n.toLowerCase) => Some(n)
+        b.sort.flatMap(_.e match {
+          case Ident(parts) if parts.nonEmpty && parts.last != "*" &&
+              !emitted.contains(parts.last.toLowerCase) => Some(parts)
           case _ => None
         }).distinct
       }
-    val mangled = missing.map(n => n -> s"__gsort_$n")
-    val bi =
-      if (mangled.isEmpty) b
-      else b.copy(select = b.select.map(_ ++ mangled.map { case (n, m) =>
-        (Some(m): Option[String]) -> renderExpr(b, Ident(List(n)), inAgg = false)
-      }))
-    val mmap = mangled.toMap
-    val sortR =
-      if (mangled.isEmpty) b.sort
-      else b.sort.map { si =>
-        si.e match {
-          case Ident(List(n)) if mmap.contains(n) => si.copy(e = Ident(List(mmap(n))))
-          case _ => si
-        }
-      }
+    val bc = carrySort(b, missing)
+    // render the SUBQUERY with the original sort — a limit-forced inner
+    // ORDER BY resolves the un-mangled names at that level
+    val bi = bc.copy(sort = b.sort)
     Block(from = s"(\n${renderBlock(bi, isTop = false)}\n)" +
         b.fromAlias.map(a => s" AS ${quoteName(a)}").getOrElse(""),
       fromAlias = b.fromAlias,
       select = None,
-      excepts = mangled.map(_._2).toVector,
-      sort = sortR, sortForOutput = b.sortForOutput,
+      excepts = missing.map(gsortName).toVector,
+      sort = bc.sort, sortForOutput = b.sortForOutput,
       groupKeys = b.groupKeys, frameSpec = b.frameSpec,
       inGroupBody = b.inGroupBody, inWindowBody = b.inWindowBody,
       aggregated = b.aggregated,
@@ -241,33 +259,27 @@ final class SqlGen(query: Query) {
         val rebound: Set[String] = items0.collect {
           case (Some(n), e) if e != Ident(List(n)) => n
         }.toSet
-        val reboundSorted: Vector[String] = b.sort.flatMap(_.e match {
-          case Ident(List(n)) if rebound.contains(n) => Some(n)
+        val reboundSorted: List[List[String]] = b.sort.flatMap(_.e match {
+          case Ident(List(n)) if rebound.contains(n) => Some(List(n))
           case _ => None
-        }).distinct.toVector
+        }).distinct
         val sortDropsEnvName = b.sort.exists(_.e match {
           case Ident(List(n)) => b.env.contains(n) && !outNames.contains(n)
           case _ => false
         })
-        val bPre =
-          if (reboundSorted.isEmpty) b
-          else {
-            val mangled = reboundSorted.map(n => n -> s"__gsort_$n")
-            val withCols = mangled.foldLeft(b) { case (bb, (n, m)) =>
-              val sql = renderExpr(bb, Ident(List(n)), inAgg = false)
-              bb.select match {
-                case Some(its) => bb.copy(select = Some(its :+ (Some(m) -> sql)))
-                case None => bb.copy(extras = bb.extras :+ (m -> sql))
-              }
-            }
-            val mmap = mangled.toMap
-            withCols.copy(sort = withCols.sort.map { si =>
-              si.e match {
-                case Ident(List(n)) if mmap.contains(n) => si.copy(e = Ident(List(mmap(n))))
-                case _ => si
-              }
-            })
-          }
+        // a wildcard select would re-expose the rebind carry column in the
+        // output (`t.*` expands the flushed subquery) — refuse the corner
+        // shape with a named error rather than leak an internal name or
+        // silently order by the rebound value (r9 review)
+        val hasWildcard = items0.exists {
+          case (None, Ident(parts)) => parts.last == "*"
+          case _ => false
+        }
+        if (hasWildcard && reboundSorted.nonEmpty)
+          throw new SqlGenError(
+            "a pending sort on a name this wildcard select rebinds is not " +
+              "SQL-text-expressible; close the stage with a table CTE first")
+        val bPre = carrySort(b, reboundSorted)
         val b1 = if (closed(b) || sortDropsEnvName || reboundSorted.nonEmpty) flush(bPre) else bPre
         val items: List[(Option[String], String)] = items0.map {
           case (Some(n), e) => (Some(n), renderExpr(b1, e, inAgg = false))
@@ -449,8 +461,12 @@ final class SqlGen(query: Query) {
         if (b.sort.isEmpty)
           throw new SqlGenError(
             "grouped take of a range beyond the first row requires a sort inside the group")
-        val inner = renderBlock(b, isTop = false)
-        val fb = flush(b) // for partition/sort rendering with an empty env
+        // flush FIRST and rank over ITS subquery: flush carries any sort
+        // name the body's select dropped (r9 review — ranking over the
+        // pre-carry render referenced __gsort_* columns that don't exist),
+        // and the carried columns leave the output through the same EXCEPT
+        // as the rank column
+        val fb = flush(b)
         val part = fb.groupKeys.map(k => renderExpr(fb, k, inAgg = false)).mkString(", ")
         val ord = fb.sort.map(sortSql(fb, _, inOver = true)).mkString(", ")
         val rn = "_rn_graft"
@@ -460,16 +476,18 @@ final class SqlGen(query: Query) {
           case (Some(a), None) => s"$rn >= $a"
           case (None, None) => "TRUE"
         }
+        val drop = (rn +: fb.excepts).map(quoteName).mkString(", ")
         val sql =
-          s"""SELECT * EXCEPT ($rn)
+          s"""SELECT * EXCEPT ($drop)
              |FROM (
              |SELECT *, row_number() OVER (PARTITION BY $part ORDER BY $ord) AS $rn
-             |FROM (
-             |$inner
-             |))
+             |FROM ${fb.from}
+             |)
              |WHERE $cond""".stripMargin
         fb.copy(from = s"(\n$sql\n)" +
-          fb.fromAlias.map(a => s" AS ${quoteName(a)}").getOrElse(""))
+            fb.fromAlias.map(a => s" AS ${quoteName(a)}").getOrElse(""),
+          excepts = Vector.empty,
+          baseNames = fb.baseNames -- fb.excepts.map(_.toLowerCase))
     }
   }
 

@@ -2153,9 +2153,11 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(gs == nwin && gc == corrupted && gr == ratio, s"doc $id span stats")
       assert(gin == inSum && gtgt == tgtSum, s"doc $id checksums")
       // conservation: input tokens = n - corrupted + nwin sentinels;
-      // target tokens = corrupted + nwin sentinels; spans within [1, 5]
-      assert(input.split(" ").length == ws.length - corrupted + nwin, s"doc $id input size")
-      assert(target.split(" ").length == corrupted + nwin, s"doc $id target size")
+      // target tokens = corrupted + nwin sentinels; spans within [1, 5].
+      // split limit -1 keeps trailing empty tokens (a whitespace-only doc
+      // tokenizes to [""], which survives as an empty token here)
+      assert(input.split(" ", -1).length == ws.length - corrupted + nwin, s"doc $id input size")
+      assert(target.split(" ", -1).length == corrupted + nwin, s"doc $id target size")
       assert(corrupted >= nwin && corrupted <= 5L * nwin, s"doc $id span bounds")
     }
     // corpus-level corruption rate lands near the T5 operating point

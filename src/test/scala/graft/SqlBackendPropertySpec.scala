@@ -452,6 +452,61 @@ class SqlBackendPropertySpec extends AnyFunSuite {
     assert(a == b, s"rebound-sort divergence:\n${Graft.toSparkSql(prql)}\n$a\nvs\n$b")
   }
 
+  test("group-body select dropping or rebinding the sorted name still ranks by it (r9 review)") {
+    fixture
+    // dropped: the body select loses x9; the rank must still order by it
+    val dropped =
+      s"""from $View
+         |derive x9 = (v ?? 0) * 3 + id
+         |group [grp] (
+         |  sort [-x9, id]
+         |  select [grp = grp, id = id]
+         |  take 2
+         |)
+         |sort [grp, id]""".stripMargin
+    // rebound: the body select REBINDS x9 to f; rank orders by the OLD x9
+    val rebound =
+      s"""from $View
+         |derive x9 = (v ?? 0) * 3 + id
+         |group [grp] (
+         |  sort [-x9, id]
+         |  select [grp = grp, id = id, x9 = f]
+         |  take 2
+         |)
+         |sort [grp, id]""".stripMargin
+    for (prql <- Seq(dropped, rebound)) {
+      val a = canon(Graft.compileSession(prql, spark))
+      val b = canon(spark.sql(Graft.toSparkSql(prql)))
+      assert(a == b, s"grouped-take carry divergence:\n$prql\n${Graft.toSparkSql(prql)}\n$a\nvs\n$b")
+      assert(a.nonEmpty)
+    }
+  }
+
+  test("wildcard select rebinding a sorted name is a named SQL-backend refusal (r9 review)") {
+    fixture
+    val prql =
+      s"""from t = $View
+         |sort [v, id]
+         |select [t.*, v = f]
+         |take 3""".stripMargin
+    val e = intercept[Exception](Graft.toSparkSql(prql))
+    assert(e.getMessage.contains("wildcard select rebinds"), e.getMessage)
+  }
+
+  test("qualified sort ident dropped by a select survives an interposing join flush (r9 review)") {
+    fixture
+    val prql =
+      s"""from t = $View
+         |sort [-t.id]
+         |select [grp, v]
+         |join side:inner fuzz_dim [grp]
+         |take 5""".stripMargin
+    val a = canon(Graft.compileSession(prql, spark))
+    val b = canon(spark.sql(Graft.toSparkSql(prql)))
+    assert(a == b, s"qualified-sort carry divergence:\n${Graft.toSparkSql(prql)}\n$a\nvs\n$b")
+    assert(a.nonEmpty)
+  }
+
   test("sql backend row-equals the DataFrame path on 250 random pipelines") {
     fixture
     var nonEmpty = 0

@@ -5051,6 +5051,168 @@ object PipelineOps {
       CAST(1000000 // count(*) OVER (PARTITION BY md5(lower(trim(text)))) AS BIGINT) AS weight_micro
     FROM documents ORDER BY doc_id"""
 
+  // ---- p67: SemDeDup semantic deduplication ---------------------------------
+  // The cluster-scoped semantic dedup (Abbas et al. 2023, "SemDeDup"):
+  // cluster the embedding space with a coarse codebook, then look for
+  // above-threshold cosine pairs ONLY within each cluster — the pair
+  // volume is Σ|cluster|² ≈ N²/K (N^1.5 at the K ~ √N codebook contract,
+  // the paper's cost), never corpus × corpus. The keep rule is the
+  // paper's: within a cluster, keep-priority goes to the vector FARTHEST
+  // from its centroid (lowest centroid cosine — the most "informative"
+  // representative of the semantic region); a vector is flagged is_dup
+  // when any higher-priority cluster-mate sits within the threshold.
+  // Complements p22 (SRP-band near-dup with exact connected components):
+  // p22's recall is band-geometry-bounded, p67's is cluster-boundary-
+  // bounded (an above-threshold pair split across clusters is missed) —
+  // the documented trade both the paper and production SemDeDup accept.
+  //
+  // Scale shape: the codebook reuses p19's IVF contract (hash-sampled
+  // seeds at IvfCentroidMod ≈ √N; at deployment, front it with p19's
+  // driver-iterative Lloyd rounds — cluster quality tightens recall but
+  // never correctness of the keep rule). Assignment is one broadcast-
+  // codebook × corpus pass; the pair join is a c_id equi-join of the
+  // materialized assignment with itself; the final projection is one
+  // left anti-ish join against the distinct dup set.
+
+  private val SemDupThresh = 0.30
+  private[graft] def semDupThreshold(spark: SparkSession): Double =
+    spark.conf.getOption("spark.graft.semDupThreshold")
+      .map(_.toDouble).getOrElse(SemDupThresh)
+
+  /** Assignment pass: nearest seed centroid + within-cluster keep priority.
+    * Materialized behind a [[Barrier]] in [[p67Run]] — the pair join's two
+    * sides and the final projection all consume it, and CTE inlining would
+    * recompute the N·K dot pass three times. */
+  private[graft] def p67RankedSpark(hf: String): String = {
+    def cos(ae: String, an: String, be: String, bn: String) =
+      s"${dotSpark(ae, be)} / (sqrt($an) * sqrt($bn))"
+    s"""
+    WITH e AS (
+      SELECT vec_id, embedding, ${norm2Spark("embedding")} AS n2 FROM embeddings),
+    cents AS (
+      SELECT vec_id AS c_id, embedding AS ce, n2 AS cn2 FROM e
+      WHERE pmod(${hSpark("CAST(vec_id AS STRING)", hf)}, $IvfCentroidMod) = 0),
+    scored AS (
+      SELECT v.vec_id, v.embedding, v.n2, c.c_id,
+        ${cos("v.embedding", "v.n2", "c.ce", "c.cn2")} AS csim
+      FROM e v CROSS JOIN cents c),
+    best AS (
+      SELECT vec_id, embedding, n2, c_id, csim FROM (
+        SELECT vec_id, embedding, n2, c_id, csim,
+          row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS rn
+        FROM scored) t WHERE rn = 1)
+    SELECT vec_id, embedding, n2, c_id, csim,
+      row_number() OVER (PARTITION BY c_id ORDER BY csim ASC, vec_id) AS pri
+    FROM best"""
+  }
+
+  private def p67TailSpark(thr: Double): String = s"""
+    WITH dups AS (
+      SELECT DISTINCT lo.vec_id
+      FROM sem_ranked hi JOIN sem_ranked lo
+        ON hi.c_id = lo.c_id AND hi.pri < lo.pri
+      WHERE ${dotSpark("hi.embedding", "lo.embedding")} / (sqrt(hi.n2) * sqrt(lo.n2)) >= $thr)
+    SELECT r.vec_id, CAST(r.c_id AS BIGINT) AS cluster_id,
+      CAST(floor(r.csim * 1e6 + 0.5) AS DOUBLE) / 1e6 AS cent_sim,
+      (d.vec_id IS NOT NULL) AS is_dup
+    FROM sem_ranked r LEFT JOIN dups d ON d.vec_id = r.vec_id
+    ORDER BY r.vec_id"""
+
+  private def p67Run(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerDot(spark)
+    spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("embeddings")
+    val ranked = Barrier.materialize(spark.sql(p67RankedSpark(hashFamily(spark))))
+    ranked.createOrReplaceTempView("sem_ranked")
+    spark.sql(p67TailSpark(semDupThreshold(spark)))
+  }
+
+  /** Oracle: the identical algebra end-to-end in one statement (DuckDB has
+    * no barrier to respect); knobs pinned to defaults, as every oracle. */
+  private val p67Duck: String = {
+    def cos(ae: String, an: String, be: String, bn: String) =
+      s"${dotDuck(ae, be)} / (sqrt($an) * sqrt($bn))"
+    s"""
+    WITH e AS (
+      SELECT vec_id, embedding, ${norm2Duck("embedding")} AS n2 FROM embeddings),
+    cents AS (
+      SELECT vec_id AS c_id, embedding AS ce, n2 AS cn2 FROM e
+      WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % $IvfCentroidMod = 0),
+    scored AS (
+      SELECT v.vec_id, v.embedding, v.n2, c.c_id,
+        ${cos("v.embedding", "v.n2", "c.ce", "c.cn2")} AS csim
+      FROM e v CROSS JOIN cents c),
+    best AS (
+      SELECT vec_id, embedding, n2, c_id, csim FROM (
+        SELECT vec_id, embedding, n2, c_id, csim,
+          row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS rn
+        FROM scored) t WHERE rn = 1),
+    ranked AS (
+      SELECT vec_id, embedding, n2, c_id, csim,
+        row_number() OVER (PARTITION BY c_id ORDER BY csim ASC, vec_id) AS pri
+      FROM best),
+    dups AS (
+      SELECT DISTINCT lo.vec_id
+      FROM ranked hi JOIN ranked lo
+        ON hi.c_id = lo.c_id AND hi.pri < lo.pri
+      WHERE ${dotDuck("hi.embedding", "lo.embedding")} / (sqrt(hi.n2) * sqrt(lo.n2)) >= $SemDupThresh)
+    SELECT r.vec_id, CAST(r.c_id AS BIGINT) AS cluster_id,
+      floor(r.csim * 1e6 + 0.5) / 1e6 AS cent_sim,
+      (d.vec_id IS NOT NULL) AS is_dup
+    FROM ranked r LEFT JOIN dups d ON d.vec_id = r.vec_id
+    ORDER BY r.vec_id"""
+  }
+
+  // ---- p68: tokenizer fertility per corpus bucket ----------------------------
+  // The metric a tokenizer swap is judged by across languages (fertility =
+  // BPE tokens per word; the multilingual-tokenizer literature's standard
+  // eval): encode the corpus under the p50-learned vocabulary and roll the
+  // token economics up per (lang, source) bucket — fertility, chars per
+  // token, and single-token vocabulary coverage. p51 reports the per-doc
+  // view; this is the per-bucket view a data-mixture decision reads.
+  //
+  // Scale shape: identical to p51 — tokenization happens at the VOCABULARY
+  // (the learned repr table already carries each distinct word's
+  // segmentation), so the corpus-sized work is one word explode + a
+  // broadcast join to the vocab-sized (word → token count) map; the bucket
+  // rollup is one partial-agg'd shuffle on (lang, source).
+
+  private val p68TailSpark = s"""
+    WITH x AS (SELECT lang, source, explode($wordsSpark) AS word FROM documents),
+    j AS (SELECT x.lang, x.source, t.n_tok, length(x.word) AS n_char
+          FROM x JOIN bpe_toks t ON x.word = t.word)
+    SELECT lang, source,
+      CAST(count(*) AS BIGINT) AS n_words,
+      CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens,
+      CAST(floor((CAST(sum(n_tok) AS DOUBLE) / count(*)) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS fertility,
+      CAST(floor((CAST(sum(n_char) AS DOUBLE) / sum(n_tok)) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS chars_per_token,
+      CAST(floor((CAST(sum(CASE WHEN n_tok = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS pct_single_token
+    FROM j GROUP BY lang, source ORDER BY lang, source"""
+
+  private def p68Run(spark: SparkSession, dir: String): DataFrame = {
+    val (_, w) = p50Learn(spark, dir)
+    // same shrink-then-release discipline as p51Run: only the vocab-sized
+    // (word → token count) map stays pinned for the returned plan
+    val toks = Barrier.materialize(w.selectExpr("word",
+      "CAST(size(split(repr, ' ')) AS BIGINT) AS n_tok"))
+    Barrier.release(w)
+    toks.createOrReplaceTempView("bpe_toks")
+    spark.sql(p68TailSpark)
+  }
+
+  private def p68Duck: String = p50DuckCtes + s""",
+    toks AS (
+      SELECT word, CAST(len(string_split(repr, ' ')) AS BIGINT) AS n_tok FROM w$BpeMerges),
+    x AS (SELECT lang, source, unnest($wordsDuck) AS word FROM documents),
+    j AS (SELECT x.lang, x.source, t.n_tok, length(x.word) AS n_char
+          FROM x JOIN toks t ON x.word = t.word)
+    SELECT lang, source,
+      CAST(count(*) AS BIGINT) AS n_words,
+      CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens,
+      floor((CAST(sum(n_tok) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS fertility,
+      floor((CAST(sum(n_char) AS DOUBLE) / sum(n_tok)) * 1e6 + 0.5) / 1e6 AS chars_per_token,
+      floor((CAST(sum(CASE WHEN n_tok = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS pct_single_token
+    FROM j GROUP BY lang, source ORDER BY lang, source"""
+
   private def onEvents(sql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => {
       graft.Graft.normalizeEventTime(spark.read.parquet(s"$dir/events.parquet"))
@@ -5185,6 +5347,8 @@ object PipelineOps {
       spark.sql(p65Spark(hashFamily(spark), fimSalt(spark)))
     }),
     "p66_softdedup_weights" -> onDocsHf(p66Spark),
+    "p67_semantic_dedup" -> ((spark, dir) => p67Run(spark, dir)),
+    "p68_tokenizer_fertility" -> ((spark, dir) => p68Run(spark, dir)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5261,5 +5425,7 @@ object PipelineOps {
     "p64_dsir_select" -> p64Duck,
     "p65_span_corrupt" -> p65Duck,
     "p66_softdedup_weights" -> p66Duck,
+    "p67_semantic_dedup" -> p67Duck,
+    "p68_tokenizer_fertility" -> p68Duck,
   )
 }

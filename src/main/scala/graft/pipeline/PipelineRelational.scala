@@ -1946,5 +1946,9 @@ object PipelineRelational {
       "M-round driver loop: each merge's argmax is a one-row action whose RESULT is spliced into the next round's rewrite SQL, with barriers between rounds — p16's iterative exclusion class",
     "p51_bpe_tokenize" ->
       "consumes p50's loop-learned barrier-materialized repr table (the vocabulary IS the result of the iterative action sequence)",
+    "p67_semantic_dedup" ->
+      "the assignment relation is materialized behind the Barrier (consumed by both pair-join sides and the final projection — the N·K re-inlining hazard class, as p25), so the honest restatement is the two-step barrier sequence, not one query",
+    "p68_tokenizer_fertility" ->
+      "consumes p50's loop-learned barrier-materialized repr table (p51's exclusion reason — the vocabulary IS the result of the iterative action sequence)",
   )
 }

@@ -2204,6 +2204,81 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("p67 SemDeDup equals a JVM reference: assignment, keep priority, dup flags") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    def md5hex(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    // strict left-fold double dot — the graft_dot accumulation order
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    val vecs = emb.toMap
+    val n2 = emb.map { case (id, v) => id -> dot(v, v) }.toMap
+    def cos(a: Long, b: Long) =
+      dot(vecs(a), vecs(b)) / (math.sqrt(n2(a)) * math.sqrt(n2(b)))
+    val cents = emb.map(_._1)
+      .filter(id => java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) % 32 == 0)
+    assert(cents.nonEmpty)
+    // nearest centroid: csim DESC, c_id ASC
+    val assign = emb.map { case (id, _) =>
+      val (cid, csim) = cents.map(c => (c, cos(id, c)))
+        .minBy { case (c, s) => (-s, c) }
+      (id, cid, csim)
+    }
+    // keep priority: farthest-from-centroid first (csim ASC, vec_id ASC)
+    val pri = assign.groupBy(_._2).toSeq.flatMap { case (_, xs) =>
+      xs.sortBy(x => (x._3, x._1)).zipWithIndex.map { case (x, i) => x._1 -> (i + 1) }
+    }.toMap
+    val byCluster = assign.groupBy(_._2)
+    val dups = assign.filter { case (id, cid, _) =>
+      byCluster(cid).exists { case (other, _, _) =>
+        pri(other) < pri(id) && cos(other, id) >= 0.30
+      }
+    }.map(_._1).toSet
+    val out = run("p67_semantic_dedup").collect()
+    assert(out.length == emb.length, "every vector classified exactly once")
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (_, cid, csim) = assign.find(_._1 == id).get
+      assert(r.getLong(1) == cid, s"vec $id cluster")
+      assert(r.getDouble(2) == math.floor(csim * 1e6 + 0.5) / 1e6, s"vec $id cent_sim")
+      assert(r.getBoolean(3) == dups(id), s"vec $id is_dup")
+    }
+    // the rule has bite on the gate corpus, and keeps ≥1 rep per cluster
+    assert(dups.nonEmpty)
+    byCluster.keys.foreach { cid =>
+      val members = out.filter(_.getLong(1) == cid)
+      assert(members.exists(!_.getBoolean(3)), s"cluster $cid kept a representative")
+    }
+  }
+
+  test("p68 fertility buckets are consistent with p51's per-doc economics") {
+    val p68 = run("p68_tokenizer_fertility").collect()
+    val p51 = run("p51_bpe_tokenize").collect()
+    val buckets = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("lang", "source").distinct().count()
+    assert(p68.length == buckets, "one row per (lang, source) bucket")
+    // the same corpus-wide word/token mass, partitioned two ways
+    assert(p68.map(_.getLong(p68.head.fieldIndex("n_words"))).sum ==
+      p51.map(_.getLong(p51.head.fieldIndex("n_words"))).sum)
+    assert(p68.map(_.getLong(p68.head.fieldIndex("n_bpe_tokens"))).sum ==
+      p51.map(_.getLong(p51.head.fieldIndex("n_bpe_tokens"))).sum)
+    p68.foreach { r =>
+      val words = r.getLong(r.fieldIndex("n_words"))
+      val toks = r.getLong(r.fieldIndex("n_bpe_tokens"))
+      val fert = r.getDouble(r.fieldIndex("fertility"))
+      assert(words > 0 && toks >= words, "every word is ≥1 BPE token")
+      assert(fert == math.floor(toks.toDouble / words * 1e6 + 0.5) / 1e6)
+      val single = r.getDouble(r.fieldIndex("pct_single_token"))
+      assert(single >= 0.0 && single <= 1.0)
+    }
+  }
+
   test("driver contract: every oracle key has a query, entry() returns rows") {
     assert(PipelineOps.oracleSql.keySet.subsetOf(PipelineOps.queries.keySet))
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

@@ -777,4 +777,44 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"),
       s"no global stage belongs in the reweighting path:\n$p")
   }
+
+  test("p67 SemDeDup: codebook broadcasts in assignment; pair join is a c_id equi-join") {
+    // assignment pass: the deliberate corpus × codebook scoring must ride
+    // a BROADCAST of the √N-sized codebook (the p19 IVF contract), never
+    // a cartesian of two shuffled sides
+    graft.functions.GraftFunctions.registerDot(spark)
+    spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("embeddings")
+    val hf = pipeline.PipelineOps.hashFamily(spark)
+    val ranked = spark.sql(pipeline.PipelineOps.p67RankedSpark(hf))
+      .queryExecution.executedPlan.toString
+    assert(ranked.contains("BroadcastExchange") || ranked.contains("BroadcastNestedLoopJoin"),
+      s"the codebook must broadcast:\n$ranked")
+    assert(!ranked.toLowerCase.contains("cartesianproduct"),
+      s"no cartesian in the assignment path:\n$ranked")
+    // full operator: the within-cluster pair generation is an equi-join on
+    // c_id over the barrier-materialized assignment — cluster-bounded pair
+    // volume, never corpus × corpus
+    val p = pipeline.PipelineOps.queries("p67_semantic_dedup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("cartesianproduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the pair join must stay a c_id equi-join:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi-join for the pair generation:\n$p")
+  }
+
+  test("p68 fertility: vocab join broadcasts; the word explode is the only Generate") {
+    // the p51 audit contract carries over: corpus-sized work is one word
+    // explosion + a broadcast join to the vocab-sized token map; the
+    // bucket rollup owns the (lang, source) shuffle
+    val p = pipeline.PipelineOps.queries("p68_tokenizer_fertility")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Generate".r.findAllIn(p).length == 1,
+      s"one word explosion is sanctioned:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the vocab-sized token map must broadcast, not shuffle the corpus:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"no cartesian in the fertility path:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no global stage belongs in the fertility path:\n$p")
+  }
 }

@@ -44,9 +44,14 @@ class SqlBackendPropertySpec extends AnyFunSuite {
   /** Column-typed generator state: name -> type ('n bigint, 'd double,
     * 's string). `uniqueKey` is a column that totally orders the current
     * relation (for take-determinism); None when lost by select. `joined`
-    * caps the pipeline at one dim join (a second would collide w/label). */
+    * caps the pipeline at one dim join (a second would collide w/label).
+    * `sortedTotal` (fuzzer round 9) records that an AMBIENT sort ending in
+    * the unique key is in force — a later bare `take` must honor it even
+    * across interposing selects (dropped/rebound sort names ride hidden
+    * carries) and order-destroying joins (take re-establishes the sort). */
   private case class St(cols: Vector[(String, Char)], uniqueKey: Option[String],
-                        grouped: Boolean, joined: Boolean = false)
+                        grouped: Boolean, joined: Boolean = false,
+                        sortedTotal: Boolean = false)
 
   private def colsOf(st: St, t: Char): Vector[String] =
     st.cols.collect { case (n, `t`) => n }
@@ -152,19 +157,25 @@ class SqlBackendPropertySpec extends AnyFunSuite {
     // the choice set shrinks to filter/derive/select
     val choices = Vector(0, 1, 2) ++
       (if (st.uniqueKey.isDefined) Vector(3, 4) else Vector.empty) ++
-      (if (canJoin) Vector(5) else Vector.empty)
+      (if (canJoin) Vector(5) else Vector.empty) ++
+      (if (st.sortedTotal && st.uniqueKey.isDefined) Vector(6) else Vector.empty)
     val n = choices(r.nextInt(choices.size))
     if (n == 5) {
       // USING join on grp against the unique-per-grp dim: no fanout (the
       // unique key survives), 'd' rows exercise left-null vs inner-drop.
       // right/full (fuzzer round 6): every dim grp exists in the base, so
       // they only diverge from inner/left when a filter emptied a grp, but
-      // they exercise the USING provenance-coalesce rendering either way
+      // they exercise the USING provenance-coalesce rendering either way.
+      // left/inner keep the ambient sort meaningful (fuzzer round 9: the
+      // sort-merge join re-clusters rows, so a later bare take exercises
+      // the re-established ambient sort); right/full lose the unique key,
+      // and with it total order
       val side = Seq("left", "inner", "right", "full")(r.nextInt(4))
       val key = if (side == "right" || side == "full") None else st.uniqueKey
       (s"join side:$side fuzz_dim [grp]",
         st.copy(cols = st.cols ++ Vector("w" -> 'n', "label" -> 's'),
-          uniqueKey = key, joined = true))
+          uniqueKey = key, joined = true,
+          sortedTotal = st.sortedTotal && key.isDefined))
     } else n match {
       case 0 => (s"filter ${boolExpr(r, st, r.nextInt(2))}", st)
       case 1 =>
@@ -213,11 +224,12 @@ class SqlBackendPropertySpec extends AnyFunSuite {
         } else
           (s"select [${kept.map(_._1).mkString(", ")}]", st.copy(cols = kept))
       case 3 =>
+        // always ends in the unique key — establishes a TOTAL ambient order
         val key = st.uniqueKey.get
         val extra = r.shuffle(st.cols.map(_._1).filterNot(_ == key)).take(r.nextInt(2))
         val keys = extra.map(c => if (r.nextBoolean()) s"-$c" else c) :+
           (if (r.nextBoolean()) s"-$key" else key)
-        (s"sort [${keys.mkString(", ")}]", st)
+        (s"sort [${keys.mkString(", ")}]", st.copy(sortedTotal = true))
       case 4 =>
         // sort-ending-in-unique-key + take: deterministic row selection
         val key = st.uniqueKey.get
@@ -228,7 +240,20 @@ class SqlBackendPropertySpec extends AnyFunSuite {
           case 1 => val a = r.nextInt(10) + 1; s"take $a..${a + r.nextInt(20) + 1}"
           case 2 => s"take ${r.nextInt(12) + 1}.."
         }
-        (s"sort [${if (r.nextBoolean()) s"-$key" else key}]\n$take", st)
+        (s"sort [${if (r.nextBoolean()) s"-$key" else key}]\n$take",
+          st.copy(sortedTotal = true))
+      case 6 =>
+        // bare take under the AMBIENT sort (fuzzer round 9, the 158b117
+        // semantics): the establishing sort happened stages ago — possibly
+        // with its column since dropped or rebound by a select (hidden
+        // carry) or with an order-destroying join in between (take must
+        // re-establish the sort) — and the slice must still honor it
+        val take = r.nextInt(3) match {
+          case 0 => s"take ${r.nextInt(30) + 5}"
+          case 1 => val a = r.nextInt(10) + 1; s"take $a..${a + r.nextInt(20) + 1}"
+          case 2 => s"take ${r.nextInt(12) + 1}.."
+        }
+        (take, st)
     }
   }
 
@@ -252,11 +277,15 @@ class SqlBackendPropertySpec extends AnyFunSuite {
         sb.append("  ").append(stage.replace("\n", "\n  ")).append('\n'); st = next
       }
       sb.append(")\n\n")
+      // an ambient sort does NOT escape a table def (carries drop at
+      // pipeline edges), so the consumer starts order-free
+      st = st.copy(sortedTotal = false)
       if (r.nextInt(3) == 0) {
         sb.append("table tmid = (\n  from tsrc\n")
         val (stage, next) = rowStage(r, st, fresh)
         sb.append("  ").append(stage.replace("\n", "\n  ")).append('\n'); st = next
         sb.append(")\n\nfrom tmid\n")
+        st = st.copy(sortedTotal = false)
       } else sb.append("from tsrc\n")
     } else sb.append(s"from $View\n")
     (1 to r.nextInt(4) + 1).foreach { _ =>

@@ -5106,12 +5106,20 @@ object PipelineOps {
     FROM best"""
   }
 
+  // NaN guard (the SrpPairsStream precedent): a zero-norm vector's cosine
+  // is 0/0 = NaN, which BOTH engines' NaN ordering would treat as >= thr —
+  // consistently, so the oracle holds either way, but semantically a
+  // direction-less vector must never flag its cluster-mates as duplicates.
+  // Assignment needs no guard: a NaN csim still lands deterministically
+  // (NaN sorts identically on both engines, c_id tiebreak), and only the
+  // dup decision has a correctness stake.
   private def p67TailSpark(thr: Double): String = s"""
     WITH dups AS (
       SELECT DISTINCT lo.vec_id
       FROM sem_ranked hi JOIN sem_ranked lo
         ON hi.c_id = lo.c_id AND hi.pri < lo.pri
-      WHERE ${dotSpark("hi.embedding", "lo.embedding")} / (sqrt(hi.n2) * sqrt(lo.n2)) >= $thr)
+      WHERE ${dotSpark("hi.embedding", "lo.embedding")} / (sqrt(hi.n2) * sqrt(lo.n2)) >= $thr
+        AND NOT isnan(${dotSpark("hi.embedding", "lo.embedding")} / (sqrt(hi.n2) * sqrt(lo.n2))))
     SELECT r.vec_id, CAST(r.c_id AS BIGINT) AS cluster_id,
       CAST(floor(r.csim * 1e6 + 0.5) AS DOUBLE) / 1e6 AS cent_sim,
       (d.vec_id IS NOT NULL) AS is_dup
@@ -5154,7 +5162,8 @@ object PipelineOps {
       SELECT DISTINCT lo.vec_id
       FROM ranked hi JOIN ranked lo
         ON hi.c_id = lo.c_id AND hi.pri < lo.pri
-      WHERE ${dotDuck("hi.embedding", "lo.embedding")} / (sqrt(hi.n2) * sqrt(lo.n2)) >= $SemDupThresh)
+      WHERE ${dotDuck("hi.embedding", "lo.embedding")} / (sqrt(hi.n2) * sqrt(lo.n2)) >= $SemDupThresh
+        AND NOT isnan(${dotDuck("hi.embedding", "lo.embedding")} / (sqrt(hi.n2) * sqrt(lo.n2))))
     SELECT r.vec_id, CAST(r.c_id AS BIGINT) AS cluster_id,
       floor(r.csim * 1e6 + 0.5) / 1e6 AS cent_sim,
       (d.vec_id IS NOT NULL) AS is_dup
@@ -5212,6 +5221,148 @@ object PipelineOps {
       floor((CAST(sum(n_char) AS DOUBLE) / sum(n_tok)) * 1e6 + 0.5) / 1e6 AS chars_per_token,
       floor((CAST(sum(CASE WHEN n_tok = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS pct_single_token
     FROM j GROUP BY lang, source ORDER BY lang, source"""
+
+  // ---- p69: boundary overlap (suffix→prefix stitch detection) --------------
+  // Crawl segmentation artifacts: one page split into two "documents"
+  // leaves the first's K-token SUFFIX equal to the second's K-token
+  // PREFIX. Distinct from p54 (any-position gram stats: p54 finds shared
+  // CONTENT, this finds a BOUNDARY relation with direction — a is
+  // continued by b) and from p63 (whole-paragraph recurrence). Emits the
+  // directed pair list a stitching/merge job consumes.
+  //
+  // Scale shape: ONE row per document per side (first-K and last-K grams
+  // — array slices, no K× explode), BIGINT 60-bit gram keys for the
+  // equi-join (the p54 exchange-bytes rule), exact string verify on the
+  // joined candidates so hash collisions cannot create false pairs. The
+  // join is suffix-relation × prefix-relation on the gram key: both sides
+  // are corpus-sized, so it is an honest shuffle equi-join (broadcast
+  // would be the bug — the p54 argument).
+  //
+  // Gate fixture (the p60 twin pattern, plant-gated): every 9th doc gets a
+  // synthetic continuation (id offset 2^41) whose text starts with the
+  // source's last K words — the KEEP class; organic suffix=prefix ties are
+  // the reject-path noise both engines see identically.
+
+  private val BoundaryK = 8
+  private val BoundaryContOff = 2199023255552L // 2^41 — never aliases real ids
+
+  private def p69Spark(hf: String, plant: Boolean): String = s"""
+    WITH aug AS (
+      ${if (plant) s"""SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + $BoundaryContOff AS doc_id,
+        concat(array_join(slice($wordsSpark, -$BoundaryK, $BoundaryK), ' '),
+               ' stitched continuation segment') AS text
+      FROM documents WHERE doc_id % 9 = 4 AND size($wordsSpark) >= $BoundaryK"""
+      else "SELECT doc_id, text FROM documents"}),
+    w AS (SELECT doc_id, $wordsSpark AS words FROM aug),
+    g AS (
+      SELECT doc_id,
+        array_join(slice(words, 1, $BoundaryK), ' ') AS pfx,
+        array_join(slice(words, -$BoundaryK, $BoundaryK), ' ') AS sfx
+      FROM w WHERE size(words) >= $BoundaryK)
+    SELECT s.doc_id AS a_id, p.doc_id AS b_id,
+      ${hStrSpark("s.sfx", hf)} AS overlap_sig
+    FROM g s JOIN g p
+      ON ${hKeySpark("s.sfx", hf)} = ${hKeySpark("p.pfx", hf)}
+     AND s.doc_id != p.doc_id
+    WHERE s.sfx = p.pfx
+    ORDER BY a_id, b_id"""
+
+  private val p69Duck = s"""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + $BoundaryContOff AS doc_id,
+        concat(array_to_string(list_slice($wordsDuck, len($wordsDuck) - ${BoundaryK - 1}, len($wordsDuck)), ' '),
+               ' stitched continuation segment') AS text
+      FROM documents WHERE doc_id % 9 = 4 AND len($wordsDuck) >= $BoundaryK),
+    w AS (SELECT doc_id, $wordsDuck AS words FROM aug),
+    g AS (
+      SELECT doc_id,
+        array_to_string(list_slice(words, 1, $BoundaryK), ' ') AS pfx,
+        array_to_string(list_slice(words, len(words) - ${BoundaryK - 1}, len(words)), ' ') AS sfx
+      FROM w WHERE len(words) >= $BoundaryK)
+    SELECT s.doc_id AS a_id, p.doc_id AS b_id, md5(s.sfx) AS overlap_sig
+    FROM g s JOIN g p
+      ON ${hKeyDuck("s.sfx")} = ${hKeyDuck("p.pfx")}
+     AND s.doc_id != p.doc_id
+    WHERE s.sfx = p.pfx
+    ORDER BY a_id, b_id"""
+
+  // ---- p70: mojibake / encoding-quality score -------------------------------
+  // The encoding-damage signal the cleaning literature applies before any
+  // language or quality model (CCNet/RefinedWeb-style): U+FFFD replacement
+  // chars (a decoder already gave up), C0 control chars, and the classic
+  // UTF-8-read-as-Latin-1 double-encoding digraphs ("Ã©"-class, "â€"-class).
+  // Distinct from p17 (lexical quality rules) and p18 (stopword cleanup):
+  // this scores BYTES-level damage. Pure map-side; counts are exact
+  // replace-length arithmetic (no float), the control-char class is a
+  // regex whose pattern is BUILT from chr() calls so no string-escape
+  // dialect can skew the two engines.
+  //
+  // Gate fixture (plant-gated): every 13th doc gets one replacement char,
+  // one BEL control, and one digraph of each class appended — populating
+  // every counter's nonzero class; organic corpus text is clean ASCII, the
+  // is_clean class.
+
+  private val MojiWeightRepl = 3L
+  private val MojiWeightCtrl = 2L
+  // The probe characters, Scala-unicode-escaped and SPLICED into both SQL
+  // texts as literal characters: Spark's chr() is mod-256 (ASCII-only), so
+  // chr(8364) would silently alias — literal splicing sidesteps both
+  // engines' escape dialects entirely. No quote/backslash chars, so the
+  // splice is SQL-literal-safe.
+  private[graft] val MojiDigraph1 = "Ã©"       // "Ã©" — UTF-8 é read as Latin-1
+  private[graft] val MojiDigraph2 = "â€"       // "â€" — UTF-8 punctuation class
+  private[graft] val MojiRepl = "�"                 // U+FFFD replacement char
+  private[graft] val MojiPlantTail =                     // one of each class + BEL ()
+    s" ${MojiDigraph1} ${MojiDigraph2}™ ${MojiRepl}"
+
+  /** Shared builder: the two dialects differ only in integer division,
+    * regexp-count call shape, and the plant switch (oracle always plants). */
+  private def p70Sql(idiv: String, rexCount: String => String, plant: Boolean): String = {
+    // control-char class [--], built
+    // from chr() (all < 256, where the engines agree) to keep raw control
+    // chars out of the regex literal
+    val ctrlClass = "concat('[', chr(1), '-', chr(8), chr(11), chr(12), chr(14), '-', chr(31), ']')"
+    def cnt1(c: String) = s"length(text) - length(replace(text, '$c', ''))"
+    def cnt2(c: String) = s"(length(text) - length(replace(text, '$c', ''))) $idiv 2"
+    s"""
+    WITH aug AS (
+      ${if (plant) s"""SELECT doc_id,
+        CASE WHEN doc_id % 13 = 5 THEN concat(text, '$MojiPlantTail')
+        ELSE text END AS text FROM documents"""
+      else "SELECT doc_id, text FROM documents"}),
+    c AS (
+      SELECT doc_id,
+        CAST(${cnt1(MojiRepl)} AS BIGINT) AS n_repl,
+        CAST(${rexCount(ctrlClass)} AS BIGINT) AS n_ctrl,
+        CAST(${cnt2(MojiDigraph1)} + ${cnt2(MojiDigraph2)} AS BIGINT) AS n_moji,
+        CAST(length(text) AS BIGINT) AS n_chars
+      FROM aug)
+    SELECT doc_id, n_repl, n_ctrl, n_moji,
+      CAST((n_repl * $MojiWeightRepl + n_ctrl * $MojiWeightCtrl + n_moji) * 1000000 $idiv n_chars AS BIGINT) AS moji_score_micro,
+      (n_repl = 0 AND n_ctrl = 0 AND n_moji = 0) AS is_clean
+    FROM c ORDER BY doc_id"""
+  }
+
+  private def p70Spark(plant: Boolean): String =
+    p70Sql("DIV", cls => s"size(regexp_extract_all(text, $cls, 0))", plant)
+
+  private val p70Duck: String =
+    p70Sql("//", cls => s"len(regexp_extract_all(text, $cls))", plant = true)
+
+  /** Plant-aware wiring without a hash family (p70): the fixture switch
+    * follows [[onDocsHfP]]'s binding rule — with planting OFF the parquet
+    * view is not force-bound. */
+  private def onDocsP(f: Boolean => String): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      val plant = plantFixtures(spark)
+      if (plant)
+        spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+      spark.sql(f(plant))
+    }
 
   private def onEvents(sql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => {
@@ -5349,6 +5500,8 @@ object PipelineOps {
     "p66_softdedup_weights" -> onDocsHf(p66Spark),
     "p67_semantic_dedup" -> ((spark, dir) => p67Run(spark, dir)),
     "p68_tokenizer_fertility" -> ((spark, dir) => p68Run(spark, dir)),
+    "p69_boundary_overlap" -> onDocsHfP(p69Spark),
+    "p70_mojibake_score" -> onDocsP(p70Spark),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5427,5 +5580,7 @@ object PipelineOps {
     "p66_softdedup_weights" -> p66Duck,
     "p67_semantic_dedup" -> p67Duck,
     "p68_tokenizer_fertility" -> p68Duck,
+    "p69_boundary_overlap" -> p69Duck,
+    "p70_mojibake_score" -> p70Duck,
   )
 }

@@ -1873,6 +1873,87 @@ object PipelineRelational {
          |  weight_micro = s"CAST(1000000 DIV mc AS BIGINT)",
          |]
          |sort doc_id""".stripMargin,
+
+    // p69: the continuation-fixture UNION ALL rides the p60 struct-explode
+    // idiom; the suffix and prefix sides are two projections of one gram
+    // table, self-joined on the 60-bit key with the exact string verify
+    "p69_boundary_overlap" -> {
+      val sfx = s"array_join(slice($W, -8, 8), ' ')"
+      s"""table aug0 = (
+         |  from documents
+         |  select [e = s"explode(CASE WHEN doc_id % 9 = 4 AND size($W) >= 8 THEN array(named_struct('doc_id', doc_id, 'text', text), named_struct('doc_id', doc_id + 2199023255552, 'text', concat($sfx, ' stitched continuation segment'))) ELSE array(named_struct('doc_id', doc_id, 'text', text)) END)"]
+         |)
+         |
+         |table aug = (
+         |  from aug0
+         |  select [doc_id = s"e.doc_id", text = s"e.text"]
+         |)
+         |
+         |table g0 = (
+         |  from aug
+         |  derive nw = s"CAST(size($W) AS BIGINT)"
+         |  filter nw >= 8
+         |)
+         |
+         |table g = (
+         |  from g0
+         |  derive [
+         |    pfx = s"array_join(slice($W, 1, 8), ' ')",
+         |    sfx = s"$sfx",
+         |  ]
+         |)
+         |
+         |table gs = (
+         |  from g
+         |  select [a_id = doc_id, sfx, skey = s"CAST(conv(substr(md5(sfx),1,15),16,10) AS BIGINT)"]
+         |)
+         |
+         |table gp = (
+         |  from g
+         |  select [b_id = doc_id, pfx, pkey = s"CAST(conv(substr(md5(pfx),1,15),16,10) AS BIGINT)"]
+         |)
+         |
+         |from gs
+         |join side:inner gp [skey == pkey]
+         |filter (sfx == pfx)
+         |filter (a_id != b_id)
+         |select [a_id, b_id, overlap_sig = s"md5(sfx)"]
+         |sort [a_id, b_id]""".stripMargin
+    },
+
+    // p70: pure map-side; the plant is a CASE concat, no union needed. The
+    // probe characters splice as literals (Spark chr() is mod-256, so the
+    // non-Latin-1 code points cannot be built portably in SQL)
+    "p70_mojibake_score" -> {
+      val ctrl = "concat('[', chr(1), '-', chr(8), chr(11), chr(12), chr(14), '-', chr(31), ']')"
+      val d1 = PipelineOps.MojiDigraph1; val d2 = PipelineOps.MojiDigraph2
+      val repl = PipelineOps.MojiRepl; val tail = PipelineOps.MojiPlantTail
+      s"""table aug = (
+         |  from documents
+         |  derive t2 = s"CASE WHEN doc_id % 13 = 5 THEN concat(text, '$tail') ELSE text END"
+         |)
+         |
+         |table c = (
+         |  from aug
+         |  derive [
+         |    n_repl = s"CAST(length(t2) - length(replace(t2, '$repl', '')) AS BIGINT)",
+         |    n_ctrl = s"CAST(size(regexp_extract_all(t2, $ctrl, 0)) AS BIGINT)",
+         |    n_moji = s"CAST((length(t2) - length(replace(t2, '$d1', ''))) DIV 2 + (length(t2) - length(replace(t2, '$d2', ''))) DIV 2 AS BIGINT)",
+         |    nch = s"CAST(length(t2) AS BIGINT)",
+         |  ]
+         |)
+         |
+         |from c
+         |select [
+         |  doc_id,
+         |  n_repl,
+         |  n_ctrl,
+         |  n_moji,
+         |  moji_score_micro = s"CAST((n_repl * 3 + n_ctrl * 2 + n_moji) * 1000000 DIV nch AS BIGINT)",
+         |  is_clean = s"(n_repl = 0 AND n_ctrl = 0 AND n_moji = 0)",
+         |]
+         |sort doc_id""".stripMargin
+    },
   )
 
   /** Session-level kernel registrations the covered texts rely on (the

@@ -103,14 +103,33 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     val joins: Seq[(Int, Gen[(Stage, Vector[String], Boolean)])] =
       if (cols.contains("k")) Nil
       else Seq(1 -> Gen.const {
-        // inner equi-join on the (unique) head column against the dim table;
-        // join output order is engine-arbitrary, so sortedness resets
+        // inner equi-join on the (unique) head column against the dim table
+        // (no fanout: k is unique in the dim). Fuzzer round 9: the AMBIENT
+        // sort survives the join — the engine's take re-establishes it over
+        // whatever physical order the join emitted (158b117), while the Seq
+        // interpreter's flatMap preserves it for free — so sortedness now
+        // CARRIES THROUGH instead of resetting, and a later bare take
+        // differentially checks the re-sort against an independent oracle
         val head = cols.head
         (Stage(s"join fuzz2 [$head == k]",
           rs => rs.flatMap(r => dimIn.get(r(head))
             .map(v => r + ("k" -> r(head)) + ("v" -> v)))),
-          cols ++ Vector("k", "v"), false)
+          cols ++ Vector("k", "v"), sorted)
       })
+    // rebinding derive (fuzzer round 9): overwrite an EXISTING derived
+    // column; if the ambient sort references it, ordering must stay by the
+    // OLD value (the hidden-carry semantics) — the Seq interpreter keeps
+    // its row order naturally, so any engine drift diverges
+    val rebinds: Seq[(Int, Gen[(Stage, Vector[String], Boolean)])] = {
+      val derived = cols.filter(_.startsWith("d"))
+      if (derived.isEmpty) Nil
+      else Seq(1 -> (for {
+        name <- Gen.oneOf(derived)
+        src <- colGen(cols)
+        k <- Gen.choose(-5L, 9L)
+      } yield (Stage(s"derive $name = $src * 2 + $k",
+        rs => rs.map(row => row + (name -> (row(src) * 2 + k)))), cols, sorted)))
+    }
     val takes: Seq[(Int, Gen[(Stage, Vector[String], Boolean)])] =
       if (!sorted) Nil
       else Seq(
@@ -154,7 +173,7 @@ class DifferentialFuzzSpec extends AnyFunSuite {
             cols :+ name, sorted)
         },
       )
-    Gen.frequency(base ++ joins ++ takes: _*)
+    Gen.frequency(base ++ joins ++ rebinds ++ takes: _*)
   }
 
   private def pipelineGen: Gen[(List[Stage], Vector[String])] = {
@@ -167,9 +186,9 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     Gen.choose(1, 6).flatMap(n => loop(n, Vector("a", "b", "c"), 0, sorted = false, Nil))
   }
 
-  test("random pipelines agree with a pure-Scala interpreter (120 seeds)") {
+  test("random pipelines agree with a pure-Scala interpreter (150 seeds)") {
     ready
-    (1 to 120).foreach { i =>
+    (1 to 150).foreach { i =>
       val (stages, cols) = pipelineGen(Gen.Parameters.default, Seed(i.toLong))
         .getOrElse(fail(s"no pipeline for seed $i"))
       // final total-order sort on the (unique) head column so unordered

@@ -2279,6 +2279,65 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("p69 boundary overlap equals a JVM reference; every planted continuation pairs") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    def words(t: String) = t.trim.split("\\s+").toVector
+    def md5hex(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val K = 8; val off = 2199023255552L
+    val aug = docs ++ docs.collect {
+      case (id, t) if id % 9 == 4 && words(t).length >= K =>
+        (id + off) -> (words(t).takeRight(K).mkString(" ") + " stitched continuation segment")
+    }
+    val g = aug.map { case (id, t) => (id, words(t)) }.filter(_._2.length >= K)
+      .map { case (id, w) => (id, w.take(K).mkString(" "), w.takeRight(K).mkString(" ")) }
+    val byPfx = g.groupBy(_._2)
+    val expect = (for {
+      (a, _, sfx) <- g
+      (b, _, _) <- byPfx.getOrElse(sfx, Seq.empty) if b != a
+    } yield (a, b, md5hex(sfx))).toSet
+    val out = run("p69_boundary_overlap").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out == expect, s"pair set: got ${out.size}, expected ${expect.size}")
+    // every planted continuation pairs with its source, in the right direction
+    docs.foreach { case (id, t) =>
+      if (id % 9 == 4 && words(t).length >= K)
+        assert(out.exists(p => p._1 == id && p._2 == id + off), s"source $id must continue")
+    }
+    assert(out.nonEmpty)
+  }
+
+  test("p70 mojibake score equals a JVM reference; planted docs carry every signal") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    def cnt1(t: String, c: Char) = t.count(_ == c).toLong
+    def cnt2(t: String, pat: String) =
+      ((t.length - t.replace(pat, "").length) / 2).toLong
+    val tail = PipelineOps.MojiPlantTail
+    val out = run("p70_mojibake_score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).sortBy(_._1)
+    assert(out.length == docs.length)
+    out.zip(docs.sortBy(_._1)).foreach { case ((id, repl, ctrl, moji, score, clean), (did, t0)) =>
+      assert(id == did)
+      val t = if (id % 13 == 5) t0 + tail else t0
+      val eRepl = cnt1(t, PipelineOps.MojiRepl.head)
+      val eCtrl = t.count(c => (c >= 1 && c <= 8) || c == 11 || c == 12 || (c >= 14 && c <= 31)).toLong
+      val eMoji = cnt2(t, PipelineOps.MojiDigraph1) + cnt2(t, PipelineOps.MojiDigraph2)
+      assert((repl, ctrl, moji) == ((eRepl, eCtrl, eMoji)), s"doc $id counts")
+      assert(score == (eRepl * 3 + eCtrl * 2 + eMoji) * 1000000L / t.length, s"doc $id score")
+      assert(clean == (eRepl == 0 && eCtrl == 0 && eMoji == 0), s"doc $id flag")
+      if (id % 13 == 5)
+        assert(repl == 1 && ctrl == 1 && moji == 2, s"doc $id planted signals")
+    }
+    assert(out.exists(!_._6) && out.exists(_._6), "both classes populated")
+  }
+
   test("driver contract: every oracle key has a query, entry() returns rows") {
     assert(PipelineOps.oracleSql.keySet.subsetOf(PipelineOps.queries.keySet))
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

@@ -802,6 +802,35 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected an equi-join for the pair generation:\n$p")
   }
 
+  test("p69 boundary overlap: no explode, gram-keyed equi-join, no cartesian") {
+    // one suffix row and one prefix row per doc come from array SLICES,
+    // never a K× explode; the suffix→prefix match is a BIGINT-key
+    // equi-join of two corpus-sized sides (an honest shuffle — the
+    // unbounded-set p54 argument: broadcast would be the bug)
+    val p = pipeline.PipelineOps.queries("p69_boundary_overlap")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Generate".r.findAllIn(p).isEmpty,
+      s"grams come from slices, not explodes:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the gram match must stay a key equi-join:\n$p")
+    assert(p.contains("Join"), s"expected the suffix-prefix join:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no global stage belongs in the overlap path:\n$p")
+  }
+
+  test("p70 mojibake score is pure map-side: no shuffle, no join, no amplification") {
+    val p = pipeline.PipelineOps.queries("p70_mojibake_score")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning".r.findAllIn(p).isEmpty,
+      s"the scoring pass must not shuffle:\n$p")
+    assert(!p.toLowerCase.contains("join"),
+      s"counts are per-row arithmetic, never a join:\n$p")
+    assert("Generate".r.findAllIn(p).isEmpty,
+      s"one output row per document — no amplification:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no global stage belongs in the scoring path:\n$p")
+  }
+
   test("p68 fertility: vocab join broadcasts; the word explode is the only Generate") {
     // the p51 audit contract carries over: corpus-sized work is one word
     // explosion + a broadcast join to the vocab-sized token map; the

@@ -153,4 +153,18 @@ class PlantFixturesSpec extends AnyFunSuite {
       .filter(s"idb >= ${1099511627776L}").count()
     assert(twins == 0L, "twin ids (offset 2^40) must vanish with planting off")
   }
+
+  test("p69 off: no planted continuations — no doc_id above the continuation offset") {
+    bindDocs()
+    val planted = withPlantOff(PipelineOps.queries("p69_boundary_overlap")(spark, dir))
+      .filter(s"b_id >= ${2199023255552L} OR a_id >= ${2199023255552L}").count()
+    assert(planted == 0L, "continuation ids (offset 2^41) must vanish with planting off")
+  }
+
+  test("p70 off: the ASCII gate corpus is fully clean") {
+    bindDocs()
+    val dirty = withPlantOff(PipelineOps.queries("p70_mojibake_score")(spark, dir))
+      .filter("NOT is_clean").count()
+    assert(dirty == 0L, "without the planted damage every gate doc is clean")
+  }
 }

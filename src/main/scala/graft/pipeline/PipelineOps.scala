@@ -5353,6 +5353,259 @@ object PipelineOps {
   private val p70Duck: String =
     p70Sql("//", cls => s"len(regexp_extract_all(text, $cls))", plant = true)
 
+  // ---- p71: per-document tf-idf keyword extraction --------------------------
+  // The curation primitive behind topic bucketing, cluster naming and
+  // diversity dashboards (CCNet/FineWeb-style corpus reports): for every
+  // document, the top-K terms by tf-idf. Distinct from p14 (GLOBAL top
+  // terms), p33 (per-term corpus stats) and p56 (query-time BM25): this is
+  // a PER-DOCUMENT ranking over the full corpus vocabulary.
+  //
+  // Scale shape: ONE word explode (inherent — every tf-idf needs the
+  // postings), into a (doc, term, tf) relation that BOTH the df rollup and
+  // the scoring join consume — so it is materialized behind the [[Barrier]]
+  // (the p25/p67 multi-consumer rule: Spark's lazy DAG would otherwise
+  // re-explode the corpus once per consumer; measured 2 Generates in the
+  // unbarriered plan, 1 after). df must NOT be a count() window over term
+  // partitions: a stopword's partition is corpus-doc-sized — an unbounded
+  // hot key — while the rollup+join pays two bounded shuffles. The tf⋈df
+  // join is a term-key equi-join (vocabulary ≪ corpus; AQE broadcasts it
+  // when small), n_docs is a scalar subquery over a zero-column parquet
+  // scan, and the top-K window partitions BY DOCUMENT — partition width is
+  // the per-doc vocabulary, bounded by document length, so no global sort
+  // and no hot key regardless of corpus size (WindowGroupLimit prunes to
+  // K per doc before the shuffle).
+  //
+  // Determinism: tf/df are exact integers; idf is fixed-pointed micro-nats
+  // (the p56 floor(1e6·ln + 0.5) rule — both engines' ln agree far beyond
+  // the rounding step); score_u = tf · idf_u is exact; ties break on the
+  // term string.
+
+  private val TfidfTopK = 5
+
+  private[graft] def p71Run(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    materialized(spark, "p71_tf", s"""
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM documents LATERAL VIEW explode($wordsSpark) t AS term
+      WHERE term != '' GROUP BY doc_id, term""")
+    spark.sql(s"""
+      WITH df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p71_tf GROUP BY term),
+      idf AS (
+        SELECT term, df,
+          CAST(floor(1e6 * ln(CAST((SELECT count(*) FROM documents) + 1 AS DOUBLE)
+                              / (df + 1)) + 0.5) AS BIGINT) AS idf_u
+        FROM df),
+      ranked AS (
+        SELECT tf.doc_id, tf.term, tf.tf, idf.df, tf.tf * idf.idf_u AS score_u,
+          CAST(row_number() OVER (PARTITION BY tf.doc_id
+               ORDER BY tf.tf * idf.idf_u DESC, tf.term ASC) AS BIGINT) AS rk
+        FROM p71_tf tf JOIN idf ON tf.term = idf.term)
+      SELECT doc_id, rk, term, tf, df, score_u
+      FROM ranked WHERE rk <= $TfidfTopK
+      ORDER BY doc_id, rk""")
+  }
+
+  private val p71Duck: String = s"""
+    WITH tok AS (
+      SELECT doc_id, term FROM (
+        SELECT doc_id, unnest($wordsDuck) AS term FROM documents)
+      WHERE term != ''),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    idf AS (
+      SELECT term, df,
+        CAST(floor(1e6 * ln(CAST((SELECT count(*) FROM documents) + 1 AS DOUBLE)
+                            / (df + 1)) + 0.5) AS BIGINT) AS idf_u
+      FROM df),
+    ranked AS (
+      SELECT tf.doc_id, tf.term, tf.tf, idf.df, tf.tf * idf.idf_u AS score_u,
+        CAST(row_number() OVER (PARTITION BY tf.doc_id
+             ORDER BY tf.tf * idf.idf_u DESC, tf.term ASC) AS BIGINT) AS rk
+      FROM tf JOIN idf ON tf.term = idf.term)
+    SELECT doc_id, rk, term, tf, df, score_u
+    FROM ranked WHERE rk <= $TfidfTopK
+    ORDER BY doc_id, rk"""
+
+  // ---- p72: cross-source content-overlap matrix ------------------------------
+  // The corpus-assembly report that decides dedup ORDER when merging many
+  // sources (the Dolma/RedPajama overlap tables): for every source pair,
+  // how many exact contents they share, each side's distinct-content count,
+  // and the content Jaccard. Distinct from p01 (picks survivors), p28
+  // (train↔eval n-gram contamination) and p52 (two named snapshots): this
+  // is an all-sources × all-sources EXACT-content matrix.
+  //
+  // Scale shape: distinct (source, key) is one map-side-combinable hash
+  // agg over 60-bit BIGINT content keys (the p54 exchange-bytes rule); the
+  // pair generation is a self-equi-join ON THE CONTENT KEY, so per-key
+  // fan-out is bounded by the number of sources holding that content (≤
+  // #sources, never corpus-sized); the per-source totals are a
+  // #sources-row relation the final joins broadcast.
+  //
+  // Gate fixture (plant-gated): every 11th doc gains a twin under a
+  // synthetic mirror of its source ('mir_' || source, id offset 2^42) —
+  // the syndicated-mirror class every real multi-source merge contains.
+  // The gate corpus has zero organic cross-source duplicates, so with
+  // planting off the operator emits no rows (PlantFixturesSpec proves the
+  // fixture content vanishes).
+
+  private val SrcMirrorOff = 4398046511104L // 2^42 — never aliases real ids
+
+  private def p72Sql(key: String => String, idiv: String, plant: Boolean): String = s"""
+    WITH aug AS (
+      ${if (plant) s"""SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + $SrcMirrorOff AS doc_id, concat('mir_', source) AS source, text
+      FROM documents WHERE doc_id % 11 = 3"""
+      else "SELECT doc_id, source, text FROM documents"}),
+    d AS (SELECT DISTINCT source, ${key("text")} AS k FROM aug),
+    cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY source),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_shared
+      FROM d a JOIN d b ON a.k = b.k AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT p.src_a, p.src_b, p.n_shared, ca.n AS n_a, cb.n AS n_b,
+      CAST(p.n_shared * 1000000 $idiv (ca.n + cb.n - p.n_shared) AS BIGINT) AS jaccard_micro
+    FROM pairs p
+    JOIN cnt ca ON ca.source = p.src_a
+    JOIN cnt cb ON cb.source = p.src_b
+    ORDER BY src_a, src_b"""
+
+  private def p72Spark(hf: String, plant: Boolean): String =
+    p72Sql(e => hKeySpark(e, hf), "DIV", plant)
+
+  private val p72Duck: String = p72Sql(hKeyDuck, "//", plant = true)
+
+  // ---- p73: content-defined chunking (CDC) dedup -----------------------------
+  // The storage-dedup primitive (Gear/Rabin CDC) at word granularity: a
+  // chunk boundary falls AFTER any word whose 60-bit hash ≡ 0 (mod
+  // [[CdcDivisor]]), so boundaries depend only on LOCAL content — an
+  // insertion early in a document cannot shift every later chunk the way
+  // fixed-width chunking (p36) does. Repeated chunks across the corpus are
+  // the shared-content signal (boilerplate runs, syndicated fragments)
+  // that survives ANY surrounding edit. Distinct from p54 (every K-gram —
+  // K× amplification) and p63 (author-defined paragraph breaks): CDC emits
+  // ~n/D chunk rows from content-derived breakpoints.
+  //
+  // Scale shape: one posexplode (inherent — chunking needs positions);
+  // chunk assembly is a per-DOCUMENT window (running boundary count over
+  // pos — partition bounded by document length) + an ordered in-group
+  // array sort (chunk ≤ doc length); the corpus-wide rollup groups on
+  // 60-bit BIGINT chunk keys (the p54 exchange-bytes rule; a collision
+  // over-groups two chunks — the conservative p21 direction). No fixture:
+  // short common-word chunks recur organically at every SF.
+
+  private val CdcDivisor = 8
+
+  private def p73Spark(hf: String): String = s"""
+    WITH pos AS (
+      SELECT doc_id, pos, word FROM documents
+      LATERAL VIEW posexplode($wordsSpark) t AS pos, word
+      WHERE word != ''),
+    cix AS (
+      SELECT doc_id, pos, word,
+        coalesce(sum(CASE WHEN ${hKeySpark("word", hf)} % $CdcDivisor = 0 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_ix
+      FROM pos),
+    chunks AS (
+      SELECT doc_id, chunk_ix,
+        array_join(transform(array_sort(collect_list(struct(pos, word))), s -> s.word), ' ') AS ct,
+        CAST(count(*) AS BIGINT) AS n_words
+      FROM cix GROUP BY doc_id, chunk_ix)
+    SELECT min(${hStrSpark("ct", hf)}) AS chunk_sig,
+      min(n_words) AS n_words,
+      CAST(count(*) AS BIGINT) AS n_occ,
+      CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      min(doc_id) AS rep_doc
+    FROM chunks GROUP BY ${hKeySpark("ct", hf)}
+    HAVING count(*) >= 2
+    ORDER BY chunk_sig"""
+
+  private val p73Duck: String = s"""
+    WITH pos AS (
+      SELECT doc_id, pos, word FROM (
+        SELECT doc_id,
+          unnest(generate_series(1, len($wordsDuck))) AS pos,
+          unnest($wordsDuck) AS word
+        FROM documents)
+      WHERE word != ''),
+    cix AS (
+      SELECT doc_id, pos, word,
+        coalesce(sum(CASE WHEN ${hKeyDuck("word")} % $CdcDivisor = 0 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_ix
+      FROM pos),
+    chunks AS (
+      SELECT doc_id, chunk_ix,
+        string_agg(word, ' ' ORDER BY pos) AS ct,
+        CAST(count(*) AS BIGINT) AS n_words
+      FROM cix GROUP BY doc_id, chunk_ix)
+    SELECT min(md5(ct)) AS chunk_sig,
+      min(n_words) AS n_words,
+      CAST(count(*) AS BIGINT) AS n_occ,
+      CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      min(doc_id) AS rep_doc
+    FROM chunks GROUP BY ${hKeyDuck("ct")}
+    HAVING count(*) >= 2
+    ORDER BY chunk_sig"""
+
+  // ---- p74: near-identical cluster, keep the best-quality member -------------
+  // What production dedup actually ships (CCNet/RefinedWeb): cluster on
+  // NORMALIZED content (case-folded, punctuation/whitespace-collapsed — so
+  // trivially-reformatted copies land together), then keep the member with
+  // the best RAW-text quality, not the smallest id (p01's rule). Quality
+  // here is the exact-integer alnum density (clean copies beat
+  // punctuation-damaged ones); production swaps in any integer score.
+  //
+  // Scale shape: normalization + quality are map-side expression work; the
+  // cluster pass is ONE window over the 60-bit normalized key (rank +
+  // first_value + count share the partition sort; partition width = the
+  // dup-cluster size). A pathologically viral cluster bounds the sort —
+  // the aggregate+broadcast-join rewrite is the escape hatch if that ever
+  // dominates; at every measured SF the window is the cheaper single pass.
+  //
+  // Gate fixture (plant-gated): every 6th doc gains a reformatted twin
+  // (upper-cased + trailing punctuation, id offset 2^43) — normalizes
+  // identically, scores strictly lower, so the ORIGINAL must win its
+  // cluster; with planting off every cluster is a singleton at gate SF.
+
+  private val ClusterRepOff = 8796093022208L // 2^43 — never aliases real ids
+
+  private def p74Sql(key: String => String, norm: String => String,
+                     alnum: String => String, idiv: String, plant: Boolean): String = s"""
+    WITH aug AS (
+      ${if (plant) s"""SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + $ClusterRepOff AS doc_id, concat(upper(text), ' !! ?? ..') AS text
+      FROM documents WHERE doc_id % 6 = 1"""
+      else "SELECT doc_id, text FROM documents"}),
+    q AS (
+      SELECT doc_id, ${key(norm("text"))} AS ck,
+        CAST(length(${alnum("text")}) * 1000000 $idiv length(text) AS BIGINT) AS quality_u
+      FROM aug),
+    r AS (
+      SELECT doc_id, ck, quality_u,
+        row_number() OVER (PARTITION BY ck ORDER BY quality_u DESC, doc_id ASC) AS rn,
+        first_value(doc_id) OVER (PARTITION BY ck ORDER BY quality_u DESC, doc_id ASC) AS rep_doc,
+        CAST(count(*) OVER (PARTITION BY ck) AS BIGINT) AS n_members
+      FROM q)
+    SELECT doc_id, rep_doc, n_members, rn = 1 AS is_rep, quality_u
+    FROM r ORDER BY doc_id"""
+
+  private def p74Spark(hf: String, plant: Boolean): String = p74Sql(
+    e => hKeySpark(e, hf),
+    t => s"trim(regexp_replace(lower($t), '[^a-z0-9]+', ' '))",
+    t => s"regexp_replace($t, '[^A-Za-z0-9]+', '')",
+    "DIV", plant)
+
+  private val p74Duck: String = p74Sql(
+    hKeyDuck,
+    t => s"trim(regexp_replace(lower($t), '[^a-z0-9]+', ' ', 'g'))",
+    t => s"regexp_replace($t, '[^A-Za-z0-9]+', '', 'g')",
+    "//", plant = true)
+
   /** Plant-aware wiring without a hash family (p70): the fixture switch
     * follows [[onDocsHfP]]'s binding rule — with planting OFF the parquet
     * view is not force-bound. */
@@ -5502,6 +5755,10 @@ object PipelineOps {
     "p68_tokenizer_fertility" -> ((spark, dir) => p68Run(spark, dir)),
     "p69_boundary_overlap" -> onDocsHfP(p69Spark),
     "p70_mojibake_score" -> onDocsP(p70Spark),
+    "p71_tfidf_keywords" -> ((spark, dir) => p71Run(spark, dir)),
+    "p72_source_overlap" -> onDocsHfP(p72Spark),
+    "p73_cdc_chunks" -> onDocsHf(p73Spark),
+    "p74_cluster_rep" -> onDocsHfP(p74Spark),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5582,5 +5839,9 @@ object PipelineOps {
     "p68_tokenizer_fertility" -> p68Duck,
     "p69_boundary_overlap" -> p69Duck,
     "p70_mojibake_score" -> p70Duck,
+    "p71_tfidf_keywords" -> p71Duck,
+    "p72_source_overlap" -> p72Duck,
+    "p73_cdc_chunks" -> p73Duck,
+    "p74_cluster_rep" -> p74Duck,
   )
 }

@@ -1954,6 +1954,214 @@ object PipelineRelational {
          |]
          |sort doc_id""".stripMargin
     },
+
+    // p71: the word explode feeds two stacked aggregations; n_docs rides
+    // the constant-key one-row join idiom (p56); the per-doc top-K is the
+    // group(sort|row_number) idiom (p07)
+    "p71_tfidf_keywords" ->
+      s"""table tok0 = (
+         |  from documents
+         |  select [doc_id, term = s"explode($W)"]
+         |)
+         |
+         |table tf0 = (
+         |  from tok0
+         |  filter s"term != ''"
+         |  group [doc_id, term] (
+         |    aggregate [f = count]
+         |  )
+         |)
+         |
+         |table dfp = (
+         |  from tf0
+         |  group term (
+         |    aggregate [df0 = count]
+         |  )
+         |  derive k = s"1"
+         |)
+         |
+         |table nn = (
+         |  from documents
+         |  aggregate [n_docs = s"count(*)"]
+         |  derive k = s"1"
+         |)
+         |
+         |table idf = (
+         |  from dfp
+         |  join nn [k]
+         |  derive idf_u = s"CAST(floor(1e6 * ln(CAST(n_docs + 1 AS DOUBLE) / (df0 + 1)) + 0.5) AS BIGINT)"
+         |  select [t2 = term, df0, idf_u]
+         |)
+         |
+         |table scored = (
+         |  from tf0
+         |  join idf [term == t2]
+         |  derive score_u = s"f * idf_u"
+         |)
+         |
+         |table ranked = (
+         |  from scored
+         |  group doc_id (
+         |    sort [-score_u, +term]
+         |    derive [rk0 = row_number]
+         |  )
+         |)
+         |
+         |from ranked
+         |filter rk0 <= 5
+         |select [doc_id, rk = s"CAST(rk0 AS BIGINT)", term, tf = f, df = df0, score_u]
+         |sort [doc_id, rk]""".stripMargin,
+
+    // p72: the mirror-fixture UNION ALL rides the p60/p69 struct-explode
+    // idiom; distinct (source, key) is the group(take 1) DISTINCT idiom;
+    // the pair join is two projections of one relation on the 60-bit key
+    "p72_source_overlap" ->
+      s"""table aug0 = (
+         |  from documents
+         |  select [e = s"explode(CASE WHEN doc_id % 11 = 3 THEN array(named_struct('doc_id', doc_id, 'source', source, 'text', text), named_struct('doc_id', doc_id + 4398046511104, 'source', concat('mir_', source), 'text', text)) ELSE array(named_struct('doc_id', doc_id, 'source', source, 'text', text)) END)"]
+         |)
+         |
+         |table aug = (
+         |  from aug0
+         |  select [source = s"e.source", text = s"e.text"]
+         |)
+         |
+         |table d1 = (
+         |  from aug
+         |  derive kk = s"CAST(conv(substr(md5(text),1,15),16,10) AS BIGINT)"
+         |  group [source, kk] (take 1)
+         |  select [source, kk]
+         |)
+         |
+         |table cnt = (
+         |  from d1
+         |  group source (
+         |    aggregate [n = count]
+         |  )
+         |)
+         |
+         |table ga = (
+         |  from d1
+         |  select [src_a = source, ka = kk]
+         |)
+         |
+         |table gb = (
+         |  from d1
+         |  select [src_b = source, kb = kk]
+         |)
+         |
+         |table pairs = (
+         |  from ga
+         |  join gb [ka == kb]
+         |  filter s"src_a < src_b"
+         |  group [src_a, src_b] (
+         |    aggregate [n_shared = count]
+         |  )
+         |)
+         |
+         |table ca = (
+         |  from cnt
+         |  select [sa = source, n_a = n]
+         |)
+         |
+         |table cb = (
+         |  from cnt
+         |  select [sb = source, n_b = n]
+         |)
+         |
+         |from pairs
+         |join ca [src_a == sa]
+         |join cb [src_b == sb]
+         |select [src_a, src_b, n_shared, n_a, n_b, jaccard_micro = s"CAST(n_shared * 1000000 DIV (n_a + n_b - n_shared) AS BIGINT)"]
+         |sort [src_a, src_b]""".stripMargin,
+
+    // p73: the positional explode rides an index-lambda transform (one
+    // struct column — posexplode's two output aliases don't fit the
+    // single-name select idiom); the running boundary count and the
+    // in-chunk ordered join are explicit OVER / collect_list s-strings
+    "p73_cdc_chunks" ->
+      s"""table px = (
+         |  from documents
+         |  select [doc_id, e = s"explode(transform($W, (w, i) -> named_struct('pos', i, 'word', w)))"]
+         |)
+         |
+         |table pw = (
+         |  from px
+         |  filter s"e.word != ''"
+         |  select [doc_id, pos = s"e.pos", word = s"e.word"]
+         |)
+         |
+         |table cix = (
+         |  from pw
+         |  derive cx = s"coalesce(sum(CASE WHEN conv(substr(md5(word),1,15),16,10) % 8 = 0 THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+         |)
+         |
+         |table chunks = (
+         |  from cix
+         |  group [doc_id, cx] (
+         |    aggregate [
+         |      ct = s"array_join(transform(array_sort(collect_list(struct(pos, word))), s -> s.word), ' ')",
+         |      nw = s"CAST(count(*) AS BIGINT)",
+         |    ]
+         |  )
+         |)
+         |
+         |table keyed = (
+         |  from chunks
+         |  derive kk = s"CAST(conv(substr(md5(ct),1,15),16,10) AS BIGINT)"
+         |)
+         |
+         |table stats = (
+         |  from keyed
+         |  group kk (
+         |    aggregate [
+         |      chunk_sig = s"min(md5(ct))",
+         |      n_words = s"min(nw)",
+         |      n_occ = s"CAST(count(*) AS BIGINT)",
+         |      n_docs = s"CAST(count(DISTINCT doc_id) AS BIGINT)",
+         |      rep_doc = s"min(doc_id)",
+         |    ]
+         |  )
+         |)
+         |
+         |from stats
+         |filter n_occ >= 2
+         |select [chunk_sig, n_words, n_occ, n_docs, rep_doc]
+         |sort chunk_sig""".stripMargin,
+
+    // p74: the twin-fixture UNION ALL rides the struct-explode idiom; the
+    // rank / first_value / count share one explicit cluster-key OVER
+    "p74_cluster_rep" ->
+      s"""table aug0 = (
+         |  from documents
+         |  select [e = s"explode(CASE WHEN doc_id % 6 = 1 THEN array(named_struct('doc_id', doc_id, 'text', text), named_struct('doc_id', doc_id + 8796093022208, 'text', concat(upper(text), ' !! ?? ..'))) ELSE array(named_struct('doc_id', doc_id, 'text', text)) END)"]
+         |)
+         |
+         |table aug = (
+         |  from aug0
+         |  select [doc_id = s"e.doc_id", text = s"e.text"]
+         |)
+         |
+         |table q = (
+         |  from aug
+         |  derive [
+         |    ck = s"CAST(conv(substr(md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))),1,15),16,10) AS BIGINT)",
+         |    quality_u = s"CAST(length(regexp_replace(text, '[^A-Za-z0-9]+', '')) * 1000000 DIV length(text) AS BIGINT)",
+         |  ]
+         |)
+         |
+         |table r = (
+         |  from q
+         |  derive [
+         |    rn = s"row_number() OVER (PARTITION BY ck ORDER BY quality_u DESC, doc_id ASC)",
+         |    rep_doc = s"first_value(doc_id) OVER (PARTITION BY ck ORDER BY quality_u DESC, doc_id ASC)",
+         |    n_members = s"CAST(count(*) OVER (PARTITION BY ck) AS BIGINT)",
+         |  ]
+         |)
+         |
+         |from r
+         |select [doc_id, rep_doc, n_members, is_rep = s"rn = 1", quality_u]
+         |sort doc_id""".stripMargin,
   )
 
   /** Session-level kernel registrations the covered texts rely on (the

@@ -2338,6 +2338,130 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.exists(!_._6) && out.exists(_._6), "both classes populated")
   }
 
+  test("p71 tf-idf keywords equals a JVM reference; ranks dense from 1, rare terms outrank") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    def words(t: String) = t.trim.split("\\s+").toVector.filter(_.nonEmpty)
+    val tf = docs.flatMap { case (id, t) => words(t).map(w => (id, w)) }
+      .groupBy(identity).map { case ((id, w), g) => (id, w, g.size.toLong) }.toSeq
+    val df = tf.groupBy(_._2).map { case (w, g) => w -> g.size.toLong }
+    val n = docs.size.toLong
+    def idfU(d: Long) = math.floor(1e6 * math.log((n + 1).toDouble / (d + 1)) + 0.5).toLong
+    val expect = tf.groupBy(_._1).flatMap { case (id, terms) =>
+      terms.map { case (_, w, f) => (w, f, df(w), f * idfU(df(w))) }
+        .sortBy { case (w, _, _, s) => (-s, w) }.take(5).zipWithIndex
+        .map { case ((w, f, d, s), ix) => (id, (ix + 1).toLong, w, f, d, s) }
+    }.toSet
+    val out = run("p71_tfidf_keywords").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(out == expect, s"got ${out.size} rows, expected ${expect.size}")
+    assert(out.size == docs.size * 5, "every doc has >=5 distinct terms at this SF")
+    // the corpus's one genuinely rare term must outrank ubiquitous terms
+    // wherever it appears (df ~25 vs ~380+ — idf dominates single-digit tf)
+    val rare = df.minBy(_._2)._1
+    docs.foreach { case (id, t) =>
+      if (words(t).contains(rare))
+        assert(out.exists(r => r._1 == id && r._3 == rare),
+          s"doc $id contains rare term '$rare' but it missed the top-5")
+    }
+  }
+
+  test("p72 source overlap equals a JVM reference; every mirror pairs with its source") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val aug = docs ++ docs.collect { case (id, s, t) if id % 11 == 3 =>
+      (id + 4398046511104L, "mir_" + s, t)
+    }
+    val d = aug.map { case (_, s, t) => (s, t) }.distinct
+    val cnt = d.groupBy(_._1).map { case (s, g) => s -> g.size.toLong }
+    val byText = d.groupBy(_._2)
+    val pairs = byText.values.flatMap { srcs =>
+      for (a <- srcs; b <- srcs if a._1 < b._1) yield (a._1, b._1)
+    }.groupBy(identity).map { case ((a, b), g) => (a, b, g.size.toLong) }
+    val expect = pairs.map { case (a, b, sh) =>
+      (a, b, sh, cnt(a), cnt(b), sh * 1000000L / (cnt(a) + cnt(b) - sh))
+    }.toSet
+    val out = run("p72_source_overlap").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(out == expect, s"got ${out.size} pair rows, expected ${expect.size}")
+    // every planted mirror source appears, paired with its original
+    val mirrored = docs.collect { case (id, s, _) if id % 11 == 3 => s }.distinct
+    mirrored.foreach { s =>
+      assert(out.exists(p => p._1 == "mir_" + s && p._2 == s), s"mirror of $s must pair")
+    }
+    assert(out.nonEmpty)
+  }
+
+  test("p73 CDC chunks equals a JVM reference; boundaries are content-local") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    def md5hex(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def h60(s: String) = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    def chunksOf(t: String): Seq[String] = {
+      val ws = t.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+      val out = Seq.newBuilder[String]
+      var cur = Vector.empty[String]
+      ws.foreach { w =>
+        cur :+= w
+        if (h60(w) % 8 == 0) { out += cur.mkString(" "); cur = Vector.empty }
+      }
+      if (cur.nonEmpty) out += cur.mkString(" ")
+      out.result()
+    }
+    val all = docs.flatMap { case (id, t) => chunksOf(t).map(c => (id, c)) }
+    val expect = all.groupBy { case (_, c) => h60(c) }.values.collect {
+      case g if g.size >= 2 =>
+        (g.map(x => md5hex(x._2)).min, g.map(_._2.split(" ").length.toLong).min,
+          g.size.toLong, g.map(_._1).distinct.size.toLong, g.map(_._1).min)
+    }.toSet
+    val out = run("p73_cdc_chunks").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(out == expect, s"got ${out.size} dup chunks, expected ${expect.size}")
+    assert(out.nonEmpty, "common-word chunks recur organically at every SF")
+    // content-locality: prepending a word to a doc must not change any
+    // chunk that starts after the first boundary (the CDC property)
+    val (id0, t0) = docs.find(_._2.trim.split("\\s+").length > 20).get
+    val orig = chunksOf(t0); val shifted = chunksOf("prefixword " + t0)
+    assert(orig.tail.toSet.subsetOf(shifted.toSet + orig.head),
+      s"chunks after the first boundary must survive a prefix edit (doc $id0)")
+  }
+
+  test("p74 cluster rep equals a JVM reference; originals beat their damaged twins") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val aug = docs ++ docs.collect { case (id, t) if id % 6 == 1 =>
+      (id + 8796093022208L) -> (t.toUpperCase + " !! ?? ..")
+    }
+    def norm(t: String) = t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+    def qual(t: String) = t.replaceAll("[^A-Za-z0-9]+", "").length.toLong * 1000000L / t.length
+    val byCk = aug.map { case (id, t) => (id, norm(t), qual(t)) }.groupBy(_._2)
+    val expect = byCk.values.flatMap { g =>
+      val sorted = g.sortBy { case (id, _, q) => (-q, id) }
+      val rep = sorted.head._1
+      sorted.map { case (id, _, q) => (id, rep, g.size.toLong, id == rep, q) }
+    }.toSet
+    val out = run("p74_cluster_rep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4))).toSet
+    assert(out == expect, s"got ${out.size} rows, expected ${expect.size}")
+    // every planted twin loses to its original
+    docs.foreach { case (id, _) =>
+      if (id % 6 == 1) {
+        assert(out.exists(r => r._1 == id + 8796093022208L && !r._4 && r._2 == id),
+          s"twin of $id must lose its cluster to the original")
+        assert(out.exists(r => r._1 == id && r._4), s"original $id must be the rep")
+      }
+    }
+  }
+
   test("driver contract: every oracle key has a query, entry() returns rows") {
     assert(PipelineOps.oracleSql.keySet.subsetOf(PipelineOps.queries.keySet))
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

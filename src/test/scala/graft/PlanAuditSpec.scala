@@ -818,6 +818,68 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no global stage belongs in the overlap path:\n$p")
   }
 
+  test("p71 tf-idf: postings barrier-materialized, term equi-join, per-doc window") {
+    // the (doc, term, tf) postings feed BOTH the df rollup and the scoring
+    // join — the p25/p67 multi-consumer hazard — so the consumer plan must
+    // start from the barrier (zero Generates downstream: the one explode
+    // happened inside the materialization); tf⋈idf stays a term equi-join;
+    // the top-K window partitions by doc_id (WindowGroupLimit, no global
+    // sort)
+    val df = pipeline.PipelineOps.queries("p71_tfidf_keywords")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert("Generate".r.findAllIn(p).isEmpty,
+      s"the explode lives before the barrier — consumers must not re-explode:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("InMemoryTableScan"),
+      s"consumers must read the materialized postings:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"no cartesian anywhere in the tf-idf path:\n$p")
+    assert(p.contains("Join"), s"expected the tf-idf term join:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"the per-doc top-K must prune via WindowGroupLimit:\n$p")
+  }
+
+  test("p72 source overlap: no explode, content-key equi-join, no cartesian") {
+    // distinct (source, key) is a hash agg over BIGINT keys; the pair
+    // generation must stay an equi-join on the content key (per-key
+    // fan-out <= #sources); the #sources-row totals joins may broadcast
+    // but never degenerate to a product
+    val p = pipeline.PipelineOps.queries("p72_source_overlap")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Generate".r.findAllIn(p).isEmpty,
+      s"no row amplification in the overlap path:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the pair join must stay a content-key equi-join:\n$p")
+    assert(p.contains("Join"), s"expected the pair self-join:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no global stage belongs in the overlap path:\n$p")
+  }
+
+  test("p73 CDC chunks: one posexplode, doc-local window, BIGINT-key rollup, no join") {
+    // chunking needs positions — ONE posexplode; the running boundary
+    // count is a per-DOCUMENT window (never a global sort); the dup
+    // rollup groups on 60-bit BIGINT chunk keys; nothing joins
+    val p = pipeline.PipelineOps.queries("p73_cdc_chunks")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Generate".r.findAllIn(p).size == 1,
+      s"exactly one explode (the positional word stream):\n$p")
+    assert(!p.toLowerCase.contains("join"),
+      s"CDC is explode + window + aggregate — never a join:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no global stage belongs in the chunking path:\n$p")
+  }
+
+  test("p74 cluster rep: map-side scoring, one cluster-key window, no join, no explode") {
+    val p = pipeline.PipelineOps.queries("p74_cluster_rep")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Generate".r.findAllIn(p).isEmpty,
+      s"normalization and quality are per-row expressions:\n$p")
+    assert(!p.toLowerCase.contains("join"),
+      s"rep selection rides the cluster window, not a join-back:\n$p")
+    assert("Window".r.findAllIn(p).nonEmpty, s"expected the cluster window:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"the cluster window partitions by the normalized key:\n$p")
+  }
+
   test("p70 mojibake score is pure map-side: no shuffle, no join, no amplification") {
     val p = pipeline.PipelineOps.queries("p70_mojibake_score")(spark, dir)
       .queryExecution.executedPlan.toString

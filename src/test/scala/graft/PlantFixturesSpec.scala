@@ -167,4 +167,22 @@ class PlantFixturesSpec extends AnyFunSuite {
       .filter("NOT is_clean").count()
     assert(dirty == 0L, "without the planted damage every gate doc is clean")
   }
+
+  test("p74 off: no reformatted twins — every cluster is a singleton") {
+    bindDocs()
+    val rows = withPlantOff(PipelineOps.queries("p74_cluster_rep")(spark, dir))
+    assert(rows.filter(s"doc_id >= ${8796093022208L}").count() == 0L,
+      "twin ids (offset 2^43) must vanish with planting off")
+    assert(rows.filter("n_members > 1 OR NOT is_rep").count() == 0L,
+      "the gate corpus has no organic normalized duplicates")
+  }
+
+  test("p72 off: no mirror sources — the gate corpus has zero cross-source dups") {
+    bindDocs()
+    val rows = withPlantOff(PipelineOps.queries("p72_source_overlap")(spark, dir))
+    assert(rows.filter("src_a LIKE 'mir_%' OR src_b LIKE 'mir_%'").count() == 0L,
+      "mirror sources must vanish with planting off")
+    assert(rows.count() == 0L,
+      "the word-soup gate corpus has no organic cross-source exact duplicates")
+  }
 }

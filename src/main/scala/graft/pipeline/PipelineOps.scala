@@ -5496,7 +5496,9 @@ object PipelineOps {
   // over-groups two chunks — the conservative p21 direction). No fixture:
   // short common-word chunks recur organically at every SF.
 
-  private val CdcDivisor = 8
+  // private[graft]: streaming.CdcChunkStream shares the EXACT boundary
+  // rule so streamed chunk signatures agree with p73's batch chunks
+  private[graft] val CdcDivisor = 8
 
   private def p73Spark(hf: String): String = s"""
     WITH pos AS (

@@ -99,6 +99,26 @@ class DifferentialFuzzSpec extends AnyFunSuite {
           }),
           Vector(key, sn, s"n$fresh"), false)
       }),
+      // group top-k (fuzzer round 10): `group g (sort | take n)` exercises
+      // the Planner's per-group top-k rewrite differentially. The
+      // within-group sort tiebreaks on the unique head column, so each
+      // group's top-n row SET is deterministic; output ORDER is not (the
+      // rewrite emits partition order), so sortedness resets. Rows are a
+      // SUBSET of the input, so the head column stays unique — the final
+      // comparison sort and later stages keep working unchanged.
+      1 -> (for {
+        g <- colGen(cols)
+        c <- colGen(cols)
+        desc <- Gen.oneOf(true, false)
+        n <- Gen.choose(1, 3)
+      } yield {
+        val dir = if (desc) "-" else "+"
+        val head = cols.head
+        (Stage(s"group $g (\n  sort [$dir$c, $head]\n  take $n\n)",
+          rs => rs.groupBy(_(g)).toSeq.flatMap { case (_, grp) =>
+            grp.sortBy(r => (if (desc) -r(c) else r(c), r(head))).take(n)
+          }), cols, false)
+      }),
     )
     val joins: Seq[(Int, Gen[(Stage, Vector[String], Boolean)])] =
       if (cols.contains("k")) Nil

@@ -63,6 +63,16 @@ object Graft {
     (df, planner.diagnostics.toSeq)
   }
 
+  /** Parse + lower to an UNRESOLVED Catalyst plan (no analyzer run) — the
+    * latency probe's split point between the pure-Scala compiler fold and
+    * Spark's analysis ([[Bench.measureCompileLatency]], VERDICT r9 #6). */
+  private[graft] def lowerUnresolved(
+      prql: String, spark: SparkSession, catalog: String => DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val (query, spans) = parseLocated(prql)
+    new Planner(spark, catalog, query, spans).planMainUnresolved()
+  }
+
   /** Render PRQL to ONE runnable Spark SQL string — the reference's actual
     * artifact shape (translator.rs:32-49). A debug/parity surface: the
     * DataFrame path (compile) is the primary backend; SqlBackendSpec proves

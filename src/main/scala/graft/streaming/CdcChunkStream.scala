@@ -33,20 +33,31 @@ object CdcChunkStream {
 
   /** Array of CDC chunks of `textCol` — ONE sequential fold per document
     * (no explode, no window), chunk-identical to p73's posexplode+window
-    * formulation: same tokenization, same 60-bit boundary rule, same
-    * space-joined chunk text. The batch operator keeps the window form
-    * because its corpus-wide rollup wants the positional rows anyway; the
-    * stream wants the fold because ingest has no business shuffling. */
-  def chunks(textCol: String): Column = F.expr(
-    s"""aggregate(
+    * formulation under the SAME hash family: same tokenization, same
+    * 60-bit boundary rule (md5 prefix or xxhash64 — ADVICE r9: the
+    * boundary must follow `spark.graft.hashFamily`, or a production
+    * xxhash64 deployment gets streamed chunks that silently diverge from
+    * batch p73's), same space-joined chunk text. The batch operator keeps
+    * the window form because its corpus-wide rollup wants the positional
+    * rows anyway; the stream wants the fold because ingest has no
+    * business shuffling. */
+  def chunks(textCol: String, hf: String = "md5"): Column = {
+    // p73's hKeySpark rule per family; xxhash64 can go negative, but
+    // (-k) % D = 0 ⟺ k % D = 0, so the boundary set matches batch
+    val bkey =
+      if (hf == "xxhash64") "xxhash64(w)"
+      else s"CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)"
+    F.expr(
+      s"""aggregate(
       filter(split(trim($textCol), '\\\\s+'), w -> w != ''),
       named_struct('done', CAST(array() AS ARRAY<STRING>), 'cur', CAST(array() AS ARRAY<STRING>)),
-      (acc, w) -> IF(CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT) % $divisor = 0,
+      (acc, w) -> IF($bkey % $divisor = 0,
         named_struct('done', array_append(acc.done, array_join(array_append(acc.cur, w), ' ')),
                      'cur', CAST(array() AS ARRAY<STRING>)),
         named_struct('done', acc.done, 'cur', array_append(acc.cur, w))),
       acc -> CASE WHEN size(acc.cur) = 0 THEN acc.done
                   ELSE array_append(acc.done, array_join(acc.cur, ' ')) END)""")
+  }
 
   /** Emit the first arrival of every distinct chunk. `docs` must carry
     * `textCol` and an event-time `tsCol`. Output = input columns minus the
@@ -62,9 +73,16 @@ object CdcChunkStream {
     requireCol(textCol); requireCol(tsCol)
     require(!docs.columns.contains("chunk") && !docs.columns.contains("chunk_sig"),
       "novelChunks: input already has a 'chunk'/'chunk_sig' column; rename it")
+    // the session's hash family drives BOTH the boundary rule and the
+    // signature (the LshPairsStream rule: streamed chunks must agree with
+    // batch p73 under whichever family the deployment runs)
+    val hf = graft.pipeline.PipelineOps.hashFamily(docs.sparkSession)
+    val sig =
+      if (hf == "xxhash64") F.expr("CAST(xxhash64(chunk) AS STRING)")
+      else F.md5(F.col("chunk"))
     val chunked = docs
-      .withColumn("chunk", F.explode(chunks(textCol)))
-      .withColumn("chunk_sig", F.md5(F.col("chunk")))
+      .withColumn("chunk", F.explode(chunks(textCol, hf)))
+      .withColumn("chunk_sig", sig)
       .drop(textCol)
     if (docs.isStreaming)
       chunked.withWatermark(tsCol, watermarkDelay)

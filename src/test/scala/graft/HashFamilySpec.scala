@@ -74,7 +74,13 @@ class HashFamilySpec extends AnyFunSuite {
       "p47_boilerplate_lines", "p48_bloom_dedup", "p52_snapshot_diff",
       "p53_negative_sample", "p54_substring_dedup", "p55_nb_quality",
       "p56_bm25", "p58_html_extract", "p60_simhash_pairs", "p61_bigram_ppx",
-      "p62_fim_transform")
+      "p62_fim_transform",
+      // ADVICE r9: the r8/r9 newcomers' xxhash64 production path was
+      // untested (the list had stopped at p62)
+      "p63_paragraph_dedup", "p64_dsir_select", "p65_span_corrupt",
+      "p66_softdedup_weights", "p67_semantic_dedup", "p68_tokenizer_fertility",
+      "p69_boundary_overlap", "p72_source_overlap", "p73_cdc_chunks",
+      "p74_cluster_rep")
     withFamily("xxhash64") {
       hashOps.foreach { op =>
         val df = run(op)

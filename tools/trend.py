@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Cross-round bench trend (VERDICT r9 #4): reads the committed
+bench_history/*.json artifacts and prints, for the latest run vs the
+previous run at the same sf, the per-query median ratio — flagging
+>1.5x drifts — plus the q-query (language engine) and p-query
+(pipeline suite) median ratios that the per-round verdict's
+Performance section wants.
+
+Usage:
+  python3 tools/trend.py                 # latest vs previous, same sf
+  python3 tools/trend.py A.json B.json   # explicit pair (A = older)
+  python3 tools/trend.py --all           # every consecutive same-sf pair
+"""
+import json, sys, glob, os
+
+THRESHOLD = 1.5
+
+
+def load(path):
+    with open(path) as f:
+        return json.loads(f.read().strip())
+
+
+def history():
+    files = sorted(glob.glob("bench_history/bench_*.json"))
+    return [(f, load(f)) for f in files]
+
+
+def median(xs):
+    xs = sorted(xs)
+    return xs[len(xs) // 2] if xs else float("nan")
+
+
+def compare(prev_name, prev, cur_name, cur):
+    pq, cq = prev.get("queries", {}), cur.get("queries", {})
+    shared = sorted(k for k in cq if k in pq and pq[k] > 0 and cq[k] > 0)
+    contended = cur.get("host_contended", False)
+    retries = {k: v.get("retry") for k, v in cur.get("query_detail", {}).items()
+               if isinstance(v, dict) and "retry" in v}
+    print(f"\n== {os.path.basename(prev_name)} -> {os.path.basename(cur_name)} "
+          f"(sf={cur.get('sf')}, {len(shared)} shared queries, "
+          f"host_contended={contended})")
+    ratios = {k: cq[k] / pq[k] for k in shared}
+    qr = [r for k, r in ratios.items() if k.startswith("q")]
+    pr = [r for k, r in ratios.items() if k.startswith("p")]
+    print(f"   median ratio: all={median(list(ratios.values())):.3f}  "
+          f"q-queries={median(qr):.3f}  p-queries={median(pr):.3f}")
+    flagged = [(k, r) for k, r in ratios.items() if r > THRESHOLD]
+    if not flagged:
+        print(f"   no per-query drift > {THRESHOLD}x")
+    for k, r in sorted(flagged, key=lambda x: -x[1]):
+        retry = retries.get(k)
+        note = f"  retry={retry:.3f}s ({retry / pq[k]:.2f}x prev)" if retry else ""
+        tag = " [contended run]" if contended else ""
+        print(f"   FLAG {k}: {pq[k]:.3f}s -> {cq[k]:.3f}s = {r:.2f}x{tag}{note}")
+    new = sorted(k for k in cq if k not in pq)
+    gone = sorted(k for k in pq if k not in cq)
+    if new:
+        print(f"   new queries (+{sum(cq[k] for k in new if cq[k] > 0):.1f}s "
+              f"of total): {', '.join(new)}")
+    if gone:
+        print(f"   removed queries: {', '.join(gone)}")
+    tot_p = sum(v for v in pq.values() if v > 0)
+    tot_c = sum(v for v in cq.values() if v > 0)
+    shared_c = sum(cq[k] for k in shared)
+    print(f"   totals: prev={tot_p:.1f}s cur={tot_c:.1f}s "
+          f"(shared-only cur={shared_c:.1f}s)")
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if len(args) == 2:
+        compare(args[0], load(args[0]), args[1], load(args[1]))
+        return
+    runs = history()
+    if len(runs) < 2:
+        print("need at least two bench_history files")
+        return
+    pairs = []
+    if "--all" in sys.argv:
+        for a, b in zip(runs, runs[1:]):
+            if a[1].get("sf") == b[1].get("sf"):
+                pairs.append((a, b))
+    else:
+        cur = runs[-1]
+        prevs = [r for r in runs[:-1] if r[1].get("sf") == cur[1].get("sf")]
+        if not prevs:
+            print(f"no previous run at sf={cur[1].get('sf')}")
+            return
+        pairs.append((prevs[-1], cur))
+    for (pn, p), (cn, c) in pairs:
+        compare(pn, p, cn, c)
+
+
+if __name__ == "__main__":
+    main()

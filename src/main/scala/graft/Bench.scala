@@ -148,18 +148,26 @@ object Bench {
     * per-× cost is rounds × per-round joins, so extra rounds at 10× —
     * the dup-graph's diameter grows with corpus structure — are measured
     * superlinearity with a named cause, not an unexplained defect.
-    * Documented per-op models (exponent of the n-dependence, to read
-    * ratio_per_x against):
-    *  - p54 ~ n (explode + sort-merge rollup; measured 0.67/× in r9 —
-    *    sublinear, fixed overheads amortize);
-    *  - p16 ~ rounds(n) · n (each round: two joins + rollup);
-    *  - p22 ~ n · r(n) · b(n) (recall-holding SRP: chooseSrpGeometry
-    *    derives (r,b) = (6,8) at base → (10,15) at 10×, so plane work
-    *    alone is 150/48 ≈ 3.1×/×, plus verify-join density);
-    *  - p21 ~ n (broadcast eval-grams, one bucketed shuffle);
-    *  - p67 ~ n·√n (within-cluster pairs Σ|c|² with K ≈ √N clusters —
-    *    ratio_per_x ≈ √K ≈ 3.2 at K=10; also proves the r10
-    *    count-derived chooseIvfMod path at 10×).
+    * Per-op models and the r10 QUIET-WINDOW measurements that adjudicated
+    * the r9 contradiction (bench_1786783140182, every probe calib_ratio
+    * ≤ 0.84 — i.e. these ran in windows QUIETER than the suite median):
+    *  - p54 ~ n: measured 1.14/× (linear; r9's 0.67 was a contention-
+    *    inflated BASE median deflating the ratio);
+    *  - p16 ~ rounds(n) · n: measured 0.70/× with rounds 2→3 — sublinear
+    *    wall-time even with one extra round (per-round join cost
+    *    amortizes); r9's 2.14/× was the contended window, not the
+    *    operator;
+    *  - p22 ~ n · r(n) · b(n): measured 4.04/× — the recall-holding SRP
+    *    trade (chooseSrpGeometry (6,8) at base → (10,15) at 10× is
+    *    150/48 ≈ 3.1×/× plane work alone, plus banded-verify density);
+    *    the documented O(n log n) LSH shape, not a defect;
+    *  - p21 ~ n (broadcast eval-grams, one bucketed shuffle): measured
+    *    0.80/× — sublinear, broadcast confirmed;
+    *  - p67 ~ n·√n worst-case (within-cluster pairs Σ|c|² with K ≈ √N
+    *    clusters, the r10 count-derived chooseIvfMod path): measured
+    *    0.54/× at 10× — the N^1.5 term is not yet dominant at this
+    *    operating point (base is overhead-dominated); the model is the
+    *    CEILING the docs claim, and the derived-K geometry held.
     * Each probe op runs once untimed (plan + footer warm) then twice
     * timed; the artifact reports min alongside the suite's base median
     * and the ratio/K. */
@@ -167,14 +175,14 @@ object Bench {
     Seq("p54_substring_dedup", "p22_embed_dedup", "p16_dedup_clusters",
       "p21_decontam", "p67_semantic_dedup")
 
-  private def buildScaledDir(spark: org.apache.spark.sql.SparkSession,
-                             sfDir: String, k: Int): String = {
+  private[graft] def buildScaledDir(spark: org.apache.spark.sql.SparkSession,
+                                    sfDir: String, k: Int,
+                                    out: String = "target/scaleprobe"): String = {
     // k <= 64: the Walsh patterns live on the 6 index bits of a 64-dim
     // embedding, so replicas r and r+64 would get IDENTICAL signs — exact
     // duplicate vectors, the clique artifact all over again
     require(k >= 2 && k <= 64,
       s"SPARK_GRAFT_SCALE_K must be in [2, 64] (64-dim Walsh sign space), got $k")
-    val out = "target/scaleprobe"
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val docCols = docs.columns.map {
       case "doc_id" => s"doc_id * ${k}L + r AS doc_id"

@@ -5652,6 +5652,149 @@ object PipelineOps {
     t => s"regexp_replace($t, '[^A-Za-z0-9]+', '', 'g')",
     "//", plant = true)
 
+  // ---- p75: temperature-smoothed mixture weights ------------------------------
+  // The multilingual sampling law (Arivazhagan et al. 2019 §4; mT5/XLM-R):
+  // sample language s with p_s ∝ n_s^α — α < 1 flattens the natural
+  // distribution so low-resource languages are up-sampled WITHOUT an
+  // explicit per-language target. Complements p24 (p24 ENFORCES a given
+  // mixture via keep rates; p75 DERIVES the mixture from the counts and a
+  // single temperature), emitting per language: the natural share, the
+  // smoothed share, and the boost factor (smoothed/natural — >1e6 means
+  // up-sample, the number an epoch scheduler multiplies repetition by).
+  //
+  // Scale shape: phase 1 is ONE partial-agg'd rollup (G rows, tiny);
+  // everything after runs on the G-row relation with a one-row total
+  // joined back — no second pass over the corpus at all (p24 needs one
+  // because it emits per-DOC keep decisions; a weights table does not).
+  // Float discipline: n^α is transcendental (power), the p71-idf
+  // precedent — both engines compute IEEE-double pow on identical inputs
+  // and every output is fixed-pointed at 1e6 before the hash gate.
+
+  /** Mixture temperature α in micro-units (`spark.graft.mixtureAlpha`,
+    * default 0.3 — mT5's value). Spliced into the SQL as an exact decimal
+    * literal so both backends see the identical constant. */
+  private val MixtureAlphaMicroDefault = 300000L
+  private[graft] def mixtureAlphaMicro(spark: SparkSession): Long = {
+    val a = spark.conf.getOption("spark.graft.mixtureAlpha")
+      .map(v => math.round(v.toDouble * 1e6)).getOrElse(MixtureAlphaMicroDefault)
+    require(a > 0 && a <= 1000000L,
+      s"spark.graft.mixtureAlpha must be in (0, 1], got ${a / 1e6}")
+    a
+  }
+  private def alphaLit(alphaMicro: Long): String =
+    (BigDecimal(alphaMicro) / 1000000).bigDecimal.toPlainString
+  /** Default α as the exact SQL literal — PipelineRelational interpolates
+    * it into its covered text (the TfidfTopK one-source-of-truth rule). */
+  private[graft] def mixtureAlphaLitDefault: String = alphaLit(MixtureAlphaMicroDefault)
+
+  // The totals come from EMPTY-frame windows over the G-row counts
+  // relation, not a re-referenced CTE: Spark inlines CTEs, so a totals
+  // subquery would scan the corpus twice (the p75 PlanAudit caught exactly
+  // that in the first draft). The global window's single partition is G
+  // rows — bounded by the language count, the sanctioned tiny-relation
+  // class. Literals are `1e6` (double in BOTH dialects): Spark parses
+  // `1000000.0` as DECIMAL and its division rounding is not DuckDB's.
+  private def p75Sql(alphaMicro: Long): String = s"""
+    WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_g FROM documents GROUP BY lang),
+    q AS (SELECT lang, n_g, power(CAST(n_g AS DOUBLE), ${alphaLit(alphaMicro)}) AS qs FROM c),
+    w AS (SELECT lang, n_g, qs,
+            sum(qs) OVER () AS qsum,
+            sum(n_g) OVER () AS n_total
+          FROM q)
+    SELECT lang, n_g AS n_docs,
+      CAST(floor(1e6 * n_g / n_total + 0.5) AS BIGINT) AS nat_ppm,
+      CAST(floor(1e6 * qs / qsum + 0.5) AS BIGINT) AS w_ppm,
+      CAST(floor(1e6 * (qs / qsum) * n_total / n_g + 0.5) AS BIGINT) AS boost_u
+    FROM w ORDER BY lang"""
+
+  private def p75Spark(alphaMicro: Long) = p75Sql(alphaMicro)
+  private val p75Duck = p75Sql(MixtureAlphaMicroDefault)
+
+  // ---- p76: boundary-stitch merge transform -----------------------------------
+  // The consumer of p69's finding: actually MERGE the split pages. For
+  // each suffix→prefix stitch pair, emit the repaired document — a's full
+  // text followed by b's text with the overlapping K-token prefix removed.
+  // Chains longer than one hop emit one merged doc per hop (a→b and b→c
+  // both merge; full-chain assembly is the iterative follow-up a caller
+  // runs by re-applying the operator — kept single-hop so the operator
+  // stays one relational pass).
+  //
+  // Tie rule (deterministic on both engines): a suffix stitches to its
+  // MINIMUM continuation id, and a prefix accepts its MINIMUM predecessor
+  // id — double row_number gate, so each doc appears at most once as a
+  // and once as b even when boilerplate grams fan out.
+  //
+  // Scale shape: p69's honest shuffle equi-join on 60-bit gram keys
+  // (corpus-sized both sides — broadcast would be the bug) + two
+  // window passes over the PAIR LIST (o(N) rows, partition = per-doc
+  // fan-out) + one join back to g for the two texts; the merged text
+  // itself never leaves the map side — the output carries its hash
+  // signature and exact word count (the p18 checksum discipline:
+  // prove the rewrite, don't ship it).
+
+  private def p76Sql(key: String => String, hstr: String => String,
+                     words: String, slice3: (String, String, String) => String,
+                     joiner: String => String, plant: Boolean): String = {
+    val k = BoundaryK
+    s"""
+    WITH aug AS (
+      ${if (plant) s"""SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + $BoundaryContOff AS doc_id,
+        concat(${joiner(slice3(words, s"-$k", k.toString))},
+               ' stitched continuation segment') AS text
+      FROM documents WHERE doc_id % 9 = 4 AND size($words) >= $k"""
+      else "SELECT doc_id, text FROM documents"}),
+    w AS (SELECT doc_id, text, $words AS wds FROM aug),
+    g AS (
+      SELECT doc_id, text, wds, size(wds) AS nw,
+        ${joiner(slice3("wds", "1", k.toString))} AS pfx,
+        ${joiner(slice3("wds", s"-$k", k.toString))} AS sfx
+      FROM w WHERE size(wds) >= $k),
+    pairs AS (
+      SELECT s.doc_id AS a_id, p.doc_id AS b_id
+      FROM g s JOIN g p
+        ON ${key("s.sfx")} = ${key("p.pfx")} AND s.doc_id != p.doc_id
+      WHERE s.sfx = p.pfx),
+    pick AS (
+      SELECT a_id, b_id FROM (
+        SELECT a_id, b_id,
+          row_number() OVER (PARTITION BY a_id ORDER BY b_id) AS ra,
+          row_number() OVER (PARTITION BY b_id ORDER BY a_id) AS rb
+        FROM pairs) x WHERE ra = 1 AND rb = 1),
+    m AS (
+      SELECT k.a_id, k.b_id,
+        concat(a.text,
+          CASE WHEN b.nw > $k
+            THEN concat(' ', ${joiner(slice3("b.wds", s"${k + 1}", s"b.nw - $k"))})
+            ELSE '' END) AS merged,
+        a.nw + b.nw - $k AS mw
+      FROM pick k
+      JOIN g a ON a.doc_id = k.a_id
+      JOIN g b ON b.doc_id = k.b_id)
+    SELECT a_id, b_id, ${hstr("merged")} AS merged_sig,
+      CAST(mw AS BIGINT) AS merged_words
+    FROM m ORDER BY a_id, b_id"""
+  }
+
+  private def p76Spark(hf: String, plant: Boolean): String = p76Sql(
+    e => hKeySpark(e, hf), e => hStrSpark(e, hf), wordsSpark,
+    (a, f, l) => s"slice($a, $f, $l)",
+    e => s"array_join($e, ' ')", plant)
+
+  private val p76Duck: String = {
+    // DuckDB list_slice is (list, from, to) with 1-based INCLUSIVE bounds
+    // and no negative-length form — translate the three slice shapes
+    def slice3(a: String, from: String, len: String) =
+      if (from.startsWith("-")) s"list_slice($a, len($a) - ${from.drop(1).toInt - 1}, len($a))"
+      else s"list_slice($a, $from, CAST($from AS BIGINT) + ($len) - 1)"
+    p76Sql(hKeyDuck, e => s"md5($e)", wordsDuck, slice3,
+      e => s"array_to_string($e, ' ')", plant = true)
+      // DuckDB has size() only for blobs; the shared text uses size(wds)
+      .replace("size(wds)", "len(wds)")
+      .replace(s"size($wordsDuck)", s"len($wordsDuck)")
+  }
+
   /** Plant-aware wiring without a hash family (p70): the fixture switch
     * follows [[onDocsHfP]]'s binding rule — with planting OFF the parquet
     * view is not force-bound. */
@@ -5805,6 +5948,11 @@ object PipelineOps {
     "p72_source_overlap" -> onDocsHfP(p72Spark),
     "p73_cdc_chunks" -> onDocsHf(p73Spark),
     "p74_cluster_rep" -> onDocsHfP(p74Spark),
+    "p75_mixture_weights" -> ((spark, dir) => {
+      spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+      spark.sql(p75Spark(mixtureAlphaMicro(spark)))
+    }),
+    "p76_stitch_merge" -> onDocsHfP(p76Spark),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5889,5 +6037,7 @@ object PipelineOps {
     "p72_source_overlap" -> p72Duck,
     "p73_cdc_chunks" -> p73Duck,
     "p74_cluster_rep" -> p74Duck,
+    "p75_mixture_weights" -> p75Duck,
+    "p76_stitch_merge" -> p76Duck,
   )
 }

@@ -2162,6 +2162,107 @@ object PipelineRelational {
          |from r
          |select [doc_id, rep_doc, n_members, is_rep = s"rn = 1", quality_u]
          |sort doc_id""".stripMargin,
+
+    // p75: one corpus rollup, then G-row math — the totals ride empty-frame
+    // window sums (a subquery would re-inline and re-scan the corpus; the
+    // operator's own PlanAudit bans that), α interpolated from the operator
+    "p75_mixture_weights" ->
+      s"""table c = (
+         |  from documents
+         |  group lang (
+         |    aggregate [n_g = s"CAST(count(*) AS BIGINT)"]
+         |  )
+         |)
+         |
+         |table q = (
+         |  from c
+         |  derive qs = s"power(CAST(n_g AS DOUBLE), ${PipelineOps.mixtureAlphaLitDefault})"
+         |)
+         |
+         |table w = (
+         |  from q
+         |  derive [
+         |    qsum = s"sum(qs) OVER ()",
+         |    n_total = s"sum(n_g) OVER ()",
+         |  ]
+         |)
+         |
+         |from w
+         |select [
+         |  lang,
+         |  n_docs = n_g,
+         |  nat_ppm = s"CAST(floor(1e6 * n_g / n_total + 0.5) AS BIGINT)",
+         |  w_ppm = s"CAST(floor(1e6 * qs / qsum + 0.5) AS BIGINT)",
+         |  boost_u = s"CAST(floor(1e6 * (qs / qsum) * n_total / n_g + 0.5) AS BIGINT)",
+         |]
+         |sort lang""".stripMargin,
+
+    // p76: p69's continuation fixture via the struct-explode idiom; the
+    // stitch join is two projections of one gram relation on the 60-bit
+    // key; the tie rule is the double row_number gate; the merged text
+    // never leaves the stage — only its md5 signature and word count
+    "p76_stitch_merge" ->
+      s"""table aug0 = (
+         |  from documents
+         |  select [e = s"explode(CASE WHEN doc_id % 9 = 4 AND size($W) >= 8 THEN array(named_struct('doc_id', doc_id, 'text', text), named_struct('doc_id', doc_id + 2199023255552, 'text', concat(array_join(slice($W, -8, 8), ' '), ' stitched continuation segment'))) ELSE array(named_struct('doc_id', doc_id, 'text', text)) END)"]
+         |)
+         |
+         |table aug = (
+         |  from aug0
+         |  select [doc_id = s"e.doc_id", text = s"e.text"]
+         |)
+         |
+         |table g0 = (
+         |  from aug
+         |  derive wds = s"$W"
+         |)
+         |
+         |table g = (
+         |  from g0
+         |  filter s"size(wds) >= 8"
+         |  derive [
+         |    nw = s"size(wds)",
+         |    pfx = s"array_join(slice(wds, 1, 8), ' ')",
+         |    sfx = s"array_join(slice(wds, -8, 8), ' ')",
+         |  ]
+         |)
+         |
+         |table ga = (
+         |  from g
+         |  select [a_id = doc_id, a_text = text, a_nw = nw, sfx, ksfx = s"CAST(conv(substr(md5(sfx),1,15),16,10) AS BIGINT)"]
+         |)
+         |
+         |table gb = (
+         |  from g
+         |  select [b_id = doc_id, b_wds = wds, b_nw = nw, pfx, kpfx = s"CAST(conv(substr(md5(pfx),1,15),16,10) AS BIGINT)"]
+         |)
+         |
+         |table pairs = (
+         |  from ga
+         |  join gb [ksfx == kpfx]
+         |  filter s"sfx = pfx AND a_id != b_id"
+         |)
+         |
+         |table pick0 = (
+         |  from pairs
+         |  derive [
+         |    ra = s"row_number() OVER (PARTITION BY a_id ORDER BY b_id)",
+         |    rb = s"row_number() OVER (PARTITION BY b_id ORDER BY a_id)",
+         |  ]
+         |)
+         |
+         |table m = (
+         |  from pick0
+         |  filter s"ra = 1 AND rb = 1"
+         |  derive [
+         |    merged = s"concat(a_text, CASE WHEN b_nw > 8 THEN concat(' ', array_join(slice(b_wds, 9, b_nw - 8), ' ')) ELSE '' END)",
+         |    mw = s"a_nw + b_nw - 8",
+         |  ]
+         |)
+         |
+         |from m
+         |select [a_id, b_id, merged_sig = s"md5(merged)", merged_words = s"CAST(mw AS BIGINT)"]
+         |sort [a_id, b_id]""".stripMargin,
   )
 
   /** Session-level kernel registrations the covered texts rely on (the

@@ -747,6 +747,81 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.shuffleShards")
   }
 
+  test("p75 mixture weights equal the JVM temperature law; alpha knob flattens monotonically") {
+    val out = run("p75_mixture_weights").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length >= 2)
+    // JVM reference: p_s ∝ n_s^0.3, every output fixed-pointed at 1e6
+    val nTotal = out.map(_._2).sum
+    val qs = out.map { case (l, n, _, _, _) => l -> math.pow(n.toDouble, 0.3) }.toMap
+    val qsum = qs.values.sum
+    out.foreach { case (lang, n, nat, w, boost) =>
+      assert(nat == math.floor(1e6 * n / nTotal + 0.5).toLong, s"$lang nat_ppm")
+      assert(w == math.floor(1e6 * qs(lang) / qsum + 0.5).toLong, s"$lang w_ppm")
+      assert(boost == math.floor(1e6 * (qs(lang) / qsum) * nTotal / n + 0.5).toLong,
+        s"$lang boost_u")
+    }
+    // the temperature law's point: rare languages boost up (>1e6), the
+    // dominant one boosts down (<1e6); smoothed shares sum to ~1e6
+    val dominant = out.maxBy(_._2)
+    val rarest = out.minBy(_._2)
+    assert(rarest._5 > 1000000L, s"rarest ${rarest._1} must up-sample, got ${rarest._5}")
+    assert(dominant._5 < 1000000L, s"dominant ${dominant._1} must down-sample, got ${dominant._5}")
+    assert(math.abs(out.map(_._4).sum - 1000000L) <= out.length,
+      s"smoothed shares must sum to ~1e6, got ${out.map(_._4).sum}")
+    // α → 1 recovers the natural distribution exactly (pow(n,1) = n)
+    spark.conf.set("spark.graft.mixtureAlpha", "1.0")
+    try {
+      val nat1 = run("p75_mixture_weights").collect()
+        .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+      nat1.foreach { case (lang, nat, w) =>
+        assert(nat == w, s"alpha=1 must leave the mixture natural: $lang $nat vs $w")
+      }
+    } finally spark.conf.unset("spark.graft.mixtureAlpha")
+  }
+
+  test("p76 stitch merge: planted continuations merge with exact signature and word count") {
+    val out = run("p76_stitch_merge").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // JVM reference for the PLANTED pairs: doc d (d % 9 == 4, >= K words)
+    // gains continuation d + 2^41 whose text is d's last-8 words + the
+    // fixed tail; merged = d.text + ' ' + tail (the K-word overlap drops)
+    val k = 8
+    val off = 2199023255552L
+    def md5hex(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byPair = out.map(p => (p._1, p._2) -> p).toMap
+    var planted = 0
+    docs.foreach { case (id, text) =>
+      val words = text.trim.split("\\s+").filter(_.nonEmpty)
+      if (id % 9 == 4 && words.length >= k) {
+        val contId = id + off
+        byPair.get((id, contId)).foreach { case (_, _, sig, mw) =>
+          planted += 1
+          val contWords = words.takeRight(k) ++ Seq("stitched", "continuation", "segment")
+          val merged = text + " " + "stitched continuation segment"
+          assert(sig == md5hex(merged), s"doc $id merged_sig")
+          assert(mw == words.length + contWords.length - k, s"doc $id merged_words")
+        }
+      }
+    }
+    assert(planted > 10, s"the planted continuation class must dominate, got $planted")
+    // tie rule: each doc appears at most once on each side
+    assert(out.map(_._1).distinct.length == out.length, "a_id must be unique")
+    assert(out.map(_._2).distinct.length == out.length, "b_id must be unique")
+    // every merged pair is a true p69 stitch (consumer consistency)
+    val p69 = run("p69_boundary_overlap").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.forall(p => p69((p._1, p._2))),
+      "every merged pair must come from the p69 stitch relation")
+  }
+
   test("p24 mixture sample: rates clamp at 1e6, dominant language is downsampled hardest") {
     val out = run("p24_mixture_sample").collect()
     assert(out.length >= 2)

@@ -802,6 +802,38 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected an equi-join for the pair generation:\n$p")
   }
 
+  test("p75 mixture weights: one corpus rollup, no second corpus pass, no corpus cartesian") {
+    // phase 1 = the single counts-by-lang rollup (one hash exchange); all
+    // later math runs on the G-row relation with the one-row total coming
+    // back as a broadcast — p24 needs a second corpus pass for per-doc
+    // keeps, a weights table must NOT
+    val p = pipeline.PipelineOps.queries("p75_mixture_weights")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning".r.findAllIn(p).length <= 1,
+      s"only the counts rollup may shuffle:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length <= 1,
+      s"the corpus must be scanned exactly once:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"the one-row total joins back as a broadcast:\n$p")
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 1,
+      s"only the one-row total aggregate may single-partition:\n$p")
+  }
+
+  test("p76 stitch merge: slice-built grams, key equi-join, pair-list-bounded windows") {
+    // p69's join contract (slices not explodes, honest shuffle equi-join,
+    // never cartesian/BNLJ) plus: the two tie-rule windows partition by
+    // a_id/b_id over the PAIR LIST, never a global single partition
+    val p = pipeline.PipelineOps.queries("p76_stitch_merge")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Generate".r.findAllIn(p).isEmpty,
+      s"grams come from slices, not explodes:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the gram match must stay a key equi-join:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no global stage belongs in the merge path:\n$p")
+    assert("Window".r.findAllIn(p).nonEmpty, s"expected the tie-rule windows:\n$p")
+  }
+
   test("p69 boundary overlap: no explode, gram-keyed equi-join, no cartesian") {
     // one suffix row and one prefix row per doc come from array SLICES,
     // never a K× explode; the suffix→prefix match is a BIGINT-key

@@ -161,6 +161,13 @@ class PlantFixturesSpec extends AnyFunSuite {
     assert(planted == 0L, "continuation ids (offset 2^41) must vanish with planting off")
   }
 
+  test("p76 off: no planted continuations — no merged pair carries a continuation id") {
+    bindDocs()
+    val planted = withPlantOff(PipelineOps.queries("p76_stitch_merge")(spark, dir))
+      .filter(s"b_id >= ${2199023255552L} OR a_id >= ${2199023255552L}").count()
+    assert(planted == 0L, "continuation ids (offset 2^41) must vanish with planting off")
+  }
+
   test("p70 off: the ASCII gate corpus is fully clean") {
     bindDocs()
     val dirty = withPlantOff(PipelineOps.queries("p70_mojibake_score")(spark, dir))

@@ -88,10 +88,13 @@ object Bench {
     * final calib read healthy while q13 had recorded 76 s (same code reruns
     * at 0.50 s). So calibration is now INTERLEAVED: one sample before the
     * warm-up, one after every [[CalibEveryN]] timed queries, one after the
-    * suite. The artifact carries every sample with its timestamp, plus
-    * min/median/max, and self-flags `host_contended` when the spread
-    * exceeds 2x — a judge can detect (and discount) a contended window
-    * without re-running anything.
+    * suite. The artifact carries every sample with its tag + timestamp,
+    * plus min/median/max, and self-flags `host_contended` when the
+    * IN-SUITE sample spread exceeds 2x (r10: edge samples — JIT-cold
+    * pre-warmup, idle post-suite — run without the suite's own 32-thread
+    * load, so the old all-samples spread flagged self-load as contention
+    * on every steady run) — a judge can detect (and discount) a
+    * contended window without re-running anything.
     *
     * Workload (unchanged): a CPU-bound range-sum (2e8 rows through
     * whole-stage codegen) + one fixed parquet scan-agg over lineitem
@@ -231,11 +234,11 @@ object Bench {
     }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // (t_rel_s at sample start, duration_s) — interleaved drift samples
-    val calibSamples = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val calibSamples = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
     def takeCalib(tag: String): Unit =
       try {
         val t = nowS; val d = calibSample(spark, sfDir)
-        calibSamples += ((t, d))
+        calibSamples += ((tag, t, d))
         System.err.println(f"[bench:calib] $tag t=$t%.1fs dur=$d%.3fs")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] calibration ($tag) failed: ${e.getMessage}")
@@ -401,21 +404,34 @@ object Bench {
     }
 
     // ---- self-validation (r5 #1): the artifact must certify its own window
-    val calibDurs = calibSamples.map(_._2).toSeq
+    val calibDurs = calibSamples.map(_._3).toSeq
     val calibS = // backwards-compatible scalar: median over ALL samples
       if (calibDurs.isEmpty) -1.0
       else calibDurs.sorted.apply(calibDurs.length / 2)
     val calibSpread =
       if (calibDurs.size >= 2 && calibDurs.min > 0) calibDurs.max / calibDurs.min else 1.0
+    // r10: the contended flag keys on the IN-SUITE (interleave) samples
+    // only. The edge samples (pre-warmup = JIT-cold caches, post-suite =
+    // idle machine) measure the host WITHOUT the suite's own 32-thread
+    // load, so the all-samples spread flagged the bench's SELF-load as
+    // contention on every steady run (r9: in-suite spread 1.24, flagged
+    // anyway off a fast idle tail sample; r10 quiet run: 1.23, same).
+    // In-suite samples share the suite's ambient load, so their spread
+    // isolates EXTERNAL drift — the thing the flag is for. All samples
+    // still land in the artifact; `spread` stays the all-samples number.
+    val inSuiteDurs = calibSamples.collect { case ("interleave", _, d) => d }.toSeq
+    val inSuiteSpread =
+      if (inSuiteDurs.size >= 2 && inSuiteDurs.min > 0) inSuiteDurs.max / inSuiteDurs.min
+      else calibSpread // too few in-suite samples (hotspot runs): old rule
     // queries whose own runs disagree wildly also flag contention — but only
     // when the slow run is material (>0.5 s), else 20ms-scale jitter would
     // trip the flag on every shared host
     val unstableQueries = results.collect {
       case (name, s) if s.min > 0 && s.max > 0.5 && s.max / s.min > 3.0 => name
     }
-    val hostContended = calibSpread > 2.0 || unstableQueries.nonEmpty
+    val hostContended = inSuiteSpread > 2.0 || unstableQueries.nonEmpty
     if (hostContended)
-      System.err.println(s"[bench] HOST_CONTENDED: calib spread ${f"$calibSpread%.2f"}x, " +
+      System.err.println(s"[bench] HOST_CONTENDED: in-suite calib spread ${f"$inSuiteSpread%.2f"}x, " +
         s"unstable queries: ${unstableQueries.mkString(",")} — treat absolute times with suspicion")
 
     // regression-retry (VERDICT r9 #7): compare against the PREVIOUS
@@ -486,11 +502,11 @@ object Bench {
       s"\"$k\":{\"med\":${f3(s.median)},\"min\":${f3(s.min)},\"max\":${f3(s.max)},\"runs\":${s.runs},\"t_s\":${f3(s.tStartS)}$retry}"
     }.mkString("{", ",", "}")
     val calibJson = calibSamples
-      .map { case (t, d) => s"{\"t_s\":${f3(t)},\"dur_s\":${f3(d)}}" }
+      .map { case (tag, t, d) => s"{\"tag\":${util.Json.quote(tag)},\"t_s\":${f3(t)},\"dur_s\":${f3(d)}}" }
       .mkString("[", ",", "]")
     val calibStats =
       if (calibDurs.isEmpty) "null"
-      else s"{\"min\":${f3(calibDurs.min)},\"median\":${f3(calibS)},\"max\":${f3(calibDurs.max)},\"spread\":${f3(calibSpread)}}"
+      else s"{\"min\":${f3(calibDurs.min)},\"median\":${f3(calibS)},\"max\":${f3(calibDurs.max)},\"spread\":${f3(calibSpread)},\"in_suite_spread\":${f3(inSuiteSpread)}}"
     val total = results.collect { case (_, s) if s.median >= 0 => s.median }.sum
     val errJson = errors
       .map { case (k, v) => s"${util.Json.quote(k)}:${util.Json.quote(v.take(200))}" }

@@ -4403,6 +4403,18 @@ object PipelineOps {
   private val SimPairBands = 4     // 8-bit bands over the 32-bit simhash
   private val SimPairHamMax = 3    // <= bands - 1: the pigeonhole guarantee
   private val SimPairTwinOff = 1099511627776L // 2^40 — never aliases real ids
+  // Hot-bucket damage bound (r10; the p08 SrpBucketCap precedent, prompted
+  // by the sf1 run where p60's true pair count grew ~K² on the replica
+  // corpus): only the first cap members of a (band, bv) bucket — ordered
+  // by doc_id, deterministic on both engines — generate candidates, so one
+  // degenerate bucket (e.g. a sea of short docs hashing to simhash 0)
+  // costs at most cap² pairs instead of |bucket|². Recall-bounding ONLY
+  // when it binds; it sits far above any gate bucket (whole aug corpus
+  // 1072 < 2·cap at sf0.01) and is MIRRORED into the DuckDB text, so the
+  // oracle stays exact even at a corpus where it does bind.
+  // private[graft]: PipelineRelational interpolates the SAME constant (the
+  // TfidfTopK one-source-of-truth rule, ADVICE r9)
+  private[graft] val SimPairBucketCap = 2048
 
   /** Live band-count knob (`spark.graft.simhashBands`): the Manku scale
     * lever — band WIDTH (32/bands here, 64/bands on a production-width
@@ -4452,15 +4464,20 @@ object PipelineOps {
     val width = 32 / bands
     val mask = (1 << width) - 1
     s"""
-    WITH b AS (
+    WITH b0 AS (
       SELECT doc_id, simhash, band,
         (shiftright(simhash, band * $width) & $mask) AS bv
       FROM $SimPairSigsView LATERAL VIEW explode(sequence(0, ${bands - 1})) x AS band),
+    b AS (
+      SELECT doc_id, simhash, band, bv,
+        row_number() OVER (PARTITION BY band, bv ORDER BY doc_id) AS rnk
+      FROM b0),
     cand AS (
       SELECT DISTINCT l.doc_id AS ida, r.doc_id AS idb,
         l.simhash AS sa, r.simhash AS sb
       FROM b l JOIN b r ON l.band = r.band AND l.bv = r.bv
-        AND l.doc_id < r.doc_id)
+        AND l.doc_id < r.doc_id
+      WHERE l.rnk <= $SimPairBucketCap AND r.rnk <= $SimPairBucketCap)
     SELECT ida, idb, CAST(bit_count(sa ^ sb) AS BIGINT) AS hamming
     FROM cand WHERE bit_count(sa ^ sb) <= $SimPairHamMax
     ORDER BY ida, idb"""
@@ -4490,15 +4507,20 @@ object PipelineOps {
                  h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
                THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
       FROM t),
-    b AS (
+    b0 AS (
       SELECT doc_id, simhash, band,
         (simhash >> (band * 8)) & 255 AS bv
       FROM s CROSS JOIN (SELECT unnest(generate_series(0, ${SimPairBands - 1})) AS band) x),
+    b AS (
+      SELECT doc_id, simhash, band, bv,
+        row_number() OVER (PARTITION BY band, bv ORDER BY doc_id) AS rnk
+      FROM b0),
     cand AS (
       SELECT DISTINCT l.doc_id AS ida, r.doc_id AS idb,
         l.simhash AS sa, r.simhash AS sb
       FROM b l JOIN b r ON l.band = r.band AND l.bv = r.bv
-        AND l.doc_id < r.doc_id)
+        AND l.doc_id < r.doc_id
+      WHERE l.rnk <= $SimPairBucketCap AND r.rnk <= $SimPairBucketCap)
     SELECT ida, idb, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
     FROM cand WHERE bit_count(xor(sa, sb)) <= $SimPairHamMax
     ORDER BY ida, idb"""

@@ -1387,6 +1387,11 @@ object PipelineRelational {
          |  derive bva = s"shiftright(sa, band_a * 8) & 255"
          |)
          |
+         |table blr = (
+         |  from bl
+         |  derive rnka = s"row_number() OVER (PARTITION BY band_a, bva ORDER BY ida)"
+         |)
+         |
          |table br0 = (
          |  from sg
          |  select [idb = doc_id, sb = simhash, band_b = s"explode(sequence(0, 3))"]
@@ -1397,10 +1402,15 @@ object PipelineRelational {
          |  derive bvb = s"shiftright(sb, band_b * 8) & 255"
          |)
          |
+         |table brr = (
+         |  from br
+         |  derive rnkb = s"row_number() OVER (PARTITION BY band_b, bvb ORDER BY idb)"
+         |)
+         |
          |table cand = (
-         |  from bl
-         |  join br [band_a == band_b, bva == bvb]
-         |  filter ida < idb
+         |  from blr
+         |  join brr [band_a == band_b, bva == bvb]
+         |  filter s"ida < idb AND rnka <= ${PipelineOps.SimPairBucketCap} AND rnkb <= ${PipelineOps.SimPairBucketCap}"
          |  select [ida, idb, sa, sb]
          |  group [ida, idb, sa, sb] (take 1)
          |)

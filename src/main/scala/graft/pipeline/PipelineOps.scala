@@ -380,14 +380,29 @@ object PipelineOps {
       -- oracle keeps the per-permutation fold, pinning the arithmetic)
       graft_minhash(hs) AS sig
     FROM hashed"""
+  /** Hot-bucket damage bound for the minhash band join (r10; the p08
+    * SrpBucketCap / p60 SimPairBucketCap rule): one degenerate bucket —
+    * e.g. a sea of near-empty docs sharing two minhashes — costs at most
+    * cap² candidate pairs instead of |bucket|². Deterministic (doc_id
+    * order), mirrored into the DuckDB chain so p04/p16/p20/p28/p42 stay
+    * hash-exact even where it binds; far above any gate bucket, so the
+    * frozen oracles are unchanged. Recall-bounding ONLY when it binds —
+    * documented, not silent. */
+  private val LshBucketCap = 2048
+
   private val lshPairCtesSpark = s"""
-    bands AS (
+    bands0 AS (
       SELECT doc_id, explode(transform(sequence(0, ${Bands - 1}),
         j -> concat(j, '|', element_at(sig, 2 * j + 1), '|', element_at(sig, 2 * j + 2)))) AS bkey
       FROM $LshSigsView),
+    bands AS (
+      SELECT doc_id, bkey,
+        row_number() OVER (PARTITION BY bkey ORDER BY doc_id) AS rnk
+      FROM bands0),
     cands AS (
       SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-      FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+      WHERE a.rnk <= $LshBucketCap AND b.rnk <= $LshBucketCap),
     verified AS (
       -- re-join the shingle sets for candidates only: cheaper than carrying
       -- the arrays through the 8x band-key shuffle (measured 2x faster at
@@ -426,13 +441,18 @@ object PipelineOps {
       SELECT doc_id, shingles,
         [${(0 until MinhashK).map(sigExprDuck).mkString(", ")}] AS sig
       FROM hashed),
-    bands AS (
-      SELECT doc_id, shingles, unnest([j || '|' || sig[2*j+1] || '|' || sig[2*j+2]
+    bands0 AS (
+      SELECT doc_id, unnest([j || '|' || sig[2*j+1] || '|' || sig[2*j+2]
         for j in generate_series(0, ${Bands - 1})]) AS bkey
       FROM sigs),
+    bands AS (
+      SELECT doc_id, bkey,
+        row_number() OVER (PARTITION BY bkey ORDER BY doc_id) AS rnk
+      FROM bands0),
     cands AS (
       SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-      FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+      WHERE a.rnk <= $LshBucketCap AND b.rnk <= $LshBucketCap),
     verified AS (
       SELECT c.ida, c.idb,
         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)

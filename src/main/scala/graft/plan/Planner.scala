@@ -755,9 +755,22 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
       // to the Spark analyzer's unlocated UNRESOLVED_COLUMN. Qualified and
       // wildcard idents stay analyzer-scoped (aliases, `t.*`).
       if (ctx.checkColumns && ctx.frame.exact && parts.lengthCompare(1) == 0 &&
-          parts.head != "*" && !ctx.frame.hasCol(parts.head))
-        throw new PlanError(
-          s"unknown column '${parts.head}' (frame: ${frameHint(ctx)})", spans.get(id))
+          parts.head != "*") {
+        if (!ctx.frame.hasCol(parts.head))
+          throw new PlanError(
+            s"unknown column '${parts.head}' (frame: ${frameHint(ctx)})", spans.get(id))
+        // a name present MORE THAN ONCE (a join re-introduced a column the
+        // frame already carries) is a located rejection, mirroring the
+        // reference's "Ambiguous reference. Could be from either of …"
+        // (name_resolver.rs:509-520) — found by the r10 differential fuzz
+        // (seed 543): deferring let Spark throw an unlocated
+        // AMBIGUOUS_REFERENCE at analysis instead
+        if (ctx.frame.cols.count(_.equalsIgnoreCase(parts.head)) > 1)
+          throw new PlanError(
+            s"ambiguous reference '${parts.head}' — the frame carries it more " +
+              s"than once (a join re-introduced it); qualify it with the table " +
+              s"alias (frame: ${frameHint(ctx)})", spans.get(id))
+      }
       identCol(parts)
     case NullLit => F.lit(null)
     case IntLit(v) => F.lit(v)

@@ -121,7 +121,11 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       }),
     )
     val joins: Seq[(Int, Gen[(Stage, Vector[String], Boolean)])] =
-      if (cols.contains("k")) Nil
+      // guard BOTH payload columns: a select can drop k while keeping v, and
+      // a re-join then duplicates v in the frame — which the engine rejects
+      // as an ambiguous reference (the reference's name_resolver rule; r10
+      // fuzz seed 543 found the generator producing this error case)
+      if (cols.contains("k") || cols.contains("v")) Nil
       else Seq(1 -> Gen.const {
         // inner equi-join on the (unique) head column against the dim table
         // (no fanout: k is unique in the dim). Fuzzer round 9: the AMBIENT
@@ -141,7 +145,12 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     // OLD value (the hidden-carry semantics) — the Seq interpreter keeps
     // its row order naturally, so any engine drift diverges
     val rebinds: Seq[(Int, Gen[(Stage, Vector[String], Boolean)])] = {
-      val derived = cols.filter(_.startsWith("d"))
+      // never rebind the HEAD column: the harness's final total-order
+      // `sort <head>` relies on its uniqueness, and after `group d1
+      // (aggregate …)` the head IS a derived name — rebinding it to a
+      // non-unique value makes the positional compare undefined on ties
+      // (r10 fuzz seed 757: both sides correct, orders differ)
+      val derived = cols.filter(_.startsWith("d")).filterNot(_ == cols.head)
       if (derived.isEmpty) Nil
       else Seq(1 -> (for {
         name <- Gen.oneOf(derived)
@@ -206,9 +215,13 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     Gen.choose(1, 6).flatMap(n => loop(n, Vector("a", "b", "c"), 0, sorted = false, Nil))
   }
 
-  test("random pipelines agree with a pure-Scala interpreter (150 seeds)") {
+  test("random pipelines agree with a pure-Scala interpreter (150 seeds; GRAFT_FUZZ_N/_OFFSET extend)") {
     ready
-    (1 to 150).foreach { i =>
+    // CI runs the fixed 150; a deep local pass sets GRAFT_FUZZ_N (count)
+    // and GRAFT_FUZZ_OFFSET (fresh seed range) — the r9/r10 bug-hunt lever
+    val fuzzN = sys.env.getOrElse("GRAFT_FUZZ_N", "150").toInt
+    val fuzzOff = sys.env.getOrElse("GRAFT_FUZZ_OFFSET", "0").toInt
+    (1 + fuzzOff to fuzzN + fuzzOff).foreach { i =>
       val (stages, cols) = pipelineGen(Gen.Parameters.default, Seed(i.toLong))
         .getOrElse(fail(s"no pipeline for seed $i"))
       // final total-order sort on the (unique) head column so unordered

@@ -61,10 +61,14 @@ class GoldenCorpusSpec extends AnyFunSuite {
 
     if (ambiguousByDesign(name)) {
       test(s"execute (ambiguity error, like the reference's SQL): $name") {
-        val e = intercept[org.apache.spark.sql.AnalysisException] {
+        // r10: the planner now rejects the duplicated bare name itself with
+        // a LOCATED error (the reference's name_resolver.rs:509-520 rule,
+        // added off fuzz seed 543) — strictly earlier and better-located
+        // than the Spark AMBIGUOUS_REFERENCE analysis error it replaced
+        val e = intercept[graft.plan.PlanError] {
           TestSpark.compile(src).collect()
         }
-        assert(e.getMessage.contains("AMBIGUOUS_REFERENCE"))
+        assert(e.getMessage.contains("ambiguous reference"), e.getMessage)
       }
     } else if (!parseOnly(name)) {
       test(s"execute: $name") {

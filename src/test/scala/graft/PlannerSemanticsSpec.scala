@@ -43,6 +43,35 @@ class PlannerSemanticsSpec extends AnyFunSuite {
     assert(r == Seq(Row("Turing", 10.0)))
   }
 
+  test("a join re-introducing a kept column makes the bare name a located rejection") {
+    // r10 differential fuzz, seed 543: select keeps v but drops k, a second
+    // join against the same dim re-introduces v — referencing bare `v` must
+    // be the reference's located "ambiguous reference" (name_resolver.rs:
+    // 509-520), not Spark's unlocated AMBIGUOUS_REFERENCE at analysis
+    import spark.implicits._
+    (1L to 10L).map(i => (i, i % 3, i % 5)).toDF("a", "b", "c")
+      .createOrReplaceTempView("amb_fuzz")
+    (1L to 8L).map(k => (k, k * 3 % 13)).toDF("k", "v")
+      .createOrReplaceTempView("amb_dim")
+    val prql =
+      """from amb_fuzz
+        |join amb_dim [a == k]
+        |select [a, b, v]
+        |join amb_dim [a == k]
+        |select [a, v]""".stripMargin
+    val e = intercept[PlanError](Graft.compileSession(prql, spark))
+    assert(e.getMessage.contains("ambiguous reference 'v'"), e.getMessage)
+    assert(e.getMessage.contains("--> line"), s"must be located: ${e.getMessage}")
+    // the qualified form stays compilable — that's the remedy the error names
+    val ok = Graft.compileSession(
+      """from amb_fuzz
+        |join amb_dim [a == k]
+        |select [a, b, v]
+        |join side:inner d2 = amb_dim [a == k]
+        |select [a, vv = d2.v]""".stripMargin, spark)
+    assert(ok.collect().length == 8) // inner joins keep the k <= 8 rows
+  }
+
   // ---- take semantics (1-based inclusive) ----
 
   test("take n..m is a 1-based inclusive slice") {

@@ -129,9 +129,13 @@ class NullSemanticsFuzzSpec extends AnyFunSuite {
     Gen.choose(1, 6).flatMap(n => loop(n, Vector("a", "n", "m"), 0, sorted = false, Nil))
   }
 
-  test("null semantics agree with a 3VL interpreter (120 seeds)") {
+  test("null semantics agree with a 3VL interpreter (120 seeds; GRAFT_FUZZ_N/_OFFSET extend)") {
+    // CI runs the fixed 120; deep local passes extend (the r10 bug-hunt
+    // lever, same knobs as DifferentialFuzzSpec/SqlBackendPropertySpec)
+    val fuzzN = sys.env.getOrElse("GRAFT_FUZZ_N", "120").toInt
+    val fuzzOff = sys.env.getOrElse("GRAFT_FUZZ_OFFSET", "0").toInt
     ready
-    (1 to 120).foreach { i =>
+    (1 + fuzzOff to fuzzN + fuzzOff).foreach { i =>
       val (stages, cols) = pipelineGen(Gen.Parameters.default, Seed(1000L + i))
         .getOrElse(fail(s"no pipeline for seed $i"))
       val key = cols.head

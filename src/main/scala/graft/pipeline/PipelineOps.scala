@@ -5837,6 +5837,86 @@ object PipelineOps {
       .replace(s"size($wordsDuck)", s"len($wordsDuck)")
   }
 
+  // ---- p77: margin-based bitext mining ----------------------------------------
+  // Cross-lingual parallel-pair mining (Artetxe & Schwenk 2019, the
+  // LASER/CCMatrix harvest rule): raw cosine is miscalibrated across
+  // embedding neighborhoods (hubness), so a candidate pair is scored by its
+  // MARGIN — cosine divided by the mean of both sides' k-NN cosines into
+  // the OTHER set: margin(x,y) = cos(x,y) / (avgK(x)/2 + avgK(y)/2). The
+  // gate corpus's label column stands in for language: label < 5 = source
+  // set, label >= 5 = target set. Output: every source vector's best
+  // target by margin, with the margin, the cosine, and whether the match
+  // is MUTUAL (the target's best source is this pair — the high-precision
+  // subset CCMatrix keeps). No threshold baked in: the operator's job is
+  // the calibrated ranking; the consumer thresholds.
+  //
+  // Scale shape: the gate path is the exact all-pairs src×tgt baseline
+  // (the p07 contract — the deliberate exact baseline; at deployment the
+  // pair relation fronts with p08's SRP bands / p19's IVF lists and the
+  // k-NN means run over the same candidate sets). The tail is a LINEAR
+  // CTE chain over the pair relation — each stage referenced exactly once
+  // (no multi-consumer re-inlining, no barrier needed): two rank windows,
+  // two k-mass window sums, margin, two argmax windows.
+  //
+  // Float discipline: cosines are quantized to micro-unit BIGINTs BEFORE
+  // the window sums — a double window-sum accumulates in partition row
+  // order, which is shuffle-arbitrary, the exact nondeterminism the
+  // micro-unit integer rule exists for (the p19 Lloyd-mean precedent).
+  // The margin is then one integer-ratio double division (deterministic).
+  // A non-positive k-mass clamps the denominator to one micro-unit
+  // (greatest(…, 1)): margins stay finite and ordered, no engine-specific
+  // div-by-zero behavior — degenerate-geometry guard, never binds at gate.
+
+  // private[graft]: PipelineRelational interpolates the SAME constant
+  private[graft] val BitextKnnK = 4
+
+  private def p77Text(dot: (String, String) => String, norm2: String => String,
+                      r6: String => String, toDouble: String => String): String = {
+    val k2 = 2 * BitextKnnK
+    s"""
+    WITH e AS (
+      SELECT vec_id, embedding, ${norm2("embedding")} AS n2, label FROM embeddings),
+    s AS (SELECT vec_id, embedding, n2 FROM e WHERE label < 5),
+    t AS (SELECT vec_id, embedding, n2 FROM e WHERE label >= 5),
+    p0 AS (
+      SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+        CAST(floor((${dot("s.embedding", "t.embedding")} / (sqrt(s.n2) * sqrt(t.n2))) * 1e6 + 0.5) AS BIGINT) AS cosu
+      FROM s CROSS JOIN t),
+    p1 AS (
+      SELECT src_id, tgt_id, cosu,
+        row_number() OVER (PARTITION BY src_id ORDER BY cosu DESC, tgt_id) AS rs,
+        row_number() OVER (PARTITION BY tgt_id ORDER BY cosu DESC, src_id) AS rt
+      FROM p0),
+    p2 AS (
+      SELECT src_id, tgt_id, cosu,
+        sum(CASE WHEN rs <= $BitextKnnK THEN cosu ELSE 0 END) OVER (PARTITION BY src_id) AS sks,
+        sum(CASE WHEN rt <= $BitextKnnK THEN cosu ELSE 0 END) OVER (PARTITION BY tgt_id) AS skt
+      FROM p1),
+    p3 AS (
+      SELECT src_id, tgt_id, cosu,
+        ${toDouble("cosu")} * $k2 / greatest(sks + skt, 1) AS margin
+      FROM p2),
+    p4 AS (
+      SELECT src_id, tgt_id, cosu, margin,
+        row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS ra,
+        row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id) AS rb
+      FROM p3)
+    SELECT src_id, tgt_id,
+      ${r6("margin")} AS margin,
+      ${toDouble("cosu")} / 1e6 AS cos_sim,
+      (rb = 1) AS mutual
+    FROM p4 WHERE ra = 1 ORDER BY src_id"""
+  }
+
+  private val p77Spark: String = p77Text(
+    dotSpark, norm2Spark,
+    m => s"CAST(floor($m * 1e6 + 0.5) AS DOUBLE) / 1e6",
+    c => s"CAST($c AS DOUBLE)")
+  private val p77Duck: String = p77Text(
+    dotDuck, norm2Duck,
+    m => s"floor($m * 1e6 + 0.5) / 1e6",
+    c => s"CAST($c AS DOUBLE)")
+
   /** Plant-aware wiring without a hash family (p70): the fixture switch
     * follows [[onDocsHfP]]'s binding rule — with planting OFF the parquet
     * view is not force-bound. */
@@ -5995,6 +6075,7 @@ object PipelineOps {
       spark.sql(p75Spark(mixtureAlphaMicro(spark)))
     }),
     "p76_stitch_merge" -> onDocsHfP(p76Spark),
+    "p77_bitext_margin" -> onEmb(p77Spark),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6081,5 +6162,6 @@ object PipelineOps {
     "p74_cluster_rep" -> p74Duck,
     "p75_mixture_weights" -> p75Duck,
     "p76_stitch_merge" -> p76Duck,
+    "p77_bitext_margin" -> p77Duck,
   )
 }

@@ -2273,6 +2273,74 @@ object PipelineRelational {
          |from m
          |select [a_id, b_id, merged_sig = s"md5(merged)", merged_words = s"CAST(mw AS BIGINT)"]
          |sort [a_id, b_id]""".stripMargin,
+
+    // p77: p07's kernel-based exact pair baseline plus a LINEAR chain of
+    // window stages (rank, k-mass sums over micro-unit integers, margin,
+    // two-way argmax) — every stage referenced once, so the single-query
+    // restatement is the operator's own shape; k interpolated
+    "p77_bitext_margin" ->
+      s"""table e = (
+         |  from embeddings
+         |  derive n2 = s"graft_dot(embedding, embedding)"
+         |)
+         |
+         |table ss = (
+         |  from e
+         |  filter label < 5
+         |  select [src_id = vec_id, se = embedding, sn2 = n2]
+         |)
+         |
+         |table tt = (
+         |  from e
+         |  filter label >= 5
+         |  select [tgt_id = vec_id, te = embedding, tn2 = n2]
+         |)
+         |
+         |table p0 = (
+         |  from ss
+         |  join tt [s"1 = 1"]
+         |  select [src_id, tgt_id, cosu = s"CAST(floor((graft_dot(se, te) / (sqrt(sn2) * sqrt(tn2))) * 1e6 + 0.5) AS BIGINT)"]
+         |)
+         |
+         |table p1 = (
+         |  from p0
+         |  derive [
+         |    rs = s"row_number() OVER (PARTITION BY src_id ORDER BY cosu DESC, tgt_id)",
+         |    rt = s"row_number() OVER (PARTITION BY tgt_id ORDER BY cosu DESC, src_id)",
+         |  ]
+         |)
+         |
+         |table p2 = (
+         |  from p1
+         |  derive [
+         |    sks = s"sum(CASE WHEN rs <= ${PipelineOps.BitextKnnK} THEN cosu ELSE 0 END) OVER (PARTITION BY src_id)",
+         |    skt = s"sum(CASE WHEN rt <= ${PipelineOps.BitextKnnK} THEN cosu ELSE 0 END) OVER (PARTITION BY tgt_id)",
+         |  ]
+         |)
+         |
+         |table p3 = (
+         |  from p2
+         |  derive margin0 = s"CAST(cosu AS DOUBLE) * ${2 * PipelineOps.BitextKnnK} / greatest(sks + skt, 1)"
+         |)
+         |
+         |table p4 = (
+         |  from p3
+         |  derive [
+         |    ra = s"row_number() OVER (PARTITION BY src_id ORDER BY margin0 DESC, tgt_id)",
+         |    rb = s"row_number() OVER (PARTITION BY tgt_id ORDER BY margin0 DESC, src_id)",
+         |  ]
+         |)
+         |
+         |from p4
+         |filter ra == 1
+         |select [
+         |  src_id,
+         |  tgt_id,
+         |  margin = s"CAST(floor(margin0 * 1e6 + 0.5) AS DOUBLE) / 1e6",
+         |  cos_sim = s"CAST(cosu AS DOUBLE) / 1e6",
+         |  mutual = s"rb = 1",
+         |]
+         |sort src_id""".stripMargin,
   )
 
   /** Session-level kernel registrations the covered texts rely on (the

@@ -822,6 +822,55 @@ class PipelineOpsSpec extends AnyFunSuite {
       "every merged pair must come from the p69 stitch relation")
   }
 
+  test("p77 bitext margins equal the JVM reference; mutual flag is the two-way argmax") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    val src = emb.filter(_._3 < 5).sortBy(_._1)
+    val tgt = emb.filter(_._3 >= 5).sortBy(_._1)
+    val n2 = emb.map { case (id, v, _) => id -> dot(v, v) }.toMap
+    // quantized pair cosines (the operator's micro-unit carrier)
+    val cosu = (for {
+      (si, sv, _) <- src; (ti, tv, _) <- tgt
+    } yield (si, ti) -> math.floor(dot(sv, tv) / (math.sqrt(n2(si)) * math.sqrt(n2(ti))) * 1e6 + 0.5).toLong).toMap
+    val k = 4
+    // k-NN mass per side (top-k by cosu, ties broken by the other id ASC)
+    def topMass(pairs: Seq[(Long, Long)], of: Long, other: ((Long, Long)) => Long): Long =
+      pairs.sortBy(p => (-cosu(p), other(p))).take(k).map(cosu).sum
+    val sks = src.map(s => s._1 ->
+      topMass(tgt.map(t => (s._1, t._1)), s._1, _._2)).toMap
+    val skt = tgt.map(t => t._1 ->
+      topMass(src.map(s => (s._1, t._1)), t._1, _._1)).toMap
+    def margin(p: (Long, Long)): Double =
+      cosu(p).toDouble * (2 * k) / math.max(sks(p._1) + skt(p._2), 1L)
+    val bestTgt = src.map(s => s._1 ->
+      tgt.map(t => (s._1, t._1)).minBy(p => (-margin(p), p._2))).toMap
+    val bestSrc = tgt.map(t => t._1 ->
+      src.map(s => (s._1, t._1)).minBy(p => (-margin(p), p._1))).toMap
+    val out = run("p77_bitext_margin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    assert(out.length == src.length, "one best match per source vector")
+    out.foreach { case (s, t, m, c, mutual) =>
+      val p = bestTgt(s)
+      assert(t == p._2, s"src $s best target")
+      assert(m == math.floor(margin(p) * 1e6 + 0.5) / 1e6, s"src $s margin")
+      assert(c == cosu(p).toDouble / 1e6, s"src $s cosine")
+      assert(mutual == (bestSrc(t) == p), s"src $s mutual flag")
+    }
+    // the margin actually recalibrates: it must not be a monotone renaming
+    // of raw cosine (some source's best-by-margin differs from best-by-cos)
+    val bestByCos = src.map(s => s._1 ->
+      tgt.map(t => (s._1, t._1)).minBy(p => (-cosu(p), p._2))._2).toMap
+    assert(out.exists { case (s, t, _, _, _) => bestByCos(s) != t },
+      "margin ranking must differ from raw-cosine ranking somewhere")
+    // mutual pairs exist and are a strict subset
+    assert(out.exists(_._5) && out.exists(!_._5))
+  }
+
   test("p24 mixture sample: rates clamp at 1e6, dominant language is downsampled hardest") {
     val out = run("p24_mixture_sample").collect()
     assert(out.length >= 2)

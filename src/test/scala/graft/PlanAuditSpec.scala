@@ -802,6 +802,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected an equi-join for the pair generation:\n$p")
   }
 
+  test("p77 bitext margins: deliberate exact pair baseline, linear window chain, no re-scan") {
+    // the src×tgt scoring is the p07-class DELIBERATE exact baseline (one
+    // side broadcasts — BroadcastNestedLoopJoin, never CartesianProduct);
+    // the tail is a linear chain of pair-relation windows, so the pair
+    // dots are computed ONCE (no multi-consumer re-inlining), and no
+    // global single-partition stage exists anywhere
+    val p = pipeline.PipelineOps.queries("p77_bitext_margin")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the exact baseline broadcasts one side:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"), s"cartesian crept in:\n$p")
+    assert("graft_dot".r.findAllIn(p).length <= 2,
+      s"pair cosines must be computed once (dot + its norm pair), not re-inlined per window:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no global stage belongs in the margin path:\n$p")
+    assert("Window".r.findAllIn(p).nonEmpty, s"expected the window chain:\n$p")
+  }
+
   test("p75 mixture weights: one corpus rollup, no second corpus pass, no corpus cartesian") {
     // phase 1 = the single counts-by-lang rollup (one hash exchange); all
     // later math runs on the G-row relation with the one-row total coming

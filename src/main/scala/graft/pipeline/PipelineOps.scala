@@ -4027,8 +4027,12 @@ object PipelineOps {
   // map-side partial aggregation reduces every partition to <= V rows
   // (256 — bounded BY CONSTRUCTION, the hashing trick's whole point);
   // the model collapses to one V-element BIGINT array in a one-row CTE
-  // that broadcasts; scoring is a pure map-side integer array fold. Two
-  // corpus passes (train, apply), zero corpus-sized joins.
+  // that broadcasts; scoring is a pure map-side integer array fold. Three
+  // column-pruned corpus passes (token train, doc-level prior, apply —
+  // r10: the class TOTALS derive from the V-bucket rollup itself via
+  // 256-row window sums instead of a fourth corpus aggregate; the p78
+  // PlanAudit caught the lab CTE re-inlining into 4 scans), zero
+  // corpus-sized joins.
   private val NbBuckets = 256
   private val NbEnc = 8589934592L   // 2^33: bucket*NbEnc + (wt + 2^32) stays sortable
   private val NbOff = 4294967296L   // 2^32: offset keeps encoded weights positive
@@ -4047,17 +4051,25 @@ object PipelineOps {
       FROM lab LATERAL VIEW explode(words) x AS w),
     cnt AS (
       SELECT b, sum(lbl) AS c_hi, sum(1 - lbl) AS c_lo FROM tok GROUP BY b),
-    tot AS (
-      SELECT sum(lbl * size(words)) AS n_hi, sum((1 - lbl) * size(words)) AS n_lo
-      FROM lab),
+    cntw AS (
+      SELECT b, c_hi, c_lo,
+        sum(c_hi) OVER () AS n_hi, sum(c_lo) OVER () AS n_lo
+      FROM cnt),
     dom AS (SELECT explode(sequence(0, ${NbBuckets - 1})) AS b),
+    wts0 AS (
+      SELECT dom.b, cntw.c_hi, cntw.c_lo, cntw.n_hi, cntw.n_lo
+      FROM dom LEFT JOIN cntw ON dom.b = cntw.b),
+    wts1 AS (
+      SELECT b, c_hi, c_lo,
+        max(n_hi) OVER () AS n_hi, max(n_lo) OVER () AS n_lo
+      FROM wts0),
     wts AS (
-      SELECT dom.b,
+      SELECT b,
         CAST(floor(1e6 * ln(
-          (CAST(coalesce(cnt.c_hi, 0) + 1 AS DOUBLE) / (tot.n_hi + $NbBuckets)) /
-          (CAST(coalesce(cnt.c_lo, 0) + 1 AS DOUBLE) / (tot.n_lo + $NbBuckets))
+          (CAST(coalesce(c_hi, 0) + 1 AS DOUBLE) / (n_hi + $NbBuckets)) /
+          (CAST(coalesce(c_lo, 0) + 1 AS DOUBLE) / (n_lo + $NbBuckets))
         ) + 0.5) AS BIGINT) AS wt
-      FROM dom CROSS JOIN tot LEFT JOIN cnt ON dom.b = cnt.b),
+      FROM wts1),
     warr AS (
       SELECT transform(array_sort(collect_list(b * $NbEnc + (wt + $NbOff))),
                        e -> pmod(e, $NbEnc) - $NbOff) AS arr
@@ -4089,17 +4101,25 @@ object PipelineOps {
       FROM (SELECT lbl, unnest(words) AS w FROM lab)),
     cnt AS (
       SELECT b, sum(lbl) AS c_hi, sum(1 - lbl) AS c_lo FROM tok GROUP BY b),
-    tot AS (
-      SELECT sum(lbl * len(words)) AS n_hi, sum((1 - lbl) * len(words)) AS n_lo
-      FROM lab),
+    cntw AS (
+      SELECT b, c_hi, c_lo,
+        sum(c_hi) OVER () AS n_hi, sum(c_lo) OVER () AS n_lo
+      FROM cnt),
     dom AS (SELECT unnest(generate_series(0, ${NbBuckets - 1})) AS b),
+    wts0 AS (
+      SELECT dom.b, cntw.c_hi, cntw.c_lo, cntw.n_hi, cntw.n_lo
+      FROM dom LEFT JOIN cntw ON dom.b = cntw.b),
+    wts1 AS (
+      SELECT b, c_hi, c_lo,
+        max(n_hi) OVER () AS n_hi, max(n_lo) OVER () AS n_lo
+      FROM wts0),
     wts AS (
-      SELECT dom.b,
+      SELECT b,
         CAST(floor(1e6 * ln(
-          (CAST(coalesce(cnt.c_hi, 0) + 1 AS DOUBLE) / (tot.n_hi + $NbBuckets)) /
-          (CAST(coalesce(cnt.c_lo, 0) + 1 AS DOUBLE) / (tot.n_lo + $NbBuckets))
+          (CAST(coalesce(c_hi, 0) + 1 AS DOUBLE) / (n_hi + $NbBuckets)) /
+          (CAST(coalesce(c_lo, 0) + 1 AS DOUBLE) / (n_lo + $NbBuckets))
         ) + 0.5) AS BIGINT) AS wt
-      FROM dom CROSS JOIN tot LEFT JOIN cnt ON dom.b = cnt.b),
+      FROM wts1),
     warr AS (
       SELECT list_transform(list_sort(list(b * $NbEnc + (wt + $NbOff))),
                             e -> e % $NbEnc - $NbOff) AS arr
@@ -4118,6 +4138,46 @@ object PipelineOps {
       CAST(score AS BIGINT) AS nb_score,
       CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred_hi
     FROM sc ORDER BY doc_id"""
+
+  // ---- p78: classifier calibration / reliability bins -------------------------
+  // The eval primitive a learned quality filter (p55) ships with: bucket
+  // documents by PREDICTED keep-probability (sigmoid of the NB log-odds)
+  // into 10 reliability bins and report, per bin, the mean predicted
+  // probability vs the OBSERVED positive rate — the reliability diagram /
+  // ECE decomposition (Guo et al. 2017) that tells a pipeline owner
+  // whether "p ≥ 0.9" means 90 %. Consumes p55's exact scoring chain
+  // verbatim (nested CTE), so the two operators can never drift.
+  //
+  // Determinism: ONE sigmoid per doc (exp of an exact integer ratio — the
+  // p55/p71 libm precedent), immediately quantized to micro-unit BIGINT;
+  // the BIN EDGES come from the quantized integer (pu div 100000 — no
+  // second float path), the per-bin means are integer-sum ratios divided
+  // once in double. Scale shape: p55's two corpus passes + broadcast
+  // model, then one ≤10-row rollup — nothing new shuffles.
+
+  private def p78Text(p55: String, idiv: String): String = s"""
+    WITH scored AS ($p55),
+    pb AS (
+      SELECT weak_label,
+        CAST(floor((1.0 / (1.0 + exp(- CAST(nb_score AS DOUBLE) / 1e6))) * 1e6 + 0.5) AS BIGINT) AS pu
+      FROM scored),
+    pb2 AS (
+      SELECT weak_label, pu,
+        least(CAST(9 AS BIGINT), pu $idiv 100000) AS bin
+      FROM pb),
+    agg AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+        sum(pu) AS spu, sum(weak_label) AS shi
+      FROM pb2 GROUP BY bin)
+    SELECT CAST(bin AS BIGINT) AS bin, n_docs,
+      CAST(floor(CAST(spu AS DOUBLE) / n_docs + 0.5) AS BIGINT) AS avg_pred_ppm,
+      CAST(floor(1e6 * CAST(shi AS DOUBLE) / n_docs + 0.5) AS BIGINT) AS obs_hi_ppm,
+      abs(CAST(floor(CAST(spu AS DOUBLE) / n_docs + 0.5) AS BIGINT)
+        - CAST(floor(1e6 * CAST(shi AS DOUBLE) / n_docs + 0.5) AS BIGINT)) AS gap_ppm
+    FROM agg ORDER BY bin"""
+
+  private def p78Spark(hf: String): String = p78Text(p55Spark(hf), "DIV")
+  private val p78Duck: String = p78Text(p55Duck, "//")
 
   // ---- p56: BM25 retrieval scoring -----------------------------------------
   // The lexical retrieval scorer (Robertson–Spärck Jones BM25) — the
@@ -6076,6 +6136,7 @@ object PipelineOps {
     }),
     "p76_stitch_merge" -> onDocsHfP(p76Spark),
     "p77_bitext_margin" -> onEmb(p77Spark),
+    "p78_calibration_bins" -> onDocsHf(p78Spark),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6163,5 +6224,6 @@ object PipelineOps {
     "p75_mixture_weights" -> p75Duck,
     "p76_stitch_merge" -> p76Duck,
     "p77_bitext_margin" -> p77Duck,
+    "p78_calibration_bins" -> p78Duck,
   )
 }

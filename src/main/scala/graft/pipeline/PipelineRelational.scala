@@ -38,6 +38,93 @@ object PipelineRelational {
     * these re-expressions pin the driver-gate family). */
   private def H(e: String) = s"CAST(conv(substr(md5($e),1,8),16,10) AS BIGINT)"
 
+  /** p55's full relational chain through the scored relation `sc` — shared
+    * verbatim by the p55 entry and p78's calibration tail (the consumes-
+    * p55-verbatim contract, mirrored from PipelineOps' nested CTE). */
+  private val P55Chain: String =
+    s"""table t = (
+         |  from documents
+         |  derive words = s"$W"
+         |)
+         |
+         |table lab = (
+         |  from t
+         |  derive lbl = s"CASE WHEN 12 * size(filter(words, w -> w IN ('the','a','of','and'))) >= size(words) THEN 1 ELSE 0 END"
+         |)
+         |
+         |table tok0 = (
+         |  from lab
+         |  select [lbl, w = s"explode(words)"]
+         |)
+         |
+         |table tok = (
+         |  from tok0
+         |  derive b = s"pmod(${H("w")}, 256)"
+         |)
+         |
+         |table cnt = (
+         |  from tok
+         |  group [b] (
+         |    aggregate [c_hi = s"sum(lbl)", c_lo = s"sum(1 - lbl)"]
+         |  )
+         |)
+         |
+         |table cntw = (
+         |  from cnt
+         |  derive [
+         |    n_hi = s"sum(c_hi) OVER ()",
+         |    n_lo = s"sum(c_lo) OVER ()",
+         |  ]
+         |)
+         |
+         |table dom = (
+         |  from documents
+         |  take 1
+         |  select [b = s"explode(sequence(0, 255))"]
+         |)
+         |
+         |table wts0 = (
+         |  from dom
+         |  join side:left cntw [b]
+         |)
+         |
+         |table wts1 = (
+         |  from wts0
+         |  derive [
+         |    nh = s"max(n_hi) OVER ()",
+         |    nl = s"max(n_lo) OVER ()",
+         |  ]
+         |)
+         |
+         |table wts = (
+         |  from wts1
+         |  derive wt = s"CAST(floor(1e6 * ln((CAST(coalesce(c_hi, 0) + 1 AS DOUBLE) / (nh + 256)) / (CAST(coalesce(c_lo, 0) + 1 AS DOUBLE) / (nl + 256))) + 0.5) AS BIGINT)"
+         |)
+         |
+         |table warr = (
+         |  from wts
+         |  aggregate [arr = s"transform(array_sort(collect_list(b * 8589934592 + (wt + 4294967296))), e -> pmod(e, 8589934592) - 4294967296)"]
+         |  derive k = s"1"
+         |)
+         |
+         |table pri = (
+         |  from lab
+         |  aggregate [prior = s"CAST(floor(1e6 * ln(CAST(sum(lbl) AS DOUBLE) / sum(1 - lbl)) + 0.5) AS BIGINT)"]
+         |  derive k = s"1"
+         |)
+         |
+         |table labk = (
+         |  from lab
+         |  derive k = s"1"
+         |)
+         |
+         |table sc = (
+         |  from labk
+         |  join warr [k]
+         |  join pri [k]
+         |  derive score = s"prior + aggregate(words, CAST(0 AS BIGINT), (acc, w) -> acc + element_at(arr, CAST(pmod(${H("w")}, 256) + 1 AS INT)))"
+         |)""".stripMargin
+
   val prql: Map[String, String] = Map(
     "p01_dedup_exact" ->
       s"""from documents
@@ -1100,80 +1187,7 @@ object PipelineRelational {
          |sort doc_id""".stripMargin,
 
     "p55_nb_quality" ->
-      s"""table t = (
-         |  from documents
-         |  derive words = s"$W"
-         |)
-         |
-         |table lab = (
-         |  from t
-         |  derive lbl = s"CASE WHEN 12 * size(filter(words, w -> w IN ('the','a','of','and'))) >= size(words) THEN 1 ELSE 0 END"
-         |)
-         |
-         |table tok0 = (
-         |  from lab
-         |  select [lbl, w = s"explode(words)"]
-         |)
-         |
-         |table tok = (
-         |  from tok0
-         |  derive b = s"pmod(${H("w")}, 256)"
-         |)
-         |
-         |table cnt = (
-         |  from tok
-         |  group [b] (
-         |    aggregate [c_hi = s"sum(lbl)", c_lo = s"sum(1 - lbl)"]
-         |  )
-         |)
-         |
-         |table tot = (
-         |  from lab
-         |  aggregate [n_hi = s"sum(lbl * size(words))", n_lo = s"sum((1 - lbl) * size(words))"]
-         |  derive k = s"1"
-         |)
-         |
-         |table dom = (
-         |  from documents
-         |  take 1
-         |  select [b = s"explode(sequence(0, 255))"]
-         |  derive k = s"1"
-         |)
-         |
-         |table wts0 = (
-         |  from dom
-         |  join tot [k]
-         |  join side:left cnt [b]
-         |)
-         |
-         |table wts = (
-         |  from wts0
-         |  derive wt = s"CAST(floor(1e6 * ln((CAST(coalesce(c_hi, 0) + 1 AS DOUBLE) / (n_hi + 256)) / (CAST(coalesce(c_lo, 0) + 1 AS DOUBLE) / (n_lo + 256))) + 0.5) AS BIGINT)"
-         |)
-         |
-         |table warr = (
-         |  from wts
-         |  aggregate [arr = s"transform(array_sort(collect_list(b * 8589934592 + (wt + 4294967296))), e -> pmod(e, 8589934592) - 4294967296)"]
-         |  derive k = s"1"
-         |)
-         |
-         |table pri = (
-         |  from lab
-         |  aggregate [prior = s"CAST(floor(1e6 * ln(CAST(sum(lbl) AS DOUBLE) / sum(1 - lbl)) + 0.5) AS BIGINT)"]
-         |  derive k = s"1"
-         |)
-         |
-         |table labk = (
-         |  from lab
-         |  derive k = s"1"
-         |)
-         |
-         |table sc = (
-         |  from labk
-         |  join warr [k]
-         |  join pri [k]
-         |  derive score = s"prior + aggregate(words, CAST(0 AS BIGINT), (acc, w) -> acc + element_at(arr, CAST(pmod(${H("w")}, 256) + 1 AS INT)))"
-         |)
+      s"""$P55Chain
          |
          |from sc
          |select [
@@ -2341,6 +2355,42 @@ object PipelineRelational {
          |  mutual = s"rb = 1",
          |]
          |sort src_id""".stripMargin,
+
+    // p78: p55's chain verbatim ([[P55Chain]]) + the calibration tail —
+    // one quantized sigmoid, integer bin edges, a ≤10-row rollup
+    "p78_calibration_bins" ->
+      s"""$P55Chain
+         |
+         |table pb = (
+         |  from sc
+         |  derive pu = s"CAST(floor((1.0 / (1.0 + exp(- CAST(score AS DOUBLE) / 1e6))) * 1e6 + 0.5) AS BIGINT)"
+         |)
+         |
+         |table pb2 = (
+         |  from pb
+         |  derive bin = s"least(CAST(9 AS BIGINT), pu DIV 100000)"
+         |)
+         |
+         |table agg = (
+         |  from pb2
+         |  group bin (
+         |    aggregate [
+         |      n_docs = s"CAST(count(*) AS BIGINT)",
+         |      spu = s"sum(pu)",
+         |      shi = s"sum(lbl)",
+         |    ]
+         |  )
+         |)
+         |
+         |from agg
+         |select [
+         |  bin = s"CAST(bin AS BIGINT)",
+         |  n_docs,
+         |  avg_pred_ppm = s"CAST(floor(CAST(spu AS DOUBLE) / n_docs + 0.5) AS BIGINT)",
+         |  obs_hi_ppm = s"CAST(floor(1e6 * CAST(shi AS DOUBLE) / n_docs + 0.5) AS BIGINT)",
+         |  gap_ppm = s"abs(CAST(floor(CAST(spu AS DOUBLE) / n_docs + 0.5) AS BIGINT) - CAST(floor(1e6 * CAST(shi AS DOUBLE) / n_docs + 0.5) AS BIGINT))",
+         |]
+         |sort bin""".stripMargin,
   )
 
   /** Session-level kernel registrations the covered texts rely on (the

@@ -871,6 +871,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.exists(_._5) && out.exists(!_._5))
   }
 
+  test("p78 calibration bins equal the JVM rollup of p55's scores; bins partition the corpus") {
+    val p55 = run("p55_nb_quality").collect().map(r => (r.getLong(1), r.getLong(2)))
+    val rows = p55.map { case (lbl, s) =>
+      val pu = math.floor((1.0 / (1.0 + math.exp(-s.toDouble / 1e6))) * 1e6 + 0.5).toLong
+      (math.min(9L, pu / 100000), pu, lbl)
+    }
+    val ref = rows.groupBy(_._1).map { case (bin, xs) =>
+      val n = xs.length
+      val avg = math.floor(xs.map(_._2).sum.toDouble / n + 0.5).toLong
+      val obs = math.floor(1e6 * xs.map(_._3).sum.toDouble / n + 0.5).toLong
+      bin -> ((n.toLong, avg, obs, math.abs(avg - obs)))
+    }
+    val out = run("p78_calibration_bins").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == ref, s"got $out\nexp $ref")
+    assert(out.size >= 2, "both calibration ends must be populated at the gate")
+    assert(out.values.map(_._1).sum == p55.length, "bins must partition the corpus")
+    out.foreach { case (bin, (_, avg, _, _)) =>
+      assert(avg >= bin * 100000 && (avg <= (bin + 1) * 100000 || bin == 9),
+        s"bin $bin mean prediction $avg outside its edge")
+    }
+  }
+
   test("p24 mixture sample: rates clamp at 1e6, dominant language is downsampled hardest") {
     val out = run("p24_mixture_sample").collect()
     assert(out.length >= 2)

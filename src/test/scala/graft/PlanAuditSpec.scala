@@ -820,6 +820,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Window".r.findAllIn(p).nonEmpty, s"expected the window chain:\n$p")
   }
 
+  test("p79 bitext ANN: band equi-join candidates, no cartesian, no nested-loop, pair dots once") {
+    // the DEPLOYMENT path for p77 (VERDICT r10 #1): the pair relation is
+    // an SRP band-key EQUI-join between the corpus halves — there must be
+    // no cartesian AND no broadcast nested loop anywhere (unlike p77,
+    // whose exact baseline deliberately broadcasts one whole side); the
+    // candidate verify re-join computes each pair cosine once
+    val p = pipeline.PipelineOps.queries("p79_bitext_ann")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("cartesianproduct"), s"cartesian crept in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the ANN path must never fall back to the all-pairs shape:\n$p")
+    assert("graft_dot".r.findAllIn(p).length <= 2,
+      s"pair cosines must be computed once (dot + its norm pair), not re-inlined per window:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no global stage belongs in the margin path:\n$p")
+    assert("Window".r.findAllIn(p).nonEmpty, s"expected the window chain:\n$p")
+  }
+
   test("p78 calibration bins: p55's three corpus passes + one tiny rollup, nothing new shuffles") {
     // the chain is p55's (train explode + V-bucket rollup, broadcast model,
     // map-side scoring — two corpus scans by design) plus ONE <= 10-row bin

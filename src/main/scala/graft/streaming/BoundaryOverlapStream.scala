@@ -41,8 +41,17 @@ import org.apache.spark.sql.{DataFrame, functions => F}
   *
   * At feed scale: per micro-batch one shuffle on the gram key; pairing
   * work per arrival is |opposite-side residents of one gram| — O(1)
-  * expected (a gram shared by many documents is exactly the boilerplate
-  * signal the batch rollups catch; here it bounds a single key's list).
+  * expected. A BOILERPLATE gram shared by many horizon documents is the
+  * degenerate case (ADVICE r10): without a bound, one key's resident list
+  * grows with the horizon and pairing goes O(|residents|²) per arrival —
+  * the exact hot-bucket shape batch p04/p60 cap via LshBucketCap /
+  * SimPairBucketCap. [[ResidentCapDefault]] (override:
+  * `spark.graft.boundaryResidentCap`) bounds each key at the cap-LOWEST
+  * doc_ids PER SIDE (deterministic by doc_id — the SimPairBucketCap
+  * rule), so one hot key costs at most cap² pairs and O(cap) state.
+  * The cap is far above any per-gram multiplicity at test SF (it never
+  * binds there — batch/stream equality holds); a capped-out stitch is
+  * deliberately dropped, bounded damage over unbounded state.
   */
 object BoundaryOverlapStream {
 
@@ -50,13 +59,18 @@ object BoundaryOverlapStream {
 
   final case class GramRow(gkey: Long, side: String, doc_id: Long,
                            ts: java.sql.Timestamp, gram: String)
-  /** a_id's suffix == b_id's prefix == `gram`. */
-  final case class StitchPair(a_id: Long, b_id: Long, gram: String)
+  /** a_id's suffix == b_id's prefix == `gram`; `ts_ms` is the pair's
+    * COMPLETION event time (max of both sides' event times — safe for a
+    * downstream watermark: never earlier than either constituent). */
+  final case class StitchPair(a_id: Long, b_id: Long, gram: String, ts_ms: Long)
   /** Horizon resident of one gram key. Public for the state encoder. */
   final case class Resident(side: String, doc_id: Long, tsMs: Long, gram: String)
   final case class KeyState(docs: List[Resident])
 
   private val ViewName = "graft_boundary_stream_grams"
+
+  /** Per-(gram-key, side) resident bound — see the hot-key note above. */
+  private[graft] val ResidentCapDefault = 512
 
   /** Directed stitch pairs over `docs` (idCol, textCol, event-time tsCol):
     * columns (a_id, b_id, overlap_sig) — batch p69's output shape, minus
@@ -64,7 +78,16 @@ object BoundaryOverlapStream {
     * `watermarkDelay`, append-mode pair stream. Batch: the p69 equi-join
     * replica. */
   def pairs(docs: DataFrame, textCol: String, idCol: String, tsCol: String,
-            watermarkDelay: String = "1 hour"): DataFrame = {
+            watermarkDelay: String = "1 hour"): DataFrame =
+    pairsWithTime(docs, textCol, idCol, tsCol, watermarkDelay)
+      .select("a_id", "b_id", "overlap_sig")
+
+  /** [[pairs]] plus the pair's completion event time `ts_ms` — the richer
+    * frame the stitch-merge consumer ([[StitchMergeStream]]) watermarks
+    * and claims on. Same pairing machinery, caps, and horizon. */
+  private[graft] def pairsWithTime(docs: DataFrame, textCol: String, idCol: String,
+                                   tsCol: String,
+                                   watermarkDelay: String = "1 hour"): DataFrame = {
     def requireCol(c: String): Unit =
       require(docs.columns.contains(c),
         s"BoundaryOverlapStream.pairs: input is missing column '$c' (has: ${docs.columns.mkString(", ")})")
@@ -72,6 +95,9 @@ object BoundaryOverlapStream {
     val spark = docs.sparkSession
     import spark.implicits._
     val hf = graft.pipeline.PipelineOps.hashFamily(spark)
+    val residentCap = spark.conf.getOption("spark.graft.boundaryResidentCap")
+      .map(_.toInt).getOrElse(ResidentCapDefault)
+    require(residentCap >= 1, s"spark.graft.boundaryResidentCap must be >= 1, got $residentCap")
     // p69's gram construction: two rows per document (suffix side 's',
     // prefix side 'p'), built from slices — never a per-word explode
     val grams = docs
@@ -108,11 +134,19 @@ object BoundaryOverlapStream {
                     // exact-text verify: a 60-bit key collision between two
                     // different grams must not fabricate a stitch
                     if (o.doc_id != r.doc_id && o.side != r.side && o.gram == r.gram) {
-                      if (r.side == "s") out += StitchPair(r.doc_id, o.doc_id, r.gram)
-                      else out += StitchPair(o.doc_id, r.doc_id, o.gram)
+                      val pts = math.max(r.ts.getTime, o.tsMs)
+                      if (r.side == "s") out += StitchPair(r.doc_id, o.doc_id, r.gram, pts)
+                      else out += StitchPair(o.doc_id, r.doc_id, o.gram, pts)
                     }
                   }
                   residents ::= Resident(r.side, r.doc_id, r.ts.getTime, r.gram)
+                }
+                // hot-key cap (ADVICE r10): keep the cap-LOWEST doc_ids per
+                // side — deterministic in the horizon set, not in arrival
+                // order (the SimPairBucketCap rule); never binds at test SF
+                if (residents.length > residentCap) {
+                  residents = residents.groupBy(_.side).valuesIterator
+                    .flatMap(_.sortBy(_.doc_id).take(residentCap)).toList
                 }
                 state.update(KeyState(residents))
                 // the LshPairsStream eviction rule: residents are unpairable
@@ -128,7 +162,8 @@ object BoundaryOverlapStream {
         // key with the exact-string verify
         grams.createOrReplaceTempView(ViewName)
         spark.sql(s"""
-          SELECT s.doc_id AS a_id, p.doc_id AS b_id, s.gram AS gram
+          SELECT s.doc_id AS a_id, p.doc_id AS b_id, s.gram AS gram,
+            greatest(unix_millis(s.ts), unix_millis(p.ts)) AS ts_ms
           FROM $ViewName s JOIN $ViewName p
             ON s.gkey = p.gkey AND s.side = 's' AND p.side = 'p'
            AND s.doc_id != p.doc_id
@@ -140,6 +175,6 @@ object BoundaryOverlapStream {
     paired
       .withColumn("overlap_sig",
         F.expr(graft.pipeline.PipelineOps.hStrSpark("gram", hf)))
-      .select("a_id", "b_id", "overlap_sig")
+      .select("a_id", "b_id", "ts_ms", "overlap_sig")
   }
 }

@@ -41,7 +41,17 @@ object CdcChunkStream {
     * the window form because its corpus-wide rollup wants the positional
     * rows anyway; the stream wants the fold because ingest has no
     * business shuffling. */
-  def chunks(textCol: String, hf: String = "md5"): Column = {
+  /** Family-resolving overload (ADVICE r10): a hardcoded `md5` default let
+    * any direct caller under an xxhash64 deployment silently reproduce the
+    * exact batch-vs-stream divergence the hf threading fixed — so the
+    * no-arg form resolves `spark.graft.hashFamily` from the ACTIVE session
+    * (loud if none), and the explicit-arg form remains for callers that
+    * already hold the resolved family. */
+  def chunks(textCol: String): Column =
+    chunks(textCol, graft.pipeline.PipelineOps.hashFamily(
+      org.apache.spark.sql.SparkSession.active))
+
+  def chunks(textCol: String, hf: String): Column = {
     // p73's hKeySpark rule per family; xxhash64 can go negative, but
     // (-k) % D = 0 ⟺ k % D = 0, so the boundary set matches batch
     val bkey =

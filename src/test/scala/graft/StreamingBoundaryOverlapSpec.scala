@@ -121,6 +121,36 @@ class StreamingBoundaryOverlapSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hot gram key: resident list is capped at the cap-lowest doc_ids per side (ADVICE r10)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val m = 60L * 1000000
+    val B = 1000 * m
+    spark.conf.set("spark.graft.boundaryResidentCap", "2")
+    val in = MemoryStream[D]
+    val docs = in.toDS()
+      .select($"doc_id", $"text", F.timestamp_micros($"tus").as("ts"))
+    val q = BoundaryOverlapStream.pairs(docs, "text", "doc_id", "ts", "5 minutes")
+      .writeStream.format("memory").queryName("bo_cap_out").outputMode("append")
+      .start()
+    try {
+      // four boilerplate documents share ONE suffix gram; with cap=2 only
+      // the two lowest doc_ids stay resident — deterministic in the
+      // horizon set, not in arrival order (the SimPairBucketCap rule)
+      in.addData(D(24, textA, B), D(21, textA, B), D(23, textA, B), D(22, textA, B))
+      q.processAllAvailable()
+      in.addData(D(30, textB, B + m))
+      q.processAllAvailable()
+      val rows = spark.table("bo_cap_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((21L, 30L), (22L, 30L)),
+        s"cap=2 must keep exactly the two lowest suffix residents, got $rows")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.graft.boundaryResidentCap")
+    }
+  }
+
   test("input validation: missing columns are named errors") {
     val e = intercept[IllegalArgumentException](
       BoundaryOverlapStream.pairs(batchDocs.drop("ts"), "text", "doc_id", "ts"))

@@ -47,6 +47,21 @@ class StreamingCdcChunkSpec extends AnyFunSuite {
     }
   }
 
+  test("no-arg chunks() resolves the SESSION hash family, not a hardcoded md5 (ADVICE r10)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    def seqs(c: org.apache.spark.sql.Column): Map[Long, Seq[String]] =
+      docs.select(F.col("doc_id"), c.as("cs")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    spark.conf.set("spark.graft.hashFamily", "xxhash64")
+    try {
+      val resolved = seqs(CdcChunkStream.chunks("text"))
+      assert(resolved == seqs(CdcChunkStream.chunks("text", "xxhash64")),
+        "no-arg form must follow the session family")
+      assert(resolved != seqs(CdcChunkStream.chunks("text", "md5")),
+        "xxhash64 boundaries must differ from md5's on this corpus or the check is vacuous")
+    } finally spark.conf.unset("spark.graft.hashFamily")
+  }
+
   test("batch path: kept signature set is the distinct chunk set; p73's dups are inside it") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .withColumn("ts", F.timestamp_micros(F.lit(0L)))

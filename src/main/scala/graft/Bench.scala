@@ -349,7 +349,13 @@ object Bench {
         // the suite's own calibration median is the reference point for the
         // per-op contention ratio below
         val suiteCalib = {
-          val ds = calibSamples.map(_._3).toSeq // durations (tag, t_s, dur_s)
+          // ADVICE r10: median over the 'interleave'-tagged samples only —
+          // the edge samples (JIT-cold 'pre', idle 'post') run without the
+          // suite's own 32-thread load, the same contamination the
+          // in_suite_spread flag already excludes; fall back to all
+          // samples when too few in-suite ones exist (hotspot runs)
+          val inter = calibSamples.collect { case ("interleave", _, d) => d }.toSeq
+          val ds = if (inter.size >= 2) inter else calibSamples.map(_._3).toSeq
           if (ds.isEmpty) -1.0 else ds.sorted.apply(ds.length / 2)
         }
         val entries = ScaleProbeOps.flatMap { name =>
@@ -357,8 +363,8 @@ object Bench {
             // one calibration sample immediately before this op's scaled
             // runs: a judge reads calib_ratio ≫ 1 as "this op's window was
             // contended by that factor" (VERDICT r9 #2)
-            val opCalib = try calibSample(spark, sfDir) catch { case _: Throwable => -1.0 }
-            val calibRatio = if (opCalib > 0 && suiteCalib > 0) opCalib / suiteCalib else -1.0
+            var opCalib = try calibSample(spark, sfDir) catch { case _: Throwable => -1.0 }
+            var calibRatio = if (opCalib > 0 && suiteCalib > 0) opCalib / suiteCalib else -1.0
             val isP16 = name == "p16_dedup_clusters"
             // p16: re-run base once (untimed) to capture its round count —
             // the suite ran it long ago and other ops have since overwritten
@@ -368,11 +374,28 @@ object Bench {
               catch { case _: Throwable => 0 }
             } else 0
             execute(fn(spark, scaledDir)) // untimed: plan + footer warm
-            val scaled = (1 to 2).map { _ =>
+            def timedScaled(): Double = (1 to 2).map { _ =>
               val t0 = System.nanoTime()
               execute(fn(spark, scaledDir))
               (System.nanoTime() - t0) / 1e9
             }.min
+            var scaled = timedScaled()
+            // VERDICT r10 #2 (self-heal): a calib_ratio far from 1 means
+            // THIS op's window was contended and its scaled reading is
+            // misleading — the committed BENCH_r10 carried a p54 2.33/x
+            // that three quiet runs refuted. Instead of asking the reader
+            // to apply the discount rule, settle and re-run once: take the
+            // min (contention only inflates) and re-sample the calibration
+            // so the artifact carries the retried window's ratio.
+            var calibRetried = false
+            if (calibRatio > 0 && (calibRatio < 0.6 || calibRatio > 1.5)) {
+              calibRetried = true
+              System.err.println(f"[bench:scale] $name calib_ratio=${f3(calibRatio)} outside [0.6, 1.5] — settling and retrying scaled runs")
+              Thread.sleep(5000)
+              opCalib = try calibSample(spark, sfDir) catch { case _: Throwable => -1.0 }
+              calibRatio = if (opCalib > 0 && suiteCalib > 0) opCalib / suiteCalib else -1.0
+              scaled = math.min(scaled, timedScaled())
+            }
             val roundsScaled = if (isP16) graft.pipeline.PipelineOps.lastLabelRounds else 0
             val base = baseMed.get(name).map(_.median).getOrElse(-1.0)
             val ratio = if (base > 0) scaled / base else -1.0
@@ -381,7 +404,7 @@ object Bench {
               s""","rounds_base":$roundsBase,"rounds_scaled":$roundsScaled""" else ""
             System.err.println(f"[bench:scale] $name base=${f3(base)}s x$k=${f3(scaled)}s ratio=${f3(ratio)} per_x=${f3(perX)} calib_ratio=${f3(calibRatio)}" +
               (if (isP16) s" rounds=$roundsBase->$roundsScaled" else ""))
-            s"""\"$name\":{\"base_med_s\":${f3(base)},\"scaled_min_s\":${f3(scaled)},\"ratio\":${f3(ratio)},\"ratio_per_x\":${f3(perX)},\"calib_s\":${f3(opCalib)},\"calib_ratio\":${f3(calibRatio)}$roundsJson}"""
+            s"""\"$name\":{\"base_med_s\":${f3(base)},\"scaled_min_s\":${f3(scaled)},\"ratio\":${f3(ratio)},\"ratio_per_x\":${f3(perX)},\"calib_s\":${f3(opCalib)},\"calib_ratio\":${f3(calibRatio)},\"calib_retry\":$calibRetried$roundsJson}"""
           }
         }
         scaleProbeJson = s"""{"k":$k,"gen_s":${f3(genS)},"runs":2,"aggregation":"min","ops":${entries.mkString("{", ",", "}")}}"""
@@ -454,10 +477,20 @@ object Bench {
           val sameSf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(txt)
             .exists(_.group(1) == sfDir)
           if (!sameSf) Map.empty[String, Double]
-          else "\"queries\":\\{(.*?)\\}".r.findFirstMatchIn(txt).map { m =>
-            "\"([^\"]+)\":(-?[0-9][0-9eE.+-]*)".r.findAllMatchIn(m.group(1))
-              .map(q => q.group(1) -> q.group(2).toDouble).toMap
-          }.getOrElse(Map.empty[String, Double])
+          else {
+            // ADVICE r10: a silent regex miss would disable regression
+            // detection without any signal — warn loudly on format drift
+            val m = "\"queries\":\\{(.*?)\\}".r.findFirstMatchIn(txt)
+            if (m.isEmpty)
+              System.err.println(s"[bench] WARNING: no \"queries\":{...} block in $f — artifact format drifted; regression detection disabled this run")
+            val parsed = m.map { mm =>
+              "\"([^\"]+)\":(-?[0-9][0-9eE.+-]*)".r.findAllMatchIn(mm.group(1))
+                .map(q => q.group(1) -> q.group(2).toDouble).toMap
+            }.getOrElse(Map.empty[String, Double])
+            if (m.nonEmpty && parsed.isEmpty)
+              System.err.println(s"[bench] WARNING: queries block in $f parsed to an empty map — artifact format drifted; regression detection disabled this run")
+            parsed
+          }
         }.getOrElse(Map.empty[String, Double])
       }
     } catch { case e: Throwable =>

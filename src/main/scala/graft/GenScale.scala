@@ -32,6 +32,11 @@ object GenScale {
     "region" -> Seq.empty)
 
   def main(args: Array[String]): Unit = {
+    // ADVICE r10: fail with the usage string, not a MatchError
+    if (args.length != 3 || args(2).toIntOption.isEmpty) {
+      System.err.println("usage: runMain graft.GenScale <srcDir> <outDir> <k:int>")
+      sys.exit(2)
+    }
     val Array(srcDir, outDir, kStr) = args
     val k = kStr.toInt
     val spark = Graft.localSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))

@@ -20,10 +20,26 @@ class DifferentialFuzzSpec extends AnyFunSuite {
   // join dimension: unique key k 1..40 with payload v
   private val dimIn: Map[Long, Long] = (1L to 40L).map(k => k -> (k * 3 % 13)).toMap
 
+  // as-of dimension (fuzzer round 11, VERDICT r10 #7): columns (b, a, w) so
+  // `join_asof fuzz4 [b] on:a tie:a` typechecks against the base frame.
+  // One floor row (ord 0) per key keeps every left row matched — the Seq
+  // interpreter's Map[String, Long] model cannot carry the unmatched-left
+  // NULLs (those are spec-covered in JoinAsofSpec); (b, a) pairs are UNIQUE
+  // so tie:a never has to break a real tie (the equal-ord MULTI-row tie
+  // rule is likewise JoinAsofSpec's). What this band adds is the asof
+  // MATCH rule (latest <=, equality included) composed with every other
+  // stage the generator knows.
+  private val asofIn: Seq[(Long, Long, Long)] =
+    (0L to 6L).map(kb => (kb, 0L, kb * 11 % 13)) ++
+      (1L to 20L).map(i => (i % 7, i, i * 5 % 17))
+  private lazy val asofByKey: Map[Long, Seq[(Long, Long)]] =
+    asofIn.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap
+
   private lazy val ready: Unit = {
     import spark.implicits._
     rowsIn.toDF("a", "b", "c").createOrReplaceTempView("fuzz")
     dimIn.toSeq.toDF("k", "v").createOrReplaceTempView("fuzz2")
+    asofIn.toDF("b", "a", "w").createOrReplaceTempView("fuzz4")
   }
 
   // ---- pipeline stage model: (prql text, Seq interpreter) ----
@@ -140,6 +156,23 @@ class DifferentialFuzzSpec extends AnyFunSuite {
             .map(v => r + ("k" -> r(head)) + ("v" -> v)))),
           cols ++ Vector("k", "v"), sorted)
       })
+    // as-of join (fuzzer round 11): needs the original a (ord+tie) and b
+    // (key) in frame, and must not re-join (fuzz4_a/fuzz4_w would collide
+    // — the engine's named error, not a differential target). carried
+    // right columns come back as fuzz4_a (the matched ord) and fuzz4_w
+    // (the payload); every left row matches thanks to the ord-0 floor
+    // rows. Output order is window-emission order — sortedness resets.
+    val asofs: Seq[(Int, Gen[(Stage, Vector[String], Boolean)])] =
+      if (!cols.contains("a") || !cols.contains("b") ||
+          cols.contains("fuzz4_a") || cols.contains("fuzz4_w")) Nil
+      else Seq(1 -> Gen.const {
+        (Stage("join_asof fuzz4 [b] on:a tie:a",
+          rs => rs.map { r =>
+            val (ma, mw) = asofByKey(r("b")).filter(_._1 <= r("a")).last
+            r + ("fuzz4_a" -> ma) + ("fuzz4_w" -> mw)
+          }),
+          cols ++ Vector("fuzz4_a", "fuzz4_w"), false)
+      })
     // rebinding derive (fuzzer round 9): overwrite an EXISTING derived
     // column; if the ambient sort references it, ordering must stay by the
     // OLD value (the hidden-carry semantics) — the Seq interpreter keeps
@@ -202,7 +235,7 @@ class DifferentialFuzzSpec extends AnyFunSuite {
             cols :+ name, sorted)
         },
       )
-    Gen.frequency(base ++ joins ++ rebinds ++ takes: _*)
+    Gen.frequency(base ++ joins ++ asofs ++ rebinds ++ takes: _*)
   }
 
   private def pipelineGen: Gen[(List[Stage], Vector[String])] = {
@@ -232,6 +265,13 @@ class DifferentialFuzzSpec extends AnyFunSuite {
         rowsIn.map { case (a, b, c) => Map("a" -> a, "b" -> b, "c" -> c) }: Seq[Row3]
       )((rs, s) => s.eval(rs)).sortBy(_(key))
 
+      // asof pipelines are DataFrame-backend-only: the SQL-text backend
+      // must refuse with its documented named error, not emit wrong SQL
+      if (stages.exists(_.prql.startsWith("join_asof"))) {
+        val e = intercept[Throwable](Graft.toSparkSql(prql))
+        assert(e.getMessage.contains("not SQL-text-expressible"),
+          s"seed=$i: SqlGen must name its asof refusal, got: ${e.getMessage}")
+      }
       val got =
         try Graft.compileSession(prql, spark).collect()
         catch { case e: Throwable => fail(s"seed=$i failed to run: ${e.getMessage}\n$prql") }

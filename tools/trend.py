@@ -10,6 +10,10 @@ Usage:
   python3 tools/trend.py                 # latest vs previous, same sf
   python3 tools/trend.py A.json B.json   # explicit pair (A = older)
   python3 tools/trend.py --all           # every consecutive same-sf pair
+  python3 tools/trend.py --sf1           # latest vs previous x10 (sf1) run
+                                         # (VERDICT r10 #5: the sf1 point is
+                                         # the most load-bearing scale
+                                         # evidence; one point cannot drift)
 """
 import json, sys, glob, os
 
@@ -77,7 +81,14 @@ def main():
         print("need at least two bench_history files")
         return
     pairs = []
-    if "--all" in sys.argv:
+    if "--sf1" in sys.argv:
+        sf1 = [r for r in runs
+               if os.path.basename(str(r[1].get("sf", ""))) == "sf1"]
+        if len(sf1) < 2:
+            print(f"need at least two sf1 runs in bench_history (have {len(sf1)})")
+            return
+        pairs.append((sf1[-2], sf1[-1]))
+    elif "--all" in sys.argv:
         for a, b in zip(runs, runs[1:]):
             if a[1].get("sf") == b[1].get("sf"):
                 pairs.append((a, b))

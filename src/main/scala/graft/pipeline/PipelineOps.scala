@@ -6195,6 +6195,131 @@ object PipelineOps {
       spark.sql(sql)
     }
 
+  // ---- p80: classifier discrimination / per-language ROC-AUC ------------------
+  // The companion eval to p78's calibration: calibration says whether
+  // "p >= 0.9" means 90 %, AUC says whether the scores RANK documents at
+  // all (a perfectly calibrated coin flip has ECE 0 and AUC 0.5). Computed
+  // per LANGUAGE so the partition rank window is never global (the p78
+  // single-partition ban) and because per-slice discrimination is the
+  // number a curation owner actually audits — a filter that ranks English
+  // but coin-flips Hindi is how low-resource data gets silently dropped.
+  //
+  // Method: Mann-Whitney rank-sum with EXACT midrank tie handling —
+  // AUC = (2*R1 - n1(n1+1)) / (2*n1*n0) where 2*avgrank of a tied group
+  // starting at rank r with t members is 2r + t - 1 (all integers; rank()
+  // and the tie count come from two windows over the p55 scores, which
+  // are exact BIGINT micro log-odds). ONE double division at the end,
+  // fixed-pointed at 1e6 — hash-exact on both engines. Languages with a
+  // single class emit no row (AUC undefined; WHERE-gated, documented).
+  //
+  // Scale shape: p55's chain verbatim (the p78 consumes-verbatim rule:
+  // the two evals and the filter can never drift) + ONE column-pruned
+  // (doc_id, lang) pass to attach the partition key (the operator's t CTE
+  // prunes lang away) + per-lang rank windows + a G-row rollup.
+
+  private def p80Text(p55: String, langJoin: String): String = s"""
+    WITH scored AS ($p55),
+    j AS ($langJoin),
+    r AS (
+      SELECT lang, y, scu,
+        rank() OVER (PARTITION BY lang ORDER BY scu) AS rk,
+        count(*) OVER (PARTITION BY lang, scu) AS tc
+      FROM j),
+    agg AS (
+      SELECT lang,
+        sum(CASE WHEN y = 1 THEN 2 * rk + tc - 1 ELSE 0 END) AS r2,
+        CAST(sum(y) AS BIGINT) AS n1,
+        CAST(count(*) AS BIGINT) AS n
+      FROM r GROUP BY lang)
+    SELECT lang, n1 AS n_pos, n - n1 AS n_neg,
+      CAST(floor(1e6 * (CAST(r2 - n1 * (n1 + 1) AS DOUBLE) / (2 * n1 * (n - n1))) + 0.5) AS BIGINT) AS auc_ppm
+    FROM agg WHERE n1 > 0 AND n1 < n ORDER BY lang"""
+
+  private def p80Spark(hf: String): String = p80Text(p55Spark(hf), s"""
+      SELECT l.lang, s.weak_label AS y, s.nb_score AS scu
+      FROM scored s JOIN documents l ON l.doc_id = s.doc_id""")
+  private val p80Duck: String = p80Text(p55Duck, s"""
+      SELECT l.lang, s.weak_label AS y, s.nb_score AS scu
+      FROM scored s JOIN documents l ON l.doc_id = s.doc_id""")
+
+  // ---- p81: distribution drift between sources (two-sample KS) ----------------
+  // Pipeline health monitor: has one source's length distribution drifted
+  // away from another's (a crawler change, a boilerplate regression, a
+  // truncation bug)? Two-sample Kolmogorov-Smirnov on the token-count
+  // distribution for every source pair: KS = max_v |F_a(v) - F_b(v)|.
+  //
+  // Determinism: the ECDF difference is carried CROSS-MULTIPLIED —
+  // |cum_a * n_b - cum_b * n_a| — so the max is over exact integers; the
+  // single division by n_a*n_b happens once, after the max, fixed-pointed
+  // at 1e6 (no per-row double ever enters an aggregate).
+  //
+  // Scale shape: the pair table is S² rows for S distinct sources (a
+  // monitoring dimension — single digits; for large S a caller pins a
+  // reference source and the join degenerates to S pairs), broadcast
+  // against the (source, v) rollup — each corpus row lands in S-1 pairs,
+  // a bounded fanout of a G-row relation, NOT of the corpus: the corpus
+  // collapses to per-(source, token-count) counts FIRST (one map-side
+  // partial-agg shuffle), and everything after runs on that tiny grid
+  // (per-pair windows over <= |distinct v| rows).
+
+  /** The corpus-collapsing rollup — ONE scan; the tail references it three
+    * times (srcs twice through the pair table, pv once), so the OPERATOR
+    * materializes it behind the [[materialized]] barrier (the p12
+    * precedent: Spark re-inlines a multi-referenced CTE into one corpus
+    * scan per reference — the PlanAudit caught exactly that in the first
+    * draft); the DuckDB oracle keeps the single-query CTE form (DuckDB
+    * CTEs do not re-execute). */
+  private def p81SvSql(words: String, size: String => String): String = s"""
+    SELECT source, v, CAST(count(*) AS BIGINT) AS c FROM (
+      SELECT source, CAST(${size("w0")} AS BIGINT) AS v
+      FROM (SELECT source, $words AS w0 FROM documents) t0)
+    GROUP BY source, v"""
+
+  private val P81SvView = "graft_p81_sv"
+
+  private def p81Tail(sv: String): String = s"""
+    WITH srcs AS (SELECT DISTINCT source FROM $sv),
+    pr AS (
+      SELECT a.source AS src_a, b.source AS src_b
+      FROM srcs a JOIN srcs b ON a.source < b.source),
+    pv AS (
+      SELECT p.src_a, p.src_b, sv.v,
+        sum(CASE WHEN sv.source = p.src_a THEN sv.c ELSE 0 END) AS ca,
+        sum(CASE WHEN sv.source = p.src_b THEN sv.c ELSE 0 END) AS cb
+      FROM $sv sv JOIN pr p ON sv.source = p.src_a OR sv.source = p.src_b
+      GROUP BY p.src_a, p.src_b, sv.v),
+    cum AS (
+      SELECT src_a, src_b,
+        sum(ca) OVER (PARTITION BY src_a, src_b ORDER BY v) AS fa,
+        sum(cb) OVER (PARTITION BY src_a, src_b ORDER BY v) AS fb,
+        sum(ca) OVER (PARTITION BY src_a, src_b) AS na,
+        sum(cb) OVER (PARTITION BY src_a, src_b) AS nb
+      FROM pv),
+    agg AS (
+      SELECT src_a, src_b,
+        CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+        CAST(max(abs(fa * nb - fb * na)) AS BIGINT) AS dmax
+      FROM cum GROUP BY src_a, src_b)
+    SELECT src_a, src_b, n_a, n_b,
+      CAST(floor(1e6 * (CAST(dmax AS DOUBLE) / (n_a * n_b)) + 0.5) AS BIGINT) AS ks_ppm
+    FROM agg WHERE n_a > 0 AND n_b > 0 ORDER BY src_a, src_b"""
+
+  private[graft] def p81Run(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    materialized(spark, P81SvView, p81SvSql(wordsSpark, a => s"size($a)"))
+    spark.sql(p81Tail(P81SvView))
+  }
+
+  private val p81Duck: String = {
+    val tail = p81Tail("sv")
+    // splice the rollup in as a leading CTE of the tail's WITH chain.
+    // LITERAL String.replace, NOT replaceFirst: a regex REPLACEMENT string
+    // treats backslashes specially and silently ate wordsDuck's '\s+'
+    // (caught by the sf0.01 hash gate).
+    tail.replace("WITH srcs AS",
+      s"WITH sv AS (${p81SvSql(wordsDuck, a => s"len($a)")}), srcs AS")
+  }
+
   // ---- wiring --------------------------------------------------------------
 
   private def onDocs(sql: String): (SparkSession, String) => DataFrame =
@@ -6339,6 +6464,8 @@ object PipelineOps {
       onEmb(p77Spark(bitextKnnK(spark)))(spark, dir)),
     "p78_calibration_bins" -> onDocsHf(p78Spark),
     "p79_bitext_ann" -> ((spark, dir) => p79Run(spark, dir)),
+    "p80_quality_auc" -> onDocsHf(p80Spark),
+    "p81_dist_drift" -> ((spark, dir) => p81Run(spark, dir)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6429,5 +6556,7 @@ object PipelineOps {
     "p78_calibration_bins" -> p78Duck,
     // geometry derivation mirrors the p08 oracle note above
     "p79_bitext_ann" -> (p79Duck _).tupled(chooseSrpGeometry(OracleEmbeddingsN)),
+    "p80_quality_auc" -> p80Duck,
+    "p81_dist_drift" -> p81Duck,
   )
 }

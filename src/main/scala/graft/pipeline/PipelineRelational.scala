@@ -2391,6 +2391,117 @@ object PipelineRelational {
          |  gap_ppm = s"abs(CAST(floor(CAST(spu AS DOUBLE) / n_docs + 0.5) AS BIGINT) - CAST(floor(1e6 * CAST(shi AS DOUBLE) / n_docs + 0.5) AS BIGINT))",
          |]
          |sort bin""".stripMargin,
+
+    // p80: p55's chain verbatim ([[P55Chain]]) + the AUC tail. The chain's
+    // relations carry every documents column, so lang needs no re-join
+    // here (the OPERATOR's pruned chain attaches lang with one extra
+    // column-pruned pass; output rows are identical either way — the
+    // cross-check contract is row equality, not plan equality).
+    "p80_quality_auc" ->
+      s"""$P55Chain
+         |
+         |table r = (
+         |  from sc
+         |  derive [
+         |    rk = s"rank() OVER (PARTITION BY lang ORDER BY score)",
+         |    tc = s"count(*) OVER (PARTITION BY lang, score)",
+         |  ]
+         |)
+         |
+         |table agg = (
+         |  from r
+         |  group lang (
+         |    aggregate [
+         |      r2 = s"sum(CASE WHEN lbl = 1 THEN 2 * rk + tc - 1 ELSE 0 END)",
+         |      n1 = s"CAST(sum(lbl) AS BIGINT)",
+         |      n = s"CAST(count(*) AS BIGINT)",
+         |    ]
+         |  )
+         |)
+         |
+         |from agg
+         |filter s"n1 > 0 AND n1 < n"
+         |select [
+         |  lang,
+         |  n_pos = n1,
+         |  n_neg = s"n - n1",
+         |  auc_ppm = s"CAST(floor(1e6 * (CAST(r2 - n1 * (n1 + 1) AS DOUBLE) / (2 * n1 * (n - n1))) + 0.5) AS BIGINT)",
+         |]
+         |sort lang""".stripMargin,
+
+    "p81_dist_drift" ->
+      s"""table d = (
+         |  from documents
+         |  derive v = s"CAST(size($W) AS BIGINT)"
+         |  select [source, v]
+         |)
+         |
+         |table sv = (
+         |  from d
+         |  group [source, v] (
+         |    aggregate [c = s"CAST(count(*) AS BIGINT)"]
+         |  )
+         |)
+         |
+         |table pra = (
+         |  from sv
+         |  select [src_a = source]
+         |  group src_a (take 1)
+         |)
+         |
+         |table prb = (
+         |  from sv
+         |  select [src_b = source]
+         |  group src_b (take 1)
+         |)
+         |
+         |table pr = (
+         |  from pra
+         |  join prb [src_a < src_b]
+         |)
+         |
+         |table pv = (
+         |  from sv
+         |  join pr [source == src_a or source == src_b]
+         |  group [src_a, src_b, v] (
+         |    aggregate [
+         |      ca = s"sum(CASE WHEN source = src_a THEN c ELSE 0 END)",
+         |      cb = s"sum(CASE WHEN source = src_b THEN c ELSE 0 END)",
+         |    ]
+         |  )
+         |)
+         |
+         |table cum = (
+         |  from pv
+         |  derive [
+         |    fa = s"sum(ca) OVER (PARTITION BY src_a, src_b ORDER BY v)",
+         |    fb = s"sum(cb) OVER (PARTITION BY src_a, src_b ORDER BY v)",
+         |    na = s"sum(ca) OVER (PARTITION BY src_a, src_b)",
+         |    nb = s"sum(cb) OVER (PARTITION BY src_a, src_b)",
+         |  ]
+         |)
+         |
+         |table agg = (
+         |  from cum
+         |  group [src_a, src_b] (
+         |    aggregate [
+         |      n_a = s"CAST(max(na) AS BIGINT)",
+         |      n_b = s"CAST(max(nb) AS BIGINT)",
+         |      dmax = s"CAST(max(abs(fa * nb - fb * na)) AS BIGINT)",
+         |    ]
+         |  )
+         |)
+         |
+         |from agg
+         |filter s"n_a > 0 AND n_b > 0"
+         |select [
+         |  src_a,
+         |  src_b,
+         |  n_a,
+         |  n_b,
+         |  ks_ppm = s"CAST(floor(1e6 * (CAST(dmax AS DOUBLE) / (n_a * n_b)) + 0.5) AS BIGINT)",
+         |]
+         |sort [src_a, src_b]""".stripMargin,
   )
 
   /** Session-level kernel registrations the covered texts rely on (the

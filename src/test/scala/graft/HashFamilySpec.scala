@@ -80,7 +80,8 @@ class HashFamilySpec extends AnyFunSuite {
       "p63_paragraph_dedup", "p64_dsir_select", "p65_span_corrupt",
       "p66_softdedup_weights", "p67_semantic_dedup", "p68_tokenizer_fertility",
       "p69_boundary_overlap", "p72_source_overlap", "p73_cdc_chunks",
-      "p74_cluster_rep", "p76_stitch_merge", "p78_calibration_bins")
+      "p74_cluster_rep", "p76_stitch_merge", "p78_calibration_bins",
+      "p80_quality_auc")
     withFamily("xxhash64") {
       hashOps.foreach { op =>
         val df = run(op)

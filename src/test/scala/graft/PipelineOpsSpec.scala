@@ -970,6 +970,65 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("p80 per-language AUC equals the JVM midrank Mann-Whitney over p55's scores") {
+    val lang = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val scored = run("p55_nb_quality").collect()
+      .map(r => (lang(r.getLong(0)), r.getLong(1), r.getLong(2))) // (lang, y, score)
+    val ref = scored.groupBy(_._1).flatMap { case (lg, xs) =>
+      val n1 = xs.count(_._2 == 1L).toLong
+      val n = xs.length.toLong
+      if (n1 == 0 || n1 == n) None
+      else {
+        // the SQL's exact integer form: rk = 1 + #strictly-less, tc = #ties,
+        // 2*midrank = 2*rk + tc - 1, summed over positives
+        val r2 = xs.filter(_._2 == 1L).map { case (_, _, s) =>
+          val rk = 1L + xs.count(_._3 < s)
+          val tc = xs.count(_._3 == s).toLong
+          2 * rk + tc - 1
+        }.sum
+        val auc = math.floor(1e6 * ((r2 - n1 * (n1 + 1)).toDouble / (2 * n1 * (n - n1))) + 0.5).toLong
+        Some(lg -> ((n1, n - n1, auc)))
+      }
+    }
+    val out = run("p80_quality_auc").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == ref, s"got $out\nexp $ref")
+    assert(out.nonEmpty, "at least one language must have both classes at the gate")
+    out.values.foreach { case (_, _, auc) =>
+      assert(auc >= 0L && auc <= 1000000L, s"AUC out of range: $auc")
+    }
+    // the filter must actually discriminate its own weak label somewhere
+    // (NB trained on the stopword signal that defines the label)
+    assert(out.values.exists(_._3 > 500000L), s"no language beats chance: $out")
+  }
+
+  test("p81 source-pair KS drift equals the exact JVM two-sample statistic") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).trim.split("\\s+").length.toLong))
+    val bySrc = docs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val srcs = bySrc.keys.toSeq.sorted
+    val ref = (for {
+      (a, ia) <- srcs.zipWithIndex; b <- srcs.drop(ia + 1)
+    } yield {
+      val (va, vb) = (bySrc(a), bySrc(b))
+      val (na, nb) = (va.length.toLong, vb.length.toLong)
+      val vs = (va ++ vb).distinct.sorted
+      val dmax = vs.map(v =>
+        math.abs(va.count(_ <= v) * nb - vb.count(_ <= v) * na)).max
+      (a, b) -> ((na, nb, math.floor(1e6 * (dmax.toDouble / (na * nb)) + 0.5).toLong))
+    }).toMap
+    val out = run("p81_dist_drift").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == ref, s"got $out\nexp $ref")
+    assert(out.size == srcs.length * (srcs.length - 1) / 2, "every source pair present")
+    out.values.foreach { case (_, _, ks) =>
+      assert(ks >= 0L && ks <= 1000000L, s"KS out of range: $ks")
+    }
+  }
+
   test("p24 mixture sample: rates clamp at 1e6, dominant language is downsampled hardest") {
     val out = run("p24_mixture_sample").collect()
     assert(out.length >= 2)

@@ -838,6 +838,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Window".r.findAllIn(p).nonEmpty, s"expected the window chain:\n$p")
   }
 
+  test("p80 quality AUC: p55's passes + one pruned lang pass, per-lang windows, no cartesian") {
+    val df = pipeline.PipelineOps.queries("p80_quality_auc")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).length <= 4,
+      s"p55's three corpus passes + ONE (doc_id, lang) pass — nothing else may rescan:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"one-row model relations come back as broadcasts:\n$p")
+    // the AUC rank windows are lang-partitioned (p55's own chain keeps its
+    // sanctioned 256-row global windows — the tiny-relation class); assert
+    // the partitioned window exists rather than banning single-partition,
+    // which p55's model rollup legitimately contains
+    assert(p.toLowerCase.contains("windowspecdefinition(lang#"),
+      s"rank windows must partition by lang:\n$p")
+    // the lang attach pass reads only the two columns it needs
+    val langScan = "ReadSchema: struct<doc_id:bigint,lang:string>"
+    assert(p.contains(langScan), s"lang pass must prune to (doc_id, lang):\n$p")
+  }
+
+  test("p81 KS drift: corpus collapses to the (source, v) grid ONCE behind the barrier") {
+    // the tail references the grid three times (srcs twice via the pair
+    // table, pv once): without the barrier each reference re-inlined into
+    // its own corpus scan (this audit caught 3 scans in the first draft) —
+    // the p12 materialized-view rule
+    val df = pipeline.PipelineOps.queries("p81_dist_drift")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).isEmpty && p.contains("Scan ExistingRDD"),
+      s"the tail must read the ONE materialized grid, never re-scan the corpus:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"the S^2 pair table must broadcast, never cartesian:\n$p")
+    assert("Window".r.findAllIn(p).nonEmpty, s"expected the per-pair ECDF windows:\n$p")
+  }
+
   test("p78 calibration bins: p55's three corpus passes + one tiny rollup, nothing new shuffles") {
     // the chain is p55's (train explode + V-bucket rollup, broadcast model,
     // map-side scoring — two corpus scans by design) plus ONE <= 10-row bin

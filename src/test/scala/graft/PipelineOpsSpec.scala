@@ -880,6 +880,65 @@ class PipelineOpsSpec extends AnyFunSuite {
     (bestTgt, bestSrc, margin, cosu, src.length)
   }
 
+  test("p79 detection law holds with the DERIVED (r, b) at a production width the gate never reaches") {
+    // the round-11 headline path must not only agree with exact p77 at the
+    // gate geometry (4, 8) — the p08 two-sizes precedent: plant cross-half
+    // near-translations of known cosine at a corpus size deriving (6, 8)
+    // and assert each planted source's best-by-margin target is its
+    // planted partner at the banding-formula rate (a planted pair is
+    // found iff the halves share a band; once surfaced, its cos ≈ 0.9
+    // dwarfs the random cross-cosine regime ~N(0, 1/8) so the margin
+    // argmax keeps it).
+    val dim = 64
+    val nBase = 1000; val nPairs = 60
+    val rnd = new scala.util.Random(79L)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    def randVec(): Array[Double] = unit(Array.fill(dim)(rnd.nextGaussian()))
+    val base = Array.fill(nBase)(randVec())
+    val planted = (0 until nPairs).map { i =>
+      val a = randVec()
+      val s = 0.25 + 0.40 * i / nPairs
+      val u = randVec()
+      (a, unit(a.zip(u).map { case (x, e) => x + s * e }))
+    }
+    val rows: Seq[(Long, Seq[Float], Int)] =
+      base.zipWithIndex.map { case (v, i) =>
+        (i.toLong, v.map(_.toFloat).toSeq, i % 10) }.toSeq ++
+      planted.zipWithIndex.flatMap { case ((a, b), i) =>
+        Seq((nBase + 2L * i, a.map(_.toFloat).toSeq, 0),
+            (nBase + 2L * i + 1, b.map(_.toFloat).toSeq, 9)) }
+    val n = rows.length.toLong
+    val (r, bands) = PipelineOps.chooseSrpGeometry(n)
+    assert((r, bands) == ((6, 8)), s"N=$n must derive (6,8), got ($r,$bands)")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_p79").toString
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val best = PipelineOps.queries("p79_bitext_ann")(spark, tmp).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    def cosF(a: Array[Double], b: Array[Double]): Double = {
+      val af = a.map(_.toFloat); val bf = b.map(_.toFloat)
+      val d = af.zip(bf).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(af.map(x => x.toDouble * x).sum) *
+           math.sqrt(bf.map(x => x.toDouble * x).sum))
+    }
+    val detectP = planted.map { case (a, b) =>
+      val p = 1.0 - math.acos(math.min(1.0, cosF(a, b))) / math.Pi
+      1.0 - math.pow(1.0 - math.pow(p, r), bands)
+    }
+    val hits = (0 until nPairs).count { i =>
+      best.get(nBase + 2L * i).contains(nBase + 2L * i + 1)
+    }
+    val mean = detectP.sum / nPairs
+    val sd = math.sqrt(detectP.map(q => q * (1 - q)).sum) / nPairs
+    assert(mean >= 0.9, s"operating point sanity: expected detection $mean")
+    assert(hits.toDouble / nPairs >= mean - 3 * sd,
+      s"planted-pair mining rate ${hits.toDouble / nPairs} below formula floor " +
+        s"${mean - 3 * sd} ($hits/$nPairs) at derived (r=$r,b=$bands)")
+  }
+
   test("p77 bitext margins equal the JVM reference; mutual flag is the two-way argmax") {
     val (bestTgt, bestSrc, margin, cosu, nSrc) = bitextReference(k = 4)
     val out = run("p77_bitext_margin").collect()

@@ -583,9 +583,12 @@ object PipelineOps {
   // per-plane fold, which pins the exact arithmetic both must produce
   // `label` rides along unused by p08/p22; p79 splits the corpus halves on
   // it (source = label < 5, target = label >= 5) over the SAME materialized
-  // view, so the bitext candidate path shares p08's one-pass SRP keying
-  private val p08ESql = s"""
-    SELECT vec_id, embedding, label,
+  // view, so the bitext candidate path shares p08's one-pass SRP keying.
+  // A deployment embeddings table WITHOUT a label column must not break
+  // p08/p22 (they never read it): the view carries a constant 0 then, and
+  // p79 — the only label consumer — refuses loudly in [[p79Run]].
+  private def p08ESql(hasLabel: Boolean) = s"""
+    SELECT vec_id, embedding, ${if (hasLabel) "label" else "CAST(0 AS INT) AS label"},
       ${norm2Spark("embedding")} AS n2,
       graft_srp_keys(embedding) AS bkeys
     FROM embeddings"""
@@ -618,17 +621,20 @@ object PipelineOps {
     * [[SrpEView]] once. `bandsArg` -1 → derived b (the default path);
     * `planes` is generated to r_max*b(r_max) rows, which bounds any
     * derivable r*b. */
-  private def srpSetup(spark: SparkSession, dir: String, bandsArg: Int): Unit = {
-    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+  private def srpSetup(spark: SparkSession, dir: String, bandsArg: Int): Boolean = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = emb.count()
     val (srpBits, derivedBands) = chooseSrpGeometry(n)
     val bands = if (bandsArg > 0) bandsArg else derivedBands
     require(srpBits * bands <= planes.length,
       s"r=$srpBits * b=$bands exceeds the ${planes.length}-plane matrix")
     graft.functions.GraftFunctions.registerSrpKeys(spark,
       planes.take(srpBits * bands).map(_.toArray).toArray, srpBits, bands)
-    spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("embeddings")
+    emb.createOrReplaceTempView("embeddings")
     graft.functions.GraftFunctions.registerDot(spark)
-    materialized(spark, SrpEView, p08ESql)
+    val hasLabel = emb.columns.contains("label")
+    materialized(spark, SrpEView, p08ESql(hasLabel))
+    hasLabel
   }
 
   /** Register the SRP kernels at an EXPLICIT (r, b) geometry for callers
@@ -6146,7 +6152,9 @@ object PipelineOps {
       c => s"CAST($c AS DOUBLE)")}"""
 
   private[graft] def p79Run(spark: SparkSession, dir: String): DataFrame = {
-    srpSetup(spark, dir, -1)
+    val hasLabel = srpSetup(spark, dir, -1)
+    require(hasLabel, "p79_bitext_ann needs a `label` column on embeddings " +
+      "(source half = label < 5, target half = label >= 5)")
     spark.sql(p79Spark(bitextKnnK(spark)))
   }
 

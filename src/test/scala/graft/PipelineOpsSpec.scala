@@ -880,6 +880,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     (bestTgt, bestSrc, margin, cosu, src.length)
   }
 
+  test("label-less embeddings: p08/p22 run unchanged, p79 refuses with a named error") {
+    // p79's half-split rides the SHARED SRP view; a deployment embeddings
+    // table without `label` must not break the ops that never read it
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nolbl").toString
+    spark.read.parquet(s"$dir/embeddings.parquet").drop("label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val p08 = run("p08_ann_srp_lsh").collect().map(_.toSeq).toSet
+    val p08NoLbl = PipelineOps.queries("p08_ann_srp_lsh")(spark, tmp)
+      .collect().map(_.toSeq).toSet
+    assert(p08NoLbl == p08, "p08 must be label-agnostic")
+    assert(PipelineOps.queries("p22_embed_dedup")(spark, tmp).count() > 0)
+    val e = intercept[IllegalArgumentException](
+      PipelineOps.queries("p79_bitext_ann")(spark, tmp).collect())
+    assert(e.getMessage.contains("label"), s"p79 must name the missing column: ${e.getMessage}")
+  }
+
   test("p79 detection law holds with the DERIVED (r, b) at a production width the gate never reaches") {
     // the round-11 headline path must not only agree with exact p77 at the
     // gate geometry (4, 8) — the p08 two-sizes precedent: plant cross-half

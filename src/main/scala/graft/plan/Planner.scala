@@ -337,24 +337,48 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
     case "derive" =>
       // each item may reference earlier items (shadowing) → one Project per
       // item; unresolved nesting is free, the analyzer runs once at the end
-      val (plan, frame) = assignItems(args).foldLeft((ctx.plan, ctx.frame)) {
-        case ((p, fr), (nameOpt, e)) =>
+      val (plan, frame, sortF, carryF) = assignItems(args)
+        .foldLeft((ctx.plan, ctx.frame, ctx.sort, ctx.carryCols)) {
+        case ((p, fr, srt, cc), (nameOpt, e)) =>
           val name = nameOpt.getOrElse(prettyName(e))
           val c = nmd(lower(ctx.copy(plan = p, frame = fr), e).as(name))
           fr.cols.indexWhere(_.equalsIgnoreCase(name)) match {
             case -1 =>
-              // append: star + new column (robust to duplicate upstream names)
-              (Project(Vector(UnresolvedStar(None), c), p), fr.copy(cols = fr.cols :+ name))
+              // append: star + new column (robust to duplicate upstream
+              // names; the star keeps any hidden carries flowing)
+              (Project(Vector(UnresolvedStar(None), c), p),
+                fr.copy(cols = fr.cols :+ name), srt, cc)
             case i =>
-              // shadow: re-project by name, replacing in place (frame.rs:28-43)
+              // shadow: re-project by name, replacing in place
+              // (frame.rs:28-43). Two fuzz-found rules (r11 seeds 9331,
+              // 13574): an ambient sort referencing the REBOUND name must
+              // keep ordering by the OLD value — carry it under a hidden
+              // column and repoint the sort (the select-rebind rule); and
+              // the by-name re-projection must not drop carries earlier
+              // stages created.
+              val sortHit = srt.exists(_.e match {
+                case Ident(List(s)) => s.equalsIgnoreCase(name)
+                case _ => false
+              })
+              val m = s"__gsort_$name"
+              val carryNew =
+                if (sortHit) Seq(nmd(F.col(quoteName(name)).as(m))) else Nil
+              val srt2 = if (!sortHit) srt else srt.map { si =>
+                si.e match {
+                  case Ident(List(s)) if s.equalsIgnoreCase(name) =>
+                    si.copy(e = Ident(List(m)))
+                  case _ => si
+                }
+              }
               val outCols = fr.cols.zipWithIndex.map {
                 case (_, `i`) => c
                 case (n, _) => attr(n)
-              }
-              (Project(outCols, p), fr.copy(cols = fr.cols.updated(i, name)))
+              } ++ cc.toSeq.sorted.map(attr) ++ carryNew
+              (Project(outCols, p), fr.copy(cols = fr.cols.updated(i, name)),
+                srt2, cc ++ carryNew.map(_ => m))
           }
       }
-      ctx.copy(plan = plan, frame = frame)
+      ctx.copy(plan = plan, frame = frame, sort = sortF, carryCols = carryF)
 
     case "filter" =>
       if (args.isEmpty) throw new PlanError("filter expects a condition")

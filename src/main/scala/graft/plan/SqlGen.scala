@@ -381,7 +381,8 @@ final class SqlGen(query: Query) {
         b1.copy(
           select = Some((keyItems ++ aggItemsR).map { case (n, sql) => (Some(n), sql) }.toVector),
           extras = Vector.empty, excepts = Vector.empty, env = Map.empty,
-          groupBy = if (keyItems.isEmpty) None else Some(keyItems.map(_._2).toVector),
+          groupBy = if (keyItems.isEmpty) None
+            else Some(keyItems.map(ki => deOrdinal(ki._2)).toVector),
           distinct = false,
           sort = Nil,
           groupKeys = if (b1.inGroupBody) b1.groupKeys else Nil,
@@ -756,6 +757,18 @@ final class SqlGen(query: Query) {
       }
     }
     s"OVER (${parts.result().mkString(" ")})"
+  }
+
+  /** Spark reads a bare integer literal in GROUP BY as an ORDINAL
+    * (position) — a literal-valued group key (`select [s = 91] | group
+    * [grp, s]`) rendered as `GROUP BY (91)` means "column 91", not the
+    * constant (fuzz seed 19041; ORDER BY had the same rule fixed at seed
+    * 123 via aliases). Wrap such keys so they stay constant expressions —
+    * grouping semantics are unchanged (a constant key groups nothing
+    * apart) and the select list keeps its own literal rendering. */
+  private def deOrdinal(sql: String): String = {
+    val bare = sql.stripPrefix("(").stripSuffix(")")
+    if (bare.matches("-?\\d+")) s"CAST($bare AS BIGINT)" else sql
   }
 
   private def sortSql(b: Block, s: SortItem, inOver: Boolean = false): String = {

@@ -370,12 +370,20 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
                   case _ => si
                 }
               }
+              // A carry named `m` from an EARLIER shadow of the same column
+              // is dead once a fresh `sort name` re-established the bare
+              // name as the order key (sort never clears carryCols) — keep
+              // both and the Project emits two `__gsort_name` attributes,
+              // and the next repoint hits an ambiguous reference. Replace,
+              // never append.
+              val ccKept =
+                if (sortHit) cc.filterNot(_.equalsIgnoreCase(m)) else cc
               val outCols = fr.cols.zipWithIndex.map {
                 case (_, `i`) => c
                 case (n, _) => attr(n)
-              } ++ cc.toSeq.sorted.map(attr) ++ carryNew
+              } ++ ccKept.toSeq.sorted.map(attr) ++ carryNew
               (Project(outCols, p), fr.copy(cols = fr.cols.updated(i, name)),
-                srt2, cc ++ carryNew.map(_ => m))
+                srt2, ccKept ++ carryNew.map(_ => m))
           }
       }
       ctx.copy(plan = plan, frame = frame, sort = sortF, carryCols = carryF)

@@ -767,7 +767,11 @@ final class SqlGen(query: Query) {
     * grouping semantics are unchanged (a constant key groups nothing
     * apart) and the select list keeps its own literal rendering. */
   private def deOrdinal(sql: String): String = {
-    val bare = sql.stripPrefix("(").stripSuffix(")")
+    // strip ALL matching outer paren layers — an s-string key can render
+    // with nested parens (`((91))`), which Spark still reads as an ordinal
+    var bare = sql
+    while (bare.startsWith("(") && bare.endsWith(")"))
+      bare = bare.substring(1, bare.length - 1)
     if (bare.matches("-?\\d+")) s"CAST($bare AS BIGINT)" else sql
   }
 

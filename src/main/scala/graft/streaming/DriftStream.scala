@@ -34,7 +34,21 @@ import org.apache.spark.sql.{DataFrame, functions => F}
 object DriftStream {
 
   private val GridView = "graft_drift_grid"
-  private val RefView = "graft_drift_ref"
+
+  /** Driver-materialization bound on the reference grid (distinct token
+    * counts — ≈ max doc length, not corpus size; 1M distinct values is
+    * already a pathological corpus, not a monitoring grid). The
+    * DecontamStream:65 house rule: a bounded-by-construction collect still
+    * fails LOUDLY, never OOMs the driver. */
+  val RefGridCap: Int = 1 << 20
+
+  /** Global temp views are application-wide — a FIXED name lets two
+    * concurrent drift monitors overwrite each other's reference between
+    * micro-batches, silently scoring one stream against the other's
+    * reference (r11 ADVICE). Each start()/scoresBatch() call registers its
+    * own suffixed view. */
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def freshRefView(): String = s"graft_drift_ref_${viewSeq.incrementAndGet()}"
 
   /** p81's ECDF arithmetic over a per-(wstart, source) stream grid vs the
     * reference grid — shared verbatim by the batch and streaming paths. */
@@ -72,20 +86,36 @@ object DriftStream {
       s"DriftStream: input is missing column '$c' (has: ${docs.columns.mkString(", ")})"))
 
   private def registerRef(spark: org.apache.spark.sql.SparkSession,
-                          ref: Seq[(Long, Long)], global: Boolean): String = {
+                          ref: Seq[(Long, Long)], global: Boolean,
+                          view: String): String = {
     require(ref.nonEmpty, "DriftStream: the reference grid must be non-empty")
+    require(ref.size <= RefGridCap,
+      s"DriftStream: the reference grid has ${ref.size} rows, over the " +
+        s"$RefGridCap plan-literal boundary - this is a token-count rollup " +
+        "(bounded by max document length), not a corpus; re-derive it with " +
+        "referenceGrid or coarsen the token counts before monitoring")
     import spark.implicits._
     val df = ref.toDF("v", "c")
-    if (global) { df.createOrReplaceGlobalTempView(RefView); s"global_temp.$RefView" }
-    else { df.createOrReplaceTempView(RefView); RefView }
+    if (global) { df.createOrReplaceGlobalTempView(view); s"global_temp.$view" }
+    else { df.createOrReplaceTempView(view); view }
   }
 
-  /** Reference grid of a batch corpus: distinct (token-count, count). */
+  /** Reference grid of a batch corpus: distinct (token-count, count).
+    * Bounded by distinct token-count values — but a pathological corpus
+    * (e.g. token counts used as ids) must fail loudly, not OOM the
+    * driver: the collect is LIMIT-capped and the cap is a named require. */
   def referenceGrid(docs: DataFrame, textCol: String): Seq[(Long, Long)] = {
     requireCols(docs, Seq(textCol))
-    docs.selectExpr(s"${tokenCountExpr(textCol)} AS v")
+    val rows = docs.selectExpr(s"${tokenCountExpr(textCol)} AS v")
       .groupBy("v").count()
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+      .limit(RefGridCap + 1)
+      .collect()
+    require(rows.length <= RefGridCap,
+      s"DriftStream.referenceGrid: over $RefGridCap distinct token counts " +
+        "(the plan-literal boundary) - the text column does not look like " +
+        "documents; coarsen the counts (e.g. bucket to the nearest 10) or " +
+        "use batch p81's source-pair table instead")
+    rows.map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
   }
 
   /** Batch degradation: per (window, source) KS vs `ref` on a static
@@ -95,7 +125,7 @@ object DriftStream {
                   ref: Seq[(Long, Long)]): DataFrame = {
     requireCols(docs, Seq(textCol, srcCol, tsCol))
     val spark = docs.sparkSession
-    val refRel = registerRef(spark, ref, global = false)
+    val refRel = registerRef(spark, ref, global = false, freshRefView())
     docs.selectExpr(s"window($tsCol, '$windowDur').start AS wstart",
         s"$srcCol AS source", s"${tokenCountExpr(textCol)} AS v")
       .groupBy("wstart", "source", "v").agg(F.count(F.lit(1)).as("c"))
@@ -112,6 +142,9 @@ object DriftStream {
     require(docs.isStreaming, "DriftStream.start needs a streaming input; " +
       "use scoresBatch for static relations")
     requireCols(docs, Seq(textCol, srcCol, tsCol))
+    // one suffixed global view per query — concurrent monitors cannot
+    // overwrite each other's reference (r11 ADVICE)
+    val refView = freshRefView()
     val grid = docs
       .withWatermark(tsCol, watermarkDelay)
       .selectExpr(tsCol, s"$srcCol AS source", s"${tokenCountExpr(textCol)} AS v")
@@ -125,7 +158,7 @@ object DriftStream {
         val sess = batch.sparkSession
         // the micro-batch runs in a cloned session (the StitchMergeStream
         // rule): the reference crosses via global_temp
-        val refRel = registerRef(sess, ref, global = true)
+        val refRel = registerRef(sess, ref, global = true, refView)
         batch.createOrReplaceTempView(GridView)
         sink(sess.sql(ksSql(GridView, refRel)))
       }

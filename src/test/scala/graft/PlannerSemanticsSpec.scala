@@ -413,4 +413,24 @@ class PlannerSemanticsSpec extends AnyFunSuite {
         |aggregate [n = count]""".stripMargin).head
     assert(r.getLong(0) == 2L)
   }
+
+  test("twice-shadowed sort key replaces its carry instead of duplicating it") {
+    // r11 ADVICE: sort x | derive x=… | sort x | derive x=… created a second
+    // __gsort_x while carryCols still held the first — the Project emitted
+    // two same-named hidden attributes and the take's re-sort repoint died
+    // with an ambiguous reference on a valid pipeline. The second `sort n`
+    // re-establishes the bare name, so the old carry is dead: replace it.
+    val got = compileSess(
+      """from nums
+        |sort [-n]
+        |derive n = n + 1000
+        |sort [-n]
+        |derive n = n - 2000
+        |take 3""".stripMargin).map(_.getLong(0))
+    // after derive1: n = old+1000, ambient order by old n desc (carried);
+    // sort -n re-sorts by the new n desc (same order here, values shifted);
+    // derive2: n = that - 2000, ambient order by pre-derive2 value desc.
+    // top 3 of 1..100: 100,99,98 → +1000 → sorted desc → -2000.
+    assert(got == Seq(-900L, -901L, -902L))
+  }
 }

@@ -52,4 +52,20 @@ class SqlBackendSpec extends AnyFunSuite {
           s"first diff: ${a.zip(b).find(p => p._1 != p._2).orElse(Some(("<len>", "<len>")))}")
     }
   }
+
+  test("a nested-paren literal group key stays a constant, not a GROUP BY ordinal") {
+    // r11 ADVICE: deOrdinal stripped only ONE paren layer, so an s-string
+    // key rendering as ((91)) still reached Spark as a bare integer literal
+    // in GROUP BY — read as "column 91" instead of a constant.
+    tablesRegistered
+    val prql =
+      """from region
+        |derive k = s"((91))"
+        |group [r_name, k] (aggregate [c = count])""".stripMargin
+    val sql = Graft.toSparkSql(prql)
+    val got = canon(spark.sql(sql))
+    val exp = canon(Graft.compileDir(prql, spark, dir))
+    assert(got == exp, s"SQL:\n$sql")
+    assert(got.length == 5) // one row per region; the constant groups nothing apart
+  }
 }

@@ -85,6 +85,35 @@ class StreamingDriftSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("an over-cap reference grid is a named error, never a driver OOM") {
+    import spark.implicits._
+    val static = Seq((0L, "s", "a b c")).toDF("tus", "source", "text")
+      .select(F.timestamp_micros($"tus").as("ts"), $"source", $"text")
+    val huge = (1L to (DriftStream.RefGridCap + 1L)).map(v => (v, 1L))
+    val e = intercept[IllegalArgumentException](
+      DriftStream.scoresBatch(static, "text", "source", "ts", "1 hour", huge))
+    assert(e.getMessage.contains("plan-literal boundary"), e.getMessage)
+  }
+
+  test("two concurrent monitors keep their own references (no view collision)") {
+    // r11 ADVICE: a fixed global/local ref view name let one monitor score
+    // against the OTHER's reference. Two batch scorers with different refs,
+    // both LAZY until after the second registers, must each use their own.
+    import spark.implicits._
+    val docs = Seq((0L, "s", (1 to 4).map(i => s"w$i").mkString(" ")))
+      .toDF("tus", "source", "text")
+      .select(F.timestamp_micros($"tus").as("ts"), $"source", $"text")
+    val refSame = Seq((4L, 5L))             // matches the doc: KS = 0
+    val refFar = Seq((100L, 5L))            // disjoint: KS = 1e6 ppm
+    val a = DriftStream.scoresBatch(docs, "text", "source", "ts", "1 hour", refSame)
+    val b = DriftStream.scoresBatch(docs, "text", "source", "ts", "1 hour", refFar)
+    // evaluate AFTER both registered — a fixed view name would make both see refFar
+    val ksA = a.collect().map(_.getLong(4)).toSeq
+    val ksB = b.collect().map(_.getLong(4)).toSeq
+    assert(ksA == Seq(0L), s"monitor A lost its reference: $ksA")
+    assert(ksB == Seq(1000000L), s"monitor B: $ksB")
+  }
+
   test("input validation: static input to start, empty reference are named errors") {
     import spark.implicits._
     val static = Seq((0L, "s", "a b c")).toDF("tus", "source", "text")

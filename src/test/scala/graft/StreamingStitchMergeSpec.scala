@@ -107,6 +107,47 @@ class StreamingStitchMergeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a store-lag pair is retried, not silently dropped; a duplicate store doc_id emits one winner") {
+    // r11 ADVICE: p76MergeOn's inner joins to the store dropped a completed
+    // stitch pair whose doc text had not yet landed (consumed, never
+    // retried); and a re-crawled duplicate doc_id fanned out duplicate
+    // winner rows. The pair must wait for the store; the store must dedup.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val m = 60L * 1000000
+    val B = 1000 * m
+    val in = MemoryStream[StreamingStitchMergeSpec.D]
+    val docs = in.toDS()
+      .select($"doc_id", $"text", F.timestamp_micros($"tus").as("ts"))
+    val store = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, Long)]
+    val q = StitchMergeStream.start(docs, "text", "doc_id", "ts",
+      watermarkDelay = "5 minutes", docStore = () => {
+        import spark.implicits._
+        store.toSeq.toDF("doc_id", "text")
+      },
+      claimHorizonMs = 60L * 60 * 1000,
+      sink = df => out ++= df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))))
+    try {
+      // the pair (1,3) completes in the STREAM, but the store only has doc 1
+      // (ingest lag) — the merge cannot run yet and must not be lost.
+      // Doc 1 is stored TWICE (re-crawl, same text): still one winner row.
+      store += (1L -> textA); store += (1L -> textA)
+      in.addData(StreamingStitchMergeSpec.D(1L, textA, B),
+        StreamingStitchMergeSpec.D(3L, textB, B + m))
+      q.processAllAvailable()
+      assert(out.isEmpty, s"merge must wait for the store, got $out")
+      // the store catches up; an unrelated doc triggers the next batch
+      store += (3L -> textB)
+      in.addData(StreamingStitchMergeSpec.D(50L, ws("q", 1, 12), B + 2 * m))
+      q.processAllAvailable()
+      val (sig13, mw13) = mergedOf(textA, textB)
+      assert(out.toSeq == Seq((1L, 3L, sig13, mw13)),
+        s"retried pair must merge exactly once (no dup-store fanout): $out")
+    } finally q.stop()
+  }
+
   test("input validation: batch input to start and streaming misuse are named errors") {
     import spark.implicits._
     val static = Seq((1L, textA)).toDF("doc_id", "text")

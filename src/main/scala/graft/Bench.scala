@@ -178,14 +178,54 @@ object Bench {
     Seq("p54_substring_dedup", "p22_embed_dedup", "p16_dedup_clusters",
       "p21_decontam", "p67_semantic_dedup")
 
+  /** p79-vs-p77 organic fidelity floors (VERDICT r11 #2): regression pins
+    * set just under the first quiet ×10 measurement — see the fidelity
+    * block in main for what each number means. */
+  private val P79CoverageFloor = 0.95
+  private val P79AgreeFloor = 0.50
+  private val P79SpearmanFloor = 0.60
+
   private[graft] def buildScaledDir(spark: org.apache.spark.sql.SparkSession,
                                     sfDir: String, k: Int,
                                     out: String = "target/scaleprobe"): String = {
-    // k <= 64: the Walsh patterns live on the 6 index bits of a 64-dim
-    // embedding, so replicas r and r+64 would get IDENTICAL signs — exact
-    // duplicate vectors, the clique artifact all over again
-    require(k >= 2 && k <= 64,
-      s"SPARK_GRAFT_SCALE_K must be in [2, 64] (64-dim Walsh sign space), got $k")
+    // The Walsh patterns live on the 6 index bits of a 64-dim embedding —
+    // 64 mutually-balanced sign patterns, so replicas r and r+64 would get
+    // IDENTICAL signs (exact duplicate vectors, the clique artifact all
+    // over again). For the second decade (VERDICT r11 #1, K=100) the
+    // family extends to 128 by multiplying the high replica group
+    // (h = r div 64) with a BENT function g(i) = (-1)^(i0·i1 ⊕ i2·i3 ⊕
+    // i4·i5): a bent function's Walsh spectrum is flat at |2^{d/2}| = 8 of
+    // 64, so the relative pattern between any low-group and high-group
+    // replica (Walsh(w⊕w')·g) has bias at most 8/64 — worst-case
+    // cross-replica cosine ≈ 0.125 for flat vectors, far below every
+    // near-dup threshold, while same-group pairs keep the exact-balanced
+    // Walsh guarantee. Intra-replica geometry stays EXACT (diagonal ±1 is
+    // orthogonal) in both groups.
+    require(k >= 2 && k <= 128,
+      s"SPARK_GRAFT_SCALE_K must be in [2, 128] (64 Walsh patterns x 2 bent groups), got $k")
+    // Diagonal ±1 bias bounds hold exactly for FLAT vectors only; for real
+    // coordinates the same-vector cross-replica cosine is the energy-
+    // fluctuation quadratic form |Σ q_i y_i²|/Σ y_i² — mean ≈ cv/8 ≈ 0.16
+    // for Gaussian-like coords, tail to ≈0.8 measured on the gate corpus
+    // (ScaleCorpusSpec pins the law). That is noise-CLASS, the faithful
+    // target: organic unrelated pairs here sit at mean |cos| ≈ 0.10 with
+    // the same tail shape, and a genuinely ×K corpus multiplies noise-
+    // threshold neighbor degrees by K anyway. The artifact this kills is
+    // the cos≈1 clique (naive copies), which no replica pair approaches.
+    // A vector CONCENTRATED on few coordinates would break even that
+    // (measured |cos| 0.71 seed before the fix), so every vector is first
+    // spread once with the fixed orthogonal fast-JL mixer H·D_s (64-point
+    // Walsh-Hadamard after a fixed non-Walsh golden-ratio sign scramble —
+    // a Walsh-pattern scramble would reduce to a row permutation of H).
+    // Q_r = D_r·H·D_s stays orthogonal, so intra-replica geometry is
+    // EXACT — replica 0 is an isometric image of the original corpus, no
+    // longer the identity.
+    val spreadExpr =
+      "transform(sequence(0, 63), i -> CAST(aggregate(" +
+        "zip_with(embedding, sequence(0, 63), (x, j) -> struct(CAST(x AS DOUBLE) AS x, j AS j)), " +
+        "CAST(0.0 AS DOUBLE), " +
+        "(acc, e) -> acc + (CASE WHEN pmod(bit_count(i & e.j) + (shiftright(-7046029254386353131, e.j) & 1), 2) = 0 THEN e.x ELSE -e.x END)" +
+        ") / 8.0 AS FLOAT)) AS embedding"
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val docCols = docs.columns.map {
       case "doc_id" => s"doc_id * ${k}L + r AS doc_id"
@@ -195,13 +235,19 @@ object Bench {
     docs.selectExpr(s"explode(sequence(0, ${k - 1})) AS r" +: docs.columns.map(c => s"`$c`"): _*)
       .selectExpr(docCols: _*)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val embs0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // spread FIRST (once per original vector), then replicate
+    val embs = embs0.selectExpr(
+      embs0.columns.map(c => if (c == "embedding") spreadExpr else s"`$c`"): _*)
     val embCols = embs.columns.map {
       case "vec_id" => s"vec_id * ${k}L + r AS vec_id"
       case "embedding" =>
-        // Walsh ±1 sign flip per replica: s_i(r) = (-1)^popcount(i & r);
-        // r=0 is the identity, so replica 0 IS the original corpus
-        "transform(embedding, (x, i) -> CASE WHEN pmod(bit_count(i & r), 2) = 0 THEN x ELSE -x END) AS embedding"
+        // Walsh ±1 sign flip per replica on the SPREAD vector: s_i(r) =
+        // (-1)^popcount(i & (r mod 64)) · g(i)^(r div 64) with g the 6-bit
+        // inner-product bent function (see the require above)
+        "transform(embedding, (x, i) -> CASE WHEN pmod(bit_count(i & (r % 64)) " +
+          "+ (r DIV 64) * (CAST((i & 3) = 3 AS INT) + CAST((i & 12) = 12 AS INT) + CAST((i & 48) = 48 AS INT)), 2) = 0 " +
+          "THEN x ELSE -x END) AS embedding"
       case c => s"`$c`"
     }
     embs.selectExpr(s"explode(sequence(0, ${k - 1})) AS r" +: embs.columns.map(c => s"`$c`"): _*)
@@ -336,12 +382,50 @@ object Bench {
     }
 
     // ---- scale probe (VERDICT r8 #3): measured sf0.1→≈sf1 scaling for the
-    // three shuffle-heaviest operators. Skipped in hotspot mode (explicit
-    // query args) and via SPARK_GRAFT_SCALE_PROBE=0.
+    // shuffle-heaviest operators. Skipped in hotspot mode (explicit query
+    // args) unless SPARK_GRAFT_SCALE_PROBE=force (VERDICT r11 #1: the ×100
+    // run measures only the heavy family — a forced hotspot probe reuses
+    // this run's own base medians, so ratios stay internally consistent),
+    // and via SPARK_GRAFT_SCALE_PROBE=0. SPARK_GRAFT_SCALE_OPS overrides
+    // the op list; SPARK_GRAFT_SCALE_TIMEOUT_S bounds each op (the job
+    // group is cancelled and the entry records the timeout instead of
+    // wedging the whole probe).
     var scaleProbeJson = "null"
-    if (args.isEmpty && sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE", "1") != "0") {
+    val probeForced = sys.env.get("SPARK_GRAFT_SCALE_PROBE").contains("force")
+    if ((args.isEmpty || probeForced) &&
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE", "1") != "0") {
       try {
         val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "10").toInt
+        val probeOps = sys.env.get("SPARK_GRAFT_SCALE_OPS")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(ScaleProbeOps)
+        val timeoutS = sys.env.getOrElse("SPARK_GRAFT_SCALE_TIMEOUT_S", "0").toLong
+        // second-decade runs (k >= 32): scaled runs cost minutes, so one
+        // timed run and no untimed warm — footer/plan warmth is a rounding
+        // error at that magnitude and three multi-minute runs would burn
+        // the quiet window the reading needs
+        val bigK = k >= 32
+        // run `body` under a cancellable job group; None = timed out
+        def withOpTimeout[T](tag: String)(body: => T): Option[T] =
+          if (timeoutS <= 0) Some(body)
+          else {
+            import scala.concurrent.{Await, Future, ExecutionContext, TimeoutException}
+            import scala.concurrent.duration._
+            implicit val ec: ExecutionContext = ExecutionContext.global
+            val group = s"scaleprobe-$tag"
+            val fut = Future {
+              spark.sparkContext.setJobGroup(group, tag, interruptOnCancel = true)
+              try body finally spark.sparkContext.clearJobGroup()
+            }
+            try Some(Await.result(fut, timeoutS.seconds))
+            catch {
+              case _: TimeoutException =>
+                System.err.println(s"[bench:scale] $tag exceeded ${timeoutS}s — cancelling job group")
+                spark.sparkContext.cancelJobGroup(group)
+                try Await.ready(fut, 120.seconds) catch { case _: Throwable => }
+                None
+            }
+          }
         val tGen0 = System.nanoTime()
         val scaledDir = buildScaledDir(spark, sfDir, k)
         val genS = (System.nanoTime() - tGen0) / 1e9
@@ -358,7 +442,7 @@ object Bench {
           val ds = if (inter.size >= 2) inter else calibSamples.map(_._3).toSeq
           if (ds.isEmpty) -1.0 else ds.sorted.apply(ds.length / 2)
         }
-        val entries = ScaleProbeOps.flatMap { name =>
+        val entries = probeOps.flatMap { name =>
           SparkEntry.queries.get(name).map { fn =>
             // one calibration sample immediately before this op's scaled
             // runs: a judge reads calib_ratio ≫ 1 as "this op's window was
@@ -373,43 +457,121 @@ object Bench {
               try { execute(fn(spark, sfDir)); graft.pipeline.PipelineOps.lastLabelRounds }
               catch { case _: Throwable => 0 }
             } else 0
-            execute(fn(spark, scaledDir)) // untimed: plan + footer warm
-            def timedScaled(): Double = (1 to 2).map { _ =>
+            def timedScaled(): Double = (1 to (if (bigK) 1 else 2)).map { _ =>
               val t0 = System.nanoTime()
               execute(fn(spark, scaledDir))
               (System.nanoTime() - t0) / 1e9
             }.min
-            var scaled = timedScaled()
-            // VERDICT r10 #2 (self-heal): a calib_ratio far from 1 means
-            // THIS op's window was contended and its scaled reading is
-            // misleading — the committed BENCH_r10 carried a p54 2.33/x
-            // that three quiet runs refuted. Instead of asking the reader
-            // to apply the discount rule, settle and re-run once: take the
-            // min (contention only inflates) and re-sample the calibration
-            // so the artifact carries the retried window's ratio.
-            var calibRetried = false
-            if (calibRatio > 0 && (calibRatio < 0.6 || calibRatio > 1.5)) {
-              calibRetried = true
-              System.err.println(f"[bench:scale] $name calib_ratio=${f3(calibRatio)} outside [0.6, 1.5] — settling and retrying scaled runs")
-              Thread.sleep(5000)
-              opCalib = try calibSample(spark, sfDir) catch { case _: Throwable => -1.0 }
-              calibRatio = if (opCalib > 0 && suiteCalib > 0) opCalib / suiteCalib else -1.0
-              scaled = math.min(scaled, timedScaled())
+            val scaledOpt = withOpTimeout(name) {
+              if (!bigK) execute(fn(spark, scaledDir)) // untimed: plan + footer warm
+              var scaled = timedScaled()
+              // VERDICT r10 #2 (self-heal): a calib_ratio far from 1 means
+              // THIS op's window was contended and its scaled reading is
+              // misleading — the committed BENCH_r10 carried a p54 2.33/x
+              // that three quiet runs refuted. Instead of asking the reader
+              // to apply the discount rule, settle and re-run once: take the
+              // min (contention only inflates) and re-sample the calibration
+              // so the artifact carries the retried window's ratio.
+              var calibRetried = false
+              if (calibRatio > 0 && (calibRatio < 0.6 || calibRatio > 1.5)) {
+                calibRetried = true
+                System.err.println(f"[bench:scale] $name calib_ratio=${f3(calibRatio)} outside [0.6, 1.5] — settling and retrying scaled runs")
+                Thread.sleep(5000)
+                opCalib = try calibSample(spark, sfDir) catch { case _: Throwable => -1.0 }
+                calibRatio = if (opCalib > 0 && suiteCalib > 0) opCalib / suiteCalib else -1.0
+                scaled = math.min(scaled, timedScaled())
+              }
+              (scaled, calibRetried)
             }
-            val roundsScaled = if (isP16) graft.pipeline.PipelineOps.lastLabelRounds else 0
+            val (scaled, calibRetried) = scaledOpt.getOrElse((-1.0, false))
+            val timedOut = scaledOpt.isEmpty
+            val roundsScaled = if (isP16 && !timedOut) graft.pipeline.PipelineOps.lastLabelRounds else 0
             val base = baseMed.get(name).map(_.median).getOrElse(-1.0)
-            val ratio = if (base > 0) scaled / base else -1.0
+            val ratio = if (base > 0 && scaled > 0) scaled / base else -1.0
             val perX = if (ratio > 0) ratio / k else -1.0
             val roundsJson = if (isP16)
               s""","rounds_base":$roundsBase,"rounds_scaled":$roundsScaled""" else ""
             System.err.println(f"[bench:scale] $name base=${f3(base)}s x$k=${f3(scaled)}s ratio=${f3(ratio)} per_x=${f3(perX)} calib_ratio=${f3(calibRatio)}" +
+              (if (timedOut) " TIMEOUT" else "") +
               (if (isP16) s" rounds=$roundsBase->$roundsScaled" else ""))
-            s"""\"$name\":{\"base_med_s\":${f3(base)},\"scaled_min_s\":${f3(scaled)},\"ratio\":${f3(ratio)},\"ratio_per_x\":${f3(perX)},\"calib_s\":${f3(opCalib)},\"calib_ratio\":${f3(calibRatio)},\"calib_retry\":$calibRetried$roundsJson}"""
+            s"""\"$name\":{\"base_med_s\":${f3(base)},\"scaled_min_s\":${f3(scaled)},\"ratio\":${f3(ratio)},\"ratio_per_x\":${f3(perX)},\"calib_s\":${f3(opCalib)},\"calib_ratio\":${f3(calibRatio)},\"calib_retry\":$calibRetried,\"timeout\":$timedOut$roundsJson}"""
           }
         }
-        scaleProbeJson = s"""{"k":$k,"gen_s":${f3(genS)},"runs":2,"aggregation":"min","ops":${entries.mkString("{", ",", "}")}}"""
+        scaleProbeJson = s"""{"k":$k,"gen_s":${f3(genS)},"runs":${if (bigK) 1 else 2},"aggregation":"min","timeout_s":$timeoutS,"ops":${entries.mkString("{", ",", "}")}}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scale probe failed: ${e.getMessage}")
+      }
+    }
+
+    // ---- p79 organic ranking fidelity vs exact p77 (VERDICT r11 #2):
+    // the gate-scale spec measures agreement at the GATE geometry on the
+    // gate corpus; what a CCMatrix-style miner ships is margin-ranking
+    // fidelity on ORGANIC pairs at the PRODUCTION geometry. This block
+    // (env SPARK_GRAFT_P79_FIDELITY=1) builds the ×K corpus (default ×10,
+    // where chooseSrpGeometry derives (6,8)), runs exact p77 (affordable:
+    // measured 137 s at ×10) and p79, and records: coverage (sources p79
+    // emits a best-pair for, over p77's), top-1 agreement (same best
+    // target), and the Spearman rank correlation between the two margin
+    // vectors over the common sources — "does the shipped ranking order
+    // sources like the true ranking". Floors are regression pins set just
+    // under the first quiet measurement (the p08-vs-p07 recall-floor
+    // precedent), not aspirations.
+    var p79FidelityJson = "null"
+    if (sys.env.getOrElse("SPARK_GRAFT_P79_FIDELITY", "0") == "1") {
+      try {
+        val fk = sys.env.getOrElse("SPARK_GRAFT_P79_FIDELITY_K", "10").toInt
+        val fdir = buildScaledDir(spark, sfDir, fk, "target/p79fidelity")
+        def bestPairs(name: String): (Map[Long, (Long, Double)], Double) = {
+          val t0 = System.nanoTime()
+          val m = SparkEntry.queries(name)(spark, fdir).collect()
+            .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+          (m, (System.nanoTime() - t0) / 1e9)
+        }
+        val (exact, exactS) = bestPairs("p77_bitext_margin")
+        val (approx, approxS) = bestPairs("p79_bitext_ann")
+        val common = exact.keySet.intersect(approx.keySet).toSeq.sorted
+        val coverage =
+          if (exact.nonEmpty) common.size.toDouble / exact.size else -1.0
+        val agree =
+          if (common.nonEmpty)
+            common.count(s => exact(s)._1 == approx(s)._1).toDouble / common.size
+          else -1.0
+        // Spearman with average ranks for ties (margins are 1e-6-quantized,
+        // ties are real)
+        def ranks(xs: Seq[Double]): Array[Double] = {
+          val idx = xs.zipWithIndex.sortBy(_._1)
+          val out = new Array[Double](xs.size)
+          var i = 0
+          while (i < idx.size) {
+            var j = i
+            while (j + 1 < idx.size && idx(j + 1)._1 == idx(i)._1) j += 1
+            val avg = (i + j + 2) / 2.0
+            (i to j).foreach(t => out(idx(t)._2) = avg)
+            i = j + 1
+          }
+          out
+        }
+        val rx = ranks(common.map(s => exact(s)._2))
+        val ry = ranks(common.map(s => approx(s)._2))
+        val spearman = if (rx.length >= 2) {
+          val n = rx.length
+          val mx = rx.sum / n; val my = ry.sum / n
+          val cov = rx.indices.map(i => (rx(i) - mx) * (ry(i) - my)).sum
+          val vx = rx.map(v => (v - mx) * (v - mx)).sum
+          val vy = ry.map(v => (v - my) * (v - my)).sum
+          if (vx > 0 && vy > 0) cov / math.sqrt(vx * vy) else -2.0
+        } else -2.0
+        val passed = coverage >= P79CoverageFloor && agree >= P79AgreeFloor &&
+          spearman >= P79SpearmanFloor
+        p79FidelityJson =
+          s"""{"k":$fk,"srcs_exact":${exact.size},"srcs_common":${common.size},""" +
+          s""""coverage":${f3(coverage)},"top1_agreement":${f3(agree)},""" +
+          s""""margin_spearman":${f3(spearman)},"exact_s":${f3(exactS)},"approx_s":${f3(approxS)},""" +
+          s""""floors":{"coverage":$P79CoverageFloor,"top1_agreement":$P79AgreeFloor,"margin_spearman":$P79SpearmanFloor},""" +
+          s""""passed":$passed}"""
+        System.err.println(f"[bench:p79-fidelity] k=$fk coverage=${f3(coverage)} top1=${f3(agree)} spearman=${f3(spearman)} exact=${f3(exactS)}s approx=${f3(approxS)}s passed=$passed")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] p79 fidelity failed: ${e.getMessage}")
       }
     }
 
@@ -548,7 +710,7 @@ object Bench {
     val errJson = errors
       .map { case (k, v) => s"${util.Json.quote(k)}:${util.Json.quote(v.take(200))}" }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_detail":$qDetail,"errors":$errJson,"compile_us_per_query":${compileUs.round},"parse_us_per_query":${parseUs.round},"lower_us_per_query":${lowerUs.round},"sqlgen_us_per_query":${sqlgenUs.round},"calib_s":$calibS,"calib_samples":$calibJson,"calib_stats":$calibStats,"host_contended":$hostContended,"unstable_queries":${unstableQueries.map(util.Json.quote).mkString("[", ",", "]")},"regressed_queries":${regressedQueries.map(util.Json.quote).mkString("[", ",", "]")},"hash_family_bench":$hashFamilyJson,"scale_probe":$scaleProbeJson,"epoch_ms":$benchEpochMs,"runs_per_query":$TimedRuns,"fast_runs":$FastTimedRuns,"fast_threshold_s":$FastQueryThresholdSec,"runs_policy":"median over runs_per_query timed runs; promoted to fast_runs when any timed run < fast_threshold_s; unstable queries re-timed once post-suite (query_detail.retry)","aggregation":"median","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_detail":$qDetail,"errors":$errJson,"compile_us_per_query":${compileUs.round},"parse_us_per_query":${parseUs.round},"lower_us_per_query":${lowerUs.round},"sqlgen_us_per_query":${sqlgenUs.round},"calib_s":$calibS,"calib_samples":$calibJson,"calib_stats":$calibStats,"host_contended":$hostContended,"unstable_queries":${unstableQueries.map(util.Json.quote).mkString("[", ",", "]")},"regressed_queries":${regressedQueries.map(util.Json.quote).mkString("[", ",", "]")},"hash_family_bench":$hashFamilyJson,"scale_probe":$scaleProbeJson,"p79_fidelity":$p79FidelityJson,"epoch_ms":$benchEpochMs,"runs_per_query":$TimedRuns,"fast_runs":$FastTimedRuns,"fast_threshold_s":$FastQueryThresholdSec,"runs_policy":"median over runs_per_query timed runs; promoted to fast_runs when any timed run < fast_threshold_s; unstable queries re-timed once post-suite (query_detail.retry)","aggregation":"median","sf":"$sfDir"}"""
     println(line)
     // the full per-query record also lands on disk: the r3 driver artifact
     // lost its tail to log truncation, and a file survives that
@@ -564,10 +726,16 @@ object Bench {
     // file per run keyed by epoch, so per-query med/min/max/retry for every
     // round survives. Hotspot-mode runs (explicit query args) skip it — only
     // full-suite runs are round artifacts worth keeping.
-    if (args.isEmpty) try {
+    // Forced hotspot probes (the ×100 scale runs) are durable too, under a
+    // `_probe` suffix the regression-baseline regex (`bench_\d+\.json`)
+    // deliberately does NOT match — a 6-query artifact must never become
+    // the previous-medians baseline for a full-suite run.
+    if (args.isEmpty || probeForced) try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("bench_history"))
+      val fname = if (args.isEmpty) s"bench_$benchEpochMs.json"
+                  else s"bench_${benchEpochMs}_probe.json"
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"bench_history/bench_$benchEpochMs.json"), line + "\n")
+        java.nio.file.Paths.get(s"bench_history/$fname"), line + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write bench_history: ${e.getMessage}")
     }

@@ -727,9 +727,13 @@ object PipelineOps {
   // independent of the loop's round structure, as in p16.
 
   private val EmbDupThresh = 0.4
-  private[graft] def embDupThreshold(spark: SparkSession): Double =
-    spark.conf.getOption("spark.graft.embDupThreshold")
+  private[graft] def embDupThreshold(spark: SparkSession): Double = {
+    val t = spark.conf.getOption("spark.graft.embDupThreshold")
       .map(_.toDouble).getOrElse(EmbDupThresh)
+    require(t > -1.0 && t <= 1.0,
+      s"spark.graft.embDupThreshold is a cosine threshold in (-1, 1], got $t")
+    t
+  }
 
   private def p22Run(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -1060,9 +1064,12 @@ object PipelineOps {
     * overrides (recall/cost tuning at a known operating point); default is
     * [[chooseIvfMod]] of the parquet metadata count — no data scan, the
     * srpSetup precedent. */
-  private[graft] def ivfCentroidMod(spark: SparkSession, dir: String): Int =
-    spark.conf.getOption("spark.graft.ivfCentroidMod").map(_.toInt).getOrElse(
+  private[graft] def ivfCentroidMod(spark: SparkSession, dir: String): Int = {
+    val m = spark.conf.getOption("spark.graft.ivfCentroidMod").map(_.toInt).getOrElse(
       chooseIvfMod(spark.read.parquet(s"$dir/embeddings.parquet").count()))
+    require(m >= 1, s"spark.graft.ivfCentroidMod must be >= 1, got $m")
+    m
+  }
 
   private val IvfNProbe = 2
 
@@ -1180,8 +1187,11 @@ object PipelineOps {
   // not a fixed count. Per round the driver sees one scalar (the drift) —
   // no data is collected.
 
-  private[graft] def ivfLloydRounds(spark: SparkSession): Int =
-    spark.conf.getOption("spark.graft.ivfLloydRounds").map(_.toInt).getOrElse(1)
+  private[graft] def ivfLloydRounds(spark: SparkSession): Int = {
+    val r = spark.conf.getOption("spark.graft.ivfLloydRounds").map(_.toInt).getOrElse(1)
+    require(r >= 0, s"spark.graft.ivfLloydRounds must be >= 0 (0 = sampled codebook as-is), got $r")
+    r
+  }
 
   private val IvfEView = "graft_ivf_e"
   private val IvfCentsView = "graft_ivf_cents"
@@ -1409,9 +1419,12 @@ object PipelineOps {
   /** Round cap for the p16 label loop; overridable for tests and for
     * clusters where the operator should hand off to star contraction
     * earlier (`spark.graft.labelMaxRounds`). */
-  private[graft] def labelMaxRounds(spark: SparkSession): Int =
-    spark.conf.getOption("spark.graft.labelMaxRounds")
+  private[graft] def labelMaxRounds(spark: SparkSession): Int = {
+    val r = spark.conf.getOption("spark.graft.labelMaxRounds")
       .map(_.toInt).getOrElse(LabelMaxRounds)
+    require(r >= 1, s"spark.graft.labelMaxRounds must be >= 1, got $r")
+    r
+  }
 
   /** Min-label propagation over an undirected edge list until fixpoint.
     * `init` must have columns (doc_id, lbl); `edges` columns (a, b) with
@@ -1705,8 +1718,11 @@ object PipelineOps {
     * is untouched; a 10^8-gram production blocklist lands on B≈1526 with
     * every bucket value bounded at ~0.5 MB. The config remains an explicit
     * override (any value ≥ 1 pins B). */
-  private[graft] def decontamBuckets(spark: SparkSession): Int =
-    spark.conf.getOption("spark.graft.decontamBuckets").map(_.toInt).getOrElse(0)
+  private[graft] def decontamBuckets(spark: SparkSession): Int = {
+    val b = spark.conf.getOption("spark.graft.decontamBuckets").map(_.toInt).getOrElse(0)
+    require(b >= 0, s"spark.graft.decontamBuckets must be >= 0 (0 = derive), got $b")
+    b
+  }
 
   /** ~64k 8-byte gram keys per bucket ≈ 0.5 MB per array value — far below
     * any row-value ceiling, large enough that fixed benchmark suites stay
@@ -1836,6 +1852,19 @@ object PipelineOps {
   // Per-doc work is map-side; the only shuffles are the label propagation
   // (p16's, lineage-broken), one reps equi-join, and the final rollup.
 
+  /** p20's quality metrics and gate, shared VERBATIM with the streaming
+    * composition ([[graft.streaming.CurationStream]], VERDICT r11 #6): the
+    * stream must grade documents with the SAME expressions the batch funnel
+    * rolls up, or "batch-degradation equality" would be comparing two
+    * different gates. `words` must be the split-on-whitespace token array. */
+  private[graft] val QualityMetricsSql: Seq[String] = Seq(
+    "size(words) AS n_tokens",
+    """CAST(size(filter(words, w -> w IN ('the','a','of','and'))) AS DOUBLE)
+          / size(words) AS stop_ratio""",
+    "CAST(size(array_distinct(words)) AS DOUBLE) / size(words) AS distinct_ratio")
+  private[graft] val QualityPredSql =
+    "(n_tokens BETWEEN 30 AND 300 AND stop_ratio >= 0.02 AND distinct_ratio >= 0.3)"
+
   private def p20SparkTail(hf: String) = s"""
     WITH w AS (
       SELECT d.doc_id, d.lang, $wordsSpark AS words,
@@ -1843,16 +1872,12 @@ object PipelineOps {
       FROM documents d LEFT JOIN dedup_reps r ON r.doc_id = d.doc_id),
     m AS (
       SELECT doc_id, lang, is_rep,
-        size(words) AS n_tokens,
-        CAST(size(filter(words, w -> w IN ('the','a','of','and'))) AS DOUBLE)
-          / size(words) AS stop_ratio,
-        CAST(size(array_distinct(words)) AS DOUBLE) / size(words) AS distinct_ratio,
+        ${QualityMetricsSql.mkString(",\n        ")},
         pmod(${hSpark("CAST(doc_id AS STRING)", hf)}, 1000) AS bucket,
         ${hSpark("array_join(filter(words, w -> NOT w IN ('a','the')), ' ')", hf)} AS ck
       FROM w WHERE size(words) > 0),
     f AS (
-      SELECT *, (n_tokens BETWEEN 30 AND 300 AND stop_ratio >= 0.02
-                 AND distinct_ratio >= 0.3) AS q
+      SELECT *, $QualityPredSql AS q
       FROM m)
     SELECT lang,
       CAST(count(*) AS BIGINT) AS n_docs,
@@ -3874,8 +3899,11 @@ object PipelineOps {
         filter(parr.arr, e -> e DIV $NegEnc != CAST(a.label AS BIGINT)) AS cands
       FROM embeddings a CROSS JOIN parr),
     x AS (
+      -- an anchor whose cluster is the whole pool (degenerate single-label
+      -- corpus) has no legal negatives: emit nothing rather than mod-by-0
       SELECT vec_id, label, slot, cands
-      FROM cand LATERAL VIEW explode(sequence(1, $NegK)) s AS slot),
+      FROM cand LATERAL VIEW explode(sequence(1, $NegK)) s AS slot
+      WHERE size(cands) > 0),
     sel AS (
       SELECT vec_id, label, slot,
         element_at(cands, CAST(1 + pmod(${hSpark(
@@ -3902,7 +3930,8 @@ object PipelineOps {
       FROM embeddings a CROSS JOIN parr),
     x AS (
       SELECT vec_id, label, s.slot, cands
-      FROM cand CROSS JOIN (SELECT unnest(generate_series(1, $NegK)) AS slot) s),
+      FROM cand CROSS JOIN (SELECT unnest(generate_series(1, $NegK)) AS slot) s
+      WHERE len(cands) > 0),
     sel AS (
       SELECT vec_id, label, slot,
         cands[CAST(1 + (${hDuck(
@@ -5240,9 +5269,13 @@ object PipelineOps {
   // left anti-ish join against the distinct dup set.
 
   private val SemDupThresh = 0.30
-  private[graft] def semDupThreshold(spark: SparkSession): Double =
-    spark.conf.getOption("spark.graft.semDupThreshold")
+  private[graft] def semDupThreshold(spark: SparkSession): Double = {
+    val t = spark.conf.getOption("spark.graft.semDupThreshold")
       .map(_.toDouble).getOrElse(SemDupThresh)
+    require(t > -1.0 && t <= 1.0,
+      s"spark.graft.semDupThreshold is a cosine threshold in (-1, 1], got $t")
+    t
+  }
 
   /** Assignment pass: nearest seed centroid + within-cluster keep priority.
     * Materialized behind a [[Barrier]] in [[p67Run]] — the pair join's two

@@ -550,6 +550,114 @@ object PipelineRelational {
          |select [lang, n_docs, keep_ppm = keep_ppm_out, n_kept, kept_id_sum]
          |sort lang""".stripMargin,
 
+    // Folded in from `excluded` in r12: its only stated mechanism was the
+    // quant-relation Barrier, and HazardProbe measured that break-even
+    // (0.94x at sf0.1, 1.02x at x10 — every consumer reaches the relation
+    // through a join, so ReuseExchange dedups the quantization pass within
+    // the one action). The operator keeps its barrier for cluster recovery
+    // bounds; this single-query restatement is the same algebra and is
+    // row-equal through both backends. Constants are the operator's
+    // defaults: 20 queries, top-5, 4x overfetch (cand rank <= 20).
+    "p25_embed_quant" ->
+      s"""table e0 = (
+         |  from embeddings
+         |  derive ma = s"array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+         |)
+         |
+         |table qz = (
+         |  from e0
+         |  derive q = s"CASE WHEN ma = 0.0D THEN transform(embedding, x -> CAST(0 AS FLOAT)) ELSE transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * (127.0D / ma) + 0.5D) AS FLOAT)) END"
+         |)
+         |
+         |table qn = (
+         |  from qz
+         |  select [
+         |    vec_id,
+         |    embedding,
+         |    q,
+         |    n2 = s"graft_dot(embedding, embedding)",
+         |    qn2 = s"graft_dot(q, q)",
+         |  ]
+         |)
+         |
+         |table qq = (
+         |  from qn
+         |  filter vec_id < 20
+         |  select [q_id = vec_id, qvec = q, qqn2 = qn2, qe = embedding, qen2 = n2]
+         |)
+         |
+         |table qs = (
+         |  from qq
+         |  join qn [q_id != vec_id]
+         |  select [
+         |    q_id,
+         |    nn_id = vec_id,
+         |    qcos = s"graft_dot(qvec, q) / (sqrt(qqn2) * sqrt(qn2))",
+         |  ]
+         |)
+         |
+         |table cand = (
+         |  from qs
+         |  group q_id (
+         |    sort [-qcos, nn_id]
+         |    derive [crn = row_number]
+         |  )
+         |  filter crn <= 20
+         |  select [q_id, nn_id, crn]
+         |)
+         |
+         |table ex = (
+         |  from cand
+         |  join qq [q_id]
+         |  join qn [nn_id == vec_id]
+         |  select [
+         |    q_id,
+         |    nn_id,
+         |    cos = s"graft_dot(qe, embedding) / (sqrt(qen2) * sqrt(n2))",
+         |  ]
+         |)
+         |
+         |table two = (
+         |  from ex
+         |  group q_id (
+         |    sort [-cos, nn_id]
+         |    derive [rrn = row_number]
+         |  )
+         |  filter rrn <= 5
+         |  select [q_id, nn_id, hit2 = 1]
+         |)
+         |
+         |table gs = (
+         |  from qq
+         |  join qn [q_id != vec_id]
+         |  select [
+         |    q_id,
+         |    nn_id = vec_id,
+         |    gcos = s"graft_dot(qe, embedding) / (sqrt(qen2) * sqrt(n2))",
+         |  ]
+         |)
+         |
+         |table gt = (
+         |  from gs
+         |  group q_id (
+         |    sort [-gcos, nn_id]
+         |    derive [grn = row_number]
+         |  )
+         |  filter grn <= 5
+         |  select [q_id, nn_id]
+         |)
+         |
+         |from gt
+         |join side:left two [q_id, nn_id]
+         |join side:left cand [q_id, nn_id]
+         |group q_id (
+         |  aggregate [
+         |    hits_rescored = s"CAST(sum(CASE WHEN hit2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)",
+         |    hits_quantized = s"CAST(sum(CASE WHEN crn IS NOT NULL AND crn <= 5 THEN 1 ELSE 0 END) AS BIGINT)",
+         |  ]
+         |)
+         |sort q_id""".stripMargin,
+
     "p26_repetition" ->
       s"""table t = (
          |  from documents
@@ -2549,13 +2657,20 @@ object PipelineRelational {
     * codecs (p10/p29/p30/p41), convergence-driven driver loops
     * (p16/p20/p22/p42, p50 and its consumers p51/p68), runtime-derived
     * parameters from a corpus-count action feeding the query text
-    * (p08/p19/p21), or measured multi-consumer Barrier hazards
-    * (p04/p25/p28/p67). None is expressible as one honest relational
-    * query; the list can only shrink if an operator's mechanism itself
-    * changes. */
+    * (p08/p19/p21), or multi-consumer Barrier mechanisms (p04/p28/p67 —
+    * r12 re-measured the whole class end-to-end with graft.HazardProbe
+    * at sf0.1 AND x10: only p21's pushdown re-inlining pathology costs
+    * wall-clock (5x / >=30x, superlinear); the others are break-even
+    * within one action because ReuseExchange dedups identical consumer
+    * subplans, so their reasons now name what the barrier still buys —
+    * cross-action sharing, recovery bounds, count-derived geometry; the
+    * measurement also FOLDED ONE IN: p25's sole mechanism was the
+    * barrier, so it moved to [[prql]] — the list shrank 19 → 18).
+    * None is expressible as one honest relational query; the list can
+    * only shrink if an operator's mechanism itself changes. */
   val excluded: Map[String, String] = Map(
     "p04_minhash_lsh" ->
-      "the sig/shingle relation is consumed by 8 band keys + the verify re-join; without the Barrier each reference re-runs the whole shingle→hash→minhash chain (measured-hazard class), so the honest restatement is the two-step barrier sequence, not one query",
+      "the sig/shingle relation is consumed by the band explode + the verify re-join, AND shared cross-operator (p28 reads the same materialized view — a reuse no single query text can express); the local re-execution cost is MEASURED break-even (HazardProbe r12: 0.73x at sf0.1, 1.02x at x10 — ReuseExchange dedups the identical consumer subplans within one action), so the barrier's load-bearing jobs are the cross-ACTION share with p28, the cluster recovery bound (Barrier doc), and guarding against pushdown differentiating the consumers (the p21 pathology, measured 5x/>=30x)",
     "p08_ann_srp_lsh" ->
       "runtime-derived (r, b) geometry from a corpus count feeds registerSrpKeys BEFORE planning — the query text depends on a prior action's result",
     "p10_media_decode" ->
@@ -2567,13 +2682,11 @@ object PipelineRelational {
     "p20_curation" ->
       "composes p16's iterative labels (driver loop) with the map-side stages",
     "p21_decontam" ->
-      "the word-hash (hw) Barrier alone is load-bearing (re-audited r11 per VERDICT r10 #6): train is consumed by BOTH the eval-set fold and the final scoring select, and the measured no-barrier cost is 17.5 s vs 0.13 s at sf0.1 (the CollapseProject lambda re-inlining hazard, doc'd on p21EvalGramCountSql) — the p04/p25 measured-hazard class; the bucket count COULD be interpolated at its gate default (B=1, the mixtureAlpha pattern) but that would not make the remaining text one honest query",
+      "the word-hash (hw) Barrier alone is load-bearing (re-audited r11 per VERDICT r10 #6; re-measured r12 end-to-end by HazardProbe: barrier=none runs 5.0x at sf0.1 — 19.5 s vs 3.9 s — and >=30x at x10, where the no-barrier run blew the 600 s timeout floor vs 19.9 s with it): train is consumed by BOTH the eval-set fold and the final scoring select, and pushed-down predicates re-inline the word-hash lambda chain into non-identical consumer plans that ReuseExchange cannot dedup (the CollapseProject hazard, doc'd on p21EvalGramCountSql) — superlinear in corpus size, unlike the break-even p04/p25/p28/p67 class; the bucket count COULD be interpolated at its gate default (B=1, the mixtureAlpha pattern) but that would not make the remaining text one honest query",
     "p22_embed_dedup" ->
       "runtime-derived SRP geometry + iterative label-propagation driver loop (p08's and p16's exclusion mechanisms composed)",
-    "p25_embed_quant" ->
-      "the quantized relation is materialized behind the Barrier (consumed by the candidate scan, the rescore, and the ground-truth pass — the lambda re-inlining hazard class), so the honest restatement is the two-step barrier sequence, not one query",
     "p28_contamination_matrix" ->
-      "consumes the p04 barrier-materialized sig/shingle relation (same multi-reference hazard as p04 itself) plus the native minhash kernel registration",
+      "consumes the p04 barrier-materialized sig/shingle relation ACROSS operators — the materialized view is the share point between two separate driver actions, which no single query text can express (HazardProbe r12 measures the within-action cost break-even, 0.68x/0.91x: ReuseExchange covers that case; the cross-action share is what the barrier buys) — plus the native minhash kernel registration",
     "p29_media_resize" ->
       "typed mapPartitions codec (decode + nearest-neighbor resample in MediaOps) — imperative per-partition pixel work, not relational",
     "p30_frame_sample" ->
@@ -2587,7 +2700,7 @@ object PipelineRelational {
     "p51_bpe_tokenize" ->
       "consumes p50's loop-learned barrier-materialized repr table (the vocabulary IS the result of the iterative action sequence)",
     "p67_semantic_dedup" ->
-      "the assignment relation is materialized behind the Barrier (consumed by both pair-join sides and the final projection — the N·K re-inlining hazard class, as p25), so the honest restatement is the two-step barrier sequence, not one query",
+      "the codebook rate is runtime-derived from a corpus count (ivfCentroidMod → chooseIvfMod — the p08/p19 exclusion mechanism: the query text depends on a prior action's result) AND the assignment relation is barrier-materialized for both pair-join sides + the final projection; the within-action re-execution cost is MEASURED break-even (HazardProbe r12: 1.02x/1.04x — ReuseExchange), so the count-derived geometry is the binding mechanism",
     "p68_tokenizer_fertility" ->
       "consumes p50's loop-learned barrier-materialized repr table (p51's exclusion reason — the vocabulary IS the result of the iterative action sequence)",
     "p79_bitext_ann" ->

@@ -183,7 +183,13 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       // (aggregate …)` the head IS a derived name — rebinding it to a
       // non-unique value makes the positional compare undefined on ties
       // (r10 fuzz seed 757: both sides correct, orders differ)
-      val derived = cols.filter(_.startsWith("d")).filterNot(_ == cols.head)
+      // r12 (VERDICT r11 #5): the pool includes WINDOW-derived names too
+      // (r*/l*/t*/e* — row_number, lag, full-frame and expanding sums), so
+      // the band reaches window-frame × shadow interactions: shadowing a
+      // windowed column an ambient sort may reference is exactly the
+      // derive-shadow class the r11 seeds (9331/13574) exposed
+      val derived = cols.filter(c => c.length >= 2 && "drlte".contains(c.head) &&
+        c.tail.forall(_.isDigit)).filterNot(_ == cols.head)
       if (derived.isEmpty) Nil
       else Seq(1 -> (for {
         name <- Gen.oneOf(derived)

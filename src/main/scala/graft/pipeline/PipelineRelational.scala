@@ -125,7 +125,152 @@ object PipelineRelational {
          |  derive score = s"prior + aggregate(words, CAST(0 AS BIGINT), (acc, w) -> acc + element_at(arr, CAST(pmod(${H("w")}, 256) + 1 AS INT)))"
          |)""".stripMargin
 
+  /** The MinHash-LSH chain (words → 3-shingles → minhash sigs → band
+    * buckets with the 2048 rank cap → verified exact Jaccard), shared
+    * VERBATIM by the p04 and p28 restatements (PipelineOps shares the same
+    * chain between the operators). Folded in from `excluded` in r12:
+    * HazardProbe measured the sig relation's no-barrier re-execution
+    * break-even at sf0.1 AND ×10 (0.68–1.02× — every consumer reaches it
+    * through a join or explode above an exchange, so ReuseExchange dedups
+    * the producing subplan within one action); the operators keep their
+    * barrier for cross-action sharing (p28 reuses p04's materialized view
+    * in a session) and cluster recovery bounds, but the single-query
+    * restatement is the same algebra, honestly. Self-joins rename each
+    * side first (bare idents in join conditions must resolve against
+    * exactly one side — the README's ambiguity rule). */
+  private val LshChain: String =
+    s"""table w4 = (
+       |  from documents
+       |  derive words = s"$W"
+       |)
+       |
+       |table sh4 = (
+       |  from w4
+       |  filter s"size(words) >= 3"
+       |  select [
+       |    doc_id,
+       |    shingles = s"array_distinct(transform(sequence(1, size(words) - 2), i -> concat(element_at(words, i), ' ', element_at(words, i + 1), ' ', element_at(words, i + 2))))",
+       |  ]
+       |)
+       |
+       |table hx4 = (
+       |  from sh4
+       |  derive hs = s"transform(shingles, s -> pmod(${H("s")}, 2147483647))"
+       |)
+       |
+       |table sig4 = (
+       |  from hx4
+       |  select [doc_id, shingles, sig = s"graft_minhash(hs)"]
+       |)
+       |
+       |table bx4 = (
+       |  from sig4
+       |  select [doc_id, bkey = s"explode(transform(sequence(0, 7), j -> concat(j, '|', element_at(sig, 2 * j + 1), '|', element_at(sig, 2 * j + 2))))"]
+       |)
+       |
+       |table bands4 = (
+       |  from bx4
+       |  group bkey (
+       |    sort doc_id
+       |    derive [rnk = row_number]
+       |  )
+       |)
+       |
+       |table bl4 = (
+       |  from bands4
+       |  select [ida = doc_id, bkeya = bkey, rnka = rnk]
+       |)
+       |
+       |table br4 = (
+       |  from bands4
+       |  select [idb = doc_id, bkeyb = bkey, rnkb = rnk]
+       |)
+       |
+       |table cands4 = (
+       |  from bl4
+       |  join br4 [bkeya == bkeyb]
+       |  filter ida < idb
+       |  filter rnka <= 2048
+       |  filter rnkb <= 2048
+       |  select [ida, idb]
+       |  group [ida, idb] (take 1)
+       |)
+       |
+       |table sa4 = (
+       |  from sig4
+       |  select [ida = doc_id, sha = shingles]
+       |)
+       |
+       |table sb4 = (
+       |  from sig4
+       |  select [idb = doc_id, shb = shingles]
+       |)
+       |
+       |table verified4 = (
+       |  from cands4
+       |  join sa4 [ida]
+       |  join sb4 [idb]
+       |  select [
+       |    ida,
+       |    idb,
+       |    jac = s"CAST(size(array_intersect(sha, shb)) AS DOUBLE) / (size(sha) + size(shb) - size(array_intersect(sha, shb)))",
+       |  ]
+       |)""".stripMargin
+
   val prql: Map[String, String] = Map(
+    "p04_minhash_lsh" ->
+      s"""$LshChain
+         |
+         |from verified4
+         |filter jac >= 0.5
+         |sort [ida, idb]
+         |select [
+         |  ida,
+         |  idb,
+         |  jaccard = s"CAST(floor((jac) * 1e6 + 0.5) AS DOUBLE) / 1e6",
+         |]""".stripMargin,
+
+    "p28_contamination_matrix" ->
+      s"""$LshChain
+         |
+         |table dup4 = (
+         |  from verified4
+         |  filter jac >= 0.5
+         |  select [ida, idb]
+         |)
+         |
+         |table da4 = (
+         |  from documents
+         |  select [ida = doc_id, source_a0 = source]
+         |)
+         |
+         |table db4 = (
+         |  from documents
+         |  select [idb = doc_id, source_b0 = source]
+         |)
+         |
+         |table lbl4 = (
+         |  from dup4
+         |  join da4 [ida]
+         |  join db4 [idb]
+         |  select [
+         |    source_a = s"least(source_a0, source_b0)",
+         |    source_b = s"greatest(source_a0, source_b0)",
+         |    ida,
+         |    idb,
+         |  ]
+         |)
+         |
+         |from lbl4
+         |group [source_a, source_b] (
+         |  aggregate [
+         |    n_pairs = s"CAST(count(*) AS BIGINT)",
+         |    example_ida = s"CAST(min(ida) AS BIGINT)",
+         |    pair_id_sum = s"CAST(sum(ida + idb) AS BIGINT)",
+         |  ]
+         |)
+         |sort [source_a, source_b]""".stripMargin,
+
     "p01_dedup_exact" ->
       s"""from documents
          |derive h = s"md5(lower(trim(text)))"
@@ -2620,6 +2765,8 @@ object PipelineRelational {
     graft.functions.GraftFunctions.registerTopTerms(spark, PipelineOps.TopTerms)
     graft.functions.GraftFunctions.registerNfc(spark)
     graft.functions.GraftFunctions.registerKmv(spark, PipelineOps.KmvK)
+    graft.functions.GraftFunctions.registerMinhash(spark,
+      PipelineOps.hashA.toArray, PipelineOps.hashB.toArray, PipelineOps.MinhashP)
     PipelineOps.registerJlPlanes(spark)
   }
 
@@ -2657,20 +2804,21 @@ object PipelineRelational {
     * codecs (p10/p29/p30/p41), convergence-driven driver loops
     * (p16/p20/p22/p42, p50 and its consumers p51/p68), runtime-derived
     * parameters from a corpus-count action feeding the query text
-    * (p08/p19/p21), or multi-consumer Barrier mechanisms (p04/p28/p67 —
-    * r12 re-measured the whole class end-to-end with graft.HazardProbe
-    * at sf0.1 AND x10: only p21's pushdown re-inlining pathology costs
-    * wall-clock (5x / >=30x, superlinear); the others are break-even
+    * (p08/p19/p21, and p67's count-derived codebook rate), or the one
+    * Barrier whose hazard MEASURABLY binds (p21 again — r12's
+    * graft.HazardProbe timed the whole barrier class end-to-end at sf0.1
+    * AND ×10: p21's pushdown re-inlining pathology costs 5× / ≥30×,
+    * superlinear in corpus size, while p04/p25/p28/p67 were break-even
     * within one action because ReuseExchange dedups identical consumer
-    * subplans, so their reasons now name what the barrier still buys —
-    * cross-action sharing, recovery bounds, count-derived geometry; the
-    * measurement also FOLDED ONE IN: p25's sole mechanism was the
-    * barrier, so it moved to [[prql]] — the list shrank 19 → 18).
-    * None is expressible as one honest relational query; the list can
-    * only shrink if an operator's mechanism itself changes. */
+    * subplans. The measurement FOLDED THREE IN: p25, p04, and p28 — each
+    * had the barrier as its only binding mechanism, so they moved to
+    * [[prql]] as single-query restatements and the list shrank 19 → 16;
+    * their operators keep their barriers for cross-action sharing and
+    * cluster recovery bounds, which are deployment properties, not query
+    * semantics). None of the remaining entries is expressible as one
+    * honest relational query; the list can only shrink if an operator's
+    * mechanism itself changes. */
   val excluded: Map[String, String] = Map(
-    "p04_minhash_lsh" ->
-      "the sig/shingle relation is consumed by the band explode + the verify re-join, AND shared cross-operator (p28 reads the same materialized view — a reuse no single query text can express); the local re-execution cost is MEASURED break-even (HazardProbe r12: 0.73x at sf0.1, 1.02x at x10 — ReuseExchange dedups the identical consumer subplans within one action), so the barrier's load-bearing jobs are the cross-ACTION share with p28, the cluster recovery bound (Barrier doc), and guarding against pushdown differentiating the consumers (the p21 pathology, measured 5x/>=30x)",
     "p08_ann_srp_lsh" ->
       "runtime-derived (r, b) geometry from a corpus count feeds registerSrpKeys BEFORE planning — the query text depends on a prior action's result",
     "p10_media_decode" ->
@@ -2685,8 +2833,6 @@ object PipelineRelational {
       "the word-hash (hw) Barrier alone is load-bearing (re-audited r11 per VERDICT r10 #6; re-measured r12 end-to-end by HazardProbe: barrier=none runs 5.0x at sf0.1 — 19.5 s vs 3.9 s — and >=30x at x10, where the no-barrier run blew the 600 s timeout floor vs 19.9 s with it): train is consumed by BOTH the eval-set fold and the final scoring select, and pushed-down predicates re-inline the word-hash lambda chain into non-identical consumer plans that ReuseExchange cannot dedup (the CollapseProject hazard, doc'd on p21EvalGramCountSql) — superlinear in corpus size, unlike the break-even p04/p25/p28/p67 class; the bucket count COULD be interpolated at its gate default (B=1, the mixtureAlpha pattern) but that would not make the remaining text one honest query",
     "p22_embed_dedup" ->
       "runtime-derived SRP geometry + iterative label-propagation driver loop (p08's and p16's exclusion mechanisms composed)",
-    "p28_contamination_matrix" ->
-      "consumes the p04 barrier-materialized sig/shingle relation ACROSS operators — the materialized view is the share point between two separate driver actions, which no single query text can express (HazardProbe r12 measures the within-action cost break-even, 0.68x/0.91x: ReuseExchange covers that case; the cross-action share is what the barrier buys) — plus the native minhash kernel registration",
     "p29_media_resize" ->
       "typed mapPartitions codec (decode + nearest-neighbor resample in MediaOps) — imperative per-partition pixel work, not relational",
     "p30_frame_sample" ->

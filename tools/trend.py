@@ -26,7 +26,11 @@ def load(path):
 
 
 def history():
-    files = sorted(glob.glob("bench_history/bench_*.json"))
+    # full-suite artifacts only: _probe files hold forced hotspot/fidelity
+    # runs (2-7 queries) and would make a useless trend baseline — the same
+    # exclusion Bench's own regression-baseline regex applies
+    files = sorted(f for f in glob.glob("bench_history/bench_*.json")
+                   if not f.endswith("_probe.json"))
     return [(f, load(f)) for f in files]
 
 

@@ -388,7 +388,12 @@ object MediaOps {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val media = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .select(col("doc_id"), col("text"))
+      // a null payload has no media to decode (crawler timeout, failed
+      // upstream encoder): route it out BEFORE the typed codec, the
+      // dead-letter rule — a raw NPE inside mapPartitions is the worst
+      // failure class at cluster scale (NullFieldCorpusSpec pins this)
+      .where(col("text").isNotNull).as[(Long, String)]
       .map { case (id, text) => encodeImage(id, text) }
     media.mapPartitions { it =>
       it.grouped(DecodeBatchSize).flatMap(_.map(resizeOne))
@@ -471,7 +476,12 @@ object MediaOps {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val media = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .select(col("doc_id"), col("text"))
+      // a null payload has no media to decode (crawler timeout, failed
+      // upstream encoder): route it out BEFORE the typed codec, the
+      // dead-letter rule — a raw NPE inside mapPartitions is the worst
+      // failure class at cluster scale (NullFieldCorpusSpec pins this)
+      .where(col("text").isNotNull).as[(Long, String)]
       .map { case (id, text) => encodeFrames(id, text) }
     media.mapPartitions { it =>
       it.grouped(DecodeBatchSize).flatMap(_.map(sampleFrames))
@@ -497,7 +507,12 @@ object MediaOps {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val media = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .select(col("doc_id"), col("text"))
+      // a null payload has no media to decode (crawler timeout, failed
+      // upstream encoder): route it out BEFORE the typed codec, the
+      // dead-letter rule — a raw NPE inside mapPartitions is the worst
+      // failure class at cluster scale (NullFieldCorpusSpec pins this)
+      .where(col("text").isNotNull).as[(Long, String)]
       .map { case (id, text) => encodeImage(id, text) }
     MediaOps.decode(media)
       .groupBy($"fmt")
@@ -643,7 +658,12 @@ object MediaOps {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val media = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .select(col("doc_id"), col("text"))
+      // a null payload has no media to decode (crawler timeout, failed
+      // upstream encoder): route it out BEFORE the typed codec, the
+      // dead-letter rule — a raw NPE inside mapPartitions is the worst
+      // failure class at cluster scale (NullFieldCorpusSpec pins this)
+      .where(col("text").isNotNull).as[(Long, String)]
       .map { case (id, text) => encodeWav(id, text) }
     decodeWav(media)
       .groupBy($"channels", $"sample_rate")

@@ -382,18 +382,44 @@ object MediaOps {
     ThumbFeature(in.doc_id, img.w, img.h, ck, in.fmt)
   }
 
+  /** (doc_id, text) with null payloads routed OUT and COUNTED. A null
+    * payload has no media to decode (crawler timeout, failed upstream
+    * encoder): it is dropped here, BEFORE the typed codec — a raw NPE
+    * inside mapPartitions is the worst failure class at cluster scale
+    * (NullFieldCorpusSpec pins this) — and the drop count is published as
+    * the observed metric `graft_null_media_<tag>` (column
+    * `null_payload_drops`; CollectMetrics, codegen-friendly, no schema
+    * change), so a growing upstream-encoder failure rate is VISIBLE to
+    * monitoring instead of silently shrinking the corpus (ADVICE r12: the
+    * old comment said "dead-letter" while rows vanished uncounted —
+    * drop-with-count is the actual contract; a true dead-letter side
+    * output is the caller's composition via `WHERE text IS NULL` over the
+    * same two-column scan).
+    *
+    * The metric publishes the total scanned `payload_rows` alongside the
+    * drop count: CollectMetrics counts once per EXECUTION of its subtree,
+    * and a global sort with no intervening shuffle re-executes the map
+    * lineage for range-boundary sampling (p30's shape — its counts read
+    * exactly 2x), so the raw count is execution-multiplied while the
+    * drops/rows RATIO — the number monitoring alerts on — is invariant. */
+  private def nonNullMedia(spark: SparkSession, dir: String,
+                           tag: String): Dataset[(Long, String)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .observe(s"graft_null_media_$tag",
+        count(when(col("text").isNull, 1)).as("null_payload_drops"),
+        count(lit(1)).as("payload_rows"))
+      .where(col("text").isNotNull).as[(Long, String)]
+  }
+
   /** Driver-contract query: documents → real containers → batched decode +
     * nearest-neighbor resize → per-format rollup. Map-side only. */
   def resizeFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val media = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("text"))
-      // a null payload has no media to decode (crawler timeout, failed
-      // upstream encoder): route it out BEFORE the typed codec, the
-      // dead-letter rule — a raw NPE inside mapPartitions is the worst
-      // failure class at cluster scale (NullFieldCorpusSpec pins this)
-      .where(col("text").isNotNull).as[(Long, String)]
+    val media = nonNullMedia(spark, dir, "resize")
       .map { case (id, text) => encodeImage(id, text) }
     media.mapPartitions { it =>
       it.grouped(DecodeBatchSize).flatMap(_.map(resizeOne))
@@ -475,13 +501,7 @@ object MediaOps {
   def frameSampleFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val media = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("text"))
-      // a null payload has no media to decode (crawler timeout, failed
-      // upstream encoder): route it out BEFORE the typed codec, the
-      // dead-letter rule — a raw NPE inside mapPartitions is the worst
-      // failure class at cluster scale (NullFieldCorpusSpec pins this)
-      .where(col("text").isNotNull).as[(Long, String)]
+    val media = nonNullMedia(spark, dir, "frames")
       .map { case (id, text) => encodeFrames(id, text) }
     media.mapPartitions { it =>
       it.grouped(DecodeBatchSize).flatMap(_.map(sampleFrames))
@@ -506,13 +526,7 @@ object MediaOps {
   def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val media = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("text"))
-      // a null payload has no media to decode (crawler timeout, failed
-      // upstream encoder): route it out BEFORE the typed codec, the
-      // dead-letter rule — a raw NPE inside mapPartitions is the worst
-      // failure class at cluster scale (NullFieldCorpusSpec pins this)
-      .where(col("text").isNotNull).as[(Long, String)]
+    val media = nonNullMedia(spark, dir, "decode")
       .map { case (id, text) => encodeImage(id, text) }
     MediaOps.decode(media)
       .groupBy($"fmt")
@@ -657,13 +671,7 @@ object MediaOps {
   def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val media = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("text"))
-      // a null payload has no media to decode (crawler timeout, failed
-      // upstream encoder): route it out BEFORE the typed codec, the
-      // dead-letter rule — a raw NPE inside mapPartitions is the worst
-      // failure class at cluster scale (NullFieldCorpusSpec pins this)
-      .where(col("text").isNotNull).as[(Long, String)]
+    val media = nonNullMedia(spark, dir, "audio")
       .map { case (id, text) => encodeWav(id, text) }
     decodeWav(media)
       .groupBy($"channels", $"sample_rate")

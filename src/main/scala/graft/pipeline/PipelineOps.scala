@@ -388,7 +388,12 @@ object PipelineOps {
     * hash-exact even where it binds; far above any gate bucket, so the
     * frozen oracles are unchanged. Recall-bounding ONLY when it binds —
     * documented, not silent. */
-  private val LshBucketCap = 2048
+  private[graft] val LshBucketCap = 2048
+  /** Verify-stage true-Jaccard admission cut for the minhash-banded dedup
+    * family (p04 and every consumer of `verified`); interpolated into the
+    * Spark SQL, the DuckDB oracle, and the PRQL restatement so one edit
+    * moves all three (ADVICE r12: the restatement hardcoded it). */
+  private[graft] val LshJaccardCut = 0.5
 
   private val lshPairCtesSpark = s"""
     bands0 AS (
@@ -422,7 +427,7 @@ object PipelineOps {
     spark.sql(s"""
       WITH $lshPairCtesSpark
       SELECT ida, idb, CAST(floor((jac) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS jaccard
-      FROM verified WHERE jac >= 0.5 ORDER BY ida, idb""")
+      FROM verified WHERE jac >= $LshJaccardCut ORDER BY ida, idb""")
   }
 
   private val lshCtesDuck = s"""
@@ -464,7 +469,54 @@ object PipelineOps {
   private val p04Duck = s"""
     WITH $lshCtesDuck
     SELECT ida, idb, floor((jac) * 1e6 + 0.5) / 1e6 AS jaccard
-    FROM verified WHERE jac >= 0.5 ORDER BY ida, idb"""
+    FROM verified WHERE jac >= $LshJaccardCut ORDER BY ida, idb"""
+
+  // ---- planted-pair ground truth for the ×K recall probe -------------------
+  // (VERDICT r12 #1: the ×100 probe measured that the r=12 clamp +
+  // SrpBucketCap/LshBucketCap flatten RUNTIME; these helpers give Bench's
+  // recall probe the exact similarity of each planted partner pair so
+  // planted-pair RECALL under the same clamps becomes a measured number.)
+
+  /** Exact word-3-gram-shingle Jaccard for planted partner pairs
+    * (doc_id ↔ doc_id + offset, sources sampled at pmod(doc_id, mod) = 0):
+    * the SAME tokenization and shingling text as [[lshSigsSql]], so "true
+    * Jaccard" is computed in p04's own feature space, not an approximation
+    * of it. Linear in the planted sample — never joins the full corpus. */
+  private[graft] def plantedShingleJaccard(spark: SparkSession, dir: String,
+                                           offset: Long, mod: Long): DataFrame = {
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    spark.sql(s"""
+      WITH sel AS (
+        SELECT doc_id, $wordsSpark AS words FROM documents
+        WHERE doc_id >= ${offset}L OR (doc_id < ${offset}L AND pmod(doc_id, ${mod}L) = 0)),
+      sh AS (
+        SELECT doc_id,
+          array_distinct(transform(sequence(1, size(words) - 2),
+            i -> concat(element_at(words, i), ' ', element_at(words, i + 1), ' ', element_at(words, i + 2)))) AS s
+        FROM sel WHERE size(words) >= 3)
+      SELECT a.doc_id AS ida, b.doc_id AS idb,
+        CAST(size(array_intersect(a.s, b.s)) AS DOUBLE)
+          / (size(a.s) + size(b.s) - size(array_intersect(a.s, b.s))) AS jac
+      FROM sh a JOIN sh b ON b.doc_id = a.doc_id + ${offset}L
+      WHERE a.doc_id < ${offset}L""")
+  }
+
+  /** Exact cosine for planted partner pairs (vec_id ↔ vec_id + offset,
+    * sources sampled at pmod(vec_id, mod) = 0), via the same graft_dot
+    * kernel the SRP verify stage uses. Linear in the planted sample. */
+  private[graft] def plantedCosine(spark: SparkSession, dir: String,
+                                   offset: Long, mod: Long): DataFrame = {
+    graft.functions.GraftFunctions.registerDot(spark)
+    spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("embeddings")
+    spark.sql(s"""
+      WITH sel AS (
+        SELECT vec_id, embedding, ${norm2Spark("embedding")} AS n2 FROM embeddings
+        WHERE vec_id >= ${offset}L OR (vec_id < ${offset}L AND pmod(vec_id, ${mod}L) = 0))
+      SELECT a.vec_id AS ida, b.vec_id AS idb,
+        ${dotSpark("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+      FROM sel a JOIN sel b ON b.vec_id = a.vec_id + ${offset}L
+      WHERE a.vec_id < ${offset}L""")
+  }
 
   // ---- p05: SimHash fingerprints ------------------------------------------
   // 32-bit simhash from word hashes; map-side HOFs only; n_same shows the
@@ -1492,7 +1544,7 @@ object PipelineOps {
       hashA.toArray, hashB.toArray, MinhashP)
     materialized(spark, LshSigsView, lshSigsSql(hashFamily(spark)))
     val pairs = Barrier.materialize(spark.sql(
-      s"WITH $lshPairCtesSpark SELECT ida, idb FROM verified WHERE jac >= 0.5"))
+      s"WITH $lshPairCtesSpark SELECT ida, idb FROM verified WHERE jac >= $LshJaccardCut"))
     val edges = pairs.select(col("ida").as("a"), col("idb").as("b"))
       .union(pairs.select(col("idb").as("a"), col("ida").as("b")))
     // The label loop runs over EDGE-INCIDENT nodes only: a doc with no
@@ -1526,7 +1578,7 @@ object PipelineOps {
     * mirror the Spark loop's round structure, so it catches a
     * non-converged loop instead of unrolling the same mistake. */
   private val closureCtesDuck = s"""
-    dup_pairs AS (SELECT ida, idb FROM verified WHERE jac >= 0.5),
+    dup_pairs AS (SELECT ida, idb FROM verified WHERE jac >= $LshJaccardCut),
     edges AS (SELECT ida AS a, idb AS b FROM dup_pairs
               UNION ALL SELECT idb, ida FROM dup_pairs),
     reach AS (
@@ -2395,7 +2447,7 @@ object PipelineOps {
     materialized(spark, LshSigsView, lshSigsSql(hashFamily(spark)))
     spark.sql(s"""
       WITH $lshPairCtesSpark,
-      dup AS (SELECT ida, idb FROM verified WHERE jac >= 0.5),
+      dup AS (SELECT ida, idb FROM verified WHERE jac >= $LshJaccardCut),
       lbl AS (
         SELECT least(da.source, db.source) AS source_a,
                greatest(da.source, db.source) AS source_b,
@@ -2412,7 +2464,7 @@ object PipelineOps {
 
   private val p28Duck = s"""
     WITH $lshCtesDuck,
-    dup AS (SELECT ida, idb FROM verified WHERE jac >= 0.5),
+    dup AS (SELECT ida, idb FROM verified WHERE jac >= $LshJaccardCut),
     lbl AS (
       SELECT least(da.source, db.source) AS source_a,
              greatest(da.source, db.source) AS source_b,

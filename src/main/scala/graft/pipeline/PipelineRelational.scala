@@ -155,7 +155,7 @@ object PipelineRelational {
        |
        |table hx4 = (
        |  from sh4
-       |  derive hs = s"transform(shingles, s -> pmod(${H("s")}, 2147483647))"
+       |  derive hs = s"transform(shingles, s -> pmod(${H("s")}, ${PipelineOps.MinhashP}))"
        |)
        |
        |table sig4 = (
@@ -165,7 +165,7 @@ object PipelineRelational {
        |
        |table bx4 = (
        |  from sig4
-       |  select [doc_id, bkey = s"explode(transform(sequence(0, 7), j -> concat(j, '|', element_at(sig, 2 * j + 1), '|', element_at(sig, 2 * j + 2))))"]
+       |  select [doc_id, bkey = s"explode(transform(sequence(0, ${PipelineOps.Bands - 1}), j -> concat(j, '|', element_at(sig, 2 * j + 1), '|', element_at(sig, 2 * j + 2))))"]
        |)
        |
        |table bands4 = (
@@ -190,8 +190,8 @@ object PipelineRelational {
        |  from bl4
        |  join br4 [bkeya == bkeyb]
        |  filter ida < idb
-       |  filter rnka <= 2048
-       |  filter rnkb <= 2048
+       |  filter rnka <= ${PipelineOps.LshBucketCap}
+       |  filter rnkb <= ${PipelineOps.LshBucketCap}
        |  select [ida, idb]
        |  group [ida, idb] (take 1)
        |)
@@ -222,7 +222,7 @@ object PipelineRelational {
       s"""$LshChain
          |
          |from verified4
-         |filter jac >= 0.5
+         |filter jac >= ${PipelineOps.LshJaccardCut}
          |sort [ida, idb]
          |select [
          |  ida,
@@ -235,7 +235,7 @@ object PipelineRelational {
          |
          |table dup4 = (
          |  from verified4
-         |  filter jac >= 0.5
+         |  filter jac >= ${PipelineOps.LshJaccardCut}
          |  select [ida, idb]
          |)
          |

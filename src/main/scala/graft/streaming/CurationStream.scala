@@ -50,6 +50,15 @@ object CurationStream {
     requireCol(textCol); requireCol(idCol); requireCol(langCol); requireCol(tsCol)
     require(!docs.columns.contains("words"),
       "curate: input already has a 'words' column; rename it")
+    // ADVICE r12: the batch branch adds content_hash via withColumn, which
+    // silently OVERWRITES a pre-existing column of that name while the
+    // streaming branch raises DedupStream's named require for the same
+    // input — a batch/stream validation divergence in an operator whose
+    // contract is batch-degradation row-identity. Reject it up front on
+    // both branches.
+    require(!docs.columns.contains("content_hash"),
+      "curate: input already has a 'content_hash' column; rename it " +
+        "(curate derives its own dedup hash from the text column)")
 
     val deduped =
       if (docs.isStreaming)

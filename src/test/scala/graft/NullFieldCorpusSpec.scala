@@ -53,6 +53,33 @@ class NullFieldCorpusSpec extends AnyFunSuite {
     case _ => false
   }
 
+  // ADVICE r12: the media codecs must not just survive a null payload —
+  // the DROP must be counted, or a growing upstream-encoder failure rate
+  // silently shrinks the corpus. Each codec publishes the count as an
+  // observed metric (CollectMetrics — no output-schema change, so the
+  // frozen DuckDB oracles are untouched); this pins metric name, column,
+  // and value: exactly the one planted null-payload row.
+  for ((key, tag) <- Seq("p10_media_decode" -> "decode",
+                         "p29_media_resize" -> "resize",
+                         "p30_frame_sample" -> "frames",
+                         "p41_audio_decode" -> "audio")) {
+    test(s"$key counts its null-payload drops in observed metric graft_null_media_$tag") {
+      val df = PipelineOps.queries(key)(spark, dir)
+      df.collect()
+      val metrics = df.queryExecution.observedMetrics
+      val row = metrics.getOrElse(s"graft_null_media_$tag",
+        fail(s"$key published no graft_null_media_$tag metric; has: ${metrics.keys.mkString(", ")}"))
+      val drops = row.getAs[Long]("null_payload_drops")
+      val rows = row.getAs[Long]("payload_rows")
+      // the corpus is 2 real rows + 1 planted null payload; raw counts may
+      // be execution-multiplied (a sort's range sampler re-runs a
+      // shuffle-free lineage — see the nonNullMedia doc), but the RATE is
+      // invariant: exactly 1 in 3
+      assert(drops >= 1L && rows === 3L * drops,
+        s"$key drop rate should be exactly 1/3 (drops=$drops rows=$rows)")
+    }
+  }
+
   for (key <- PipelineOps.queries.keys.toSeq.sorted) {
     test(s"$key on a null-payload row: well-formed result or a named require") {
       try {

@@ -190,10 +190,59 @@ object Bench {
     * derived geometry, rising toward 1 at the reference cos 0.85. Head
     * floors are regression pins set just under the first quiet ×10
     * measurement (the p08-vs-p07 recall-floor precedent). */
+  /** Graded-corpus organic fidelity floors (VERDICT r12 #2) and ×100
+    * planted-pair recall floors (VERDICT r12 #1): -1 = record-only until
+    * pinned just under the first quiet measurement (the p08-vs-p07
+    * recall-floor precedent). */
+  private val P79GradedTop1Floor = -1.0
+  private val P79GradedSpearmanFloor = -1.0
+  private val P79GradedTier95Floor = -1.0
+  private val RecallP08TopBinFloor = -1.0
+  private val RecallP04TopBinFloor = -1.0
+  private val RecallP22SameRepFloor = -1.0
+
   private val P79CoverageFloor = 0.95
   private val P79PlantedFloor = 0.95     // first quiet ×10 measurement: 0.976
   private val P79HeadAgreeFloor = 0.95   // first quiet ×10 measurement: 0.976
   private val P79ShippedJaccardFloor = 0.90 // first quiet ×10 measurement: 0.953
+
+  /** Average-rank ranking (ties are real: margins are 1e-6-quantized). */
+  private def ranks(xs: Seq[Double]): Array[Double] = {
+    val idx = xs.zipWithIndex.sortBy(_._1)
+    val out = new Array[Double](xs.size)
+    var i = 0
+    while (i < idx.size) {
+      var j = i
+      while (j + 1 < idx.size && idx(j + 1)._1 == idx(i)._1) j += 1
+      val avg = (i + j + 2) / 2.0
+      (i to j).foreach(t => out(idx(t)._2) = avg)
+      i = j + 1
+    }
+    out
+  }
+
+  /** Spearman rank correlation over paired sequences; -2 = undefined. */
+  private def spearman(xsIn: Seq[Double], ysIn: Seq[Double]): Double = {
+    val rx = ranks(xsIn); val ry = ranks(ysIn)
+    if (rx.length < 2) return -2.0
+    val n = rx.length
+    val mx = rx.sum / n; val my = ry.sum / n
+    val cov = rx.indices.map(i => (rx(i) - mx) * (ry(i) - my)).sum
+    val vx = rx.map(v => (v - mx) * (v - mx)).sum
+    val vy = ry.map(v => (v - my) * (v - my)).sum
+    if (vx > 0 && vy > 0) cov / math.sqrt(vx * vy) else -2.0
+  }
+
+  /** The fixed orthogonal fast-JL mixer H·D_s (64-point Walsh-Hadamard
+    * after a golden-ratio sign scramble) — see the buildScaledDir comment.
+    * Hoisted so the graded-cosine corpus builder spreads with the SAME
+    * mixer the ×K corpus uses. */
+  private val spreadExpr =
+    "transform(sequence(0, 63), i -> CAST(aggregate(" +
+      "zip_with(embedding, sequence(0, 63), (x, j) -> struct(CAST(x AS DOUBLE) AS x, j AS j)), " +
+      "CAST(0.0 AS DOUBLE), " +
+      "(acc, e) -> acc + (CASE WHEN pmod(bit_count(i & e.j) + (shiftright(-7046029254386353131, e.j) & 1), 2) = 0 THEN e.x ELSE -e.x END)" +
+      ") / 8.0 AS FLOAT)) AS embedding"
 
   private[graft] def buildScaledDir(spark: org.apache.spark.sql.SparkSession,
                                     sfDir: String, k: Int,
@@ -211,8 +260,12 @@ object Bench {
     // near-dup threshold, while same-group pairs keep the exact-balanced
     // Walsh guarantee. Intra-replica geometry stays EXACT (diagonal ±1 is
     // orthogonal) in both groups.
-    require(k >= 2 && k <= 128,
-      s"SPARK_GRAFT_SCALE_K must be in [2, 128] (64 Walsh patterns x 2 bent groups), got $k")
+    // k = 1 is the degenerate "spread only" point (no replication; replica
+    // 0's Walsh pattern is the identity) — the recurring p79 fidelity block
+    // runs there so its planted-partner cosines stay predictable on
+    // energy-flat vectors without paying a ×K corpus per round.
+    require(k >= 1 && k <= 128,
+      s"SPARK_GRAFT_SCALE_K must be in [1, 128] (64 Walsh patterns x 2 bent groups), got $k")
     // Diagonal ±1 bias bounds hold exactly for FLAT vectors only; for real
     // coordinates the same-vector cross-replica cosine is the energy-
     // fluctuation quadratic form |Σ q_i y_i²|/Σ y_i² — mean ≈ cv/8 ≈ 0.16
@@ -230,12 +283,6 @@ object Bench {
     // Q_r = D_r·H·D_s stays orthogonal, so intra-replica geometry is
     // EXACT — replica 0 is an isometric image of the original corpus, no
     // longer the identity.
-    val spreadExpr =
-      "transform(sequence(0, 63), i -> CAST(aggregate(" +
-        "zip_with(embedding, sequence(0, 63), (x, j) -> struct(CAST(x AS DOUBLE) AS x, j AS j)), " +
-        "CAST(0.0 AS DOUBLE), " +
-        "(acc, e) -> acc + (CASE WHEN pmod(bit_count(i & e.j) + (shiftright(-7046029254386353131, e.j) & 1), 2) = 0 THEN e.x ELSE -e.x END)" +
-        ") / 8.0 AS FLOAT)) AS embedding"
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val docCols = docs.columns.map {
       case "doc_id" => s"doc_id * ${k}L + r AS doc_id"
@@ -300,6 +347,61 @@ object Bench {
         System.err.println(s"[bench] calibration ($tag) failed: ${e.getMessage}")
       }
 
+    // ---- previous QUIET same-sf artifact (VERDICT r12 #3): one scan of
+    // bench_history serves two consumers — the regression flags' baseline
+    // medians (formerly computed post-suite) and the quiet-gate floor
+    // below. Eligibility: full-suite artifact (bench_\d+.json — the _probe
+    // suffix is excluded by the regex), same sf, and NOT self-flagged
+    // contended (host_contended from the in-suite calib spread, or
+    // contended_record from a failed pre-suite quiet gate): a contended
+    // baseline deflates every next-round ratio and hides real drift.
+    // Falls back to the latest same-sf artifact regardless of flags when
+    // no quiet one exists (a noisy baseline beats no baseline, loudly).
+    case class PrevArtifact(file: String, medians: Map[String, Double], calibMin: Double)
+    val prevArtifact: Option[PrevArtifact] = try {
+      val dir = java.nio.file.Paths.get("bench_history")
+      if (!java.nio.file.Files.isDirectory(dir)) None
+      else {
+        import scala.jdk.CollectionConverters._
+        val files = java.nio.file.Files.list(dir).iterator().asScala
+          .filter(_.getFileName.toString.matches("bench_\\d+\\.json"))
+          .toSeq.sortBy(_.getFileName.toString)
+        def sameSf(txt: String) =
+          "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(txt).exists(_.group(1) == sfDir)
+        def isQuiet(txt: String) =
+          !txt.contains("\"host_contended\":true") &&
+            !txt.contains("\"contended_record\":true")
+        val candidates = files.reverseIterator
+          .map(f => (f, java.nio.file.Files.readString(f))).filter(t => sameSf(t._2)).toSeq
+        val chosen = candidates.find(t => isQuiet(t._2)).orElse {
+          candidates.headOption.map { t =>
+            System.err.println(s"[bench] WARNING: no quiet same-sf baseline in bench_history — " +
+              s"falling back to contended ${t._1.getFileName} (regression ratios will read deflated)")
+            t
+          }
+        }
+        chosen.map { case (f, txt) =>
+          // ADVICE r10: a silent regex miss would disable regression
+          // detection without any signal — warn loudly on format drift
+          val m = "\"queries\":\\{(.*?)\\}".r.findFirstMatchIn(txt)
+          if (m.isEmpty)
+            System.err.println(s"[bench] WARNING: no \"queries\":{...} block in $f — artifact format drifted; regression detection disabled this run")
+          val parsed = m.map { mm =>
+            "\"([^\"]+)\":(-?[0-9][0-9eE.+-]*)".r.findAllMatchIn(mm.group(1))
+              .map(q => q.group(1) -> q.group(2).toDouble).toMap
+          }.getOrElse(Map.empty[String, Double])
+          if (m.nonEmpty && parsed.isEmpty)
+            System.err.println(s"[bench] WARNING: queries block in $f parsed to an empty map — artifact format drifted; regression detection disabled this run")
+          val calibMin = "\"calib_stats\":\\{\"min\":(-?[0-9.]+)".r
+            .findFirstMatchIn(txt).map(_.group(1).toDouble).getOrElse(-1.0)
+          PrevArtifact(f.getFileName.toString, parsed, calibMin)
+        }
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_history read failed: ${e.getMessage}")
+      None
+    }
+
     // calibration warm (JIT + parquet footer cache), then sample #0 BEFORE
     // the warm-up pass — the suite's whole window must be bracketed
     try calibWork(spark, sfDir)
@@ -307,6 +409,44 @@ object Bench {
       System.err.println(s"[bench] calibration warm failed: ${e.getMessage}")
     }
     takeCalib("pre-warmup")
+
+    // ---- quiet gate (VERDICT r12 #3): both r12 round artifacts shipped
+    // host_contended with spurious regression flags the judge had to
+    // adjudicate by hand. The harness can often see contention BEFORE
+    // burning the suite: compare the pre-warmup calibration sample to the
+    // last quiet round's calibration floor at this sf. Above the band →
+    // settle and re-sample (twice); still above → proceed, but mark the
+    // artifact contended_record:true so trend tooling (tools/trend.py,
+    // Bench's own baseline pick) excludes it from baselines the way it
+    // excludes _probe files. The end-of-run host_contended flag also
+    // raises contended_record — a run that TURNED noisy mid-suite is just
+    // as ineligible as one that started noisy. Gate is advisory only at
+    // the start (r12's sf0.1 record read a healthy 0.583 pre-warmup and
+    // went contended later); its job is catching start-contended windows
+    // like r12's sf1 record (pre-warmup 0.943 vs quiet floor 0.382).
+    var contendedRecord = false
+    if (sys.env.getOrElse("SPARK_GRAFT_QUIET_GATE", "1") != "0") {
+      prevArtifact.filter(_.calibMin > 0) match {
+        case Some(prev) =>
+          val thresh = prev.calibMin * 1.5
+          var tries = 0
+          def lastSample = calibSamples.lastOption.map(_._3).getOrElse(-1.0)
+          while (lastSample > thresh && tries < 2) {
+            System.err.println(f"[bench:quiet-gate] calib ${lastSample}%.3fs > ${thresh}%.3fs " +
+              f"(1.5x quiet floor ${prev.calibMin}%.3fs from ${prev.file}) — settling 60s (retry ${tries + 1}/2)")
+            Thread.sleep(60000L)
+            takeCalib("quiet-gate-retry")
+            tries += 1
+          }
+          if (lastSample > thresh) {
+            contendedRecord = true
+            System.err.println("[bench:quiet-gate] still above the quiet band — proceeding, " +
+              "but this artifact is contended_record:true (excluded from trend baselines)")
+          }
+        case None =>
+          System.err.println("[bench:quiet-gate] no quiet-floor baseline at this sf — gate skipped")
+      }
+    }
 
     // warm-up pass: JIT + parquet footer caches + codegen, untimed
     queries.foreach { case (name, fn) =>
@@ -539,9 +679,17 @@ object Bench {
     // Floors are regression pins set just under the first quiet planted
     // measurement (the p08-vs-p07 recall-floor precedent).
     var p79FidelityJson = "null"
-    if (sys.env.getOrElse("SPARK_GRAFT_P79_FIDELITY", "0") == "1") {
+    // VERDICT r12 #6: the block is RECURRING — default-on for every
+    // full-suite sf0.1 run (the per-round artifact), not just env-gated
+    // probe runs, so shipped-set fidelity is regression-flagged every
+    // round the way runtime is. Default ×K is 1 there (spread-only corpus;
+    // exact p77 costs ~3 s at sf0.1, so the block adds ~10 s to the round
+    // bench); the ×10 deep probe remains env-driven
+    // (SPARK_GRAFT_P79_FIDELITY=1 with SPARK_GRAFT_P79_FIDELITY_K=10).
+    val fidelityDefault = args.isEmpty && sfDir.endsWith("sf0.1")
+    if (sys.env.get("SPARK_GRAFT_P79_FIDELITY").map(_ == "1").getOrElse(fidelityDefault)) {
       try {
-        val fk = sys.env.getOrElse("SPARK_GRAFT_P79_FIDELITY_K", "10").toInt
+        val fk = sys.env.getOrElse("SPARK_GRAFT_P79_FIDELITY_K", "1").toInt
         val fdir0 = buildScaledDir(spark, sfDir, fk, "target/p79fidelity")
         // plant partners: every 10th source vector gets a target-half twin
         // (vec_id + PlantOffset, label 9) whose embedding flips ONE
@@ -576,21 +724,6 @@ object Bench {
           if (common.nonEmpty)
             common.count(s => exact(s)._1 == approx(s)._1).toDouble / common.size
           else -1.0
-        // Spearman with average ranks for ties (margins are 1e-6-quantized,
-        // ties are real)
-        def ranks(xs: Seq[Double]): Array[Double] = {
-          val idx = xs.zipWithIndex.sortBy(_._1)
-          val out = new Array[Double](xs.size)
-          var i = 0
-          while (i < idx.size) {
-            var j = i
-            while (j + 1 < idx.size && idx(j + 1)._1 == idx(i)._1) j += 1
-            val avg = (i + j + 2) / 2.0
-            (i to j).foreach(t => out(idx(t)._2) = avg)
-            i = j + 1
-          }
-          out
-        }
         // planted ship agreement: for each planted source, is the path's
         // emitted top-1 the planted partner?
         val plantedSrcs = exact.keySet.filter(s => s < PlantOffset && s % 10 == 0).toSeq
@@ -619,31 +752,296 @@ object Bench {
           if ((exactPairs ++ approxPairs).nonEmpty)
             (exactPairs & approxPairs).size.toDouble / (exactPairs ++ approxPairs).size
           else -1.0
-        val rx = ranks(common.map(s => exact(s)._2))
-        val ry = ranks(common.map(s => approx(s)._2))
-        val spearman = if (rx.length >= 2) {
-          val n = rx.length
-          val mx = rx.sum / n; val my = ry.sum / n
-          val cov = rx.indices.map(i => (rx(i) - mx) * (ry(i) - my)).sum
-          val vx = rx.map(v => (v - mx) * (v - mx)).sum
-          val vy = ry.map(v => (v - my) * (v - my)).sum
-          if (vx > 0 && vy > 0) cov / math.sqrt(vx * vy) else -2.0
-        } else -2.0
+        // ADVICE r12: the planted partners are ~10% of sources at cos far
+        // above the organic tail, so the decile head is planted-dominated
+        // and the three head metrics largely re-measure planted recovery.
+        // Also grade the ORGANIC members of a top-QUINTILE head (the
+        // planted sources removed) so a regression in organic shipped-pair
+        // fidelity just below the planted band has its own number.
+        val plantedSet = plantedSrcs.toSet
+        val m20 = math.max(1, math.ceil(exact.size * 0.2).toInt)
+        val organicHeadSrcs = exact.toSeq.sortBy { case (s, (_, mg)) => (-mg, s) }
+          .take(m20).map(_._1).filterNot(plantedSet.contains).filter(approx.contains)
+        val organicHeadAgree =
+          if (organicHeadSrcs.nonEmpty)
+            organicHeadSrcs.count(s => exact(s)._1 == approx(s)._1).toDouble / organicHeadSrcs.size
+          else -1.0
+        val fullSpearman =
+          spearman(common.map(s => exact(s)._2), common.map(s => approx(s)._2))
         val passed = coverage >= P79CoverageFloor && pBoth >= P79PlantedFloor &&
           headAgree >= P79HeadAgreeFloor && shippedJaccard >= P79ShippedJaccardFloor
+        // floors ENFORCED (VERDICT r12 #6): fidelity is deterministic
+        // (recall, not timing), so a floor breach is a real regression —
+        // it joins `errors` and fails the bench exit code like a broken
+        // query would
+        if (!passed)
+          errors("p79_fidelity") =
+            f"below floor: coverage=${coverage}%.3f planted_both=${pBoth}%.3f head_top1=${headAgree}%.3f shipped_jaccard=${shippedJaccard}%.3f"
         p79FidelityJson =
           s"""{"k":$fk,"srcs_exact":${exact.size},"srcs_common":${common.size},"head_m":$m,""" +
           s""""planted":{"n":${plantedSrcs.size},"exact_top1":${f3(pExact)},"approx_top1":${f3(pApprox)},"both_top1":${f3(pBoth)},"construction":"one-coordinate sign flip, cos ~ 1-2/64 for spread vectors"},""" +
           s""""coverage":${f3(coverage)},"head_top1_agreement":${f3(headAgree)},""" +
+          s""""organic_head_top1":${f3(organicHeadAgree)},"organic_head_n":${organicHeadSrcs.size},""" +
+          s""""organic_head_note":"top-quintile head minus planted sources (ADVICE r12); floored organic fidelity lives in p79_graded, whose corpus plants graded-cosine partners for EVERY source",""" +
           s""""shipped_jaccard":${f3(shippedJaccard)},""" +
-          s""""fullset_top1_agreement":${f3(agree)},"fullset_margin_spearman":${f3(spearman)},""" +
+          s""""fullset_top1_agreement":${f3(agree)},"fullset_margin_spearman":${f3(fullSpearman)},""" +
           s""""fullset_note":"recorded, not floored: on the Walsh xK corpus the full set is argmax over decorrelated noise (cross-replica energy tail to cos~0.8) - see P79CoverageFloor doc",""" +
           s""""exact_s":${f3(exactS)},"approx_s":${f3(approxS)},""" +
           s""""floors":{"coverage":$P79CoverageFloor,"planted_both_top1":$P79PlantedFloor,"head_top1_agreement":$P79HeadAgreeFloor,"shipped_jaccard":$P79ShippedJaccardFloor},""" +
           s""""passed":$passed}"""
-        System.err.println(f"[bench:p79-fidelity] k=$fk coverage=${f3(coverage)} planted=${f3(pExact)}/${f3(pApprox)}/${f3(pBoth)} head_top1=${f3(headAgree)} shipped_jaccard=${f3(shippedJaccard)} fullset_top1=${f3(agree)} fullset_spearman=${f3(spearman)} exact=${f3(exactS)}s approx=${f3(approxS)}s passed=$passed")
+        System.err.println(f"[bench:p79-fidelity] k=$fk coverage=${f3(coverage)} planted=${f3(pExact)}/${f3(pApprox)}/${f3(pBoth)} head_top1=${f3(headAgree)} shipped_jaccard=${f3(shippedJaccard)} fullset_top1=${f3(agree)} fullset_spearman=${f3(fullSpearman)} exact=${f3(exactS)}s approx=${f3(approxS)}s passed=$passed")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] p79 fidelity failed: ${e.getMessage}")
+      }
+    }
+
+    // ---- p79 graded-cosine organic fidelity (VERDICT r12 #2): the Walsh
+    // ×K corpus has no organic cross-half structure — full-set top-1 there
+    // is argmax over decorrelated noise (recorded UNFLOORED above). This
+    // block builds the regime a miner actually ships from,
+    // deterministically: every (strided) source vector gets a TARGET-half
+    // partner at a GRADED exact cosine — tier by pmod(vec_id, 3):
+    // 0.95 / 0.8 / 0.6, constructed by Gram-Schmidt against a
+    // Walsh-flipped copy of the vector so cos(v, partner) = c up to float
+    // — plus one decorrelated distractor target per source (Walsh pattern
+    // 21 sign flip), so the target half is 2x the source half and top-1 is
+    // non-trivial. Full-set top-1 agreement and margin-Spearman vs exact
+    // p77 become floorable laws on graded organic structure, retiring the
+    // unfloored argmax-over-noise reading as the only full-set evidence.
+    var p79GradedJson = "null"
+    if (sys.env.get("SPARK_GRAFT_P79_GRADED").map(_ == "1").getOrElse(fidelityDefault)) {
+      try {
+        val stride = sys.env.getOrElse("SPARK_GRAFT_P79_GRADED_STRIDE", "2").toLong
+        val GradedOffset = 1000000000L
+        val gdir = "target/p79graded"
+        val tGen0 = System.nanoTime()
+        spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .createOrReplaceTempView("embeddings")
+        spark.sql(s"""
+          WITH sp AS (
+            SELECT vec_id, $spreadExpr FROM embeddings WHERE pmod(vec_id, ${stride}L) = 0),
+          st AS (
+            SELECT vec_id, embedding AS v,
+              aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS n2,
+              aggregate(zip_with(embedding, sequence(0, 63), (x, i) ->
+                CASE WHEN pmod(bit_count((pmod(vec_id, 63) + 1) & i), 2) = 0
+                     THEN CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                     ELSE -(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) END),
+                CAST(0 AS DOUBLE), (a, x) -> a + x) AS dvw
+            FROM sp),
+          wt AS (
+            SELECT vec_id, v, n2,
+              zip_with(v, sequence(0, 63), (x, i) ->
+                (CASE WHEN pmod(bit_count((pmod(vec_id, 63) + 1) & i), 2) = 0
+                      THEN CAST(x AS DOUBLE) ELSE -CAST(x AS DOUBLE) END)
+                - dvw / n2 * CAST(x AS DOUBLE)) AS w
+            FROM st WHERE n2 > 0),
+          tiers AS (
+            SELECT vec_id, v, n2, w,
+              aggregate(w, CAST(0 AS DOUBLE), (a, x) -> a + x * x) AS n2w,
+              CASE CAST(pmod(vec_id, 3) AS INT) WHEN 0 THEN CAST(0.95 AS DOUBLE)
+                   WHEN 1 THEN CAST(0.8 AS DOUBLE) ELSE CAST(0.6 AS DOUBLE) END AS c
+            FROM wt)
+          SELECT vec_id, CAST(0 AS INT) AS label, v AS embedding FROM tiers
+          UNION ALL
+          SELECT vec_id + ${GradedOffset}L AS vec_id, CAST(9 AS INT) AS label,
+            CASE WHEN n2w < 1e-12 THEN v
+                 ELSE zip_with(v, w, (x, y) ->
+                   CAST(c * CAST(x AS DOUBLE) + sqrt(1 - c * c) * sqrt(n2 / n2w) * y AS FLOAT)) END AS embedding
+          FROM tiers
+          UNION ALL
+          SELECT vec_id + ${2 * GradedOffset}L AS vec_id, CAST(9 AS INT) AS label,
+            transform(zip_with(v, sequence(0, 63), (x, i) ->
+              CASE WHEN pmod(bit_count(21 & i), 2) = 0 THEN CAST(x AS DOUBLE) ELSE -CAST(x AS DOUBLE) END),
+              x -> CAST(x AS FLOAT)) AS embedding
+          FROM tiers""")
+          .write.mode("overwrite").parquet(s"$gdir/embeddings.parquet")
+        val genS = (System.nanoTime() - tGen0) / 1e9
+        def bestPairsG(name: String): (Map[Long, (Long, Double)], Double) = {
+          val t0 = System.nanoTime()
+          val m = SparkEntry.queries(name)(spark, gdir).collect()
+            .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+          (m, (System.nanoTime() - t0) / 1e9)
+        }
+        val (gx, gxS) = bestPairsG("p77_bitext_margin")
+        val (ga, gaS) = bestPairsG("p79_bitext_ann")
+        val common = gx.keySet.intersect(ga.keySet).toSeq.sorted
+        val coverage = if (gx.nonEmpty) common.size.toDouble / gx.size else -1.0
+        val top1 =
+          if (common.nonEmpty)
+            common.count(sid => gx(sid)._1 == ga(sid)._1).toDouble / common.size
+          else -1.0
+        val gSpearman =
+          spearman(common.map(sid => gx(sid)._2), common.map(sid => ga(sid)._2))
+        def tierOf(sid: Long): Int = (sid % 3).toInt
+        // tier index by cosine: tier 0 = 0.95, 1 = 0.8, 2 = 0.6
+        val tierJson = (0 to 2).map { t =>
+          val cos = t match { case 0 => 0.95; case 1 => 0.8; case _ => 0.6 }
+          val srcs = common.filter(tierOf(_) == t)
+          val agree =
+            if (srcs.nonEmpty) srcs.count(sid => gx(sid)._1 == ga(sid)._1).toDouble / srcs.size
+            else -1.0
+          val xAll = gx.keySet.toSeq.filter(tierOf(_) == t)
+          val hitX =
+            if (xAll.nonEmpty) xAll.count(sid => gx(sid)._1 == sid + GradedOffset).toDouble / xAll.size
+            else -1.0
+          val aAll = ga.keySet.toSeq.filter(tierOf(_) == t)
+          val hitA =
+            if (aAll.nonEmpty) aAll.count(sid => ga(sid)._1 == sid + GradedOffset).toDouble / aAll.size
+            else -1.0
+          (t, cos, srcs.size, agree, hitX, hitA)
+        }
+        val tier95Agree = tierJson.head._4
+        val gPassed =
+          (P79GradedTop1Floor < 0 || top1 >= P79GradedTop1Floor) &&
+          (P79GradedSpearmanFloor < 0 || gSpearman >= P79GradedSpearmanFloor) &&
+          (P79GradedTier95Floor < 0 || tier95Agree >= P79GradedTier95Floor)
+        if (!gPassed)
+          errors("p79_graded") = f"below floor: top1=$top1%.3f spearman=$gSpearman%.3f tier95=$tier95Agree%.3f"
+        val tiersStr = tierJson.map { case (t, cos, n, agree, hitX, hitA) =>
+          s"""{"tier":$t,"cos":$cos,"n":$n,"top1_agreement":${f3(agree)},"exact_planted_hit":${f3(hitX)},"approx_planted_hit":${f3(hitA)}}"""
+        }.mkString("[", ",", "]")
+        p79GradedJson =
+          s"""{"stride":$stride,"gen_s":${f3(genS)},"srcs_exact":${gx.size},"srcs_common":${common.size},""" +
+          s""""coverage":${f3(coverage)},"fullset_top1_agreement":${f3(top1)},"fullset_margin_spearman":${f3(gSpearman)},""" +
+          s""""tiers":$tiersStr,"exact_s":${f3(gxS)},"approx_s":${f3(gaS)},""" +
+          s""""floors":{"fullset_top1":$P79GradedTop1Floor,"fullset_spearman":$P79GradedSpearmanFloor,"tier95_top1":$P79GradedTier95Floor},""" +
+          s""""passed":$gPassed}"""
+        System.err.println(f"[bench:p79-graded] top1=${f3(top1)} spearman=${f3(gSpearman)} " +
+          s"tiers=${tierJson.map(t => s"${t._2}:${f3(t._4)}").mkString(",")} " +
+          s"exact=${f3(gxS)}s approx=${f3(gaS)}s passed=$gPassed")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] p79 graded fidelity failed: ${e.getMessage}")
+      }
+    }
+
+    // ---- ×K planted-pair recall probe (VERDICT r12 #1): the ×100 scale
+    // probe measured that the r=12 clamp + SrpBucketCap flatten RUNTIME;
+    // this measures whether planted-pair RECALL survives the same clamps
+    // at the same derived geometry. Partners are planted on the ×K corpus
+    // (sources at pmod(id, mod) = 0):
+    //  - embeddings: flip m coordinates (tier by pmod(vec_id, 3):
+    //    m = 1/3/5 → cos ≈ 1 − 2m/64 for energy-flat spread vectors);
+    //  - documents: replace every k-th word (tier k = 40/24/14) with a
+    //    doc-local sentinel, degrading the 3-gram shingle set by a
+    //    controlled fraction.
+    // Ground truth per pair is MEASURED (PipelineOps.plantedCosine /
+    // plantedShingleJaccard — the operator's own feature space), recall is
+    // binned by measured similarity, and each bin carries the banding-law
+    // prediction (1-(1-p^r)^b) so cap-induced loss is readable as
+    // measured-vs-law. p22 additionally reports the operator-level law:
+    // planted partners land in the SAME component (rep equality).
+    var recallProbeJson = "null"
+    if (sys.env.getOrElse("SPARK_GRAFT_RECALL_PROBE", "0") == "1") {
+      try {
+        val rk = sys.env.getOrElse("SPARK_GRAFT_RECALL_K", "100").toInt
+        val rmod = sys.env.getOrElse("SPARK_GRAFT_RECALL_MOD", "20").toLong
+        val PlantOffset = 1000000000L
+        val rdir = "target/recallprobe_planted"
+        val tGen0 = System.nanoTime()
+        val rdir0 = buildScaledDir(spark, sfDir, rk, "target/recallprobe")
+        val emb0 = spark.read.parquet(s"$rdir0/embeddings.parquet")
+        val embPartnerCols = emb0.columns.map {
+          case "vec_id" => s"vec_id + ${PlantOffset}L AS vec_id"
+          case "embedding" =>
+            "transform(embedding, (x, i) -> IF(array_contains(" +
+              "transform(sequence(0, CASE CAST(pmod(vec_id, 3) AS INT) WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 4 END), " +
+              "j -> CAST(pmod(vec_id + j * 7, 64) AS INT)), i), -x, x)) AS embedding"
+          case c => s"`$c`"
+        }
+        emb0.unionByName(
+            emb0.where(s"pmod(vec_id, $rmod) = 0").selectExpr(embPartnerCols: _*))
+          .write.mode("overwrite").parquet(s"$rdir/embeddings.parquet")
+        val doc0 = spark.read.parquet(s"$rdir0/documents.parquet")
+        val docPartnerCols = doc0.columns.map {
+          case "doc_id" => s"doc_id + ${PlantOffset}L AS doc_id"
+          case "text" =>
+            "array_join(transform(split(trim(text), '\\\\s+'), (w, j) -> " +
+              "CASE WHEN pmod(j, CASE CAST(pmod(doc_id, 3) AS INT) WHEN 0 THEN 40 WHEN 1 THEN 24 ELSE 14 END) = 0 " +
+              "THEN concat('qx', pmod(doc_id, 97), 'x', j) ELSE w END), ' ') AS text"
+          case c => s"`$c`"
+        }
+        doc0.unionByName(
+            doc0.where(s"pmod(doc_id, $rmod) = 0").selectExpr(docPartnerCols: _*))
+          .write.mode("overwrite").parquet(s"$rdir/documents.parquet")
+        val genS = (System.nanoTime() - tGen0) / 1e9
+        val trueCos = graft.pipeline.PipelineOps.plantedCosine(spark, rdir, PlantOffset, rmod)
+          .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+        val trueJac = graft.pipeline.PipelineOps.plantedShingleJaccard(spark, rdir, PlantOffset, rmod)
+          .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+        val embN = spark.read.parquet(s"$rdir/embeddings.parquet").count()
+        val (srpR, srpB) = graft.pipeline.PipelineOps.chooseSrpGeometry(embN)
+        def timedFound(q: String): (Map[Long, Double], Double) = {
+          val t0 = System.nanoTime()
+          val m = SparkEntry.queries(q)(spark, rdir)
+            .where(s"idb = ida + ${PlantOffset}L")
+            .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+          (m, (System.nanoTime() - t0) / 1e9)
+        }
+        // SRP banding law: per-plane agreement p = 1 - acos(cos)/pi
+        def srpLaw(cos: Double): Double = {
+          val pp = 1.0 - math.acos(math.min(1.0, cos)) / math.Pi
+          1.0 - math.pow(1.0 - math.pow(pp, srpR), srpB)
+        }
+        // minhash banding law at (rows-per-band 2, 8 bands): p = j^2
+        def lshLaw(j: Double): Double = 1.0 - math.pow(1.0 - j * j, 8)
+        def binJson(truth: Map[Long, Double], found: Map[Long, Double],
+                    bins: Seq[(Double, Double)], law: Double => Double): (String, Double) = {
+          var topRecall = -1.0
+          val parts = bins.map { case (lo, hi) =>
+            val ids = truth.filter { case (_, v) => v >= lo && v < hi }.keys.toSeq
+            val hit = ids.count(found.contains)
+            val recall = if (ids.nonEmpty) hit.toDouble / ids.size else -1.0
+            val mid = truth.collect { case (id, v) if v >= lo && v < hi => v } match {
+              case vs if vs.nonEmpty => vs.sum / vs.size
+              case _ => (lo + hi) / 2
+            }
+            if (hi > 0.9 && recall >= 0) topRecall = recall
+            s"""{"lo":$lo,"hi":$hi,"n":${ids.size},"found":$hit,"recall":${f3(recall)},"law_at_mean":${f3(law(mid))}}"""
+          }
+          (parts.mkString("[", ",", "]"), topRecall)
+        }
+        val (p08Found, p08S) = timedFound("p08_ann_srp_lsh")
+        val (cosBinsJson, p08Top) = binJson(trueCos, p08Found,
+          Seq((0.80, 0.88), (0.88, 0.95), (0.95, 1.01)), srpLaw)
+        val (p04Found, p04S) = timedFound("p04_minhash_lsh")
+        val jacTruth = trueJac.filter(_._2 >= 0.5) // p04's admission cut
+        val (jacBinsJson, p04Top) = binJson(jacTruth, p04Found,
+          Seq((0.5, 0.6), (0.6, 0.75), (0.75, 1.01)), lshLaw)
+        // p22 same-component law over the same candidate machinery
+        val t22 = System.nanoTime()
+        val p22Reps = SparkEntry.queries("p22_embed_dedup")(spark, rdir)
+          .where(s"pmod(vec_id, $rmod) = 0 OR vec_id >= ${PlantOffset}L")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val p22S = (System.nanoTime() - t22) / 1e9
+        val p22Thresh = graft.pipeline.PipelineOps.embDupThreshold(spark)
+        val p22Eligible = trueCos.filter(_._2 >= p22Thresh).keys.toSeq
+        val sameRep =
+          if (p22Eligible.nonEmpty)
+            p22Eligible.count(id =>
+              p22Reps.get(id).zip(p22Reps.get(id + PlantOffset)).exists(t => t._1 == t._2)
+            ).toDouble / p22Eligible.size
+          else -1.0
+        val rPassed =
+          (RecallP08TopBinFloor < 0 || p08Top >= RecallP08TopBinFloor) &&
+          (RecallP04TopBinFloor < 0 || p04Top >= RecallP04TopBinFloor) &&
+          (RecallP22SameRepFloor < 0 || sameRep >= RecallP22SameRepFloor)
+        if (!rPassed)
+          errors("recall_probe") = f"below floor: p08_top=$p08Top%.3f p04_top=$p04Top%.3f p22_same_rep=$sameRep%.3f"
+        recallProbeJson =
+          s"""{"k":$rk,"mod":$rmod,"gen_s":${f3(genS)},"emb_n":$embN,"geometry":{"r":$srpR,"b":$srpB},""" +
+          s""""planted_emb":${trueCos.size},"planted_doc_ge_cut":${jacTruth.size},""" +
+          s""""p08":{"runtime_s":${f3(p08S)},"bins_by_true_cos":$cosBinsJson},""" +
+          s""""p04":{"runtime_s":${f3(p04S)},"bins_by_true_jaccard":$jacBinsJson},""" +
+          s""""p22":{"runtime_s":${f3(p22S)},"threshold":$p22Thresh,"planted_ge_threshold":${p22Eligible.size},"same_rep":${f3(sameRep)}},""" +
+          s""""floors":{"p08_top_bin":$RecallP08TopBinFloor,"p04_top_bin":$RecallP04TopBinFloor,"p22_same_rep":$RecallP22SameRepFloor},""" +
+          s""""passed":$rPassed}"""
+        System.err.println(s"[bench:recall-probe] k=$rk geom=($srpR,$srpB) " +
+          s"p08_top=${f3(p08Top)} p04_top=${f3(p04Top)} p22_same_rep=${f3(sameRep)} " +
+          s"p08=${f3(p08S)}s p04=${f3(p04S)}s p22=${f3(p22S)}s passed=$rPassed")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] recall probe failed: ${e.getMessage}")
+        e.printStackTrace()
       }
     }
 
@@ -687,6 +1085,9 @@ object Bench {
       case (name, s) if s.min > 0 && s.max > 0.5 && s.max / s.min > 3.0 => name
     }
     val hostContended = inSuiteSpread > 2.0 || unstableQueries.nonEmpty
+    // a run that turned noisy mid-suite is as ineligible for baselines as
+    // one the pre-suite gate caught (VERDICT r12 #3)
+    contendedRecord = contendedRecord || hostContended
     if (hostContended)
       System.err.println(s"[bench] HOST_CONTENDED: in-suite calib spread ${f"$inSuiteSpread%.2f"}x, " +
         s"unstable queries: ${unstableQueries.mkString(",")} — treat absolute times with suspicion")
@@ -698,43 +1099,8 @@ object Bench {
     // reading for exactly the rows a cross-round trend (tools/trend.py)
     // would flag — r9's triage of p57/p23/p24-style contention outliers
     // needed this and had to be done by hand.
-    val prevMedians: Map[String, Double] = try {
-      val dir = java.nio.file.Paths.get("bench_history")
-      if (!java.nio.file.Files.isDirectory(dir)) Map.empty
-      else {
-        import scala.jdk.CollectionConverters._
-        val files = java.nio.file.Files.list(dir).iterator().asScala
-          .filter(_.getFileName.toString.matches("bench_\\d+\\.json"))
-          .toSeq.sortBy(_.getFileName.toString)
-        // r11: pick the latest artifact AT THIS SF (not merely the latest
-        // file) — an sf1 run would otherwise never self-compare, since an
-        // sf0.1 run usually lands in between (VERDICT r10 #5's point: one
-        // sf1 measurement cannot show drift)
-        files.reverseIterator.map(f => (f, java.nio.file.Files.readString(f)))
-          .find { case (_, txt) =>
-            "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(txt)
-              .exists(_.group(1) == sfDir)
-          }.map { case (f, txt) =>
-          {
-            // ADVICE r10: a silent regex miss would disable regression
-            // detection without any signal — warn loudly on format drift
-            val m = "\"queries\":\\{(.*?)\\}".r.findFirstMatchIn(txt)
-            if (m.isEmpty)
-              System.err.println(s"[bench] WARNING: no \"queries\":{...} block in $f — artifact format drifted; regression detection disabled this run")
-            val parsed = m.map { mm =>
-              "\"([^\"]+)\":(-?[0-9][0-9eE.+-]*)".r.findAllMatchIn(mm.group(1))
-                .map(q => q.group(1) -> q.group(2).toDouble).toMap
-            }.getOrElse(Map.empty[String, Double])
-            if (m.nonEmpty && parsed.isEmpty)
-              System.err.println(s"[bench] WARNING: queries block in $f parsed to an empty map — artifact format drifted; regression detection disabled this run")
-            parsed
-          }
-        }.getOrElse(Map.empty[String, Double])
-      }
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] bench_history read failed: ${e.getMessage}")
-      Map.empty
-    }
+    val prevMedians: Map[String, Double] =
+      prevArtifact.map(_.medians).getOrElse(Map.empty)
     val regressedQueries = results.collect {
       case (name, s) if s.median > 0 &&
         prevMedians.get(name).exists(p => p > 0 && s.median > 1.5 * p) => name
@@ -782,7 +1148,7 @@ object Bench {
     val errJson = errors
       .map { case (k, v) => s"${util.Json.quote(k)}:${util.Json.quote(v.take(200))}" }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_detail":$qDetail,"errors":$errJson,"compile_us_per_query":${compileUs.round},"parse_us_per_query":${parseUs.round},"lower_us_per_query":${lowerUs.round},"sqlgen_us_per_query":${sqlgenUs.round},"calib_s":$calibS,"calib_samples":$calibJson,"calib_stats":$calibStats,"host_contended":$hostContended,"unstable_queries":${unstableQueries.map(util.Json.quote).mkString("[", ",", "]")},"regressed_queries":${regressedQueries.map(util.Json.quote).mkString("[", ",", "]")},"hash_family_bench":$hashFamilyJson,"scale_probe":$scaleProbeJson,"p79_fidelity":$p79FidelityJson,"epoch_ms":$benchEpochMs,"runs_per_query":$TimedRuns,"fast_runs":$FastTimedRuns,"fast_threshold_s":$FastQueryThresholdSec,"runs_policy":"median over runs_per_query timed runs; promoted to fast_runs when any timed run < fast_threshold_s; unstable queries re-timed once post-suite (query_detail.retry)","aggregation":"median","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_detail":$qDetail,"errors":$errJson,"compile_us_per_query":${compileUs.round},"parse_us_per_query":${parseUs.round},"lower_us_per_query":${lowerUs.round},"sqlgen_us_per_query":${sqlgenUs.round},"calib_s":$calibS,"calib_samples":$calibJson,"calib_stats":$calibStats,"host_contended":$hostContended,"contended_record":$contendedRecord,"unstable_queries":${unstableQueries.map(util.Json.quote).mkString("[", ",", "]")},"regressed_queries":${regressedQueries.map(util.Json.quote).mkString("[", ",", "]")},"hash_family_bench":$hashFamilyJson,"scale_probe":$scaleProbeJson,"p79_fidelity":$p79FidelityJson,"p79_graded":$p79GradedJson,"recall_probe":$recallProbeJson,"epoch_ms":$benchEpochMs,"runs_per_query":$TimedRuns,"fast_runs":$FastTimedRuns,"fast_threshold_s":$FastQueryThresholdSec,"runs_policy":"median over runs_per_query timed runs; promoted to fast_runs when any timed run < fast_threshold_s; unstable queries re-timed once post-suite (query_detail.retry)","aggregation":"median","sf":"$sfDir"}"""
     println(line)
     // the full per-query record also lands on disk: the r3 driver artifact
     // lost its tail to log truncation, and a file survives that
@@ -804,7 +1170,8 @@ object Bench {
     // the previous-medians baseline for a full-suite run.
     // Fidelity-measuring hotspot runs are durable for the same reason the
     // forced ×K probes are: the measured block IS the round artifact.
-    val fidelityRan = p79FidelityJson != "null"
+    val fidelityRan = p79FidelityJson != "null" || p79GradedJson != "null" ||
+      recallProbeJson != "null"
     if (args.isEmpty || probeForced || fidelityRan) try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("bench_history"))
       val fname = if (args.isEmpty) s"bench_$benchEpochMs.json"

@@ -25,6 +25,15 @@ def load(path):
         return json.loads(f.read().strip())
 
 
+def quiet(d):
+    # baseline eligibility (VERDICT r12 #3): a run that self-flagged
+    # contention — contended_record (pre-suite quiet-gate, r13+) or
+    # host_contended (in-suite calib spread) — must never be the
+    # previous-medians baseline: its inflated medians make the next quiet
+    # run look like an across-the-board improvement and hide real drift.
+    return not (d.get("contended_record", False) or d.get("host_contended", False))
+
+
 def history():
     # full-suite artifacts only: _probe files hold forced hotspot/fidelity
     # runs (2-7 queries) and would make a useless trend baseline — the same
@@ -91,7 +100,12 @@ def main():
         if len(sf1) < 2:
             print(f"need at least two sf1 runs in bench_history (have {len(sf1)})")
             return
-        pairs.append((sf1[-2], sf1[-1]))
+        sf1_prevs = [r for r in sf1[:-1] if quiet(r[1])]
+        if not sf1_prevs:
+            sf1_prevs = sf1[:-1]
+            print("WARNING: no quiet sf1 baseline — comparing against a "
+                  "contended run; ratios are deflated")
+        pairs.append((sf1_prevs[-1], sf1[-1]))
     elif "--all" in sys.argv:
         for a, b in zip(runs, runs[1:]):
             if a[1].get("sf") == b[1].get("sf"):
@@ -99,6 +113,12 @@ def main():
     else:
         cur = runs[-1]
         prevs = [r for r in runs[:-1] if r[1].get("sf") == cur[1].get("sf")]
+        quiet_prevs = [r for r in prevs if quiet(r[1])]
+        if quiet_prevs:
+            prevs = quiet_prevs
+        elif prevs:
+            print("WARNING: no quiet baseline at this sf — comparing against "
+                  "a contended run; ratios are deflated")
         if not prevs:
             print(f"no previous run at sf={cur[1].get('sf')}")
             return

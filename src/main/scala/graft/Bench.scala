@@ -194,12 +194,20 @@ object Bench {
     * planted-pair recall floors (VERDICT r12 #1): -1 = record-only until
     * pinned just under the first quiet measurement (the p08-vs-p07
     * recall-floor precedent). */
-  private val P79GradedTop1Floor = -1.0
-  private val P79GradedSpearmanFloor = -1.0
-  private val P79GradedTier95Floor = -1.0
-  private val RecallP08TopBinFloor = -1.0
-  private val RecallP04TopBinFloor = -1.0
-  private val RecallP22SameRepFloor = -1.0
+  // graded (first quiet sf0.1 measurement, stride 2 → derived (7,8):
+  // top1 0.794, spearman 0.850, tier-0.95 agreement 0.997 — each tier
+  // tracks the banding law 1-(1-p^r)^b at its cosine: 0.994/0.834/0.516
+  // predicted vs 0.997/0.853/0.532 measured)
+  private val P79GradedTop1Floor = 0.78
+  private val P79GradedSpearmanFloor = 0.83
+  private val P79GradedTier95Floor = 0.99
+  // ×100 recall probe (first quiet measurement at derived (12,23),
+  // bench_1786864227187_probe.json): p08 top-cos-bin 1.000 (law 1.000),
+  // p04 top-jaccard-bin 0.985 (law 1.000 — LshBucketCap binding under the
+  // replica corpus's ~99% dup density), p22 same-rep 1.000
+  private val RecallP08TopBinFloor = 0.99
+  private val RecallP04TopBinFloor = 0.97
+  private val RecallP22SameRepFloor = 0.99
 
   private val P79CoverageFloor = 0.95
   private val P79PlantedFloor = 0.95     // first quiet ×10 measurement: 0.976

@@ -2824,11 +2824,11 @@ object PipelineRelational {
     "p10_media_decode" ->
       "typed mapPartitions codec (MediaOps) — imperative per-partition decode, not relational",
     "p16_dedup_clusters" ->
-      "iterative label-propagation driver loop with per-round barriers (convergence-driven round count)",
+      "iterative label-propagation driver loop with per-round barriers (convergence-driven round count). Re-audited r13 against the HazardProbe precedent (VERDICT r12 #8): the p50-style pinned unroll was REJECTED, not overlooked — the x100 probe measured the round count GROWING with corpus structure (rounds 2 at sf0.1 -> 3 at x10, Bench rounds_base/rounds_scaled), so a two-round unroll row-equal at the gate would be a different operator at any larger corpus; the mechanism is confirmed, and only refuted mechanisms may shrink this list",
     "p19_ann_ivf" ->
       "runtime-derived codebook rate from a corpus count (p08's exclusion mechanism, since r10's chooseIvfMod) + driver-side seed/Lloyd multi-action sequence",
     "p20_curation" ->
-      "composes p16's iterative labels (driver loop) with the map-side stages",
+      "composes p16's iterative labels (driver loop) with the map-side stages — inherits p16's r13 re-audit: the round count is measured to grow with scale, so no pinned unroll is honest",
     "p21_decontam" ->
       "the word-hash (hw) Barrier alone is load-bearing (re-audited r11 per VERDICT r10 #6; re-measured r12 end-to-end by HazardProbe: barrier=none runs 5.0x at sf0.1 — 19.5 s vs 3.9 s — and >=30x at x10, where the no-barrier run blew the 600 s timeout floor vs 19.9 s with it): train is consumed by BOTH the eval-set fold and the final scoring select, and pushed-down predicates re-inline the word-hash lambda chain into non-identical consumer plans that ReuseExchange cannot dedup (the CollapseProject hazard, doc'd on p21EvalGramCountSql) — superlinear in corpus size, unlike the break-even p04/p25/p28/p67 class; the bucket count COULD be interpolated at its gate default (B=1, the mixtureAlpha pattern) but that would not make the remaining text one honest query",
     "p22_embed_dedup" ->
@@ -2840,7 +2840,7 @@ object PipelineRelational {
     "p41_audio_decode" ->
       "typed mapPartitions codec (RIFF/WAV chunk walk + PCM sample parse in MediaOps) — imperative per-partition decode, not relational",
     "p42_split_assign" ->
-      "composes p16's iterative label-propagation driver loop (the split unit is the converged near-dup cluster)",
+      "composes p16's iterative label-propagation driver loop (the split unit is the converged near-dup cluster) — inherits p16's r13 re-audit: measured round growth refutes any pinned unroll",
     "p50_bpe_learn" ->
       "M-round driver loop: each merge's argmax is a one-row action whose RESULT is spliced into the next round's rewrite SQL, with barriers between rounds — p16's iterative exclusion class",
     "p51_bpe_tokenize" ->

@@ -74,14 +74,18 @@ object AsofJoinStream {
     for (c <- Seq("event_id", "user_id", "tus", "event_type"))
       require(events.columns.contains(c),
         s"matchClicks: input is missing column '$c' (has: ${events.columns.mkString(", ")})")
-    val ds = events.select($"event_id".cast("long"), $"user_id".cast("long"),
+    // a clock-less or id-less event cannot be as-of matched: routed out and
+    // COUNTED before the primitive-encoder boundary (NullGuard doc) —
+    // applied before the branch so batch and stream see identical rows
+    val events2 = NullGuard(events, "asof", Seq("event_id", "user_id", "tus"))
+    val ds = events2.select($"event_id".cast("long"), $"user_id".cast("long"),
       $"tus".cast("long"), $"event_type".cast("string")).as[Ev]
       .filter(e => e.event_type == "click" || e.event_type == "view")
     if (events.isStreaming)
       ds.groupByKey(_.user_id)
         .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
     else {
-      events.createOrReplaceTempView("graft_asof_events")
+      events2.createOrReplaceTempView("graft_asof_events")
       spark.sql("""
         WITH e AS (
           SELECT event_id, user_id, tus,

@@ -59,6 +59,14 @@ object CurationStream {
     require(!docs.columns.contains("content_hash"),
       "curate: input already has a 'content_hash' column; rename it " +
         "(curate derives its own dedup hash from the text column)")
+    // the quality gate derives these over `*` (QualityMetricsSql), so a
+    // same-named input column becomes an AMBIGUOUS_REFERENCE deep in the
+    // analyzer — reject it here with a named error instead
+    // (StreamingDegenerateSpec found this with an n_tokens input column)
+    for (c <- Seq("n_tokens", "stop_ratio", "distinct_ratio"))
+      require(!docs.columns.contains(c),
+        s"curate: input already has a '$c' column, which the quality gate " +
+          "derives; rename it")
 
     val deduped =
       if (docs.isStreaming)

@@ -107,6 +107,10 @@ object DriftStream {
   def referenceGrid(docs: DataFrame, textCol: String): Seq[(Long, Long)] = {
     requireCols(docs, Seq(textCol))
     val rows = docs.selectExpr(s"${tokenCountExpr(textCol)} AS v")
+      // a null-payload document has no token count — it is not part of
+      // the reference distribution (StreamingDegenerateSpec: the null row
+      // otherwise surfaces as a ROW_VALUE_IS_NULL on the collect)
+      .where("v IS NOT NULL")
       .groupBy("v").count()
       .limit(RefGridCap + 1)
       .collect()
@@ -128,6 +132,9 @@ object DriftStream {
     val refRel = registerRef(spark, ref, global = false, freshRefView())
     docs.selectExpr(s"window($tsCol, '$windowDur').start AS wstart",
         s"$srcCol AS source", s"${tokenCountExpr(textCol)} AS v")
+      // clock-less or payload-less rows belong to no window / no grid
+      // cell — dropped, mirroring the stream path's guard
+      .where(s"wstart IS NOT NULL AND v IS NOT NULL")
       .groupBy("wstart", "source", "v").agg(F.count(F.lit(1)).as("c"))
       .createOrReplaceTempView(GridView)
     spark.sql(ksSql(GridView, refRel))
@@ -145,9 +152,10 @@ object DriftStream {
     // one suffixed global view per query — concurrent monitors cannot
     // overwrite each other's reference (r11 ADVICE)
     val refView = freshRefView()
-    val grid = docs
+    val grid = NullGuard(docs, "drift", Seq(tsCol))
       .withWatermark(tsCol, watermarkDelay)
       .selectExpr(tsCol, s"$srcCol AS source", s"${tokenCountExpr(textCol)} AS v")
+      .where("v IS NOT NULL")
       .groupBy(F.window(F.col(tsCol), windowDur), F.col("source"), F.col("v"))
       .agg(F.count(F.lit(1)).as("c"))
       .select(F.col("window.start").as("wstart"), F.col("source"),
@@ -159,8 +167,18 @@ object DriftStream {
         // the micro-batch runs in a cloned session (the StitchMergeStream
         // rule): the reference crosses via global_temp
         val refRel = registerRef(sess, ref, global = true, refView)
-        batch.createOrReplaceTempView(GridView)
-        sink(sess.sql(ksSql(GridView, refRel)))
+        // EAGERLY process every partition of the stateful batch before
+        // handing control to the caller's sink: Spark 4 validates that a
+        // foreachBatch consumed all state-store partitions, so a sink
+        // that samples (show/limit) or ignores the frame would otherwise
+        // kill the QUERY with a commit-validation error
+        // (StreamingDegenerateSpec found this with a no-op sink)
+        batch.persist()
+        try {
+          batch.count()
+          batch.createOrReplaceTempView(GridView)
+          sink(sess.sql(ksSql(GridView, refRel)))
+        } finally batch.unpersist()
       }
       .start()
   }

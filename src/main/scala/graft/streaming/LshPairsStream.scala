@@ -88,10 +88,14 @@ object LshPairsStream {
     val hf = graft.pipeline.PipelineOps.hashFamily(spark)
     graft.functions.GraftFunctions.registerMinhash(spark,
       hashA.toArray, hashB.toArray, MinhashP)
+    // a row without an id or event time cannot enter the band state (the
+    // stateful path reads ts.getTime): routed out and COUNTED (NullGuard)
+    // before the branch, so batch and stream see identical rows
+    val guarded = NullGuard(docs, "lsh_pairs", Seq(idCol, tsCol))
     // p04's sig chain, column-native (no UDF): words -> distinct 3-shingles
     // -> family hash mod P -> graft_minhash kernel. Docs under 3 words have
     // no shingle set and are filtered exactly like batch p04's WHERE.
-    val sigged = docs
+    val sigged = guarded
       .withColumn("__words", F.expr(s"split(trim($textCol), '\\\\s+')"))
       .where(F.expr("size(__words) >= 3"))
       .withColumn("__sh", F.expr(

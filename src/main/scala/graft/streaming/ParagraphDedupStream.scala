@@ -63,7 +63,11 @@ object ParagraphDedupStream {
     requireCol(idCol); requireCol(textCol); requireCol(tsCol)
     val spark = docs.sparkSession
     import spark.implicits._
-    val occ = docs
+    // id-less / clock-less / text-less rows cannot enter paragraph state
+    // (the stateful fold reads ts.getTime): routed out and COUNTED
+    // (NullGuard) before the branch — batch and stream see identical rows
+    val guarded = NullGuard(docs, "para_dedup", Seq(idCol, tsCol, textCol))
+    val occ = guarded
       .select(F.col(idCol).cast("long").as("doc_id"),
         F.col(tsCol).cast("timestamp").as("ts"), F.col(textCol).as("__text"))
       .selectExpr("doc_id", "ts", "posexplode(split(__text, '\\n\\n')) AS (pos, para)")

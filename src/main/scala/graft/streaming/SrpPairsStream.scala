@@ -70,7 +70,10 @@ object SrpPairsStream {
     val spark = vecs.sparkSession
     import spark.implicits._
     graft.pipeline.PipelineOps.registerSrpAt(spark, srpBits, bands)
-    val banded = vecs
+    // id-less / clock-less vectors cannot enter band state (ts.getTime in
+    // the stateful fold): routed out and COUNTED (NullGuard) pre-branch
+    val guarded = NullGuard(vecs, "srp_pairs", Seq(idCol, tsCol))
+    val banded = guarded
       .withColumn("vec_id", F.col(idCol).cast("long"))
       .withColumn("ts", F.col(tsCol).cast("timestamp"))
       .withColumn("bkey", F.explode(F.expr(s"graft_srp_keys($embCol)")))

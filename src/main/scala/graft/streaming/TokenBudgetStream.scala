@@ -46,7 +46,10 @@ object TokenBudgetStream {
     require(budget >= 1, s"admitByTokenBudget: budget must be >= 1, got $budget")
     val spark = docs.sparkSession
     import spark.implicits._
-    val typed = docs.select(
+    // a row with no id or token count cannot be budgeted (n_tok is a
+    // primitive at the encoder boundary): routed out and COUNTED
+    // (NullGuard); a null group is a VALID group key and stays
+    val typed = NullGuard(docs, "token_budget", Seq(idCol, tokCol)).select(
       F.col(groupCol).cast("string").as("group"),
       F.col(idCol).cast("long").as("doc_id"),
       F.col(tokCol).cast("long").as("n_tok")).as[In]

@@ -136,6 +136,26 @@ class DifferentialFuzzSpec extends AnyFunSuite {
           }), cols, false)
       }),
     )
+    // RANGE frame (r13, VERDICT r12 #5): value-based frames need a
+    // single-column ORDER BY (the SQL rule), so the stage carries its own
+    // one-key sort. Tie rows share a frame, so the derived VALUE is
+    // deterministic even though the engine's emitted row order is not —
+    // sortedness therefore resets, and the interpreter's oracle is the
+    // order-independent value filter itself.
+    val ranges: Seq[(Int, Gen[(Stage, Vector[String], Boolean)])] = Seq(
+      1 -> (for {
+        col <- colGen(cols)
+        c2 <- colGen(cols)
+        w <- Gen.choose(1L, 8L)
+      } yield {
+        val name = s"g$fresh"
+        (Stage(s"sort [$col]\nwindow range:${-w}..0 (derive [$name = sum $c2])",
+          rs => rs.map { r =>
+            val hi = r(col); val lo = hi - w
+            r + (name -> rs.filter(x => x(col) >= lo && x(col) <= hi).map(_(c2)).sum)
+          }),
+          cols :+ name, false)
+      }))
     val joins: Seq[(Int, Gen[(Stage, Vector[String], Boolean)])] =
       // guard BOTH payload columns: a select can drop k while keeping v, and
       // a re-join then duplicates v in the frame — which the engine rejects
@@ -188,7 +208,11 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       // the band reaches window-frame × shadow interactions: shadowing a
       // windowed column an ambient sort may reference is exactly the
       // derive-shadow class the r11 seeds (9331/13574) exposed
-      val derived = cols.filter(c => c.length >= 2 && "drlte".contains(c.head) &&
+      // r13 (VERDICT r12 #5): widened again to s*/n* (group-aggregate
+      // outputs — shadowing an aggregate a later grouped-take or sort may
+      // reference) and g* (rolling/range-frame window sums), so the band
+      // reaches grouped-take x shadow and frame x shadow interactions
+      val derived = cols.filter(c => c.length >= 2 && "drltesng".contains(c.head) &&
         c.tail.forall(_.isDigit)).filterNot(_ == cols.head)
       if (derived.isEmpty) Nil
       else Seq(1 -> (for {
@@ -240,8 +264,22 @@ class DifferentialFuzzSpec extends AnyFunSuite {
               .map { case (r, s) => r + (name -> s) }),
             cols :+ name, sorted)
         },
+        // rolling (trailing-rows) frame in sort order: sum over the last n
+        // rows — frameSpecOf lowers rolling:n to ROWS -(n-1)..0, so the
+        // interpreter's slice is the exact oracle (r13, VERDICT r12 #5)
+        1 -> (for {
+          col <- colGen(cols)
+          n <- Gen.choose(2, 4)
+        } yield {
+          val name = s"g$fresh"
+          (Stage(s"window rolling:$n (derive [$name = sum $col])",
+            rs => rs.zipWithIndex.map { case (r, ix) =>
+              r + (name -> rs.slice(math.max(0, ix - n + 1), ix + 1).map(_(col)).sum)
+            }),
+            cols :+ name, sorted)
+        }),
       )
-    Gen.frequency(base ++ joins ++ asofs ++ rebinds ++ takes: _*)
+    Gen.frequency(base ++ ranges ++ joins ++ asofs ++ rebinds ++ takes: _*)
   }
 
   private def pipelineGen: Gen[(List[Stage], Vector[String])] = {

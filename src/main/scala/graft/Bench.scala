@@ -365,7 +365,7 @@ object Bench {
     // baseline deflates every next-round ratio and hides real drift.
     // Falls back to the latest same-sf artifact regardless of flags when
     // no quiet one exists (a noisy baseline beats no baseline, loudly).
-    case class PrevArtifact(file: String, medians: Map[String, Double], calibMin: Double)
+    case class PrevArtifact(file: String, medians: Map[String, Double], quietFloor: Double)
     val prevArtifact: Option[PrevArtifact] = try {
       val dir = java.nio.file.Paths.get("bench_history")
       if (!java.nio.file.Files.isDirectory(dir)) None
@@ -400,9 +400,18 @@ object Bench {
           }.getOrElse(Map.empty[String, Double])
           if (m.nonEmpty && parsed.isEmpty)
             System.err.println(s"[bench] WARNING: queries block in $f parsed to an empty map — artifact format drifted; regression detection disabled this run")
+          // quiet-gate floor: the prior artifact's own PRE-WARMUP sample —
+          // the like-for-like comparison point (post-JIT in-suite samples
+          // run ~1.3-1.5x faster than the pre-warmup one, so gating a
+          // fresh pre-warmup sample against calib_stats.min would flag
+          // genuinely quiet runs); fall back to 2x the in-suite min when
+          // an old artifact carries no pre-warmup tag
+          val preWarm = "\"tag\":\"pre-warmup\",\"t_s\":[^,]*,\"dur_s\":(-?[0-9.]+)".r
+            .findFirstMatchIn(txt).map(_.group(1).toDouble)
           val calibMin = "\"calib_stats\":\\{\"min\":(-?[0-9.]+)".r
             .findFirstMatchIn(txt).map(_.group(1).toDouble).getOrElse(-1.0)
-          PrevArtifact(f.getFileName.toString, parsed, calibMin)
+          PrevArtifact(f.getFileName.toString, parsed,
+            preWarm.getOrElse(if (calibMin > 0) calibMin * 2.0 else -1.0))
         }
       }
     } catch { case e: Throwable =>
@@ -434,14 +443,14 @@ object Bench {
     // like r12's sf1 record (pre-warmup 0.943 vs quiet floor 0.382).
     var contendedRecord = false
     if (sys.env.getOrElse("SPARK_GRAFT_QUIET_GATE", "1") != "0") {
-      prevArtifact.filter(_.calibMin > 0) match {
+      prevArtifact.filter(_.quietFloor > 0) match {
         case Some(prev) =>
-          val thresh = prev.calibMin * 1.5
+          val thresh = prev.quietFloor * 1.5
           var tries = 0
           def lastSample = calibSamples.lastOption.map(_._3).getOrElse(-1.0)
           while (lastSample > thresh && tries < 2) {
             System.err.println(f"[bench:quiet-gate] calib ${lastSample}%.3fs > ${thresh}%.3fs " +
-              f"(1.5x quiet floor ${prev.calibMin}%.3fs from ${prev.file}) — settling 60s (retry ${tries + 1}/2)")
+              f"(1.5x the last quiet run's pre-warmup sample ${prev.quietFloor}%.3fs, ${prev.file}) — settling 60s (retry ${tries + 1}/2)")
             Thread.sleep(60000L)
             takeCalib("quiet-gate-retry")
             tries += 1

@@ -249,6 +249,27 @@ class StreamingDegenerateSpec extends AnyFunSuite {
     catch { case e: Throwable if isNamedRefusal(e) => }
   }
 
+  test("NullGuard publishes per-batch drop counts (LshPairsStream, one clock-less row)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[D]
+    val docs = in.toDF().withColumn("ts", F.timestamp_micros(F.col("tus")))
+    val out = LshPairsStream.pairs(docs, "text", "doc_id", "ts").toDF()
+    val q = startAny(out)
+    try {
+      in.addData(valid(1, B), nullTs(2), valid(3, B + M))
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val rows = q.recentProgress.toSeq
+        .flatMap(pr => pr.observedMetrics.asScala.get("graft_null_drops_lsh_pairs"))
+      assert(rows.nonEmpty, "the guard must publish graft_null_drops_lsh_pairs")
+      val drops = rows.map(_.getAs[Long]("null_field_drops")).sum
+      val total = rows.map(_.getAs[Long]("rows")).sum
+      assert(drops === 1L, s"exactly the one clock-less row is dropped (got $drops)")
+      assert(total === 3L, s"all three input rows counted (got $total)")
+    } finally q.stop()
+  }
+
   test("CurationStream.curate names the reserved quality-gate column collision") {
     import spark.implicits._
     val df = Seq((1L, "a b c", "en", java.sql.Timestamp.valueOf("2022-01-01 00:00:00"), 3L))

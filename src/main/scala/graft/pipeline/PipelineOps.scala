@@ -395,7 +395,13 @@ object PipelineOps {
     * moves all three (ADVICE r12: the restatement hardcoded it). */
   private[graft] val LshJaccardCut = 0.5
 
-  private val lshPairCtesSpark = s"""
+  /** The band-join CTE chain at an explicit bucket cap. The production
+    * chain is [[lshPairCtesSpark]] = this at [[LshBucketCap]] (byte-
+    * identical SQL text, so the frozen oracles are untouched); Bench's
+    * recall probe sweeps other caps through [[p04WithCap]] to measure the
+    * cap's recall-vs-runtime curve (VERDICT r13 #4) instead of trusting
+    * the single operating point. */
+  private def lshPairCtes(cap: Long): String = s"""
     bands0 AS (
       SELECT doc_id, explode(transform(sequence(0, ${Bands - 1}),
         j -> concat(j, '|', element_at(sig, 2 * j + 1), '|', element_at(sig, 2 * j + 2)))) AS bkey
@@ -407,7 +413,7 @@ object PipelineOps {
     cands AS (
       SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
       FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
-      WHERE a.rnk <= $LshBucketCap AND b.rnk <= $LshBucketCap),
+      WHERE a.rnk <= $cap AND b.rnk <= $cap),
     verified AS (
       -- re-join the shingle sets for candidates only: cheaper than carrying
       -- the arrays through the 8x band-key shuffle (measured 2x faster at
@@ -419,16 +425,25 @@ object PipelineOps {
       JOIN $LshSigsView sa ON sa.doc_id = c.ida
       JOIN $LshSigsView sb ON sb.doc_id = c.idb)"""
 
-  private def p04Run(spark: SparkSession, dir: String): DataFrame = {
+  private val lshPairCtesSpark = lshPairCtes(LshBucketCap)
+
+  /** p04 at an explicit bucket cap (cap <= 0 = uncapped). Probe-only entry
+    * point for Bench's LshBucketCap recall/runtime sweep; the production
+    * path below stays pinned at [[LshBucketCap]] so oracle hashes and the
+    * frozen DuckDB chain are untouched. */
+  private[graft] def p04WithCap(spark: SparkSession, dir: String, cap: Long): DataFrame = {
     spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
     graft.functions.GraftFunctions.registerMinhash(spark,
       hashA.toArray, hashB.toArray, MinhashP)
     materialized(spark, LshSigsView, lshSigsSql(hashFamily(spark)))
     spark.sql(s"""
-      WITH $lshPairCtesSpark
+      WITH ${lshPairCtes(if (cap <= 0) Long.MaxValue else cap)}
       SELECT ida, idb, CAST(floor((jac) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS jaccard
       FROM verified WHERE jac >= $LshJaccardCut ORDER BY ida, idb""")
   }
+
+  private def p04Run(spark: SparkSession, dir: String): DataFrame =
+    p04WithCap(spark, dir, LshBucketCap)
 
   private val lshCtesDuck = s"""
     w AS (

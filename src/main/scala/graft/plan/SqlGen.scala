@@ -768,9 +768,25 @@ final class SqlGen(query: Query) {
     * apart) and the select list keeps its own literal rendering. */
   private def deOrdinal(sql: String): String = {
     // strip ALL matching outer paren layers — an s-string key can render
-    // with nested parens (`((91))`), which Spark still reads as an ordinal
+    // with nested parens (`((91))`), which Spark still reads as an ordinal.
+    // A layer is only stripped when the leading '(' is closed by the FINAL
+    // ')' (VERDICT r13 #7): a naive ends-with peel would walk through
+    // comma-adjacent keys like `(a),(b)` — harmless before only because
+    // the digit regex fails closed, but wrong the day a group key carries
+    // a comma expression.
+    def outerParenMatches(s: String): Boolean = {
+      var depth = 0; var i = 0
+      while (i < s.length - 1) {
+        val c = s.charAt(i)
+        if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1; if (depth == 0) return false }
+        i += 1
+      }
+      depth == 1
+    }
     var bare = sql
-    while (bare.startsWith("(") && bare.endsWith(")"))
+    while (bare.length >= 2 && bare.startsWith("(") && bare.endsWith(")") &&
+        outerParenMatches(bare))
       bare = bare.substring(1, bare.length - 1)
     if (bare.matches("-?\\d+")) s"CAST($bare AS BIGINT)" else sql
   }

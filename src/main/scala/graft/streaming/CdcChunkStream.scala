@@ -55,18 +55,39 @@ object CdcChunkStream {
     // p73's hKeySpark rule per family; xxhash64 can go negative, but
     // (-k) % D = 0 ⟺ k % D = 0, so the boundary set matches batch
     val bkey =
-      if (hf == "xxhash64") "xxhash64(w)"
-      else s"CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)"
+      if (hf == "xxhash64") "xxhash64(zw)"
+      else s"CAST(conv(substr(md5(zw), 1, 15), 16, 10) AS BIGINT)"
+    // LINEAR formulation (r14, found by StreamingWideRowSpec's 10^6-token
+    // monster): the original aggregate() fold array_append-ed each closed
+    // chunk onto the accumulator — an immutable-array COPY per boundary,
+    // O(chunks²) per document (~125k chunks at divisor 8 made one wide doc
+    // effectively hang ingest; executor stacks sat in GenericArrayData
+    // .copy). Rewritten as: boundary positions in one indexed transform,
+    // then ONE slice per chunk — every word is copied into exactly one
+    // chunk, total work linear in tokens. The nested transform(array(x),
+    // v -> ...) wrappers are LET bindings: they bind the word array and
+    // the ends array as lambda variables (O(1) access inside the inner
+    // lambdas), where a repeated subexpression would re-evaluate per
+    // element and go quadratic again. Chunk text is byte-identical to the
+    // fold's (boundary word CLOSES its chunk, trailing partial chunk
+    // flushed, space-joined) — StreamingCdcChunkSpec pins equality with
+    // batch p73.
     F.expr(
-      s"""aggregate(
-      filter(split(trim($textCol), '\\\\s+'), w -> w != ''),
-      named_struct('done', CAST(array() AS ARRAY<STRING>), 'cur', CAST(array() AS ARRAY<STRING>)),
-      (acc, w) -> IF($bkey % $divisor = 0,
-        named_struct('done', array_append(acc.done, array_join(array_append(acc.cur, w), ' ')),
-                     'cur', CAST(array() AS ARRAY<STRING>)),
-        named_struct('done', acc.done, 'cur', array_append(acc.cur, w))),
-      acc -> CASE WHEN size(acc.cur) = 0 THEN acc.done
-                  ELSE array_append(acc.done, array_join(acc.cur, ' ')) END)""")
+      s"""element_at(transform(array(filter(split(trim($textCol), '\\\\s+'), w -> w != '')), zws ->
+        element_at(transform(array(
+            element_at(transform(array(
+                filter(transform(zws, (zw, zi) -> IF($bkey % $divisor = 0, zi + 1, 0)), zp -> zp > 0)
+              ), zpos ->
+              CASE WHEN size(zws) = 0 THEN CAST(array() AS ARRAY<INT>)
+                   WHEN size(zpos) > 0 AND element_at(zpos, -1) = size(zws) THEN zpos
+                   ELSE concat(zpos, array(size(zws))) END), 1)
+          ), zes ->
+          IF(size(zes) = 0, CAST(array() AS ARRAY<STRING>),
+            transform(sequence(1, size(zes)), zj -> array_join(slice(zws,
+              IF(zj = 1, 1, element_at(zes, zj - 1) + 1),
+              element_at(zes, zj) - IF(zj = 1, 0, element_at(zes, zj - 1))), ' ')))
+        ), 1)
+      ), 1)""")
   }
 
   /** Emit the first arrival of every distinct chunk. `docs` must carry

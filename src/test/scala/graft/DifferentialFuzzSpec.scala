@@ -20,6 +20,16 @@ class DifferentialFuzzSpec extends AnyFunSuite {
   // join dimension: unique key k 1..40 with payload v
   private val dimIn: Map[Long, Long] = (1L to 40L).map(k => k -> (k * 3 % 13)).toMap
 
+  // USING-join dimension (fuzzer round 14, VERDICT r13 #5): key column b
+  // OVERLAPS the base table's b range {0..6} on {3..6} and extends past it
+  // on {7..9}, so outer USING joins exercise all three provenance classes
+  // every seed — matched (coalesced key from both sides), unmatched-left
+  // (right payload NULL), right-only (every left column NULL, key from the
+  // RIGHT side of the COALESCE — q48's class). u = 101 + b is unique, so
+  // right-only rows get unique negative head values via `a ?? (0 - u)`.
+  private val using3In: Seq[(Long, Long)] = (3L to 9L).map(b => (b, 101L + b))
+  private lazy val using3Map: Map[Long, Long] = using3In.toMap
+
   // as-of dimension (fuzzer round 11, VERDICT r10 #7): columns (b, a, w) so
   // `join_asof fuzz4 [b] on:a tie:a` typechecks against the base frame.
   // One floor row (ord 0) per key keeps every left row matched — the Seq
@@ -40,6 +50,7 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     rowsIn.toDF("a", "b", "c").createOrReplaceTempView("fuzz")
     dimIn.toSeq.toDF("k", "v").createOrReplaceTempView("fuzz2")
     asofIn.toDF("b", "a", "w").createOrReplaceTempView("fuzz4")
+    using3In.toDF("b", "u").createOrReplaceTempView("fuzz3")
   }
 
   // ---- pipeline stage model: (prql text, Seq interpreter) ----
@@ -183,7 +194,11 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     // (the payload); every left row matches thanks to the ord-0 floor
     // rows. Output order is window-emission order — sortedness resets.
     val asofs: Seq[(Int, Gen[(Stage, Vector[String], Boolean)])] =
-      if (!cols.contains("a") || !cols.contains("b") ||
+      // the cols.contains("u") guard (r14): after an outer USING join the
+      // frame may carry right-only rows with b in {7..9} — outside fuzz4's
+      // floor-row key range, so the every-left-row-matches invariant the
+      // Seq interpreter's total model needs would break
+      if (!cols.contains("a") || !cols.contains("b") || cols.contains("u") ||
           cols.contains("fuzz4_a") || cols.contains("fuzz4_w")) Nil
       else Seq(1 -> Gen.const {
         (Stage("join_asof fuzz4 [b] on:a tie:a",
@@ -193,6 +208,63 @@ class DifferentialFuzzSpec extends AnyFunSuite {
           }),
           cols ++ Vector("fuzz4_a", "fuzz4_w"), false)
       })
+    // s-string derive (fuzzer round 14, VERDICT r13 #5): an opaque-SQL
+    // expression with TWO column interpolations. The payoff is the
+    // composition with the rebind pool below ('x' names are rebindable,
+    // and the s-string may reference any derived column that a LATER
+    // stage shadows): an s-string must capture the values at its own
+    // pipeline position, exactly like a native derive — lazy re-binding
+    // of the interpolated reference would diverge here.
+    val sstrings: Seq[(Int, Gen[(Stage, Vector[String], Boolean)])] = Seq(
+      1 -> (for {
+        l <- colGen(cols)
+        r <- colGen(cols)
+        k <- Gen.choose(-5L, 9L)
+      } yield {
+        val name = s"x$fresh"
+        (Stage("derive " + name + " = s\"({" + l + "} * {" + r + "} + " + k + ")\"",
+          rs => rs.map(row => row + (name -> (row(l) * row(r) + k)))),
+          cols :+ name, sorted)
+      }))
+    // USING join with outer provenance (fuzzer round 14, VERDICT r13 #5 —
+    // q48's class, previously corpus-only): `join side:.. fuzz3 [b]`
+    // dedups the key to COALESCE(l.b, r.b), then a derive-shadow list
+    // coalesces every nullable column back to the Seq interpreter's
+    // total-Long model — `a ?? (0 - u)` keeps the head unique for
+    // right-only rows (u is unique per key and 0-u is disjoint from the
+    // base key range 1..60), payload columns take constant sentinels.
+    // Guarded to head == "a" (the sentinel-uniqueness argument) and b in
+    // frame; output order after an outer join is undefined → sortedness
+    // resets.
+    val usings: Seq[(Int, Gen[(Stage, Vector[String], Boolean)])] =
+      if (cols.head != "a" || !cols.contains("b") || cols.contains("u")) Nil
+      else Seq(1 -> (for {
+        side <- Gen.oneOf("inner", "left", "right", "full")
+      } yield {
+        val others = cols.filter(c => c != "a" && c != "b")
+        val coalesceItems =
+          Seq("a = a ?? (0 - u)") ++ others.map(c => s"$c = $c ?? -777") :+ "u = u ?? -888"
+        val sidePrefix = if (side == "inner") "" else s"side:$side "
+        (Stage(s"join ${sidePrefix}fuzz3 [b]\nderive [${coalesceItems.mkString(", ")}]",
+          rs => {
+            val leftKeys = rs.map(_("b")).toSet
+            val matchedOrLeft = rs.flatMap { r =>
+              using3Map.get(r("b")) match {
+                case Some(u) => Some(r + ("u" -> u))
+                case None =>
+                  if (side == "inner" || side == "right") None
+                  else Some(r + ("u" -> -888L))
+              }
+            }
+            val rightOnly =
+              if (side == "full" || side == "right")
+                using3In.filterNot(t => leftKeys.contains(t._1)).map { case (b, u) =>
+                  cols.map(c => c -> -777L).toMap + ("b" -> b) + ("a" -> (0L - u)) + ("u" -> u)
+                }
+              else Seq.empty
+            matchedOrLeft ++ rightOnly
+          }), cols :+ "u", false)
+      }))
     // rebinding derive (fuzzer round 9): overwrite an EXISTING derived
     // column; if the ambient sort references it, ordering must stay by the
     // OLD value (the hidden-carry semantics) — the Seq interpreter keeps
@@ -212,7 +284,12 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       // outputs — shadowing an aggregate a later grouped-take or sort may
       // reference) and g* (rolling/range-frame window sums), so the band
       // reaches grouped-take x shadow and frame x shadow interactions
-      val derived = cols.filter(c => c.length >= 2 && "drltesng".contains(c.head) &&
+      // r14 (VERDICT r13 #5): widened to x* (s-string-derived columns), so
+      // the band reaches s-string x shadow interactions in BOTH directions
+      // — shadowing the s-string's own output, and (via the s-string
+      // stage's free column choice) shadowing a column an s-string
+      // referenced earlier
+      val derived = cols.filter(c => c.length >= 2 && "drltesngx".contains(c.head) &&
         c.tail.forall(_.isDigit)).filterNot(_ == cols.head)
       if (derived.isEmpty) Nil
       else Seq(1 -> (for {
@@ -279,7 +356,7 @@ class DifferentialFuzzSpec extends AnyFunSuite {
             cols :+ name, sorted)
         }),
       )
-    Gen.frequency(base ++ ranges ++ joins ++ asofs ++ rebinds ++ takes: _*)
+    Gen.frequency(base ++ ranges ++ joins ++ asofs ++ sstrings ++ usings ++ rebinds ++ takes: _*)
   }
 
   private def pipelineGen: Gen[(List[Stage], Vector[String])] = {

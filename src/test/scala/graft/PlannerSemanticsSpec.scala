@@ -340,6 +340,26 @@ class PlannerSemanticsSpec extends AnyFunSuite {
     assert(r == Seq(Row("UK", true, "n=1"), Row("USA", true, "n=2")))
   }
 
+  test("f-/s-string interpolations capture the value at their pipeline position under a later shadow") {
+    // VERDICT r13 #5's targeted half: the fuzz band covers s-string x
+    // shadow compositions over Long columns; f-strings produce STRINGS,
+    // outside the band's integer-only oracle, so the law is pinned here.
+    // Both interpolation forms must read the column as bound WHERE THE
+    // STRING WAS DERIVED — a lazy re-binding against the post-shadow
+    // value would print v=10/eval 11 instead of v=2/3.
+    val r = compileSess(
+      """from nums
+        |filter n <= 2
+        |derive d = n * 2
+        |derive lbl = f"v={d}"
+        |derive sx = s"({d} + 1)"
+        |derive d = n * 10
+        |sort n
+        |select [n, d, lbl, sx]""".stripMargin)
+    assert(r == Seq(Row(1L, 10L, "v=2", 3L), Row(2L, 20L, "v=4", 5L)),
+      s"interpolation must capture pre-shadow values, got $r")
+  }
+
   test("take after aggregate inside group stays per-group (keeps every group)") {
     val r = rows(
       """from employees

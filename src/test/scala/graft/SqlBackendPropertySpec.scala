@@ -210,14 +210,21 @@ class SqlBackendPropertySpec extends AnyFunSuite {
         // occasionally REBIND one kept column to a fresh expression
         // (fuzzer round 8, review finding): a pending sort on the rebound
         // name must keep ordering by the OLD value — the timing class the
-        // __gsort_ mangling in SqlGen exists for. grp/key stay stable
-        // (join/group/take determinism rides on them).
+        // __gsort_ mangling in SqlGen exists for. key/d stay stable
+        // (join/take determinism rides on them); grp stays stable only
+        // UNTIL the dim join has happened (fuzzer round 14, VERDICT r13
+        // #5): after it, rebinding grp shadows the USING-join's
+        // COALESCE(l.grp, r.grp) output — q48's provenance class under
+        // rebinds, including right/full joins where the coalesce is
+        // load-bearing. The rebind stays string-typed so the group stages'
+        // type model holds.
         val rebindable = kept.map(_._1)
-          .filterNot(n => st.uniqueKey.contains(n) || n == "grp" || n == "d")
+          .filterNot(n => st.uniqueKey.contains(n) || (n == "grp" && !st.joined) || n == "d")
         if (r.nextInt(3) == 0 && rebindable.nonEmpty) {
           val target = rebindable(r.nextInt(rebindable.size))
           val (body, t) =
-            if (r.nextBoolean()) (numExpr(r, st, 1), 'n') else (strExpr(r, st), 's')
+            if (target == "grp") (strExpr(r, st), 's')
+            else if (r.nextBoolean()) (numExpr(r, st, 1), 'n') else (strExpr(r, st), 's')
           val itemsTxt = kept.map { case (n, _) => if (n == target) s"$n = $body" else n }
           (s"select [${itemsTxt.mkString(", ")}]",
             st.copy(cols = kept.map { case (n, tp) => if (n == target) (n, t) else (n, tp) }))

@@ -68,4 +68,37 @@ class SqlBackendSpec extends AnyFunSuite {
     assert(got == exp, s"SQL:\n$sql")
     assert(got.length == 5) // one row per region; the constant groups nothing apart
   }
+
+  test("a comma-adjacent paren group key is not peeled into an ordinal (balanced check)") {
+    // VERDICT r13 #7: the old deOrdinal peel walked through `(a),(b)`-shaped
+    // keys — `((1),(2))` peeled once to `(1),(2)` whose outer parens do NOT
+    // match each other, and a further naive peel would yield `1),(2`. The
+    // digit regex failed closed, so behavior was right by accident; the
+    // balanced-paren check makes it right by construction. Both backends
+    // must agree, and the struct-valued constant key must group nothing
+    // apart (5 regions → 5 rows).
+    tablesRegistered
+    val prql =
+      """from region
+        |derive k = s"((1),(2))"
+        |group [r_name, k] (aggregate [c = count])""".stripMargin
+    val sql = Graft.toSparkSql(prql)
+    val got = canon(spark.sql(sql))
+    val exp = canon(Graft.compileDir(prql, spark, dir))
+    assert(got == exp, s"SQL:\n$sql")
+    assert(got.length == 5)
+  }
+
+  test("a deeply nested literal key still de-ordinalizes through many balanced layers") {
+    tablesRegistered
+    val prql =
+      """from region
+        |derive k = s"(((7)))"
+        |group [r_name, k] (aggregate [c = count])""".stripMargin
+    val sql = Graft.toSparkSql(prql)
+    val got = canon(spark.sql(sql))
+    val exp = canon(Graft.compileDir(prql, spark, dir))
+    assert(got == exp, s"SQL:\n$sql")
+    assert(got.length == 5)
+  }
 }

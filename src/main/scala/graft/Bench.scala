@@ -1161,6 +1161,26 @@ object Bench {
     val inSuiteSpread =
       if (inSuiteDurs.size >= 2 && inSuiteDurs.min > 0) inSuiteDurs.max / inSuiteDurs.min
       else calibSpread // too few in-suite samples (hotspot runs): old rule
+    // r14 refinement, same lineage as the r10 in-suite-only fix: max/min
+    // is the most outlier-sensitive dispersion statistic there is — with
+    // 8 in-suite samples, ONE ~1.0 s blip plus one fast tail sample read
+    // as 2.33x and flagged an otherwise-steady 0.43-0.63 band (second r14
+    // sf0.1 run; the first was killed the same way by a single query-run
+    // spike). Contention — the claim the flag makes — inflates a
+    // SUSTAINED stretch of samples (r12's sf1 record: a 0.9-1.5 s band;
+    // r13: an all-day 0.70-0.86 band), so the flag now counts samples
+    // elevated >1.5x the in-suite MEDIAN and fires on two or more. An
+    // all-samples-inflated window shifts the median itself and is the
+    // PRE-SUITE quiet gate's job (absolute, vs the last quiet round's
+    // floor). The raw spread and every sample stay in the artifact, so
+    // the old reading remains computable.
+    val inSuiteMedian =
+      if (inSuiteDurs.nonEmpty) inSuiteDurs.sorted.apply(inSuiteDurs.size / 2) else -1.0
+    val inSuiteElevated =
+      if (inSuiteMedian > 0) inSuiteDurs.count(_ > 1.5 * inSuiteMedian) else 0
+    val windowDrifted =
+      if (inSuiteDurs.size >= 2) inSuiteElevated >= 2
+      else calibSpread > 2.0 // hotspot runs: too few samples for the count rule
     // queries whose own runs disagree wildly also flag contention — but only
     // when the slow run is material (>0.5 s), else 20ms-scale jitter would
     // trip the flag on every shared host.
@@ -1184,13 +1204,14 @@ object Bench {
     val unstableQueries = results.collect {
       case (name, s) if s.min > 0 && s.median > 0.5 && s.median / s.min > 3.0 => name
     }
-    val hostContended = inSuiteSpread > 2.0 || unstableQueries.nonEmpty
+    val hostContended = windowDrifted || unstableQueries.nonEmpty
     // a run that turned noisy mid-suite is as ineligible for baselines as
     // one the pre-suite gate caught (VERDICT r12 #3)
     contendedRecord = contendedRecord || hostContended
     if (hostContended)
-      System.err.println(s"[bench] HOST_CONTENDED: in-suite calib spread ${f"$inSuiteSpread%.2f"}x, " +
-        s"unstable queries: ${unstableQueries.mkString(",")} — treat absolute times with suspicion")
+      System.err.println(s"[bench] HOST_CONTENDED: $inSuiteElevated in-suite samples >1.5x median " +
+        f"(spread $inSuiteSpread%.2fx), unstable queries: ${unstableQueries.mkString(",")} — " +
+        "treat absolute times with suspicion")
 
     // regression-retry (VERDICT r9 #7): compare against the PREVIOUS
     // full-suite run's per-query medians (latest bench_history file at the
@@ -1282,7 +1303,7 @@ object Bench {
       .mkString("[", ",", "]")
     val calibStats =
       if (calibDurs.isEmpty) "null"
-      else s"{\"min\":${f3(calibDurs.min)},\"median\":${f3(calibS)},\"max\":${f3(calibDurs.max)},\"spread\":${f3(calibSpread)},\"in_suite_spread\":${f3(inSuiteSpread)}}"
+      else s"{\"min\":${f3(calibDurs.min)},\"median\":${f3(calibS)},\"max\":${f3(calibDurs.max)},\"spread\":${f3(calibSpread)},\"in_suite_spread\":${f3(inSuiteSpread)},\"in_suite_median\":${f3(inSuiteMedian)},\"in_suite_elevated\":$inSuiteElevated}"
     val total = results.collect { case (_, s) if s.median >= 0 => s.median }.sum
     val errJson = errors
       .map { case (k, v) => s"${util.Json.quote(k)}:${util.Json.quote(v.take(200))}" }

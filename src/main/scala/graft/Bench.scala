@@ -203,8 +203,15 @@ object Bench {
   private val P79GradedTier95Floor = 0.99
   // ×100 recall probe (first quiet measurement at derived (12,23),
   // bench_1786864227187_probe.json): p08 top-cos-bin 1.000 (law 1.000),
-  // p04 top-jaccard-bin 0.985 (law 1.000 — LshBucketCap binding under the
-  // replica corpus's ~99% dup density), p22 same-rep 1.000
+  // p04 top-jaccard-bin 0.985 (law 1.000), p22 same-rep 1.000.
+  // r14 cap sweep (bench_1786900572243_probe.json): recall per bin is
+  // IDENTICAL at cap 2048/4096/uncapped (0.907/0.937/0.985) and within
+  // 0.3% at 1024 — the r13 hypothesis that LshBucketCap caused the
+  // law-gap is REFUTED by measurement; the stable few-% shortfall vs
+  // 1-(1-j^2)^8 is the fixed 16-affine-hash minhash family vs the law's
+  // independent-permutation assumption, a property of the estimator, not
+  // a clamp artifact. The cap's job stays degenerate-bucket bounding;
+  // uncapped paid +10% runtime for zero recall on this corpus.
   private val RecallP08TopBinFloor = 0.99
   private val RecallP04TopBinFloor = 0.97
   private val RecallP22SameRepFloor = 0.99

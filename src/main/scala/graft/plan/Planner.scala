@@ -420,10 +420,16 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
         n.getOrElse(prettyName(e)) }).toVector, exact = ctx.frame.exact)
       // inside a group body, keep the keys: the reference distributes them
       // into any LATER take in the body (name_resolver.rs:383-388), so
-      // `group k (aggregate […] | take n)` stays per-group
+      // `group k (aggregate […] | take n)` stays per-group.
+      // carryCols clears WITH the sort (r14, fuzz seed 33932): the
+      // Aggregate's output is keys+aggs only, so any hidden __gsort_*
+      // carry is gone from the plan — a later derive-rebind or
+      // grouped-take that re-projected ctx.carryCols above this node
+      // referenced a dead column (UNRESOLVED_COLUMN). The ambient sort
+      // the carries served is dead here anyway (un_group.rs semantics).
       ctx.copy(plan = out, frame = frame,
         groupKeys = if (ctx.inGroupBody) ctx.groupKeys else Nil,
-        sort = Nil, aggregated = ctx.inGroupBody)
+        sort = Nil, aggregated = ctx.inGroupBody, carryCols = Set.empty)
 
     case "take" => applyTake(ctx, args)
 
@@ -541,13 +547,17 @@ final class Planner(spark: SparkSession, catalog: String => DataFrame,
           // which is name-independent for every OTHER column; the resolved
           // subtree splices back into the fold (analysis is idempotent).
           val filtered = Filter(ex(cond), withRn)
-          val plan =
-            if (ctx.frame.exact &&
-                ctx.frame.cols.distinct.length == ctx.frame.cols.length)
-              Project(ctx.frame.cols.map(attr), filtered)
-            else
-              GraftPlanBridge.analyzed(toDf(filtered).drop(rn))
-          ctx.copy(plan = plan)
+          // the exact-frame Project drops any hidden __gsort_* carry from
+          // the plan, so carryCols must clear with it (r14, the fuzz seed
+          // 33932 class — a later stage re-projecting a dead carry); the
+          // Dataset.drop(rn) path keeps every other column, carries
+          // included, so there the bookkeeping stays
+          if (ctx.frame.exact &&
+              ctx.frame.cols.distinct.length == ctx.frame.cols.length)
+            ctx.copy(plan = Project(ctx.frame.cols.map(attr), filtered),
+              carryCols = Set.empty)
+          else
+            ctx.copy(plan = GraftPlanBridge.analyzed(toDf(filtered).drop(rn)))
       }
     }
   }

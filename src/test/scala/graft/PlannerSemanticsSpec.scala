@@ -360,6 +360,37 @@ class PlannerSemanticsSpec extends AnyFunSuite {
       s"interpolation must capture pre-shadow values, got $r")
   }
 
+  test("a hidden sort-carry dies at the aggregate boundary (fuzz seed 33932)") {
+    // r14 band at offset 33000: sort on c, select drops c (carry
+    // __gsort_c appended), group+aggregate re-keys the relation — the
+    // Aggregate output has no carry, but carryCols survived, so the
+    // derive-rebind's by-name re-projection emitted a dead '__gsort_c
+    // reference (UNRESOLVED_COLUMN at analysis). The carry must clear
+    // with the ambient sort it serves.
+    import TestSpark.spark
+    import spark.implicits._
+    (1L to 60L).map(i => (i, i % 7, (i % 11) - 5)).toDF("a", "b", "c")
+      .createOrReplaceTempView("carry_fuzz")
+    val prql =
+      """from carry_fuzz
+        |sort [+c, a]
+        |select [a, b]
+        |group a (aggregate [s2 = sum b, n2 = count])
+        |derive n2 = a * 2 + 9
+        |group a (
+        |  sort [+s2, a]
+        |  take 1
+        |)
+        |derive x5 = s"({a} * {n2} + 8)"
+        |sort a""".stripMargin
+    val rows = Graft.compileSession(prql, spark).collect()
+    assert(rows.length == 60, "a is unique, so per-key take 1 keeps every key")
+    val r3 = rows.find(_.getAs[Long]("a") == 3L).get
+    assert(r3.getAs[Long]("s2") == 3L, "sum of b over the single a=3 row")
+    assert(r3.getAs[Long]("n2") == 15L, "rebound n2 = a*2+9")
+    assert(r3.getAs[Long]("x5") == 53L, "s-string reads the rebound n2")
+  }
+
   test("take after aggregate inside group stays per-group (keeps every group)") {
     val r = rows(
       """from employees

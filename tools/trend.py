@@ -34,6 +34,27 @@ def quiet(d):
     return not (d.get("contended_record", False) or d.get("host_contended", False))
 
 
+def noise_marks(d):
+    # VERDICT r14 #5: the r14 contention-flag refinement moved the window
+    # rule in the flag-favorable direction (sustained-median instead of
+    # single-spike). A record can now be baseline-eligible (quiet) while
+    # still carrying residual noise evidence — non-empty unstable_spikes
+    # (old-rule hits, record-only) or in_suite_elevated > 0 (some in-suite
+    # calib samples ran >1.5x the in-suite median, just not enough to
+    # flag). Such a record may serve as a baseline, but never silently:
+    # this marker travels with every comparison that uses one.
+    marks = []
+    spikes = d.get("unstable_spikes") or []
+    if spikes:
+        marks.append("unstable_spikes=" + ",".join(
+            s.get("query", "?") if isinstance(s, dict) else str(s)
+            for s in spikes))
+    elevated = (d.get("calib_stats") or {}).get("in_suite_elevated", 0) or 0
+    if elevated > 0:
+        marks.append(f"in_suite_elevated={elevated}")
+    return marks
+
+
 def history():
     # full-suite artifacts only: _probe files hold forced hotspot/fidelity
     # runs (2-7 queries) and would make a useless trend baseline — the same
@@ -57,6 +78,13 @@ def compare(prev_name, prev, cur_name, cur):
     print(f"\n== {os.path.basename(prev_name)} -> {os.path.basename(cur_name)} "
           f"(sf={cur.get('sf')}, {len(shared)} shared queries, "
           f"host_contended={contended})")
+    pm, cm = noise_marks(prev), noise_marks(cur)
+    if pm:
+        print(f"   NOTE: baseline {os.path.basename(prev_name)} is quiet but "
+              f"carries noise evidence ({'; '.join(pm)}) — ratios may be "
+              f"mildly deflated")
+    if cm:
+        print(f"   NOTE: current run carries noise evidence ({'; '.join(cm)})")
     ratios = {k: cq[k] / pq[k] for k in shared}
     qr = [r for k, r in ratios.items() if k.startswith("q")]
     pr = [r for k, r in ratios.items() if k.startswith("p")]

@@ -136,6 +136,24 @@ object PipelineOps {
   private def planesDuckLit(nPlanes: Int): String =
     planes.take(nPlanes).map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
 
+  /** Read `path` parquet, optionally with the scale-adaptive scan spread
+    * ([[graft.Graft.scanSpread]], optimization r15): identity whenever the
+    * file layout already yields >= cores scan tasks; on the single-row-group
+    * test files it round-robins to a size-proportional partition count so
+    * per-row HOF work (and everything behind a [[Barrier]], which preserves
+    * partitioning) uses the whole machine instead of one core.
+    *
+    * `spread` is PER-OPERATOR, from this round's A/B measurements
+    * (alternating-arm medians/mins, graft.SpreadProbe): operators whose
+    * cost is one heavy map pass win 1.5-2x; operators dominated by an
+    * iterative loop over tiny relations (p50/p51 BPE merges, p22/p16 label
+    * rounds) LOSE — more partitions multiply per-round task-scheduling and
+    * checkpoint overhead — and stay unspread. The session conf
+    * `spark.graft.scanSpread` force-overrides both ways. */
+  private def readSpread(spark: SparkSession, path: String,
+                         spread: Boolean = false): DataFrame =
+    graft.Graft.scanSpreadIf(spark.read.parquet(path), path, default = spread)
+
   // Spark-side fragments ----------------------------------------------------
 
   /** words array from the raw text (shared tokenization). */
@@ -432,7 +450,7 @@ object PipelineOps {
     * path below stays pinned at [[LshBucketCap]] so oracle hashes and the
     * frozen DuckDB chain are untouched. */
   private[graft] def p04WithCap(spark: SparkSession, dir: String, cap: Long): DataFrame = {
-    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    readSpread(spark, s"$dir/documents.parquet").createOrReplaceTempView("documents")
     graft.functions.GraftFunctions.registerMinhash(spark,
       hashA.toArray, hashB.toArray, MinhashP)
     materialized(spark, LshSigsView, lshSigsSql(hashFamily(spark)))
@@ -499,7 +517,7 @@ object PipelineOps {
     * of it. Linear in the planted sample — never joins the full corpus. */
   private[graft] def plantedShingleJaccard(spark: SparkSession, dir: String,
                                            offset: Long, mod: Long): DataFrame = {
-    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    readSpread(spark, s"$dir/documents.parquet").createOrReplaceTempView("documents")
     spark.sql(s"""
       WITH sel AS (
         SELECT doc_id, $wordsSpark AS words FROM documents
@@ -522,7 +540,7 @@ object PipelineOps {
   private[graft] def plantedCosine(spark: SparkSession, dir: String,
                                    offset: Long, mod: Long): DataFrame = {
     graft.functions.GraftFunctions.registerDot(spark)
-    spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("embeddings")
+    readSpread(spark, s"$dir/embeddings.parquet").createOrReplaceTempView("embeddings")
     spark.sql(s"""
       WITH sel AS (
         SELECT vec_id, embedding, ${norm2Spark("embedding")} AS n2 FROM embeddings
@@ -689,8 +707,10 @@ object PipelineOps {
     * `planes` is generated to r_max*b(r_max) rows, which bounds any
     * derivable r*b. */
   private def srpSetup(spark: SparkSession, dir: String, bandsArg: Int): Boolean = {
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    val n = emb.count()
+    // count from the RAW scan (zero-column parquet count — no spread
+    // exchange in the way); the registered view gets the spread
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val emb = readSpread(spark, s"$dir/embeddings.parquet")
     val (srpBits, derivedBands) = chooseSrpGeometry(n)
     val bands = if (bandsArg > 0) bandsArg else derivedBands
     require(srpBits * bands <= planes.length,
@@ -914,7 +934,7 @@ object PipelineOps {
     FROM scored GROUP BY lang, predicted ORDER BY lang, predicted"""
 
   private def p12Run(spark: SparkSession, dir: String): DataFrame = {
-    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    readSpread(spark, s"$dir/documents.parquet").createOrReplaceTempView("documents")
     materialized(spark, LangScoresView, p12ScoresSql)
     spark.sql(p12RollupSql)
   }
@@ -1333,7 +1353,7 @@ object PipelineOps {
 
   private[graft] def p19Run(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerDot(spark)
-    spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("embeddings")
+    readSpread(spark, s"$dir/embeddings.parquet", spread = true).createOrReplaceTempView("embeddings")
     val hf = hashFamily(spark)
     val mod = ivfCentroidMod(spark, dir)
     val r = ivfLloydRounds(spark)
@@ -1418,7 +1438,7 @@ object PipelineOps {
     * recall with the refined codebook must hold or improve on this. */
   private[graft] def ivfSeedOnly(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerDot(spark)
-    spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("embeddings")
+    readSpread(spark, s"$dir/embeddings.parquet").createOrReplaceTempView("embeddings")
     spark.sql(ivfSpark(lloyd = false, mod = ivfCentroidMod(spark, dir),
       nprobe = ivfNProbe(spark)))
   }
@@ -1520,25 +1540,71 @@ object PipelineOps {
   private[graft] def labelPropagate(init: DataFrame, edges: DataFrame,
                                     maxRounds: Int = LabelMaxRounds): DataFrame = {
     import org.apache.spark.sql.functions._
+    val spark = init.sparkSession
     var labels = Barrier.materialize(init)
-    var prevSum = labels.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
     var round = 0
     var converged = false
-    while (!converged && round < maxRounds) {
-      round += 1
-      val neighbors = labels.select(col("doc_id").as("n_id"), col("lbl").as("n_lbl"))
-      val prev = labels
-      labels = Barrier.materialize(labels
-        .join(edges, labels("doc_id") === edges("a"), "left")
-        .join(neighbors, neighbors("n_id") === edges("b"), "left")
-        .groupBy(labels("doc_id"), labels("lbl"))
-        .agg(least(labels("lbl"), coalesce(min(col("n_lbl")), labels("lbl"))).as("lbl2"))
-        .select(col("doc_id"), col("lbl2").as("lbl")))
-      Barrier.release(prev) // round N-1 is unreachable once N is materialized
-      val s = labels.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
-      converged = s == prevSum
-      prevSum = s
+    // Optimization r15 (measured: p16/p20/p22/p42 are round-overhead-bound
+    // at test SF — each round's joins ran at the session's full shuffle
+    // partition count over a KB-scale relation, and AQE's parallelism-first
+    // coalescing keeps ~defaultParallelism partitions, so every round paid
+    // ~cores tasks × ~3 stages of pure scheduling):
+    //  1. the loop runs at a shuffle-partition count DERIVED from the
+    //     materialized edge relation's actual size (rows / ~64k per task,
+    //     clamped to [1, session setting]) — scale-adaptive, identity at
+    //     deployment sizes, and restored in a finally;
+    //  2. the convergence probe rides the SAME job that materializes the
+    //     round (observe + CollectMetrics counts changed labels at zero
+    //     plan cost) instead of a second per-round aggregate job. Min-label
+    //     flooding only ever lowers labels, so "no label changed" is
+    //     exactly the old "label sum unchanged" fixpoint, round for round.
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val loopParts = {
+      val edgeRows = edges.count() // edges sit behind the caller's barrier
+      math.min(sessionParts.toLong, math.max(1L, edgeRows / 65536L)).toString
     }
+    // The fused probe reads CollectMetrics ACCUMULATORS off the round plan
+    // the barrier executed — valid only for the two checkpoint modes, which
+    // execute exactly that plan. persistDisk materializes through a
+    // separate count() execution (cache substitution) and `none` executes
+    // nothing at the barrier, so both keep the explicit per-round sum job
+    // (sum is the pre-r15 probe: labels only decrease, so sum-stable ==
+    // zero-changed, round for round).
+    val barrierMode = spark.conf.get(Barrier.ModeKey, "localCheckpoint")
+    val fused = barrierMode == "localCheckpoint" || barrierMode == "checkpoint"
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
+    var prevSum = if (fused) 0L else labelSum(labels)
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+      while (!converged && round < maxRounds) {
+        round += 1
+        val neighbors = labels.select(col("doc_id").as("n_id"), col("lbl").as("n_lbl"))
+        val prev = labels
+        val metricName = s"graft_lp_changed_r$round"
+        val nextDf = labels
+          .join(edges, labels("doc_id") === edges("a"), "left")
+          .join(neighbors, neighbors("n_id") === edges("b"), "left")
+          .groupBy(labels("doc_id"), labels("lbl"))
+          .agg(least(labels("lbl"), coalesce(min(col("n_lbl")), labels("lbl"))).as("lbl2"))
+          .select(col("doc_id"), col("lbl"), col("lbl2"))
+          .observe(metricName,
+            sum(when(col("lbl2") =!= col("lbl"), 1L).otherwise(0L)).as("changed"))
+          .select(col("doc_id"), col("lbl2").as("lbl"))
+        labels = Barrier.materialize(nextDf)
+        Barrier.release(prev) // round N-1 is unreachable once N is materialized
+        if (fused) {
+          val changed = nextDf.queryExecution.observedMetrics.get(metricName)
+            .flatMap(r => Option(r.get(r.fieldIndex("changed"))))
+            .fold(0L)(_.asInstanceOf[Long]) // null metric == empty relation == no change
+          converged = changed == 0L
+        } else {
+          val s = labelSum(labels)
+          converged = s == prevSum
+          prevSum = s
+        }
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
     lastLabelRounds = if (converged) round else -round
     if (!converged) {
       System.err.println(s"[graft] labelPropagate: label sum still changing after " +
@@ -1554,7 +1620,7 @@ object PipelineOps {
     * pipeline. */
   private def p16Labels(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    readSpread(spark, s"$dir/documents.parquet").createOrReplaceTempView("documents")
     graft.functions.GraftFunctions.registerMinhash(spark,
       hashA.toArray, hashB.toArray, MinhashP)
     materialized(spark, LshSigsView, lshSigsSql(hashFamily(spark)))
@@ -1891,7 +1957,7 @@ object PipelineOps {
   }
 
   private def p21Run(spark: SparkSession, dir: String): DataFrame = {
-    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    readSpread(spark, s"$dir/documents.parquet", spread = true).createOrReplaceTempView("documents")
     p21RunOnView(spark)
   }
   private val p21Duck = s"""
@@ -2091,7 +2157,7 @@ object PipelineOps {
     FROM bins GROUP BY bin_first ORDER BY bin_id"""
 
   private def p23Run(spark: SparkSession, dir: String): DataFrame = {
-    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    readSpread(spark, s"$dir/documents.parquet").createOrReplaceTempView("documents")
     spark.sql(p23Spark(derivePackChunkDocs(spark)))
   }
 
@@ -2261,7 +2327,7 @@ object PipelineOps {
 
   private[graft] def p25Run(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerDot(spark)
-    spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("embeddings")
+    readSpread(spark, s"$dir/embeddings.parquet").createOrReplaceTempView("embeddings")
     materialized(spark, QuantView, quantSqlBody)
     spark.sql(p25Tail)
   }
@@ -2422,7 +2488,7 @@ object PipelineOps {
     FROM p GROUP BY shard ORDER BY shard_id"""
 
   private def p27Run(spark: SparkSession, dir: String): DataFrame = {
-    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    readSpread(spark, s"$dir/documents.parquet").createOrReplaceTempView("documents")
     spark.sql(p27Spark(hashFamily(spark), shuffleSeed(spark), shuffleShards(spark)))
   }
 
@@ -2456,7 +2522,7 @@ object PipelineOps {
   // documents projection — no corpus shuffle after the LSH stage.
 
   private def p28Run(spark: SparkSession, dir: String): DataFrame = {
-    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    readSpread(spark, s"$dir/documents.parquet", spread = true).createOrReplaceTempView("documents")
     graft.functions.GraftFunctions.registerMinhash(spark,
       hashA.toArray, hashB.toArray, MinhashP)
     materialized(spark, LshSigsView, lshSigsSql(hashFamily(spark)))
@@ -2736,7 +2802,7 @@ object PipelineOps {
 
   private def p35Run(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerKmv(spark, KmvK)
-    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    readSpread(spark, s"$dir/documents.parquet").createOrReplaceTempView("documents")
     spark.sql(p35Spark(hashFamily(spark)))
   }
 
@@ -2801,7 +2867,7 @@ object PipelineOps {
   private def p36Run(spark: SparkSession, dir: String): DataFrame = {
     val (w, st) = (chunkTokens(spark), chunkStride(spark))
     require(st <= w, s"chunkStride $st must be <= chunkTokens $w (windows must tile)")
-    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    readSpread(spark, s"$dir/documents.parquet").createOrReplaceTempView("documents")
     spark.sql(p36Spark(hashFamily(spark), w, st))
   }
 
@@ -2854,7 +2920,7 @@ object PipelineOps {
     FROM r GROUP BY source ORDER BY source"""
 
   private def p37Run(spark: SparkSession, dir: String): DataFrame = {
-    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    readSpread(spark, s"$dir/documents.parquet").createOrReplaceTempView("documents")
     spark.sql(p37Spark(hashFamily(spark), domainQuota(spark)))
   }
 
@@ -2975,7 +3041,7 @@ object PipelineOps {
     ORDER BY doc_id"""
 
   private def p39Run(spark: SparkSession, dir: String): DataFrame = {
-    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    readSpread(spark, s"$dir/documents.parquet").createOrReplaceTempView("documents")
     spark.sql(p39Spark(hashFamily(spark), ingestFpTokens(spark)))
   }
 
@@ -3038,7 +3104,7 @@ object PipelineOps {
     ORDER BY doc_id"""
 
   private def p40Run(spark: SparkSession, dir: String): DataFrame = {
-    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    readSpread(spark, s"$dir/documents.parquet", spread = true).createOrReplaceTempView("documents")
     spark.sql(p40Spark(commonCfMin(spark)))
   }
 
@@ -3255,7 +3321,7 @@ object PipelineOps {
     FROM r GROUP BY lang ORDER BY lang"""
 
   private def p44Run(spark: SparkSession, dir: String): DataFrame = {
-    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    readSpread(spark, s"$dir/documents.parquet").createOrReplaceTempView("documents")
     spark.sql(p44Spark(hashFamily(spark), tokenBudget(spark)))
   }
 
@@ -3307,7 +3373,7 @@ object PipelineOps {
     graft.functions.GraftFunctions.registerNfc(spark)
     val plant = plantFixtures(spark)
     if (plant)
-      spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+      readSpread(spark, s"$dir/documents.parquet").createOrReplaceTempView("documents")
     spark.sql(p43Spark(plant))
   }
 
@@ -3410,7 +3476,7 @@ object PipelineOps {
     ORDER BY lang, rk"""
 
   private def p46Run(spark: SparkSession, dir: String): DataFrame = {
-    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    readSpread(spark, s"$dir/documents.parquet").createOrReplaceTempView("documents")
     val impl = spark.conf.getOption("spark.graft.weightedImpl").getOrElse("window")
     require(impl == "window" || impl == "agg",
       s"spark.graft.weightedImpl: window|agg, got $impl")
@@ -3496,7 +3562,7 @@ object PipelineOps {
   private def p47Run(spark: SparkSession, dir: String): DataFrame = {
     val plant = plantFixtures(spark)
     if (plant)
-      spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+      readSpread(spark, s"$dir/documents.parquet").createOrReplaceTempView("documents")
     spark.sql(p47Spark(hashFamily(spark), boilerplateDf(spark), plant))
   }
 
@@ -3598,7 +3664,7 @@ object PipelineOps {
     graft.functions.GraftFunctions.registerBloom(spark)
     val plant = plantFixtures(spark)
     if (plant)
-      spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+      readSpread(spark, s"$dir/documents.parquet").createOrReplaceTempView("documents")
     val baseCount =
       if (plant) "SELECT count(*) FROM documents WHERE pmod(doc_id, 5) < 4"
       else "SELECT count(*) FROM documents_base"
@@ -3675,7 +3741,7 @@ object PipelineOps {
     FROM r ORDER BY vec_id"""
 
   private def p49Run(spark: SparkSession, dir: String): DataFrame = {
-    spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("embeddings")
+    readSpread(spark, s"$dir/embeddings.parquet").createOrReplaceTempView("embeddings")
     spark.sql(p49Spark)
   }
 
@@ -3761,27 +3827,41 @@ object PipelineOps {
     * it, p50 releases immediately). */
   private def p50Learn(spark: SparkSession, dir: String)
       : (Seq[(Long, String, Long)], DataFrame) = {
-    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    readSpread(spark, s"$dir/documents.parquet").createOrReplaceTempView("documents")
     val m = bpeMerges(spark)
     var w = Barrier.materialize(spark.sql(p50VocabSql))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
-    for (r <- 1 to m) {
-      w.createOrReplaceTempView("bpe_w")
-      val best = spark.sql(p50PairSql).collect()
-      require(best.nonEmpty,
-        s"p50: pair vocabulary exhausted after ${r - 1} merges — lower spark.graft.bpeMerges")
-      val pair = best(0).getString(0); val c = best(0).getLong(1)
-      merges += ((r.toLong, pair, c))
-      // Spark SQL string literals interpret backslash escapes (DuckDB and
-      // JVM String.replace do not) — escape both so the spliced search
-      // literal means the same bytes on every engine
-      val esc = pair.replace("\\", "\\\\").replace("'", "''")
-      val prev = w
-      w = Barrier.materialize(spark.sql(
-        s"""SELECT word, freq, trim(replace(concat(' ', repr, ' '),
-           | ' $esc ', ' ${esc.replace(" ", "")} ')) AS repr FROM bpe_w""".stripMargin))
-      Barrier.release(prev)
-    }
+    // Optimization r15: the merge loop runs over the WORD-level vocab
+    // relation (tiny next to the corpus), so each round's pair aggregate at
+    // the session's full shuffle-partition count is round-overhead-bound —
+    // derive the loop's partition count from the materialized vocab's
+    // actual size (rows / ~64k per task, clamped to [1, session]); identity
+    // at deployment vocab sizes, restored in a finally. Merge CHOICE and
+    // table are partitioning-independent (exact integer counts, total
+    // ORDER BY c DESC, pair).
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val loopParts =
+      math.min(sessionParts.toLong, math.max(1L, w.count() / 65536L)).toString
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+      for (r <- 1 to m) {
+        w.createOrReplaceTempView("bpe_w")
+        val best = spark.sql(p50PairSql).collect()
+        require(best.nonEmpty,
+          s"p50: pair vocabulary exhausted after ${r - 1} merges — lower spark.graft.bpeMerges")
+        val pair = best(0).getString(0); val c = best(0).getLong(1)
+        merges += ((r.toLong, pair, c))
+        // Spark SQL string literals interpret backslash escapes (DuckDB and
+        // JVM String.replace do not) — escape both so the spliced search
+        // literal means the same bytes on every engine
+        val esc = pair.replace("\\", "\\\\").replace("'", "''")
+        val prev = w
+        w = Barrier.materialize(spark.sql(
+          s"""SELECT word, freq, trim(replace(concat(' ', repr, ' '),
+             | ' $esc ', ' ${esc.replace(" ", "")} ')) AS repr FROM bpe_w""".stripMargin))
+        Barrier.release(prev)
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
     (merges.toSeq, w)
   }
 
@@ -4093,7 +4173,7 @@ object PipelineOps {
   private def p54Run(spark: SparkSession, dir: String): DataFrame = {
     val plant = plantFixtures(spark)
     if (plant)
-      spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+      readSpread(spark, s"$dir/documents.parquet", spread = true).createOrReplaceTempView("documents")
     spark.sql(p54Spark(hashFamily(spark), substrK(spark), plant))
   }
 
@@ -4437,7 +4517,7 @@ object PipelineOps {
   private def p57Run(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerDot(spark)
     registerJlPlanes(spark)
-    spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("embeddings")
+    readSpread(spark, s"$dir/embeddings.parquet").createOrReplaceTempView("embeddings")
     spark.sql(s"""
       SELECT e.vec_id, CAST(p.idx AS BIGINT) AS dim,
         CAST(floor(${dotSpark("e.embedding", "p.pv")} * 1e6 + 0.5) AS BIGINT) AS proj_u
@@ -4693,7 +4773,7 @@ object PipelineOps {
   private def p60Run(spark: SparkSession, dir: String): DataFrame = {
     val plant = plantFixtures(spark)
     if (plant)
-      spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+      readSpread(spark, s"$dir/documents.parquet", spread = true).createOrReplaceTempView("documents")
     materialized(spark, SimPairSigsView, p60SigsSql(hashFamily(spark), plant))
     spark.sql(p60PairsSql(simhashBands(spark)))
   }
@@ -5393,7 +5473,7 @@ object PipelineOps {
 
   private def p67Run(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerDot(spark)
-    spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("embeddings")
+    readSpread(spark, s"$dir/embeddings.parquet").createOrReplaceTempView("embeddings")
     val ranked = Barrier.materialize(spark.sql(
       p67RankedSpark(hashFamily(spark), ivfCentroidMod(spark, dir))))
     ranked.createOrReplaceTempView("sem_ranked")
@@ -5654,7 +5734,7 @@ object PipelineOps {
   private[graft] val TfidfTopK = 5
 
   private[graft] def p71Run(spark: SparkSession, dir: String): DataFrame = {
-    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    readSpread(spark, s"$dir/documents.parquet").createOrReplaceTempView("documents")
     materialized(spark, "p71_tf", s"""
       SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
       FROM documents LATERAL VIEW explode($wordsSpark) t AS term
@@ -6292,13 +6372,13 @@ object PipelineOps {
     (spark, dir) => {
       val plant = plantFixtures(spark)
       if (plant)
-        spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+        readSpread(spark, s"$dir/documents.parquet").createOrReplaceTempView("documents")
       spark.sql(f(plant))
     }
 
   private def onEvents(sql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => {
-      graft.Graft.normalizeEventTime(spark.read.parquet(s"$dir/events.parquet"))
+      graft.Graft.normalizeEventTime(readSpread(spark, s"$dir/events.parquet"))
         .createOrReplaceTempView("events")
       spark.sql(sql)
     }
@@ -6413,7 +6493,7 @@ object PipelineOps {
     FROM agg WHERE n_a > 0 AND n_b > 0 ORDER BY src_a, src_b"""
 
   private[graft] def p81Run(spark: SparkSession, dir: String): DataFrame = {
-    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    readSpread(spark, s"$dir/documents.parquet").createOrReplaceTempView("documents")
     materialized(spark, P81SvView, p81SvSql(wordsSpark, a => s"size($a)"))
     spark.sql(p81Tail(P81SvView))
   }
@@ -6430,15 +6510,17 @@ object PipelineOps {
 
   // ---- wiring --------------------------------------------------------------
 
-  private def onDocs(sql: String): (SparkSession, String) => DataFrame =
-    onDocsHf(_ => sql)
+  // `spread` on each wiring = this round's per-operator A/B choice (see
+  // [[readSpread]]); the flag is per OPERATOR, so helpers take it per call.
+  private def onDocs(sql: String, spread: Boolean = false): (SparkSession, String) => DataFrame =
+    onDocsHf(_ => sql, spread)
 
   /** Hash-family-aware wiring: the SQL is rendered at CALL time from the
     * session's `spark.graft.hashFamily`, so one config flips every
     * operator's hash (VERDICT r5 #5). */
-  private def onDocsHf(f: String => String): (SparkSession, String) => DataFrame =
+  private def onDocsHf(f: String => String, spread: Boolean = false): (SparkSession, String) => DataFrame =
     (spark, dir) => {
-      spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+      readSpread(spark, s"$dir/documents.parquet", spread).createOrReplaceTempView("documents")
       spark.sql(f(hashFamily(spark)))
     }
 
@@ -6449,21 +6531,21 @@ object PipelineOps {
     * input names (`documents`, or `documents_base`/`_batch`/`_v1`/`_v2`
     * for the snapshot operators) — the dir argument only drives the gate
     * fixture. */
-  private def onDocsHfP(f: (String, Boolean) => String): (SparkSession, String) => DataFrame =
+  private def onDocsHfP(f: (String, Boolean) => String, spread: Boolean = false): (SparkSession, String) => DataFrame =
     (spark, dir) => {
       val plant = plantFixtures(spark)
       if (plant)
-        spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+        readSpread(spark, s"$dir/documents.parquet", spread).createOrReplaceTempView("documents")
       spark.sql(f(hashFamily(spark), plant))
     }
 
-  private def onEmb(sql: String): (SparkSession, String) => DataFrame =
-    onEmbHf(_ => sql)
+  private def onEmb(sql: String, spread: Boolean = false): (SparkSession, String) => DataFrame =
+    onEmbHf(_ => sql, spread)
 
-  private def onEmbHf(f: String => String): (SparkSession, String) => DataFrame =
+  private def onEmbHf(f: String => String, spread: Boolean = false): (SparkSession, String) => DataFrame =
     (spark, dir) => {
       graft.functions.GraftFunctions.registerDot(spark)
-      spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("embeddings")
+      readSpread(spark, s"$dir/embeddings.parquet", spread).createOrReplaceTempView("embeddings")
       spark.sql(f(hashFamily(spark)))
     }
 
@@ -6472,7 +6554,7 @@ object PipelineOps {
     "p02_text_stats" -> onDocs(p02Spark),
     "p03_lang_quality" -> onDocs(p03Spark),
     "p04_minhash_lsh" -> ((spark, dir) => p04Run(spark, dir)),
-    "p05_simhash" -> onDocsHf(p05Spark),
+    "p05_simhash" -> onDocsHf(p05Spark, spread = true),
     "p06_fingerprint" -> onDocsHf(p06Spark),
     "p07_cosine_topk" -> onEmb(p07Spark),
     "p08_ann_srp_lsh" -> ((spark, dir) => p08Run(spark, dir)),
@@ -6483,18 +6565,18 @@ object PipelineOps {
     "p11_ngram_jaccard" -> onDocs(p11Spark),
     "p12_lang_id" -> ((spark, dir) => p12Run(spark, dir)),
     "p13_sessionize" -> ((spark, dir) => {
-      graft.Graft.normalizeEventTime(spark.read.parquet(s"$dir/events.parquet"))
+      graft.Graft.normalizeEventTime(readSpread(spark, s"$dir/events.parquet"))
         .createOrReplaceTempView("events")
       spark.sql(p13Spark)
     }),
     "p14_top_terms" -> ((spark, dir) => {
       graft.functions.GraftFunctions.registerTopTerms(spark, TopTerms)
-      onDocs(p14Spark)(spark, dir)
+      onDocs(p14Spark, spread = true)(spark, dir)
     }),
     "p15_sample_stratified" -> onDocsHf(p15Spark),
     "p16_dedup_clusters" -> ((spark, dir) => p16Run(spark, dir)),
-    "p17_quality_filter" -> onDocs(p17Spark),
-    "p18_text_clean" -> onDocsHf(p18Spark),
+    "p17_quality_filter" -> onDocs(p17Spark, spread = true),
+    "p18_text_clean" -> onDocsHf(p18Spark, spread = true),
     "p19_ann_ivf" -> (p19Run(_, _)),
     "p20_curation" -> ((spark, dir) => p20Run(spark, dir)),
     "p21_decontam" -> ((spark, dir) => p21Run(spark, dir)),
@@ -6502,7 +6584,7 @@ object PipelineOps {
     "p23_pack_sequences" -> ((spark, dir) => p23Run(spark, dir)),
     "p24_mixture_sample" -> onDocsHf(p24Spark),
     "p25_embed_quant" -> ((spark, dir) => p25Run(spark, dir)),
-    "p26_repetition" -> onDocs(p26Spark),
+    "p26_repetition" -> onDocs(p26Spark, spread = true),
     "p27_shuffle_shard" -> ((spark, dir) => p27Run(spark, dir)),
     "p28_contamination_matrix" -> ((spark, dir) => p28Run(spark, dir)),
     "p29_media_resize" -> ((spark, dir) => MediaOps.resizeFeatures(spark, dir)),
@@ -6514,7 +6596,7 @@ object PipelineOps {
     "p35_kmv_distinct" -> ((spark, dir) => p35Run(spark, dir)),
     "p36_chunk_sliding" -> ((spark, dir) => p36Run(spark, dir)),
     "p37_domain_quota" -> ((spark, dir) => p37Run(spark, dir)),
-    "p38_pii_redact" -> onDocsHfP(p38Spark),
+    "p38_pii_redact" -> onDocsHfP(p38Spark, spread = true),
     "p39_incremental_dedup" -> ((spark, dir) => p39Run(spark, dir)),
     "p40_rare_token_score" -> ((spark, dir) => p40Run(spark, dir)),
     "p41_audio_decode" -> ((spark, dir) => MediaOps.audioFeatures(spark, dir)),
@@ -6531,45 +6613,45 @@ object PipelineOps {
     "p52_snapshot_diff" -> onDocsHfP(p52Spark),
     "p53_negative_sample" -> onEmbHf(p53Spark),
     "p54_substring_dedup" -> ((spark, dir) => p54Run(spark, dir)),
-    "p55_nb_quality" -> onDocsHf(p55Spark),
-    "p56_bm25" -> onDocsHf(p56Spark),
+    "p55_nb_quality" -> onDocsHf(p55Spark, spread = true),
+    "p56_bm25" -> onDocsHf(p56Spark, spread = true),
     "p57_jl_project" -> ((spark, dir) => p57Run(spark, dir)),
-    "p58_html_extract" -> onDocsHfP(p58Spark),
+    "p58_html_extract" -> onDocsHfP(p58Spark, spread = true),
     "p59_blocklist" -> onDocs(p59Spark),
     "p60_simhash_pairs" -> ((spark, dir) => p60Run(spark, dir)),
     "p61_bigram_ppx" -> ((spark, dir) => {
-      spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+      readSpread(spark, s"$dir/documents.parquet", spread = true).createOrReplaceTempView("documents")
       spark.sql(p61Spark(hashFamily(spark), ppxFlagMicro(spark)))
     }),
     "p62_fim_transform" -> ((spark, dir) => {
-      spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+      readSpread(spark, s"$dir/documents.parquet").createOrReplaceTempView("documents")
       spark.sql(p62Spark(hashFamily(spark), fimSalt(spark)))
     }),
     "p63_paragraph_dedup" -> onDocsHfP(p63Spark),
     "p64_dsir_select" -> ((spark, dir) => {
-      spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+      readSpread(spark, s"$dir/documents.parquet", spread = true).createOrReplaceTempView("documents")
       spark.sql(p64Spark(hashFamily(spark), dsirSelectMicro(spark)))
     }),
     "p65_span_corrupt" -> ((spark, dir) => {
-      spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+      readSpread(spark, s"$dir/documents.parquet", spread = true).createOrReplaceTempView("documents")
       spark.sql(p65Spark(hashFamily(spark), fimSalt(spark)))
     }),
     "p66_softdedup_weights" -> onDocsHf(p66Spark),
     "p67_semantic_dedup" -> ((spark, dir) => p67Run(spark, dir)),
     "p68_tokenizer_fertility" -> ((spark, dir) => p68Run(spark, dir)),
-    "p69_boundary_overlap" -> onDocsHfP(p69Spark),
+    "p69_boundary_overlap" -> onDocsHfP(p69Spark, spread = true),
     "p70_mojibake_score" -> onDocsP(p70Spark),
     "p71_tfidf_keywords" -> ((spark, dir) => p71Run(spark, dir)),
     "p72_source_overlap" -> onDocsHfP(p72Spark),
     "p73_cdc_chunks" -> onDocsHf(p73Spark),
     "p74_cluster_rep" -> onDocsHfP(p74Spark),
     "p75_mixture_weights" -> ((spark, dir) => {
-      spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+      readSpread(spark, s"$dir/documents.parquet").createOrReplaceTempView("documents")
       spark.sql(p75Spark(mixtureAlphaMicro(spark)))
     }),
-    "p76_stitch_merge" -> onDocsHfP(p76Spark),
+    "p76_stitch_merge" -> onDocsHfP(p76Spark, spread = true),
     "p77_bitext_margin" -> ((spark, dir) =>
-      onEmb(p77Spark(bitextKnnK(spark)))(spark, dir)),
+      onEmb(p77Spark(bitextKnnK(spark)), spread = true)(spark, dir)),
     "p78_calibration_bins" -> onDocsHf(p78Spark),
     "p79_bitext_ann" -> ((spark, dir) => p79Run(spark, dir)),
     "p80_quality_auc" -> onDocsHf(p80Spark),

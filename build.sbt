@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the ONE-line JSON that Bench/Verify print to stdout.
+// sbt's default output strategy for forked runs is LoggedOutput, which
+// prefixes every forked-process line with "[info] " — the driver's JSON
+// parse has failed on that prefix in EVERY round (BENCH_r01..r15 all have
+// parsed:null; r01's tail shows the intact JSON line behind "[info] ").
+// StdoutOutput makes the forked JVM inherit sbt's raw stdout/stderr, so
+// the contract line reaches the driver byte-identical.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1300,7 +1300,11 @@ object Bench {
     // contention only ever inflates
     val totalMinEnvelope = results.collect { case (_, s) if s.min >= 0 => s.min }.sum
 
-    val qs = results.map { case (k, v) => s"\"$k\":${v.median}" }.mkString("{", ",", "}")
+    // stdout gets millisecond precision: full doubles (~13 chars each) were
+    // half the reason the one-line JSON outgrew the driver's tail capture
+    // (VERDICT r15 #1) — the full-precision values stay in the persisted
+    // artifact's query_detail
+    val qs = results.map { case (k, v) => s"\"$k\":${f3(v.median)}" }.mkString("{", ",", "}")
     val qDetail = results.map { case (k, s) =>
       val retry = retries.get(k).map(d => s",\"retry\":${f3(d)}").getOrElse("")
       s"\"$k\":{\"med\":${f3(s.median)},\"min\":${f3(s.min)},\"max\":${f3(s.max)},\"runs\":${s.runs},\"t_s\":${f3(s.tStartS)}$retry}"
@@ -1316,7 +1320,18 @@ object Bench {
       .map { case (k, v) => s"${util.Json.quote(k)}:${util.Json.quote(v.take(200))}" }
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"value_min_envelope":${f3(totalMinEnvelope)},"drift":$driftBlock,"unit":"sec","queries":$qs,"query_detail":$qDetail,"errors":$errJson,"compile_us_per_query":${compileUs.round},"parse_us_per_query":${parseUs.round},"lower_us_per_query":${lowerUs.round},"sqlgen_us_per_query":${sqlgenUs.round},"calib_s":$calibS,"calib_samples":$calibJson,"calib_stats":$calibStats,"host_contended":$hostContended,"contended_record":$contendedRecord,"unstable_queries":${unstableQueries.map(util.Json.quote).mkString("[", ",", "]")},"unstable_spikes":${unstableSpikes.map(util.Json.quote).mkString("[", ",", "]")},"regressed_queries":${regressedQueries.map(util.Json.quote).mkString("[", ",", "]")},"hash_family_bench":$hashFamilyJson,"scale_probe":$scaleProbeJson,"p79_fidelity":$p79FidelityJson,"p79_graded":$p79GradedJson,"recall_probe":$recallProbeJson,"epoch_ms":$benchEpochMs,"runs_per_query":$TimedRuns,"fast_runs":$FastTimedRuns,"fast_threshold_s":$FastQueryThresholdSec,"runs_policy":"median over runs_per_query timed runs; promoted to fast_runs when any timed run < fast_threshold_s; unstable queries re-timed once post-suite (query_detail.retry)","aggregation":"median","sf":"$sfDir"}"""
-    println(line)
+    // stdout carries a COMPACT summary line (~3.4 KB: suite value +
+    // per-query medians + window flags) — the driver's capture window is
+    // finite and the full line had grown to ~19 KB (query_detail +
+    // p79_fidelity/p79_graded/scale_probe inline), overflowing it
+    // (VERDICT r15 #1: BENCH_r14/r15 both parsed:null, tail starts
+    // mid-line). Every diagnostic block still lands in the self-persisted
+    // artifacts below (target/bench.json + bench_history/), same format as
+    // all previous rounds, so trend tooling and the in-bench baseline
+    // regexes are unaffected. Same metric, same value, same queries —
+    // only the stdout VERBOSITY changed, not the measurement.
+    val compactLine = s"""{"metric":"total","value":$total,"value_min_envelope":${f3(totalMinEnvelope)},"unit":"sec","queries":$qs,"errors":$errJson,"calib_s":$calibS,"host_contended":$hostContended,"contended_record":$contendedRecord,"epoch_ms":$benchEpochMs,"sf":"$sfDir"}"""
+    println(compactLine)
     // the full per-query record also lands on disk: the r3 driver artifact
     // lost its tail to log truncation, and a file survives that
     try {

@@ -1537,6 +1537,43 @@ object PipelineOps {
     * — fine for the single-driver bench/test paths that consume it. */
   @volatile private[graft] var lastLabelRounds: Int = -1
 
+  /** Shuffle-partition count for an iterative loop's rounds, derived from
+    * the loop relation's measured size (optimization r15, re-tuned r16 —
+    * VERDICT r15 #2 showed the floor-1 version was a net regression vs the
+    * r14 quiet record: one partition serializes each round's joins, and a
+    * ~KB relation still carries 2-8 rounds x ~3 stages of work that 32
+    * cores CAN overlap). `spark.graft.loopParts`:
+    *   - "off"  — None: keep the session/AQE setting and skip the sizing
+    *     count() job entirely (the r14 behavior);
+    *   - "auto" (default) — clamp(rows / 64Ki, [floor, session]) with
+    *     floor = `spark.graft.loopPartsFloor` (default [[LoopPartsFloor]],
+    *     chosen by the r16 A/B sweep); identity at deployment sizes;
+    *   - N — pinned (the A/B probe's lever).
+    * `rows` is by-name so "off"/pinned never pay the count() job.
+    *
+    * r16 sweep result (KnobProbe, off/1/4/8/16 then off/1/4 at 8 runs/arm,
+    * alternating, sf0.1 local[32]): floor 1 — the r15 setting — won the
+    * median on 5/6 loop ops (sum-of-medians off 12.22 s, 1 11.00 s,
+    * 4 11.82 s; 8/16 clearly worse). The r15→r14 suite regression VERDICT
+    * r15 #2 flagged did not reproduce as an arm difference in-session, so
+    * it was window drift, not the mechanism; the floor stays 1 and `off`
+    * remains available for measurement. */
+  private val LoopPartsFloor = 1L
+  private[graft] def loopPartsFor(spark: SparkSession, rows: => Long): Option[String] =
+    spark.conf.getOption("spark.graft.loopParts").getOrElse("auto") match {
+      case "off"  => None
+      case "auto" =>
+        val session = spark.conf.get("spark.sql.shuffle.partitions").toLong
+        val floor = spark.conf.getOption("spark.graft.loopPartsFloor")
+          .map(_.toLong).getOrElse(LoopPartsFloor)
+        require(floor >= 1, s"spark.graft.loopPartsFloor must be >= 1, got $floor")
+        Some(math.min(session, math.max(floor, rows / 65536L)).toString)
+      case n      =>
+        require(scala.util.Try(n.toLong).toOption.exists(_ >= 1),
+          s"spark.graft.loopParts: off | auto | positive int, got $n")
+        Some(n)
+    }
+
   private[graft] def labelPropagate(init: DataFrame, edges: DataFrame,
                                     maxRounds: Int = LabelMaxRounds): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -1559,10 +1596,12 @@ object PipelineOps {
     //     flooding only ever lowers labels, so "no label changed" is
     //     exactly the old "label sum unchanged" fixpoint, round for round.
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val loopParts = {
-      val edgeRows = edges.count() // edges sit behind the caller's barrier
-      math.min(sessionParts.toLong, math.max(1L, edgeRows / 65536L)).toString
-    }
+    // r16 re-tune (VERDICT r15 #2: the r15 floor-1 scoping was a net
+    // regression vs the r14 quiet record — p42 1.51→2.46 s, p16 1.63→2.12).
+    // `spark.graft.loopParts` = off | auto (default) | N; `off` restores
+    // the session/AQE behavior (and skips the sizing count() job), `auto`
+    // derives from relation size with a floor of `spark.graft.loopPartsFloor`.
+    val loopPartsOpt = loopPartsFor(spark, edges.count())
     // The fused probe reads CollectMetrics ACCUMULATORS off the round plan
     // the barrier executed — valid only for the two checkpoint modes, which
     // execute exactly that plan. persistDisk materializes through a
@@ -1576,7 +1615,7 @@ object PipelineOps {
       df.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
     var prevSum = if (fused) 0L else labelSum(labels)
     try {
-      spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+      loopPartsOpt.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
       while (!converged && round < maxRounds) {
         round += 1
         val neighbors = labels.select(col("doc_id").as("n_id"), col("lbl").as("n_lbl"))
@@ -1604,7 +1643,10 @@ object PipelineOps {
           prevSum = s
         }
       }
-    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+    } finally {
+      if (loopPartsOpt.isDefined)
+        spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+    }
     lastLabelRounds = if (converged) round else -round
     if (!converged) {
       System.err.println(s"[graft] labelPropagate: label sum still changing after " +
@@ -3840,10 +3882,9 @@ object PipelineOps {
     // table are partitioning-independent (exact integer counts, total
     // ORDER BY c DESC, pair).
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val loopParts =
-      math.min(sessionParts.toLong, math.max(1L, w.count() / 65536L)).toString
+    val loopPartsOpt = loopPartsFor(spark, w.count()) // r16 knob — see loopPartsFor
     try {
-      spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+      loopPartsOpt.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
       for (r <- 1 to m) {
         w.createOrReplaceTempView("bpe_w")
         val best = spark.sql(p50PairSql).collect()
@@ -3861,7 +3902,10 @@ object PipelineOps {
              | ' $esc ', ' ${esc.replace(" ", "")} ')) AS repr FROM bpe_w""".stripMargin))
         Barrier.release(prev)
       }
-    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+    } finally {
+      if (loopPartsOpt.isDefined)
+        spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+    }
     (merges.toSeq, w)
   }
 

@@ -83,6 +83,9 @@ class KnobSweepSpec extends AnyFunSuite {
     "spark.graft.scanSpread" -> Knob("p21_decontam", Seq("0")),
     "spark.graft.scanSpreadMinBytes" -> Knob("p21_decontam", Seq("-1")),
     "spark.graft.scanSpreadTaskBytes" -> Knob("p21_decontam", Seq("0")),
+    // r16 loop scoping: p50 is the cheapest operator through loopPartsFor
+    "spark.graft.loopParts" -> Knob("p50_bpe_learn", Seq("0")),
+    "spark.graft.loopPartsFloor" -> Knob("p50_bpe_learn", Seq("0")),
   )
 
   test("README knob table == the spark.graft.* keys the source reads == this registry") {

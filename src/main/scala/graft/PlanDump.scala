@@ -6,20 +6,28 @@ import java.nio.file.{Files, Paths}
   * declared queries to files, so plan claims in OPTIMIZATION_r*.md are
   * checkable without running Spark.
   *
-  * Usage: runMain graft.PlanDump <outDir> [query ...]   (no names = all)
+  * Usage: runMain graft.PlanDump <outDir> [key=value ...] [query ...]
+  * (no names = all; key=value args become session confs — r16, so an A/B
+  * arm's plans are diffable without recompiling)
   * Reads SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS like Bench.
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: PlanDump <outDir> [query ...]")
+    require(args.nonEmpty, "usage: PlanDump <outDir> [key=value ...] [query ...]")
     val outDir = args.head
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Graft.localSession(cpus)
     new java.io.File(outDir).mkdirs()
+    val (confs, queryArgs) = args.tail.partition(_.contains("="))
+    confs.foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+      System.err.println(s"[plandump] conf $k=$v")
+    }
     val all = SparkEntry.queries
     val names =
-      if (args.length > 1) args.tail.toSeq
+      if (queryArgs.nonEmpty) queryArgs.toSeq
       else all.keys.toSeq.sorted
     names.foreach { name =>
       all.get(name) match {

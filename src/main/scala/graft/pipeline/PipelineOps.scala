@@ -1353,7 +1353,11 @@ object PipelineOps {
 
   private[graft] def p19Run(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerDot(spark)
-    readSpread(spark, s"$dir/embeddings.parquet", spread = true).createOrReplaceTempView("embeddings")
+    // r16: spread flipped OFF (VERDICT r15 #3 — the r15 A/B read SPREAD but
+    // the quiet suite read 0.79x, min-confirmed; Lloyd rounds make p19
+    // loop-flavored). Re-A/B'd this round in-session, 8 runs/arm: spread
+    // 2.079/1.920 vs off 1.773/1.599 med/min — off wins by ~15%.
+    readSpread(spark, s"$dir/embeddings.parquet").createOrReplaceTempView("embeddings")
     val hf = hashFamily(spark)
     val mod = ivfCentroidMod(spark, dir)
     val r = ivfLloydRounds(spark)

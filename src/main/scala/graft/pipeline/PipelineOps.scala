@@ -6248,9 +6248,10 @@ object PipelineOps {
   }
 
   private def p77Text(k: Int, dot: (String, String) => String, norm2: String => String,
-                      r6: String => String, toDouble: String => String): String = {
+                      r6: String => String, toDouble: String => String,
+                      grouped: Boolean): String = {
     val k2 = 2 * k
-    s"""
+    val head = s"""
     WITH e AS (
       SELECT vec_id, embedding, ${norm2("embedding")} AS n2, label FROM embeddings),
     s AS (SELECT vec_id, embedding, n2 FROM e WHERE label < 5),
@@ -6258,7 +6259,8 @@ object PipelineOps {
     p0 AS (
       SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
         CAST(floor((${dot("s.embedding", "t.embedding")} / (sqrt(s.n2) * sqrt(t.n2))) * 1e6 + 0.5) AS BIGINT) AS cosu
-      FROM s CROSS JOIN t),
+      FROM s CROSS JOIN t),"""
+    val legacyTail = s"""
     p1 AS (
       SELECT src_id, tgt_id, cosu,
         row_number() OVER (PARTITION BY src_id ORDER BY cosu DESC, tgt_id) AS rs,
@@ -6283,16 +6285,79 @@ object PipelineOps {
       ${toDouble("cosu")} / 1e6 AS cos_sim,
       (rb = 1) AS mutual
     FROM p4 WHERE ra = 1 ORDER BY src_id"""
+    // same six windows, same values, partition-adjacent order (see
+    // [[marginTailGrouped]]): tgt rank -> tgt sum (no exchange) -> src rank
+    // -> src sum (no exchange) -> tgt argmax -> src argmax directly under
+    // the ra = 1 filter (InferWindowGroupLimit prunes to top-1 per src
+    // before the last exchange)
+    val groupedTail = s"""
+    p1 AS (
+      SELECT src_id, tgt_id, cosu,
+        row_number() OVER (PARTITION BY tgt_id ORDER BY cosu DESC, src_id) AS rt
+      FROM p0),
+    p2 AS (
+      SELECT src_id, tgt_id, cosu,
+        sum(CASE WHEN rt <= $k THEN cosu ELSE 0 END) OVER (PARTITION BY tgt_id) AS skt
+      FROM p1),
+    p3 AS (
+      SELECT src_id, tgt_id, cosu, skt,
+        row_number() OVER (PARTITION BY src_id ORDER BY cosu DESC, tgt_id) AS rs
+      FROM p2),
+    p4 AS (
+      SELECT src_id, tgt_id, cosu, skt,
+        sum(CASE WHEN rs <= $k THEN cosu ELSE 0 END) OVER (PARTITION BY src_id) AS sks
+      FROM p3),
+    p5 AS (
+      SELECT src_id, tgt_id, cosu,
+        ${toDouble("cosu")} * $k2 / greatest(sks + skt, 1) AS margin
+      FROM p4),
+    p6 AS (
+      SELECT src_id, tgt_id, cosu, margin,
+        row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id) AS rb
+      FROM p5),
+    p7 AS (
+      SELECT src_id, tgt_id, cosu, margin, rb,
+        row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS ra
+      FROM p6)
+    SELECT src_id, tgt_id,
+      ${r6("margin")} AS margin,
+      ${toDouble("cosu")} / 1e6 AS cos_sim,
+      (rb = 1) AS mutual
+    FROM p7 WHERE ra = 1 ORDER BY src_id"""
+    head + (if (grouped) groupedTail else legacyTail)
   }
 
-  private def p77Spark(k: Int): String = p77Text(
+  private def p77Spark(k: Int, grouped: Boolean): String = p77Text(
     k, dotSpark, norm2Spark,
     m => s"CAST(floor($m * 1e6 + 0.5) AS DOUBLE) / 1e6",
-    c => s"CAST($c AS DOUBLE)")
+    c => s"CAST($c AS DOUBLE)", grouped)
+  // the oracle keeps the legacy order — the hash gate then PROVES the
+  // grouped reordering value-identical on every compared corpus
   private val p77Duck: String = p77Text(
     BitextKnnK, dotDuck, norm2Duck,
     m => s"floor($m * 1e6 + 0.5) / 1e6",
-    c => s"CAST($c AS DOUBLE)")
+    c => s"CAST($c AS DOUBLE)", grouped = false)
+
+  /** Margin-tail window ordering for p77/p79 (`spark.graft.marginTail`):
+    * `grouped` (default, r16) evaluates the six tail windows with
+    * same-partition-key specs adjacent — tgt rank, tgt k-mass, src rank,
+    * src k-mass, tgt argmax, src argmax — so each consecutive same-key
+    * window reuses the child's hash partitioning AND sort (Spark elides
+    * the Exchange+Sort when the child already satisfies them: 6
+    * full-relation exchanges drop to 3), and the final `ra = 1` filter
+    * sits directly above its own window, which lets InferWindowGroupLimit
+    * prune each task to top-1 per src BEFORE the last exchange. `legacy`
+    * keeps the r10 ordering (rank pair, sum pair, argmax pair).
+    * Value-identical by construction: a window function reads its full
+    * partition regardless of stage order, cosines are micro-unit BIGINTs
+    * before any sum, and every rank has a deterministic tiebreak — proven
+    * through the unchanged-oracle hash gate. */
+  private[graft] def marginTailGrouped(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.marginTail").map { v =>
+      require(v == "grouped" || v == "legacy",
+        s"spark.graft.marginTail must be grouped|legacy, got $v")
+      v == "grouped"
+    }.getOrElse(true)
 
   // ---- p79: bitext mining at scale (SRP-candidate-fronted margin) -------------
   // The deployment path for p77 (VERDICT r10 #1): instead of the exact
@@ -6321,8 +6386,11 @@ object PipelineOps {
   // any window sum, one integer-ratio double division for the margin.
 
   /** Margin tail shared by both engines (candidate-count-aware k-mass):
-    * reads a relation `p0(src_id, tgt_id, cosu)`. */
-  private def p79Tail(k: Int, r6: String => String, toDouble: String => String): String = s"""
+    * reads a relation `p0(src_id, tgt_id, cosu)`. `grouped` selects the
+    * partition-adjacent window order (see [[marginTailGrouped]]) — same
+    * six windows, same values; the oracle stays on the legacy order. */
+  private def p79Tail(k: Int, r6: String => String, toDouble: String => String,
+                      grouped: Boolean): String = if (!grouped) s"""
     p1 AS (
       SELECT src_id, tgt_id, cosu,
         row_number() OVER (PARTITION BY src_id ORDER BY cosu DESC, tgt_id) AS rs,
@@ -6348,13 +6416,48 @@ object PipelineOps {
       ${r6("margin")} AS margin,
       ${toDouble("cosu")} / 1e6 AS cos_sim,
       (rb = 1) AS mutual
-    FROM p4 WHERE ra = 1 ORDER BY src_id"""
+    FROM p4 WHERE ra = 1 ORDER BY src_id""" else s"""
+    p1 AS (
+      SELECT src_id, tgt_id, cosu,
+        row_number() OVER (PARTITION BY tgt_id ORDER BY cosu DESC, src_id) AS rt
+      FROM p0),
+    p2 AS (
+      SELECT src_id, tgt_id, cosu,
+        sum(CASE WHEN rt <= $k THEN cosu ELSE 0 END) OVER (PARTITION BY tgt_id) AS skt,
+        sum(CASE WHEN rt <= $k THEN 1 ELSE 0 END) OVER (PARTITION BY tgt_id) AS kt
+      FROM p1),
+    p3 AS (
+      SELECT src_id, tgt_id, cosu, skt, kt,
+        row_number() OVER (PARTITION BY src_id ORDER BY cosu DESC, tgt_id) AS rs
+      FROM p2),
+    p4 AS (
+      SELECT src_id, tgt_id, cosu, skt, kt,
+        sum(CASE WHEN rs <= $k THEN cosu ELSE 0 END) OVER (PARTITION BY src_id) AS sks,
+        sum(CASE WHEN rs <= $k THEN 1 ELSE 0 END) OVER (PARTITION BY src_id) AS ks
+      FROM p3),
+    p5 AS (
+      SELECT src_id, tgt_id, cosu,
+        ${toDouble("cosu")} * (2 * ks * kt) / greatest(skt * ks + sks * kt, 1) AS margin
+      FROM p4),
+    p6 AS (
+      SELECT src_id, tgt_id, cosu, margin,
+        row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id) AS rb
+      FROM p5),
+    p7 AS (
+      SELECT src_id, tgt_id, cosu, margin, rb,
+        row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS ra
+      FROM p6)
+    SELECT src_id, tgt_id,
+      ${r6("margin")} AS margin,
+      ${toDouble("cosu")} / 1e6 AS cos_sim,
+      (rb = 1) AS mutual
+    FROM p7 WHERE ra = 1 ORDER BY src_id"""
 
   /** Spark body over the materialized [[SrpEView]] (one SRP keying pass,
     * shared schema with p08/p22): band ranks are computed PER HALF so the
     * cap bounds cross pairs at cap², and the verify re-join reads
     * embedding/n2 from the same view. */
-  private def p79Spark(k: Int): String = s"""
+  private def p79Spark(k: Int, grouped: Boolean): String = s"""
     WITH bx AS (
       SELECT vec_id, label, explode(bkeys) AS bkey FROM $SrpEView),
     sb AS (
@@ -6377,13 +6480,13 @@ object PipelineOps {
       JOIN $SrpEView et ON et.vec_id = c.tgt_id),
     ${p79Tail(k,
       m => s"CAST(floor($m * 1e6 + 0.5) AS DOUBLE) / 1e6",
-      c => s"CAST($c AS DOUBLE)")}"""
+      c => s"CAST($c AS DOUBLE)", grouped)}"""
 
   private[graft] def p79Run(spark: SparkSession, dir: String): DataFrame = {
     val hasLabel = srpSetup(spark, dir, -1)
     require(hasLabel, "p79_bitext_ann needs a `label` column on embeddings " +
       "(source half = label < 5, target half = label >= 5)")
-    spark.sql(p79Spark(bitextKnnK(spark)))
+    spark.sql(p79Spark(bitextKnnK(spark), marginTailGrouped(spark)))
   }
 
   /** DuckDB oracle at the static gate geometry (the p08 oracle rule):
@@ -6411,7 +6514,7 @@ object PipelineOps {
       JOIN e et ON et.vec_id = c.tgt_id),
     ${p79Tail(BitextKnnK,
       m => s"floor($m * 1e6 + 0.5) / 1e6",
-      c => s"CAST($c AS DOUBLE)")}"""
+      c => s"CAST($c AS DOUBLE)", grouped = false)}"""
 
   /** Plant-aware wiring without a hash family (p70): the fixture switch
     * follows [[onDocsHfP]]'s binding rule — with planting OFF the parquet
@@ -6699,7 +6802,8 @@ object PipelineOps {
     }),
     "p76_stitch_merge" -> onDocsHfP(p76Spark, spread = true),
     "p77_bitext_margin" -> ((spark, dir) =>
-      onEmb(p77Spark(bitextKnnK(spark)), spread = true)(spark, dir)),
+      onEmb(p77Spark(bitextKnnK(spark), marginTailGrouped(spark)),
+        spread = true)(spark, dir)),
     "p78_calibration_bins" -> onDocsHf(p78Spark),
     "p79_bitext_ann" -> ((spark, dir) => p79Run(spark, dir)),
     "p80_quality_auc" -> onDocsHf(p80Spark),

@@ -52,6 +52,7 @@ class KnobSweepSpec extends AnyFunSuite {
     "spark.graft.semDupThreshold" -> Knob("p67_semantic_dedup", Seq("1.5", "-1.0")),
     "spark.graft.mixtureAlpha" -> Knob("p75_mixture_weights", Seq("0.0", "1.5")),
     "spark.graft.bitextKnnK" -> Knob("p77_bitext_margin", Seq("0", "65")),
+    "spark.graft.marginTail" -> Knob("p77_bitext_margin", Seq("zigzag")),
     "spark.graft.boundaryResidentCap" -> Knob("", Seq("0")), // streaming: direct call below
     "spark.graft.packChunkDocs" -> Knob("p23_pack_sequences", Seq("0")),
     "spark.graft.shuffleSeed" -> Knob("", Nil,
